@@ -1,0 +1,311 @@
+"""PropertyGraph — the engine's data model: two DataFrames.
+
+Reference data model (src/graph_utils/graph.rs:11-31): nodes and
+relationships are hash maps of ``{id, label, metadata: map<string,string>}``
+records; every property value is a string (graph.rs:7-8). Here the same
+model is two DataFrames:
+
+    nodes:  id STRING, label STRING, properties MAP<STRING,STRING>
+    edges:  id STRING, src STRING, dst STRING, label STRING,
+            properties MAP<STRING,STRING>
+
+Scale notes: at 100 TB these are Parquet/Delta tables partitioned by
+``label`` so ``:Label`` pattern filters become partition pruning; all
+mutations are bulk set-operations (anti-joins / unions / map expressions)
+that run fully on executors — no driver-side row loops.
+
+Invariants enforced (reference parity):
+- edge endpoints must exist (graph.rs:51-66) — ``add_edges`` validates
+  with a join-count check;
+- deleting a node cascades to incident edges (graph.rs:145-162);
+- a plain (non-detach) delete of a node with incident edges is an error
+  (cypher_spec.rs:1235-1240: "use DETACH DELETE").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graph_loom_spark.ids import uuid7_batch
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+DEFAULT_LABEL = "_"  # reference: label defaults to "_" (cypher_spec.rs:1322)
+
+
+class GraphConsistencyError(ValueError):
+    """Raised on FK violations / illegal deletes, mirroring reference errors."""
+
+
+class PropertyGraph:
+    """A property graph backed by two DataFrames.
+
+    The object is a mutable *handle*; the DataFrames themselves are
+    immutable — every mutation swaps in new DataFrames. Long mutation
+    chains should call :meth:`materialize` (or :meth:`cache`) to cut
+    lineage; the Cypher session does this automatically.
+    """
+
+    def __init__(self, spark: SparkSession, nodes: DataFrame | None = None, edges: DataFrame | None = None):
+        self.spark = spark
+        self.nodes = nodes if nodes is not None else spark.createDataFrame([], NODE_SCHEMA)
+        self.edges = edges if edges is not None else spark.createDataFrame([], EDGE_SCHEMA)
+        self._mutations_since_materialize = 0
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "PropertyGraph":
+        return cls(spark)
+
+    @classmethod
+    def from_dataframes(cls, nodes: DataFrame, edges: DataFrame) -> "PropertyGraph":
+        spark = nodes.sparkSession
+        return cls(spark, nodes.select(*NODE_SCHEMA.fieldNames()), edges.select(*EDGE_SCHEMA.fieldNames()))
+
+    # ------------------------------------------------------------------
+    # bulk appends (the only way entities enter the graph)
+    # ------------------------------------------------------------------
+    def add_nodes(self, rows: Iterable[tuple[str, dict[str, str]]]) -> list[str]:
+        """Append nodes from (label, properties) pairs; returns new ids.
+
+        Driver-known row lists (the Cypher CREATE path — pattern literals,
+        so always small). Bulk loads should build a DataFrame with
+        ``uuid7_expr`` instead and use :meth:`add_nodes_df`.
+        """
+        rows = list(rows)
+        if not rows:
+            return []
+        ids = uuid7_batch(len(rows))
+        df = self.spark.createDataFrame(
+            [(i, lbl or DEFAULT_LABEL, dict(props or {})) for i, (lbl, props) in zip(ids, rows)],
+            NODE_SCHEMA,
+        )
+        self.nodes = self.nodes.unionByName(df)
+        self._bump()
+        return ids
+
+    def add_nodes_df(self, df: DataFrame) -> None:
+        self.nodes = self.nodes.unionByName(df.select(*NODE_SCHEMA.fieldNames()))
+        self._bump()
+
+    def add_edges(
+        self,
+        rows: Iterable[tuple[str, str, str, dict[str, str]]],
+        check_endpoints: bool = True,
+    ) -> list[str]:
+        """Append edges from (src, dst, label, properties) tuples.
+
+        Endpoint existence is validated with a single join-count check
+        (reference rejects edges whose endpoints don't exist,
+        graph.rs:51-66).
+        """
+        rows = list(rows)
+        if not rows:
+            return []
+        ids = uuid7_batch(len(rows))
+        df = self.spark.createDataFrame(
+            [(i, s, d, lbl or DEFAULT_LABEL, dict(props or {})) for i, (s, d, lbl, props) in zip(ids, rows)],
+            EDGE_SCHEMA,
+        )
+        self.add_edges_df(df, check_endpoints=check_endpoints)
+        return ids
+
+    def add_edges_df(self, df: DataFrame, check_endpoints: bool = True) -> None:
+        df = df.select(*EDGE_SCHEMA.fieldNames())
+        if check_endpoints:
+            node_ids = self.nodes.select("id")
+            n = df.count()
+            ok = (
+                df.join(node_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(node_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .count()
+            )
+            if ok != n:
+                raise GraphConsistencyError(
+                    f"add_edges: {n - ok} edge(s) reference nonexistent endpoint node(s)"
+                )
+        self.edges = self.edges.unionByName(df)
+        self._bump()
+
+    # ------------------------------------------------------------------
+    # deletes
+    # ------------------------------------------------------------------
+    def delete_edges_by_ids(self, ids_df: DataFrame) -> int:
+        """Anti-join delete; returns number of edges removed."""
+        ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        before = self.edges.count()
+        self.edges = self.edges.join(ids_df, "id", "left_anti")
+        self._bump()
+        return before - self.edges.count()
+
+    def delete_nodes_by_ids(self, ids_df: DataFrame, detach: bool = False) -> tuple[int, int]:
+        """Delete nodes; returns (nodes_removed, edges_removed).
+
+        With ``detach=False`` raises if any target has incident edges
+        (reference M4). With ``detach=True`` cascades to incident edges
+        via an anti-join on (src OR dst) ∈ deleted set.
+        """
+        ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        incident = self.edges.join(
+            ids_df.withColumnRenamed("id", "_del"),
+            (F.col("src") == F.col("_del")) | (F.col("dst") == F.col("_del")),
+            "left_semi",
+        )
+        n_incident = incident.count()
+        if n_incident and not detach:
+            raise GraphConsistencyError(
+                "cannot delete node(s) with relationships; use DETACH DELETE"
+            )
+        nodes_before = self.nodes.count()
+        self.nodes = self.nodes.join(ids_df, "id", "left_anti")
+        removed_nodes = nodes_before - self.nodes.count()
+        removed_edges = 0
+        if n_incident:
+            edges_before = self.edges.count()
+            self.edges = (
+                self.edges.join(ids_df.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(ids_df.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            )
+            removed_edges = edges_before - self.edges.count()
+        self._bump()
+        return removed_nodes, removed_edges
+
+    # ------------------------------------------------------------------
+    # property / label mutations (reference graph.rs:68-138)
+    # ------------------------------------------------------------------
+    def upsert_property(self, kind: str, ids_df: DataFrame, key: str, value: str) -> int:
+        """SET var.prop = value on all ids in ``ids_df``; returns touched count.
+
+        Compiles to ``map_concat`` guarded by membership — LAST_WIN dedup
+        policy keeps the new value (session.py).
+        """
+        df, setter = self._target(kind)
+        ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        marked = df.join(ids_df.withColumn("_hit", F.lit(True)), "id", "left")
+        updated = marked.withColumn(
+            "properties",
+            F.when(
+                F.col("_hit"), F.map_concat("properties", F.create_map(F.lit(key), F.lit(value)))
+            ).otherwise(F.col("properties")),
+        ).drop("_hit")
+        setter(updated)
+        self._bump()
+        return ids_df.join(df, "id", "left_semi").count()
+
+    def remove_property(self, kind: str, ids_df: DataFrame, key: str) -> int:
+        df, setter = self._target(kind)
+        ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        marked = df.join(ids_df.withColumn("_hit", F.lit(True)), "id", "left")
+        updated = marked.withColumn(
+            "properties",
+            F.when(
+                F.col("_hit"), F.map_filter("properties", lambda k, _: k != F.lit(key))
+            ).otherwise(F.col("properties")),
+        ).drop("_hit")
+        setter(updated)
+        self._bump()
+        return ids_df.join(df, "id", "left_semi").count()
+
+    def set_label(self, kind: str, ids_df: DataFrame, label: str) -> int:
+        """SET n:NewLabel — *replaces* the single label (graph.rs:68-75)."""
+        df, setter = self._target(kind)
+        ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        marked = df.join(ids_df.withColumn("_hit", F.lit(True)), "id", "left")
+        updated = marked.withColumn(
+            "label", F.when(F.col("_hit"), F.lit(label)).otherwise(F.col("label"))
+        ).drop("_hit")
+        setter(updated)
+        self._bump()
+        return ids_df.join(df, "id", "left_semi").count()
+
+    def _target(self, kind: str):
+        if kind == "node":
+            return self.nodes, lambda d: setattr(self, "nodes", d)
+        if kind == "rel":
+            return self.edges, lambda d: setattr(self, "edges", d)
+        raise ValueError(f"unknown entity kind: {kind}")
+
+    # ------------------------------------------------------------------
+    # lineage control
+    # ------------------------------------------------------------------
+    def _bump(self) -> None:
+        self._mutations_since_materialize += 1
+        # localCheckpoint truncates the logical plan; without it a long
+        # mutation script compiles an ever-deeper tree and planning time
+        # dominates. Threshold is a trade: each checkpoint is an action.
+        if self._mutations_since_materialize >= 8:
+            self.cache_checkpoint()
+
+    def cache_checkpoint(self) -> None:
+        self.nodes = self.nodes.localCheckpoint(eager=True)
+        self.edges = self.edges.localCheckpoint(eager=True)
+        self._mutations_since_materialize = 0
+
+    # ------------------------------------------------------------------
+    # persistence (reference S5/S6: snapshot load/save, versioned)
+    # ------------------------------------------------------------------
+    def save(self, path: str, versioned: bool = False) -> str:
+        """Write nodes/edges parquet under ``path`` (optionally a timestamped
+        version subdir, mirroring the reference's versioned RON snapshots,
+        persist.rs:89-131). Returns the directory written."""
+        target = path
+        if versioned:
+            target = os.path.join(path, "versions", time.strftime("%Y%m%dT%H%M%S"))
+        self.nodes.write.mode("overwrite").parquet(os.path.join(target, "nodes"))
+        self.edges.write.mode("overwrite").parquet(os.path.join(target, "edges"))
+        return target
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PropertyGraph":
+        return cls(
+            spark,
+            spark.read.schema(NODE_SCHEMA).parquet(os.path.join(path, "nodes")),
+            spark.read.schema(EDGE_SCHEMA).parquet(os.path.join(path, "edges")),
+        )
+
+    @staticmethod
+    def list_versions(path: str) -> list[str]:
+        vdir = os.path.join(path, "versions")
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(os.listdir(vdir))
+
+    # ------------------------------------------------------------------
+    # catalog helpers (reference G6)
+    # ------------------------------------------------------------------
+    def node_labels(self) -> DataFrame:
+        return self.nodes.select("label").distinct()
+
+    def edge_labels(self) -> DataFrame:
+        return self.edges.select("label").distinct()
+
+    def property_keys(self) -> DataFrame:
+        return (
+            self.nodes.select(F.explode(F.map_keys("properties")).alias("key"))
+            .union(self.edges.select(F.explode(F.map_keys("properties")).alias("key")))
+            .distinct()
+        )

@@ -1,0 +1,140 @@
+"""Deterministic property-graph projection of the driver's TPC-H-ish tables.
+
+Implements FIXTURES.md §5: each table becomes a node label with all
+columns stringified into the properties map; FK columns become edges.
+Ids are deterministic surrogates (``<prefix>:<zero-padded key>``) so the
+DuckDB oracle can reconstruct them with ``lpad`` — and, being fixed-width
+with a label prefix, they sort deterministically like the reference's
+UUIDv7 ids sort by creation order within a bulk load.
+
+Scale notes: the projection is a set of per-table ``select`` +
+``create_map`` expressions — no shuffle at all; edges are pure column
+renames of FK pairs. At 100 TB the node/edge frames stay partitioned by
+their source table's layout, and the `label` column enables partition
+pruning once persisted with ``.write.partitionBy("label")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_loom_spark.graph import PropertyGraph
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# (label, table, prefix, key columns)
+_NODE_SPECS = [
+    ("Region", "region", "R", ["r_regionkey"]),
+    ("Nation", "nation", "N", ["n_nationkey"]),
+    ("Customer", "customer", "C", ["c_custkey"]),
+    ("Supplier", "supplier", "S", ["s_suppkey"]),
+    ("Part", "part", "P", ["p_partkey"]),
+    ("Order", "orders", "O", ["o_orderkey"]),
+    ("Lineitem", "lineitem", "L", ["l_orderkey", "l_linenumber"]),
+]
+
+# (edge label, src table, src prefix, src keys, dst prefix, dst keys)
+_EDGE_SPECS = [
+    ("IN_REGION", "nation", "N", ["n_nationkey"], "R", ["n_regionkey"]),
+    ("FROM_NATION", "customer", "C", ["c_custkey"], "N", ["c_nationkey"]),
+    ("FROM_NATION", "supplier", "S", ["s_suppkey"], "N", ["s_nationkey"]),
+    ("PLACED", "orders", "C", ["o_custkey"], "O", ["o_orderkey"]),
+    ("HAS_LINE", "lineitem", "O", ["l_orderkey"], "L", ["l_orderkey", "l_linenumber"]),
+    ("OF_PART", "lineitem", "L", ["l_orderkey", "l_linenumber"], "P", ["l_partkey"]),
+    ("SUPPLIED_BY", "lineitem", "L", ["l_orderkey", "l_linenumber"], "S", ["l_suppkey"]),
+]
+
+
+def surrogate_id(prefix: str, key_cols: list[str]):
+    """``P:000000000042[:...]`` — fixed-width so string order == key order.
+
+    DuckDB equivalent: ``'P:' || lpad(CAST(k AS VARCHAR), 12, '0')``.
+    """
+    parts = [F.lit(prefix)]
+    for k in key_cols:
+        parts.append(F.lit(":"))
+        parts.append(F.lpad(F.col(k).cast("string"), 12, "0"))
+    return F.concat(*parts)
+
+
+def surrogate_id_sql(prefix: str, key_exprs: list[str]) -> str:
+    """The matching DuckDB SQL expression for :func:`surrogate_id`."""
+    parts = [f"'{prefix}'"]
+    for k in key_exprs:
+        parts.append(f"':' || lpad(CAST({k} AS VARCHAR), 12, '0')")
+    return " || ".join(parts)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in (names or TABLES)}
+
+
+def _props_map(df: DataFrame):
+    pairs = []
+    for c in df.columns:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    return F.create_map(*pairs)
+
+
+def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> PropertyGraph:
+    """Project the star schema into canonical ``nodes``/``edges`` frames.
+
+    Pure narrow transformations (no shuffle); each per-table frame keeps
+    its parquet partitioning. ``cache=True`` persists the unioned frames
+    for repeated queries within one session.
+    """
+    tables = load_tables(
+        spark, sf_dir, [t for t in TABLES if t not in ("events", "documents", "embeddings")]
+    )
+    node_parts = []
+    for label, table, prefix, keys in _NODE_SPECS:
+        df = tables[table]
+        node_parts.append(
+            df.select(
+                surrogate_id(prefix, keys).alias("id"),
+                F.lit(label).alias("label"),
+                _props_map(df).alias("properties"),
+            )
+        )
+    nodes = node_parts[0]
+    for p in node_parts[1:]:
+        nodes = nodes.unionByName(p)
+
+    edge_parts = []
+    for elabel, table, sp, sk, dp, dk in _EDGE_SPECS:
+        df = tables[table]
+        edge_parts.append(
+            df.select(
+                F.concat(
+                    F.lit("E:"), F.lit(elabel), F.lit(":"), surrogate_id(sp, sk),
+                    F.lit(">"), surrogate_id(dp, dk),
+                ).alias("id"),
+                surrogate_id(sp, sk).alias("src"),
+                surrogate_id(dp, dk).alias("dst"),
+                F.lit(elabel).alias("label"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                ).alias("properties"),
+            )
+        )
+    edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges = edges.unionByName(p)
+
+    if cache:
+        nodes = nodes.cache()
+        edges = edges.cache()
+    return PropertyGraph(spark, nodes, edges)
