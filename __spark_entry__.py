@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001. ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 (Cypher
+engine over the TPC-H graph projection) plus the beyond-reference
+pipeline operators (aggregations, windows, set ops, events, text,
+dedup, similarity search). ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for each; column names/types are aligned on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,450 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_loom_spark import analytics
+from graph_loom_spark.interface import CypherSession
+from graph_loom_spark.io.tpch_graph import build_graph
+from graph_loom_spark.ops import dedup as ops_dedup
+from graph_loom_spark.ops import events as ops_events
+from graph_loom_spark.ops import relational as ops_rel
+from graph_loom_spark.ops import simsearch as ops_sim
+from graph_loom_spark.ops import text as ops_text
+
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _GRAPH_CACHE:
+        _GRAPH_CACHE[sf_dir] = build_graph(spark, sf_dir)
+    return _GRAPH_CACHE[sf_dir]
+
+
+def _cypher(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    return CypherSession(_graph(spark, sf_dir)).execute_df(q)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Cypher 2-pattern join over the graph projection."""
+    return _cypher(
+        spark,
+        "/root/testdata/sf0.001",
+        'MATCH (c:Customer {c_mktsegment:"BUILDING"})-[:PLACED]->(o:Order) RETURN o.o_orderkey',
+    ).select(F.col("info").cast("bigint").alias("o_orderkey"))
+
+
+# --------------------------------------------------------------------------
+# Cypher-engine queries (SURVEY §2 operators over the tpch-graph projection)
+# --------------------------------------------------------------------------
+def _q_cypher_label_scan(spark, sf_dir):  # S1 + P8
+    return _cypher(
+        spark, sf_dir, 'MATCH (c:Customer {c_mktsegment:"BUILDING"}) RETURN c.c_custkey'
+    ).select(F.col("info").cast("bigint").alias("c_custkey"))
+
+
+def _q_cypher_where_coercion(spark, sf_dir):  # P3 numeric-first compare
+    return _cypher(
+        spark, sf_dir, "MATCH (o:Order) WHERE o.o_totalprice > 200000 RETURN o.o_orderkey"
+    ).select(F.col("info").cast("bigint").alias("o_orderkey"))
+
+
+def _q_cypher_where_contains(spark, sf_dir):  # P4
+    return _cypher(
+        spark, sf_dir, 'MATCH (p:Part) WHERE p.p_name CONTAINS "green" RETURN p.p_name'
+    ).select(F.col("info").alias("p_name"))
+
+
+def _q_cypher_where_prefix_suffix(spark, sf_dir):  # P5 + P6 + P1 AND-split
+    return _cypher(
+        spark,
+        sf_dir,
+        'MATCH (p:Part) WHERE p.p_name STARTS WITH "small" AND p.p_name ENDS WITH "bolt" RETURN p.p_name',
+    ).select(F.col("info").alias("p_name"))
+
+
+def _q_cypher_one_hop(spark, sf_dir):  # J1
+    return _cypher(
+        spark,
+        sf_dir,
+        'MATCH (c:Customer {c_mktsegment:"BUILDING"})-[:PLACED]->(o:Order) RETURN o.o_orderkey',
+    ).select(F.col("info").cast("bigint").alias("o_orderkey"))
+
+
+def _q_cypher_multi_pattern(spark, sf_dir):  # J3 shared-variable join
+    return _cypher(
+        spark,
+        sf_dir,
+        'MATCH (c:Customer {c_mktsegment:"MACHINERY"})-[:PLACED]->(o:Order), '
+        '(o)-[:HAS_LINE]->(l:Lineitem) WHERE l.l_returnflag = "R" RETURN l.l_quantity',
+    ).select(F.col("info").cast("double").alias("l_quantity"))
+
+
+def _q_cypher_order_by_limit(spark, sf_dir):  # O1 + O2
+    return _cypher(
+        spark, sf_dir, "MATCH (s:Supplier) RETURN s.s_name ORDER BY s.s_name DESC SKIP 2 LIMIT 3"
+    ).select(F.col("info").alias("s_name"))
+
+
+def _q_cypher_distinct(spark, sf_dir):  # O3
+    return _cypher(
+        spark, sf_dir, "MATCH (o:Order) RETURN DISTINCT o.o_orderpriority"
+    ).select(F.col("info").alias("o_orderpriority"))
+
+
+def _q_cypher_id_func(spark, sf_dir):  # F1
+    return _cypher(spark, sf_dir, "MATCH (n:Nation) RETURN id(n)").select(
+        F.col("info").alias("id")
+    )
+
+
+def _q_cypher_id_pairs(spark, sf_dir):  # P2 theta filter over J3 cross join
+    return _cypher(
+        spark, sf_dir, "MATCH (a:Region), (b:Region) WHERE id(a) < id(b) RETURN id(b)"
+    ).select(F.col("info").alias("id"))
+
+
+def _q_cypher_undirected(spark, sf_dir):  # J2
+    return _cypher(spark, sf_dir, "MATCH (n:Nation)-[:IN_REGION]-(x) RETURN id(x)").select(
+        F.col("info").alias("id")
+    )
+
+
+def _q_cypher_var_length(spark, sf_dir):  # J4 BFS, any edge type, 1..2 hops
+    return _cypher(
+        spark, sf_dir, 'MATCH (c:Customer {c_custkey:"1"})-[*1..2]->(x) RETURN id(x)'
+    ).select(F.col("info").alias("id"))
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference pipeline operators
+# --------------------------------------------------------------------------
+def _q_agg_pricing_summary(spark, sf_dir):
+    return ops_rel.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_agg_revenue_by_nation(spark, sf_dir):
+    return ops_rel.revenue_by_nation(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_window_top_orders(spark, sf_dir):
+    return ops_rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
+
+
+def _q_setop_customers_no_orders(spark, sf_dir):
+    return ops_rel.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _events(spark, sf_dir):
+    return ops_events.load_events(spark, f"{sf_dir}/events.parquet")
+
+
+def _q_events_hourly(spark, sf_dir):
+    return ops_events.hourly_agg(_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    return ops_events.sessionize(_events(spark, sf_dir))
+
+
+def _q_docs_exact_dedup(spark, sf_dir):
+    return ops_dedup.exact_dedup(_t(spark, sf_dir, "documents"), ["text"])
+
+
+def _q_docs_token_stats(spark, sf_dir):
+    return ops_text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_quality(spark, sf_dir):
+    return ops_text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_lang_id(spark, sf_dir):
+    return ops_text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_fingerprint(spark, sf_dir):
+    return ops_text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_emb_cosine_topk(spark, sf_dir):
+    return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
+
+
+def _q_docs_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — engine-hash based, rows-only check."""
+    sigs = ops_dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return ops_dedup.minhash_lsh_pairs(sigs, threshold=0.3)
+
+
+def _q_docs_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — engine-hash based, rows-only check."""
+    sim = ops_dedup.simhash(_t(spark, sf_dir, "documents"))
+    return ops_dedup.simhash_near_pairs(sim, max_hamming=3)
+
+
+def _q_emb_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k — approximate, rows-only check."""
+    bk = ops_sim.rp_lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, bits=8)
+    return ops_sim.ann_topk(bk, probe_id=7, k=10)
+
+
+# --------------------------------------------------------------------------
+# Graph analytics (reference §2.10: A2/G1/G2/G4)
+# --------------------------------------------------------------------------
+def _q_graph_degrees(spark, sf_dir):  # A2/G3
+    return analytics.degrees(_graph(spark, sf_dir))
+
+
+def _q_graph_components(spark, sf_dir):  # G4 — iterative, rows-only check
+    return analytics.connected_components(_graph(spark, sf_dir))
+
+
+def _q_graph_lpa(spark, sf_dir):  # G1 — iterative, rows-only check
+    return analytics.weighted_label_propagation(_graph(spark, sf_dir))
+
+
+def _q_graph_community_density(spark, sf_dir):  # G2/A3 — rows-only check
+    g = _graph(spark, sf_dir)
+    return analytics.community_density(g, analytics.weighted_label_propagation(g))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cypher_label_scan": _q_cypher_label_scan,
+        "cypher_where_coercion": _q_cypher_where_coercion,
+        "cypher_where_contains": _q_cypher_where_contains,
+        "cypher_where_prefix_suffix": _q_cypher_where_prefix_suffix,
+        "cypher_one_hop": _q_cypher_one_hop,
+        "cypher_multi_pattern": _q_cypher_multi_pattern,
+        "cypher_order_by_limit": _q_cypher_order_by_limit,
+        "cypher_distinct": _q_cypher_distinct,
+        "cypher_id_func": _q_cypher_id_func,
+        "cypher_id_pairs": _q_cypher_id_pairs,
+        "cypher_undirected": _q_cypher_undirected,
+        "cypher_var_length": _q_cypher_var_length,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
+        "window_top_orders": _q_window_top_orders,
+        "setop_customers_no_orders": _q_setop_customers_no_orders,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+        "graph_degrees": _q_graph_degrees,
+        "graph_components": _q_graph_components,
+        "graph_lpa": _q_graph_lpa,
+        "graph_community_density": _q_graph_community_density,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ID_N = "'N:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cypher_label_scan": (
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "cypher_where_coercion": (
+            "SELECT o_orderkey FROM orders WHERE o_totalprice > 200000"
+        ),
+        "cypher_where_contains": (
+            "SELECT p_name FROM part WHERE p_name LIKE '%green%'"
+        ),
+        "cypher_where_prefix_suffix": (
+            "SELECT p_name FROM part WHERE p_name LIKE 'small%' AND p_name LIKE '%bolt'"
+        ),
+        "cypher_one_hop": (
+            "SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "cypher_multi_pattern": (
+            "SELECT l_quantity FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'MACHINERY' AND l_returnflag = 'R'"
+        ),
+        "cypher_order_by_limit": (
+            "SELECT s_name FROM supplier ORDER BY s_name DESC LIMIT 3 OFFSET 2"
+        ),
+        "cypher_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+        "cypher_id_func": f"SELECT {_ID_N} AS id FROM nation",
+        "cypher_id_pairs": (
+            "SELECT 'R:' || lpad(CAST(b.r_regionkey AS VARCHAR), 12, '0') AS id "
+            "FROM region a, region b WHERE a.r_regionkey < b.r_regionkey"
+        ),
+        "cypher_undirected": (
+            "SELECT 'R:' || lpad(CAST(n_regionkey AS VARCHAR), 12, '0') AS id FROM nation"
+        ),
+        "cypher_var_length": (
+            "SELECT 'N:' || lpad(CAST(c_nationkey AS VARCHAR), 12, '0') AS id "
+            "FROM customer WHERE c_custkey = 1 "
+            "UNION "
+            "SELECT 'O:' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id "
+            "FROM orders WHERE o_custkey = 1 "
+            "UNION "
+            "SELECT 'R:' || lpad(CAST(n_regionkey AS VARCHAR), 12, '0') AS id "
+            "FROM nation JOIN customer ON n_nationkey = c_nationkey WHERE c_custkey = 1 "
+            "UNION "
+            "SELECT 'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(seq AS VARCHAR), 4, '0') AS id FROM ("
+            "SELECT l_orderkey, l_linenumber, row_number() OVER ("
+            "PARTITION BY l_orderkey, l_linenumber ORDER BY l_partkey, l_suppkey, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
+            "l_linestatus, l_shipdate) AS seq FROM lineitem) li "
+            "JOIN orders ON li.l_orderkey = o_orderkey WHERE o_custkey = 1"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, "
+            "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "window_top_orders": (
+            "SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, rank FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank "
+            "FROM orders) WHERE rank <= 3"
+        ),
+        "setop_customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "events_hourly": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM ("
+            "SELECT user_id, CASE WHEN prev_ts IS NULL "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM ("
+            "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+            "FROM events)) GROUP BY user_id"
+        ),
+        "docs_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
+        ),
+        "docs_token_stats": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_measured, "
+            "CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) AS avg_token_len "
+            "FROM documents"
+        ),
+        "docs_quality": (
+            "SELECT doc_id, CAST("
+            "CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1 ELSE 0 END + "
+            "CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 "
+            "AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
+            "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS quality_score, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "docs_lang_id": (
+            "SELECT doc_id, "
+            "CASE "
+            "WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es) THEN 'en' "
+            "WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es) THEN 'de' "
+            "WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es) THEN 'fr' "
+            "WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr) THEN 'es' "
+            "ELSE 'und' END AS lang_pred, "
+            "CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_hits FROM ("
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t IN ('the','a','of','and','to'))) AS s_en, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t IN ('der','die','und','das','ist'))) AS s_de, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t IN ('le','la','et','les','des'))) AS s_fr, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t IN ('el','la','de','que','los'))) AS s_es "
+            "FROM documents)"
+        ),
+        "docs_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint "
+            "FROM documents"
+        ),
+        "emb_cosine_topk": (
+            "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 7) "
+            "SELECT e.vec_id, round("
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+            "FROM embeddings e, probe WHERE e.vec_id <> 7 "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # docs_minhash_pairs / docs_simhash_pairs / emb_ann_lsh: engine-hash
+        # based or approximate → intentionally no oracle (rows-only check).
+        # graph_components / graph_lpa / graph_community_density: iterative
+        # fixpoint algorithms (not SQL-expressible) → rows-only check.
+        "graph_degrees": (
+            "WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+            "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+            "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
+            "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
+            "FROM lineitem), "
+            "ends AS ("
+            "SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0') AS id FROM nation "
+            "UNION ALL SELECT 'R:'||lpad(CAST(n_regionkey AS VARCHAR),12,'0') FROM nation "
+            "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0') FROM customer "
+            "UNION ALL SELECT 'N:'||lpad(CAST(c_nationkey AS VARCHAR),12,'0') FROM customer "
+            "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0') FROM supplier "
+            "UNION ALL SELECT 'N:'||lpad(CAST(s_nationkey AS VARCHAR),12,'0') FROM supplier "
+            "UNION ALL SELECT 'C:'||lpad(CAST(o_custkey AS VARCHAR),12,'0') FROM orders "
+            "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') FROM orders "
+            "UNION ALL SELECT 'O:'||lpad(CAST(l_orderkey AS VARCHAR),12,'0') FROM lineitem "
+            "UNION ALL SELECT lid FROM li "
+            "UNION ALL SELECT lid FROM li "
+            "UNION ALL SELECT 'P:'||lpad(CAST(l_partkey AS VARCHAR),12,'0') FROM lineitem "
+            "UNION ALL SELECT lid FROM li "
+            "UNION ALL SELECT 'S:'||lpad(CAST(l_suppkey AS VARCHAR),12,'0') FROM lineitem"
+            "), all_nodes AS ("
+            "SELECT 'R:'||lpad(CAST(r_regionkey AS VARCHAR),12,'0') AS id FROM region "
+            "UNION ALL SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0') FROM nation "
+            "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0') FROM customer "
+            "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0') FROM supplier "
+            "UNION ALL SELECT 'P:'||lpad(CAST(p_partkey AS VARCHAR),12,'0') FROM part "
+            "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') FROM orders "
+            "UNION ALL SELECT lid FROM li) "
+            "SELECT n.id AS id, CAST(count(e.id) AS BIGINT) AS degree "
+            "FROM all_nodes n LEFT JOIN ends e ON n.id = e.id GROUP BY n.id"
+        ),
+    }

@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_loom_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "cypher_label_scan",
+    "cypher_one_hop",
+    "cypher_multi_pattern",
+    "cypher_var_length",
+    "cypher_distinct",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "window_top_orders",
+    "setop_customers_no_orders",
+    "events_hourly",
+    "events_sessionize",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_fingerprint",
+    "docs_minhash_pairs",
+    "docs_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "graph_degrees",
+    "graph_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="graph-loom-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()  # force full execution
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures without killing the bench
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

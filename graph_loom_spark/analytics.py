@@ -1,0 +1,204 @@
+"""Graph-analytics operators (reference §2.10): degrees, metadata-overlap
+similarity, weighted label propagation, community density, connected
+components.
+
+Reference semantics (all in src/gui/frontend.rs):
+- degree: undirected neighbor-list length, parallel edges counted
+  (frontend.rs:597-600, 3135-3139);
+- similarity weight w(u←v) = 1 + 0.75·[same non-empty label] +
+  0.5·(#equal k/v ÷ max(|meta_u|,1)) — note the asymmetric normalizer:
+  the *updating* node's metadata size (frontend.rs:536-562);
+- label propagation: every node starts as its own community, each round
+  a node adopts the neighbor community with max summed weight, ≤8
+  rounds, stop when stable (frontend.rs:564-588). The reference updates
+  in-place while iterating nodes in sorted order (asynchronous); the
+  distributed version here is the standard synchronous variant with a
+  deterministic tie-break (max score, then smallest community id) — the
+  reference's tie-break is HashMap iteration order, i.e. unspecified.
+- community density: internal undirected edges ÷ max(n·(n-1)/2, 1)
+  (frontend.rs:602-616).
+
+Scale design: each LPA round is one shuffle (groupBy node) over an
+edge-partitioned frame; the similarity weights are computed ONCE before
+the loop and cached, so rounds touch only (src, dst, w, community).
+`localCheckpoint` truncates lineage every round — without it the plan
+doubles per iteration. Skewed hub nodes are handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graph_loom_spark.graph import PropertyGraph
+
+
+def degrees(graph: PropertyGraph) -> DataFrame:
+    """Undirected degree per node: ``(id, degree)``; isolated nodes → 0.
+
+    One union + one groupBy (map-side partial count). Equivalent to
+    GraphFrames ``degrees`` plus zero-degree rows.
+    """
+    ends = graph.edges.select(F.col("src").alias("id")).unionAll(
+        graph.edges.select(F.col("dst").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        graph.nodes.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+    )
+
+
+def _directed_adjacency(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge: ``(u, v)`` — u's neighbor list is
+    the reference's ``neighbors`` map (frontend.rs:513-520); parallel
+    edges deliberately kept (they add weight/degree)."""
+    return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+
+
+def similarity_weights(graph: PropertyGraph) -> DataFrame:
+    """Per adjacency pair (u, v): the reference's metadata-overlap weight
+    w(u←v) = 1 + 0.75·[label_u = label_v ≠ ''] + 0.5·overlap/max(|meta_u|,1)
+    (frontend.rs:536-562). Returns ``(u, v, w)`` for both orientations.
+
+    Two hash joins against the (broadcastable-when-small) nodes frame;
+    the k/v overlap is a ``map_zip_with`` + ``aggregate`` pure-JVM
+    expression, no UDF.
+    """
+    adj = _directed_adjacency(graph.edges)
+    nu = graph.nodes.select(
+        F.col("id").alias("u"), F.col("label").alias("__lu"), F.col("properties").alias("__mu")
+    )
+    nv = graph.nodes.select(
+        F.col("id").alias("v"), F.col("label").alias("__lv"), F.col("properties").alias("__mv")
+    )
+    j = adj.join(nu, "u").join(nv, "v")
+    label_bonus = F.when(
+        (F.col("__lu") == F.col("__lv")) & (F.col("__lu") != ""), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    eq_count = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "__mu", "__mv", lambda k, a, b: (a.isNotNull() & b.isNotNull() & (a == b)).cast("int")
+            )
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
+    )
+    overlap = eq_count.cast("double") / F.greatest(F.size("__mu"), F.lit(1)).cast("double")
+    w = F.lit(1.0) + F.lit(0.75) * label_bonus + F.lit(0.5) * overlap
+    return j.select("u", "v", w.alias("w"))
+
+
+def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
+    """Weighted LPA (frontend.rs:509-588): returns ``(id, community)``.
+
+    Synchronous rounds: each node adopts argmax_c Σ w(u←v) over
+    neighbors v in community c; ties → smallest community id; isolated
+    nodes keep their own id. Stops early when no node changes.
+    """
+    weights = similarity_weights(graph).localCheckpoint(eager=True)
+    comm = graph.nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        scores = (
+            weights.join(comm.select(F.col("id").alias("v"), F.col("community").alias("c")), "v")
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("score"))
+        )
+        win = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("c").asc())
+        best = (
+            scores.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("id"), F.col("c").alias("new_community"))
+        )
+        nxt = (
+            comm.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+                (F.coalesce("new_community", "community") != F.col("community")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("__chg")).count()
+        comm = nxt.drop("__chg")
+        if changed == 0:
+            break
+    return comm
+
+
+def community_density(graph: PropertyGraph, communities: DataFrame) -> DataFrame:
+    """Per community: member count + internal density
+    internal_edges ÷ max(n·(n-1)/2, 1) (frontend.rs:602-616).
+
+    ``communities`` is ``(id, community)``. Internal edges counted once
+    per edge (the reference counts both directions then halves — same
+    number, one shuffle fewer here).
+    """
+    c = communities
+    sizes = c.groupBy("community").agg(F.count(F.lit(1)).alias("n_nodes"))
+    e = (
+        graph.edges.select("src", "dst")
+        .join(c.select(F.col("id").alias("src"), F.col("community").alias("__cs")), "src")
+        .join(c.select(F.col("id").alias("dst"), F.col("community").alias("__cd")), "dst")
+        .filter(F.col("__cs") == F.col("__cd"))
+        .groupBy(F.col("__cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    possible = F.greatest(
+        (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast("double"), F.lit(1.0)
+    )
+    return (
+        sizes.join(e, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("bigint").alias("internal_edges"),
+            (F.coalesce("internal_edges", F.lit(0)).cast("double") / possible).alias("density"),
+        )
+    )
+
+
+def connected_components(graph: PropertyGraph, max_iter: int = 50) -> DataFrame:
+    """Undirected connected components via iterative min-id propagation
+    (the reference's BFS flood, frontend.rs:3044-3063, generalized to all
+    components): returns ``(id, component)`` where component is the
+    smallest node id in the component.
+
+    Each round: component ← min(component, min over neighbors'
+    components); converges in O(graph diameter) rounds, each one
+    shuffle. For 100 TB graphs swap in the large-star/small-star
+    algorithm; diameter-bounded propagation is fine for the reference's
+    workloads and keeps every round a single aggregation.
+    """
+    adj = _directed_adjacency(graph.edges).localCheckpoint(eager=True)
+    comp = graph.nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(comp.select(F.col("id").alias("v"), F.col("component").alias("c")), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("c").alias("nbr_component"))
+        )
+        nxt = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.least("component", F.coalesce("nbr_component", "component"))
+                    != F.col("component")
+                ).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("__chg")).count()
+        comp = nxt.drop("__chg")
+        if changed == 0:
+            break
+    return comp

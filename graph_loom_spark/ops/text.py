@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, language id, document fingerprinting.
+
+Everything here is built from JVM-side expressions (regexp_*, md5,
+length) — no Python UDFs — so it whole-stage-codegens and scales
+linearly over 100 TB of documents. Formulas are chosen to be exactly
+reproducible in ANSI SQL for the DuckDB oracle (md5, integer counts,
+single double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = r"\S+"
+
+# tiny per-language stopword profiles (public common words)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char counts + average token length."""
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    chars = F.length(F.col(text_col))
+    return documents.select(
+        "doc_id",
+        toks.cast("bigint").alias("n_tokens"),
+        chars.cast("bigint").alias("n_chars_measured"),
+        (chars.cast("double") / toks).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: length band + token-length band +
+    alpha ratio. Integer/boolean arithmetic only → oracle-exact."""
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    len_ok = (chars >= 50) & (chars <= 20000)
+    tok_ok = (toks >= 10) & ((chars.cast("double") / toks) <= 12.0)
+    alpha_ratio = alpha.cast("double") / chars
+    score = (
+        len_ok.cast("int") + tok_ok.cast("int") + (alpha_ratio >= 0.5).cast("int")
+    )
+    return documents.select(
+        "doc_id",
+        score.cast("bigint").alias("quality_score"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language id: argmax of per-language hit counts,
+    ties broken by profile order, 'und' (undetermined) when all zero.
+
+    Shape: tokenize (split on non-word runs) → explode → one aggregation
+    with a conditional-count column per language → tiny argmax projection
+    over the aggregated attributes. The aggregation is map-side partial
+    (only (doc_id, 4 counts) shuffles), and keeping the argmax over
+    *attribute references* — not inlined score expressions — keeps the
+    codegen'd expression tree small; a naive nested-CASE over inline
+    scores re-evaluates each score ~5x and blows up compile time."""
+    langs = list(LANG_PROFILES)
+    base = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("tok"),
+    )
+    scored = base.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tok").isin(*words).cast("int")).alias(f"__s_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+    scores: dict[str, Column] = {lang: F.col(f"__s_{lang}") for lang in langs}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier profiles win ties → apply last
+        s = scores[lang]
+        cond = s >= F.greatest(*[scores[o] for o in langs if o != lang]) if len(langs) > 1 else s > 0
+        best = F.when((s > 0) & cond, F.lit(lang)).otherwise(best)
+    for lang in langs:
+        best_score = F.greatest(best_score, scores[lang])
+    return scored.select(
+        "doc_id", best.alias("lang_pred"), best_score.cast("bigint").alias("lang_hits")
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — identical in every engine, unlike xxhash64."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return documents.select("doc_id", F.md5(norm).alias("fingerprint"))

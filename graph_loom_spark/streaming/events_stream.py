@@ -1,0 +1,104 @@
+"""Structured Streaming forms of the event operators (extension surface;
+the reference has no streaming — SURVEY §2.11).
+
+Each function mirrors a batch operator in ``ops.events`` so results are
+checkable against the batch/oracle path on the same files:
+
+- ``read_events_stream``: file-source stream with the same nanos→micros
+  timestamp normalization as the batch loader;
+- ``stream_hourly_agg``: tumbling window + watermark (late data beyond
+  the watermark is dropped — the 100 TB ingestion pattern);
+- ``stream_sessionize``: ``session_window`` gap sessions, the streaming
+  equivalent of the batch lag/cumsum sessionizer;
+- ``run_available_now``: drains everything currently in the source with
+  ``Trigger.AvailableNow`` into an in-memory table — used by tests to
+  prove stream/batch parity.
+
+Scale notes: watermark + windowed aggregation keeps state bounded by
+(watermark horizon × key cardinality); ``session_window`` state is per
+(user, open session). File listing is incremental (``maxFilesPerTrigger``
+governs batch size under backpressure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (legacy parquet read)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet dir; ts normalized to a
+    micros timestamp exactly like the batch loader (ops.events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type with a watermark: the
+    streaming twin of ``ops.events.hourly_agg`` (same output schema)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via ``session_window``; emits one row
+    per closed session (streaming state = open sessions only)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_seconds} seconds").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("string").alias("session_start"),
+            F.col("sw.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, table_name: str, timeout_s: int = 300) -> None:
+    """Drain the full source once (Trigger.AvailableNow) into an
+    in-memory table ``table_name`` and block until done."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {table_name} did not drain in {timeout_s}s")

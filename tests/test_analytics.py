@@ -1,0 +1,87 @@
+"""Analytics operators (reference §2.10): degrees, similarity weights,
+weighted LPA, community density, connected components — hand-computed
+expectations on tiny graphs."""
+
+from __future__ import annotations
+
+from graph_loom_spark import analytics
+from graph_loom_spark.graph import PropertyGraph
+
+
+def _graph(spark, node_rows, edge_rows):
+    g = PropertyGraph.empty(spark)
+    ids = g.add_nodes(node_rows)
+    name_to_id = {props["name"]: i for i, (_, props) in zip(ids, node_rows)}
+    g.add_edges(
+        [(name_to_id[s], name_to_id[d], lbl, props) for s, d, lbl, props in edge_rows]
+    )
+    return g, name_to_id
+
+
+def test_degrees_counts_both_directions_and_isolated(spark):
+    g, nid = _graph(
+        spark,
+        [("X", {"name": "a"}), ("X", {"name": "b"}), ("X", {"name": "c"})],
+        [("a", "b", "R", {}), ("a", "b", "R", {})],  # parallel edges count
+    )
+    deg = {r["id"]: r["degree"] for r in analytics.degrees(g).collect()}
+    assert deg[nid["a"]] == 2
+    assert deg[nid["b"]] == 2
+    assert deg[nid["c"]] == 0  # isolated
+
+
+def test_similarity_weights_formula(spark):
+    # same label (+0.75), 1 equal k/v of a's 2 keys (+0.5 * 1/2)
+    g, nid = _graph(
+        spark,
+        [("X", {"name": "a", "k": "v"}), ("X", {"name": "b", "k": "v"})],
+        [("a", "b", "R", {})],
+    )
+    rows = analytics.similarity_weights(g).collect()
+    w = {(r["u"], r["v"]): r["w"] for r in rows}
+    # u=a: meta {name:a, k:v} vs b {name:b, k:v} → 1 equal of 2 → 1+0.75+0.25
+    assert abs(w[(nid["a"], nid["b"])] - 2.0) < 1e-9
+    assert abs(w[(nid["b"], nid["a"])] - 2.0) < 1e-9
+
+
+def test_weighted_lpa_two_cliques(spark):
+    # two triangles joined by one weak bridge → two communities
+    nodes = [("X", {"name": n}) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]]
+    edges = [
+        ("a1", "a2", "R", {}), ("a2", "a3", "R", {}), ("a1", "a3", "R", {}),
+        ("b1", "b2", "R", {}), ("b2", "b3", "R", {}), ("b1", "b3", "R", {}),
+        ("a1", "b1", "R", {}),
+    ]
+    g, nid = _graph(spark, nodes, edges)
+    comm = {r["id"]: r["community"] for r in analytics.weighted_label_propagation(g).collect()}
+    a_comms = {comm[nid[n]] for n in ["a1", "a2", "a3"]}
+    b_comms = {comm[nid[n]] for n in ["b1", "b2", "b3"]}
+    assert len(a_comms) == 1
+    assert len(b_comms) == 1
+
+
+def test_community_density(spark):
+    # triangle = density 1.0 (3 internal edges / 3 possible pairs)
+    nodes = [("X", {"name": n}) for n in ["a", "b", "c"]]
+    edges = [("a", "b", "R", {}), ("b", "c", "R", {}), ("a", "c", "R", {})]
+    g, nid = _graph(spark, nodes, edges)
+    comm = spark.createDataFrame(
+        [(nid[n], "c0") for n in ["a", "b", "c"]], "id string, community string"
+    )
+    rows = analytics.community_density(g, comm).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_nodes"] == 3
+    assert rows[0]["internal_edges"] == 3
+    assert abs(rows[0]["density"] - 1.0) < 1e-9
+
+
+def test_connected_components(spark):
+    nodes = [("X", {"name": n}) for n in ["a", "b", "c", "d", "e"]]
+    edges = [("a", "b", "R", {}), ("b", "c", "R", {}), ("d", "e", "R", {})]
+    g, nid = _graph(spark, nodes, edges)
+    comp = {r["id"]: r["component"] for r in analytics.connected_components(g).collect()}
+    assert comp[nid["a"]] == comp[nid["b"]] == comp[nid["c"]]
+    assert comp[nid["d"]] == comp[nid["e"]]
+    assert comp[nid["a"]] != comp[nid["d"]]
+    # component id = smallest member id
+    assert comp[nid["a"]] == min(nid[n] for n in ["a", "b", "c"])
