@@ -28,8 +28,14 @@ _GRAPH_CACHE: dict[str, object] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
+    # cache=False: lazy per-label views beat materializing the generic
+    # property-graph shape — Catalyst collapses properties[k] back to the
+    # raw parquet columns (pushdown) and prunes union branches by label,
+    # so each query scans only the tables it touches. Caching the unioned
+    # MapType frames costs minutes (generic-path columnar build) and
+    # defeats predicate pushdown.
     if sf_dir not in _GRAPH_CACHE:
-        _GRAPH_CACHE[sf_dir] = build_graph(spark, sf_dir)
+        _GRAPH_CACHE[sf_dir] = build_graph(spark, sf_dir, cache=False)
     return _GRAPH_CACHE[sf_dir]
 
 
@@ -212,6 +218,17 @@ def _q_emb_ann_lsh(spark, sf_dir):
     return ops_sim.ann_topk(bk, probe_id=7, k=10)
 
 
+def _q_docs_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via inverted shingle index."""
+    return ops_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (threshold tuned to the
+    synthetic corpus; LSH-pruned variant covered by emb_ann_lsh)."""
+    return ops_sim.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4, exact=True)
+
+
 # --------------------------------------------------------------------------
 # Graph analytics (reference §2.10: A2/G1/G2/G4)
 # --------------------------------------------------------------------------
@@ -260,7 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_near_dup": _q_emb_near_dup,
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
         "graph_lpa": _q_graph_lpa,
@@ -420,6 +439,32 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # Jaccard over distinct shingle *hashes* (Spark) equals Jaccard over
+        # the distinct shingle *strings* (oracle) barring xxhash64 collisions;
+        # the oracle brute-forces all pairs, the engine prunes via the
+        # inverted index — same result for threshold > 0.
+        "docs_ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+        ),
+        "emb_near_dup": (
+            "SELECT id_a, id_b, cosine FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
+            "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "WHERE cosine >= 0.4"
         ),
         # docs_minhash_pairs / docs_simhash_pairs / emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).

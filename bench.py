@@ -67,8 +67,9 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.count()  # force full execution
             timings[name] = round(time.time() - t0, 3)
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as e:  # record failures without killing the bench
-            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            print(f"bench query {name} failed: {e}", file=sys.stderr, flush=True)
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -85,11 +85,18 @@ def _c(name: str) -> Column:
 class _Binding:
     """Binding table: DataFrame + static var→kind map. The constant `__1`
     column keeps the frame non-degenerate (a projection to zero variables
-    must still preserve row multiplicity, reference WITH semantics)."""
+    must still preserve row multiplicity, reference WITH semantics).
+
+    ``labels`` records the statically-known label of each bound variable
+    (from the pattern that bound it). It is a pure optimization hint:
+    joins back to nodes/edges pre-filter by it, which lets Catalyst prune
+    the per-label union branches down to single table scans instead of
+    scanning every source table. ``None`` = unknown, scan all."""
 
     def __init__(self, df: DataFrame, kinds: dict[str, str]):
         self.df = df
         self.kinds = kinds
+        self.labels: dict[str, str | None] = {}
 
     @classmethod
     def unit(cls, spark) -> "_Binding":
@@ -106,6 +113,18 @@ class CypherExecutor:
     def __init__(self, graph: PropertyGraph):
         self.graph = graph
         self.spark = graph.spark
+
+    def _nodes_hinted(self, b: "_Binding", var: str) -> DataFrame:
+        """Nodes frame pre-filtered by the var's statically-known label
+        (union-branch pruning); falls back to the full frame."""
+        lbl = b.labels.get(var)
+        df = self.graph.nodes
+        return df.filter(F.col("label") == lbl) if lbl is not None else df
+
+    def _edges_hinted(self, b: "_Binding", var: str) -> DataFrame:
+        lbl = b.labels.get(var)
+        df = self.graph.edges
+        return df.filter(F.col("label") == lbl) if lbl is not None else df
 
     # ------------------------------------------------------------- entry
     def execute(self, statement: str, params: dict[str, str] | None = None) -> DataFrame:
@@ -183,6 +202,7 @@ class CypherExecutor:
             return
         b.df = b.df.crossJoin(matches.select(F.col("id").alias(_vcol(np.var))))
         b.kinds[np.var] = "node"
+        b.labels[np.var] = np.label
 
     def _one_hop_triples(self, p: ast.PathPattern, params: dict[str, str]) -> DataFrame:
         """All (__a, __r, __b) matches of a 1-hop path (J1/J2). Endpoint
@@ -235,10 +255,12 @@ class CypherExecutor:
             joined = b.df.join(trip, reduce(lambda x, y: x & y, conds), "inner")
         else:
             joined = b.df.crossJoin(trip)
+        pat_labels = {"__a": p.left.label, "__r": p.rel.typ, "__b": p.right.label}
         sel = [F.col(c) for c in b.df.columns]
         for var, (tcol, kind) in new_vars.items():
             sel.append(F.col(tcol).alias(_vcol(var)))
             b.kinds[var] = kind
+            b.labels[var] = pat_labels[tcol]
         b.df = joined.select(*sel)
 
     def _expand_var_length(self, b: _Binding, p: ast.PathPattern) -> None:
@@ -261,6 +283,10 @@ class CypherExecutor:
                 F.col("dst").alias("__u"), F.col("src").alias("__v")
             )
         )
+        if max_hops > 1:
+            # materialize the (src,dst) pairs once: every hop joins this
+            # frame, and re-deriving it per hop repeats the upstream scans
+            adj = adj.localCheckpoint(eager=True)
 
         frontier = starts.select("__start", F.col("__start").alias("__node"))
         seen = frontier
@@ -306,9 +332,11 @@ class CypherExecutor:
         if lv is not None and lv not in b.kinds and lv != rv:
             sel.append(joined["__start"].alias(_vcol(lv)))
             b.kinds[lv] = "node"
+            b.labels[lv] = p.left.label
         if rv is not None:
             sel.append(joined["__node"].alias(_vcol(rv)))
             b.kinds[rv] = "node"
+            b.labels[rv] = p.right.label  # overwrite semantics: new hint
         b.df = joined.select(*sel)
 
     # ------------------------------------------------------------- WHERE
@@ -394,7 +422,7 @@ class CypherExecutor:
             nonlocal df
             if var in joined_vars:
                 return
-            n = self.graph.nodes.select(
+            n = self._nodes_hinted(b, var).select(
                 F.col("id").alias(f"__ex_{var}"), F.col("properties").alias(f"__pr_{var}")
             )
             df = df.join(n, _c(_vcol(var)) == _c(f"__ex_{var}"), "left")
@@ -469,7 +497,7 @@ class CypherExecutor:
             elif isinstance(expr, ast.Prop):
                 if b.kinds.get(expr.var) == "node":
                     if expr.var not in joined:
-                        n = self.graph.nodes.select(
+                        n = self._nodes_hinted(b, expr.var).select(
                             F.col("id").alias(f"__kx_{expr.var}"),
                             F.col("properties").alias(f"__kp_{expr.var}"),
                         )
@@ -510,6 +538,7 @@ class CypherExecutor:
         kept_vars = [v for v in kept_vars if not (v in seen or seen.add(v))]
         b.df = df.select("__1", *[_c(_vcol(v)) for v in kept_vars])
         b.kinds = {v: b.kinds[v] for v in kept_vars}
+        b.labels = {v: b.labels.get(v) for v in kept_vars}
 
     # ------------------------------------------------------------- RETURN
     def _project_item(
@@ -536,7 +565,7 @@ class CypherExecutor:
             if kind == "node":
                 # fresh aliases: the binding df derives from `nodes`, so raw
                 # column refs would be an ambiguous self-join
-                n = self.graph.nodes.select(
+                n = self._nodes_hinted(b, item.name).select(
                     F.col("id").alias("__ni"),
                     F.col("label").alias("__nl"),
                     F.col("properties").alias("__np"),
@@ -544,7 +573,7 @@ class CypherExecutor:
                 j = df.join(n, _c(_vcol(item.name)) == _c("__ni"), "inner")
                 return out("node", _c("__ni"), _null_s(), _null_s(), _c("__nl"), _c("__np"), _null_s(), j)
             if kind == "rel":
-                e = self.graph.edges.select(
+                e = self._edges_hinted(b, item.name).select(
                     F.col("id").alias("__ei"),
                     F.col("src").alias("__es"),
                     F.col("dst").alias("__ed"),
@@ -557,7 +586,7 @@ class CypherExecutor:
         if isinstance(item, ast.Prop):
             if b.kinds.get(item.var) != "node":
                 return None  # rel props not projectable (reference :1409-1418)
-            n = self.graph.nodes.select(
+            n = self._nodes_hinted(b, item.var).select(
                 F.col("id").alias("__ni"), F.col("properties").alias("__np")
             )
             j = df.join(n, _c(_vcol(item.var)) == _c("__ni"), "inner").filter(
@@ -626,6 +655,7 @@ class CypherExecutor:
                         b.df = b.df.drop(_vcol(np.var))
                     b.df = b.df.withColumn(_vcol(np.var), F.lit(nid))
                     b.kinds[np.var] = "node"
+                    b.labels[np.var] = np.label or DEFAULT_LABEL
             else:
                 self._create_edges_per_row(b, p, params)
 
@@ -661,6 +691,7 @@ class CypherExecutor:
                 df = df.drop(_vcol(p.rel.var))
             b.df = df.withColumnRenamed("__eid", _vcol(p.rel.var))
             b.kinds[p.rel.var] = "rel"
+            b.labels[p.rel.var] = typ
         else:
             b.df = df.drop("__eid")
 
@@ -718,6 +749,7 @@ class CypherExecutor:
             sel.append(joined["__mid"].alias(_vcol(p.rel.var)))
             b.df = joined.select(*sel)
             b.kinds[p.rel.var] = "rel"
+            b.labels[p.rel.var] = typ
 
     def _exec_delete(self, b: _Binding, cl: ast.Delete) -> None:
         rel_vars = [v for v in cl.vars if b.kinds.get(v) == "rel"]
@@ -767,6 +799,7 @@ class CypherExecutor:
                     continue
                 ids = b.df.select(_c(_vcol(var)).alias("id")).distinct()
                 self.graph.set_label(kind, ids, label)
+                b.labels[var] = label  # hint follows the label replacement
                 continue
             if "=" in s:
                 eq = s.find("=")

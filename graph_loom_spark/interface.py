@@ -8,6 +8,9 @@ handler; outcomes aggregate counts and OR the mutated flag.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 
 from graph_loom_spark.cypher.ast import CypherError
@@ -17,6 +20,23 @@ from graph_loom_spark.legacy import dsl
 from graph_loom_spark.result import QueryOutcome, ResultRow
 
 __all__ = ["CypherSession", "QueryOutcome", "ResultRow", "CypherError"]
+
+
+def log_query(query: str, outcome: QueryOutcome | None, error: str | None, log_dir: str) -> None:
+    """S11 query-log sink (query_interface.rs:28-52): append
+    ``timestamp | status`` + query text to ``queries_YYYYMMDD.log``."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, time.strftime("queries_%Y%m%d.log", time.gmtime()))
+    ts = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    if error is None and outcome is not None:
+        status = (
+            f"OK mutated={str(outcome.mutated).lower()} "
+            f"nodes={outcome.affected_nodes} rels={outcome.affected_relationships}"
+        )
+    else:
+        status = f"ERR {error}"
+    with open(path, "a") as f:
+        f.write(f"{ts} | {status}\n{query.strip()}\n\n")
 
 
 def _is_cypher(stmt: str, upper: str) -> bool:
@@ -92,6 +112,21 @@ class CypherSession:
             outcome.affected_nodes += n_cnt
             outcome.affected_relationships += r_cnt
             outcome.mutated = outcome.mutated or mutated
+        return outcome
+
+    def execute_and_log(
+        self,
+        query: str,
+        params: dict[str, str] | None = None,
+        log_dir: str = "assets/logs",
+    ) -> QueryOutcome:
+        """``execute`` + the S11 log sink (reference execute_and_log)."""
+        try:
+            outcome = self.execute(query, params)
+        except Exception as e:
+            log_query(query, None, str(e), log_dir)
+            raise
+        log_query(query, outcome, None, log_dir)
         return outcome
 
     def execute_df(self, query: str, params: dict[str, str] | None = None) -> DataFrame:

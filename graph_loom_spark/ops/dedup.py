@@ -74,7 +74,9 @@ def minhash_lsh_pairs(
     """Banded LSH: equal band-hash ⇒ candidate pair; estimated Jaccard =
     fraction of equal signature slots; keep pairs ≥ threshold."""
     num_perm = bands * 4  # assumes num_perm divisible; rows per band = num_perm//bands
-    sig = signatures.select(F.col(id_col).alias("id"), "signature")
+    # materialize signatures once: banding + both estimate joins reuse
+    # them, and recomputing shingles×permutations 3x dominates otherwise
+    sig = signatures.select(F.col(id_col).alias("id"), "signature").localCheckpoint(eager=True)
     rows_per_band = None
     # derive rows per band from actual signature length at plan time is not
     # possible; callers pass bands dividing num_perm (default 32 → 8×4)
@@ -94,17 +96,21 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("id", "signature", "b.band", "b.bh")
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh"
-    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    # dedupe candidate ids FIRST (ids only — dragging the 32-slot
+    # signature arrays through the distinct shuffle dominated runtime),
+    # then join the signatures back for the estimate.
     cand = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sigs = sig.select(F.col("id"), F.col("signature"))
+    cand = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
@@ -174,13 +180,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (from LSH) or — for
-    small inputs only — all pairs via self-join."""
+    """Exact n-gram Jaccard over candidate pairs. With no explicit
+    ``candidate_pairs``, candidates come from an inverted shingle index
+    (explode → self-equi-join on shingle hash): any pair with Jaccard
+    ≥ threshold > 0 shares at least one shingle, so this prunes without
+    changing the result — and unlike a cross join it scales (shuffle on
+    shingle hash; AQE skew-join splits hot shingles)."""
     sh = documents.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
     if candidate_pairs is None:
-        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        sh = sh.localCheckpoint(eager=True)  # reused by index + both sig joins
+        ex = sh.select("id", F.explode("sh").alias("g"))
+        cand = (
+            ex.select(F.col("id").alias("id_a"), "g")
+            .join(ex.select(F.col("id").alias("id_b"), "g"), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = (
+            cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        )
     else:
         pairs = (
             candidate_pairs.select("id_a", "id_b")
