@@ -218,6 +218,24 @@ def _q_emb_ann_lsh(spark, sf_dir):
     return ops_sim.ann_topk(bk, probe_id=7, k=10)
 
 
+def _q_agg_rollup(spark, sf_dir):
+    """ROLLUP grouping-set aggregation (A5 extension surface)."""
+    return ops_rel.grouping_sets_rollup(_t(spark, sf_dir, "orders"))
+
+
+def _q_events_top_users(spark, sf_dir):
+    """Filtered top-k aggregation over the events table."""
+    return ops_events.top_users_by_value(ops_events.load_events(spark, f"{sf_dir}/events.parquet"))
+
+
+def _q_emb_ivf_topk(spark, sf_dir):
+    """IVF-partitioned approximate top-k — approximate, rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ops_sim.ivf_centroids(emb, n_cells=16, sample_size=4096)
+    assigned = ops_sim.ivf_assign(emb, C)
+    return ops_sim.ivf_topk(assigned, C, probe_id=7, k=10, nprobe=4)
+
+
 def _q_docs_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs via inverted shingle index."""
     return ops_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -269,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_no_orders": _q_setop_customers_no_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_top_users": _q_events_top_users,
+        "agg_rollup": _q_agg_rollup,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -279,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
@@ -390,6 +411,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM ("
             "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events)) GROUP BY user_id"
+        ),
+        "events_top_users": (
+            "SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+            "FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20"
+        ),
+        "agg_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
         ),
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"

@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "setop_customers_no_orders",
     "events_hourly",
     "events_sessionize",
+    "events_top_users",
+    "agg_rollup",
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_quality",
@@ -36,6 +38,7 @@ BENCH_QUERIES = [
     "docs_simhash_pairs",
     "emb_cosine_topk",
     "emb_ann_lsh",
+    "emb_ivf_topk",
     "graph_degrees",
     "graph_components",
 ]

@@ -48,21 +48,32 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_perm`` affine
-    permutations (a*h+b mod p), the minimum over the shingle-hash set."""
+    permutations (a*h+b mod p), the minimum over the shingle-hash set.
+
+    Shape: explode shingles → project ``pmod(h, p)`` once → one
+    min-aggregate per permutation. The naive alternative (num_perm
+    ``array_min(transform(shingles, ...))`` columns) inlines the whole
+    shingle expression num_perm times — codegen blowup that ran ~30×
+    slower. The aggregate gets map-side partial combine, so the shuffle
+    carries only num_perm longs per (partition, doc)."""
     import random
 
     rng = random.Random(seed)
-    h = _shingles(F.col(text_col), shingle_n)
-    sig_cols = []
+    ex = documents.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("__h")
+    ).select(F.col(id_col), F.pmod(F.col("__h"), F.lit(_MERSENNE)).alias("__hm"))
+    aggs = []
     for i in range(num_perm):
         a = rng.randrange(1, _MERSENNE)
         b = rng.randrange(0, _MERSENNE)
-        sig_cols.append(
-            F.array_min(
-                F.transform(h, lambda x: (F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE))
-            )
+        aggs.append(
+            F.min((F.lit(a) * F.col("__hm") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"__s{i}")
         )
-    return documents.select(F.col(id_col), F.array(*sig_cols).alias("signature"))
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"__s{i}") for i in range(num_perm)]).alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -124,25 +135,36 @@ def minhash_lsh_pairs(
 
 
 def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per-bit sign of summed token-hash bit votes."""
+    """64-bit SimHash: per-bit sign of summed token-hash bit votes.
+
+    Shape: explode distinct tokens → hash once → 64 sum-aggregates
+    (one per bit), then assemble the fingerprint from the vote columns.
+    The naive form (64 ``F.aggregate`` folds over the token array)
+    inlines the tokenize+hash expression 64 times — same codegen
+    blowup as minhash; the aggregate shape is partial-combinable."""
     toks = F.array_distinct(
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    ex = documents.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
         for b in range(64)
     ]
+    votes = ex.groupBy(id_col).agg(*aggs)
     fp = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(64):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = (
+            bit * F.lit(1 << b).cast("long")
+            if b < 63
+            else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
         fp = term if fp is None else fp + term
-    return documents.select(F.col(id_col), fp.alias("simhash"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

@@ -129,6 +129,107 @@ def ann_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means coarse quantizer for IVF: Lloyd iterations on a
+    deterministic sample, driver-side in numpy (centroids are tiny —
+    n_cells×dim floats — so this is not a scale concern; the sample read
+    is one column-pruned scan). Returns a unit-normalized ndarray
+    ``(n_cells, dim)``. At 100 TB the sample comes from ``TABLESAMPLE``;
+    ``orderBy(id).limit`` keeps it reproducible here."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id per vector. One Arrow-batched
+    pandas UDF doing a single (batch×dim)·(dim×k) matmul — the
+    expression-per-centroid alternative blows up codegen at k≥16."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _cell(v):
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((M / norms) @ C.T, axis=1).astype("int32"))
+
+    # `from __future__ import annotations` stringifies inline hints, which
+    # pyspark's typehint inference can't resolve — attach real objects.
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    cell_udf = F.pandas_udf(_cell, "int")
+    return embeddings.select(F.col(id_col), F.col(vec_col), cell_udf(F.col(vec_col)).alias("cell"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    probe_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by centroid similarity to the probe vector,
+    scan only the top ``nprobe`` cells (~nprobe/n_cells of the table;
+    with the table written partitioned/bucketed by ``cell`` the pruning
+    happens at the file level), exact cosine within the candidates."""
+    import numpy as np
+
+    row = assigned.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    if row is None:
+        raise ValueError(f"probe id {probe_id} not found")
+    p = np.asarray(row[0], dtype=np.float64)
+    n = np.linalg.norm(p)
+    p = p / (n if n else 1.0)
+    C = np.asarray(centroids, dtype=np.float64)
+    cells = [int(c) for c in np.argsort(-(C @ p))[:nprobe]]
+    probe = assigned.filter(F.col(id_col) == probe_id).select(F.col(vec_col).alias("__p"))
+    cos = _dot(F.col(vec_col), F.col("__p")) / (_norm(F.col(vec_col)) * _norm(F.col("__p")))
+    return (
+        assigned.filter(F.col("cell").isin(cells) & (F.col(id_col) != probe_id))
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

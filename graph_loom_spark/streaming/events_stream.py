@@ -88,13 +88,85 @@ def stream_sessionize(
     )
 
 
-def run_available_now(result: DataFrame, table_name: str, timeout_s: int = 300) -> None:
+def stream_sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    pattern for session logic ``session_window`` cannot express (here:
+    per-session value sum and event count carried in explicit state).
+
+    State per user = the one open session ``(start, last, n, sum_value)``
+    as epoch-micros longs; a batch's events merge in event-time order,
+    closing a session (one emitted row) at every >gap jump; the trailing
+    open session waits in state and is closed by event-time timeout once
+    the watermark passes ``last + gap``. State is bounded by one row per
+    active user — the 100 TB concern is key cardinality, not history.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"
+    gap_us = gap_seconds * 1_000_000
+
+    def _row(uid, start_us, last_us, n, sv):
+        return {
+            "user_id": uid,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+            "sum_value": sv,
+        }
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([_row(uid, start, last, n, sv)])
+            return
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+        vals = batch["value"].fillna(0.0).to_numpy()
+        order = ts_us.argsort(kind="stable")
+        cur = state.get if state.exists else None
+        closed = []
+        for i in order:
+            t, v = int(ts_us[i]), float(vals[i])
+            if cur is None:
+                cur = (t, t, 1, v)
+            elif t - cur[1] > gap_us:
+                closed.append(_row(uid, *cur))
+                cur = (t, t, 1, v)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+        state.update(cur)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # epoch millis
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, table_name: str, timeout_s: int = 300, output_mode: str = "complete"
+) -> None:
     """Drain the full source once (Trigger.AvailableNow) into an
     in-memory table ``table_name`` and block until done."""
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,32 @@
+"""IVF ANN: the coarse-quantized probe must recall most of the exact
+brute-force top-k (extension surface — SURVEY §7.1 M9)."""
+
+from __future__ import annotations
+
+from graph_loom_spark.ops import simsearch as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C = sim.ivf_centroids(emb, n_cells=8, sample_size=2048, seed=42)
+    assigned = sim.ivf_assign(emb, C)
+    # every vector gets exactly one cell, all cells in range
+    n = emb.count()
+    assert assigned.count() == n
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, probe_id=7, k=10).collect()}
+    approx = {r["vec_id"] for r in sim.ivf_topk(assigned, C, probe_id=7, k=10, nprobe=4).collect()}
+    assert len(approx) == 10
+    # nprobe=4 of 8 cells: expect >=60% recall on the synthetic corpus
+    assert len(exact & approx) >= 6
+
+
+def test_ivf_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = sim.ivf_centroids(emb, n_cells=4, sample_size=512, seed=7)
+    c2 = sim.ivf_centroids(emb, n_cells=4, sample_size=512, seed=7)
+    assert (c1 == c2).all()

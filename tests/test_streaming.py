@@ -35,6 +35,26 @@ def test_stream_hourly_matches_batch(spark, events_path):
     assert got == want
 
 
+def test_stateful_sessionize_closed_sessions(spark, events_path):
+    """applyInPandasWithState sessionizer: every session closes except a
+    user's trailing one, which stays in state until the event-time
+    timeout — the final watermark advance may or may not fire it, so
+    emitted rows land in [total - n_users, total], one per (user, start)."""
+    stream = se.read_events_stream(spark, events_path)
+    se.run_available_now(
+        se.stream_sessionize_stateful(stream), "sessions_state_t", output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM sessions_state_t").collect()
+    ev = batch_events.load_events(spark, events_path)
+    want_total = sum(
+        r["n_sessions"] for r in batch_events.sessionize(ev).collect()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert want_total - n_users <= len(got) <= want_total
+    assert len({(r["user_id"], r["session_start"]) for r in got}) == len(got)
+    assert all(r["n_events"] >= 1 and r["session_end"] >= r["session_start"] for r in got)
+
+
 def test_stream_sessionize_matches_batch_counts(spark, events_path):
     stream = se.read_events_stream(spark, events_path)
     se.run_available_now(se.stream_sessionize(stream), "sessions_t")
