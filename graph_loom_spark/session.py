@@ -46,7 +46,12 @@ def get_spark(
         # which vanilla Spark rejects; read as long + convert (ops.events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == the only JVM: iterative ops localCheckpoint
+        # per round and bench/test sessions run dozens of queries, so an
+        # undersized heap turns into GC thrash (measured 6x slowdowns at
+        # 8g on a 128 GiB box). Size for the machine, not the query.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
