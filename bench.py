@@ -15,6 +15,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graph_loom_spark.session import get_spark  # noqa: E402
 
+def _drop_persisted_blocks(spark) -> None:
+    """Free blocks pinned by finished queries (outside the timed window).
+
+    Iterative/reused-plan operators ``localCheckpoint`` intermediates;
+    those RDD blocks never leave the cache manager on their own, so over
+    a 25-query session they accumulate until the block store is full and
+    every later query pays eviction + GC churn (measured: the same
+    components query ran 55 s fresh vs ~480 s at the tail of a full
+    bench session). Each query is timed as an independent job, so
+    clearing between queries is both fair and representative."""
+    sc = spark.sparkContext
+    try:
+        for _rid, rdd in sc._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+    except Exception as e:  # cleanup must never kill the bench
+        print(f"bench cleanup warning: {e}", file=sys.stderr, flush=True)
+
+
 BENCH_QUERIES = [
     "cypher_label_scan",
     "cypher_one_hop",
@@ -74,6 +93,7 @@ def main() -> None:
         except Exception as e:  # record failures without killing the bench
             print(f"bench query {name} failed: {e}", file=sys.stderr, flush=True)
             timings[name] = -1.0
+        _drop_persisted_blocks(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

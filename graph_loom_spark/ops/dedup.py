@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_loom_spark.ops import spread
+
 # 31-bit Mersenne prime: a,b < 2^31 and h mod p < 2^31, so a*h+b < 2^62
 # never overflows a long even with ANSI arithmetic checks enabled.
 _MERSENNE = (1 << 31) - 1
@@ -59,6 +61,7 @@ def minhash_signatures(
     import random
 
     rng = random.Random(seed)
+    documents = spread(documents)  # shingle+hash fan-out is CPU-bound
     ex = documents.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("__h")
     ).select(F.col(id_col), F.pmod(F.col("__h"), F.lit(_MERSENNE)).alias("__hm"))
@@ -145,6 +148,7 @@ def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     toks = F.array_distinct(
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     )
+    documents = spread(documents)  # tokenize+hash fan-out is CPU-bound
     ex = documents.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
     )
@@ -208,7 +212,9 @@ def ngram_jaccard_pairs(
     ≥ threshold > 0 shares at least one shingle, so this prunes without
     changing the result — and unlike a cross join it scales (shuffle on
     shingle hash; AQE skew-join splits hot shingles)."""
-    sh = documents.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+    sh = spread(documents).select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
+    )
     if candidate_pairs is None:
         sh = sh.localCheckpoint(eager=True)  # reused by index + both sig joins
         ex = sh.select("id", F.explode("sh").alias("g"))

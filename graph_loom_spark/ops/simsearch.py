@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from graph_loom_spark.ops import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product (deterministic order)."""
@@ -51,7 +53,7 @@ def cosine_topk(
         _norm(F.col(vec_col)) * _norm(F.col("__probe"))
     )
     return (
-        embeddings.filter(F.col(id_col) != probe_id)
+        spread(embeddings.filter(F.col(id_col) != probe_id))
         .crossJoin(F.broadcast(probe))
         .select(F.col(id_col), F.round(cos, round_digits).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -193,6 +195,7 @@ def ivf_assign(
     # pyspark's typehint inference can't resolve — attach real objects.
     _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
     cell_udf = F.pandas_udf(_cell, "int")
+    embeddings = spread(embeddings)  # matmul per batch is CPU-bound
     return embeddings.select(F.col(id_col), F.col(vec_col), cell_udf(F.col(vec_col)).alias("cell"))
 
 
