@@ -283,12 +283,24 @@ class CypherExecutor:
                 F.col("dst").alias("__u"), F.col("src").alias("__v")
             )
         )
+        # The BFS runs on xxhash64 surrogates of the node ids: every hop
+        # shuffles (start, node) pairs through distinct + anti-join, and
+        # 8-byte longs stay in vectorized hash aggregation where the
+        # ~30-byte string ids forced object-hash/sort fallbacks (same
+        # lever as connected_components). Start/end hashes are mapped
+        # back to string ids after the traversal; ids are unique, so the
+        # map is 1:1 (a 64-bit collision needs ~2^32 nodes to be likely).
+        sh = starts.select(
+            F.col("__start").alias("__start_s"), F.xxhash64("__start").alias("__start")
+        )
+        eh = ends.select(F.col("__node").alias("__node_s"), F.xxhash64("__node").alias("__node"))
+        adj = adj.select(F.xxhash64("__u").alias("__u"), F.xxhash64("__v").alias("__v"))
         if max_hops > 1:
             # materialize the (src,dst) pairs once: every hop joins this
             # frame, and re-deriving it per hop repeats the upstream scans
             adj = adj.localCheckpoint(eager=True)
 
-        frontier = starts.select("__start", F.col("__start").alias("__node"))
+        frontier = sh.select("__start", F.col("__start").alias("__node"))
         seen = frontier
         reached = [frontier.withColumn("__depth", F.lit(0))]
         for d in range(1, max_hops + 1):
@@ -308,8 +320,9 @@ class CypherExecutor:
         all_reached = reduce(lambda x, y: x.unionByName(y), reached)
         pairs = (
             all_reached.filter((F.col("__depth") >= min_hops) & (F.col("__depth") <= max_hops))
-            .join(ends, "__node", "left_semi")
-            .select("__start", "__node")
+            .join(eh, "__node")
+            .join(sh, "__start")
+            .select(F.col("__start_s").alias("__start"), F.col("__node_s").alias("__node"))
         )
 
         lv, rv = p.left.var, p.right.var
