@@ -25,11 +25,19 @@ def _drop_persisted_blocks(spark) -> None:
     components query ran 55 s fresh vs ~480 s at the tail of a full
     bench session). Each query is timed as an independent job, so
     clearing between queries is both fair and representative."""
+    import gc
+
     sc = spark.sparkContext
     try:
         for _rid, rdd in sc._jsc.getPersistentRDDs().items():
             rdd.unpersist()
         spark.catalog.clearCache()
+        # Spark's ContextCleaner reclaims shuffle files / broadcasts only
+        # after their references are garbage-collected; dropping the
+        # py4j refs and forcing a JVM GC makes that happen between
+        # queries instead of mid-flight during a later one.
+        gc.collect()
+        sc._jvm.System.gc()
     except Exception as e:  # cleanup must never kill the bench
         print(f"bench cleanup warning: {e}", file=sys.stderr, flush=True)
 
