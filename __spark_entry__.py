@@ -223,6 +223,11 @@ def _q_agg_rollup(spark, sf_dir):
     return ops_rel.grouping_sets_rollup(_t(spark, sf_dir, "orders"))
 
 
+def _q_agg_cube(spark, sf_dir):
+    """CUBE grouping-set aggregation (A5 extension surface)."""
+    return ops_rel.grouping_sets_cube(_t(spark, sf_dir, "orders"))
+
+
 def _q_events_top_users(spark, sf_dir):
     """Filtered top-k aggregation over the events table."""
     return ops_events.top_users_by_value(ops_events.load_events(spark, f"{sf_dir}/events.parquet"))
@@ -289,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,
         "agg_rollup": _q_agg_rollup,
+        "agg_cube": _q_agg_cube,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -421,6 +427,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
             "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+        ),
+        "agg_cube": (
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"
         ),
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"

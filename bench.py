@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_top_users",
     "agg_rollup",
+    "agg_cube",
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_quality",

@@ -84,3 +84,19 @@ def grouping_sets_rollup(orders: DataFrame) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+def grouping_sets_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all 2^2 grouping sets.
+
+    Same partial-aggregation shape as ROLLUP — Spark expands the cube
+    into grouping sets before the shuffle, so each input row contributes
+    map-side partials for its 4 set memberships; no extra pass over the
+    table at scale."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
