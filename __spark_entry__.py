@@ -248,8 +248,13 @@ def _q_docs_ngram_jaccard(spark, sf_dir):
 
 def _q_emb_near_dup(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (threshold tuned to the
-    synthetic corpus; LSH-pruned variant covered by emb_ann_lsh)."""
-    return ops_sim.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4, exact=True)
+    synthetic corpus). Centroid-blocked join with angular triangle-
+    inequality pruning: same rows as the brute-force cross join, but the
+    plan is an equi-join over admissible cell pairs — the 100 TB shape.
+    LSH-pruned approximate variant covered by emb_ann_lsh."""
+    return ops_sim.cosine_near_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
-"""glsh — Graph-Loom shell against the HTTP serving layer (reference V5,
-src/bin/glsh.rs: readline client with history and --eval one-shot; this
-client speaks the V1 HTTP contract instead of the WS REPL).
+"""glsh — Graph-Loom shell over the WebSocket REPL (reference V5,
+src/bin/glsh.rs: a WS client with readline history and --eval one-shot,
+speaking the V2 line-per-query REPL at ws://host:port/api/repl).
+
+The server replies with pretty-printed outcome JSON, ``error: ...`` for
+execution failures, or ``timeout`` — printed verbatim, like the
+reference shell.
 
 Usage:
     python bin/glsh.py [--host H] [--port P] [--api-key K] [-e QUERY] [-q]
@@ -10,60 +14,53 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
+import os
 import sys
-import urllib.error
-import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from graph_loom_spark.ws import WebSocketClient  # noqa: E402
 
 
-def run_query(base: str, api_key: str | None, query: str) -> dict:
-    req = urllib.request.Request(
-        f"{base}/api/query",
-        data=json.dumps({"query": query}).encode(),
-        headers={
-            "Content-Type": "application/json",
-            **({"X-API-Key": api_key} if api_key else {}),
-        },
-        method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=60) as r:
-        return json.loads(r.read())
-
-
-def render(outcome: dict) -> str:
-    if outcome.get("error"):
-        return f"error: {outcome['error']}"
-    lines = []
-    for row in outcome.get("rows", []):
-        lines.append(json.dumps(row))
-    lines.append(
-        f"-- nodes={outcome.get('affected_nodes', 0)} "
-        f"rels={outcome.get('affected_relationships', 0)} "
-        f"mutated={outcome.get('mutated', False)}"
-    )
-    return "\n".join(lines)
+def connect(host: str, port: int, api_key: str | None) -> WebSocketClient:
+    try:
+        client = WebSocketClient(host, port, "/api/repl", api_key=api_key)
+    except (OSError, ConnectionError) as e:
+        print(
+            f"Failed to connect: {e}\n"
+            "Hint: Ensure the Graph-Loom server is running "
+            f"(ws://{host}:{port}/api/repl).",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    # consume the connect banner (glsh.rs does the same) so the first
+    # query's response isn't mistaken for it
+    try:
+        client.recv_text()
+    except ConnectionError:
+        pass
+    return client
 
 
 def main() -> int:
     p = argparse.ArgumentParser(prog="glsh")
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", default="8080")
+    p.add_argument("--port", type=int, default=8080)
     p.add_argument("--api-key", dest="api_key")
     p.add_argument("-e", "--eval", dest="eval_query")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args()
-    base = f"http://{args.host}:{args.port}"
+
+    client = connect(args.host, args.port, args.api_key)
 
     if args.eval_query:
-        try:
-            print(render(run_query(base, args.api_key, args.eval_query)))
-            return 0
-        except urllib.error.URLError as e:
-            print(f"connection failed: {e}", file=sys.stderr)
-            return 1
+        client.send_text(args.eval_query)
+        print(client.recv_text())
+        client.close()
+        return 0
 
     if not args.quiet:
-        print(f"glsh connected to {base} — blank line or Ctrl-D to exit")
+        print(f"glsh connected to ws://{args.host}:{args.port}/api/repl — blank line or Ctrl-D to exit")
     try:
         import readline  # noqa: F401  (history/line editing)
     except ImportError:
@@ -73,13 +70,17 @@ def main() -> int:
             line = input("glsh> ").strip()
         except (EOFError, KeyboardInterrupt):
             print()
-            return 0
+            break
         if not line:
-            return 0
+            break
         try:
-            print(render(run_query(base, args.api_key, line)))
-        except urllib.error.URLError as e:
+            client.send_text(line)
+            print(client.recv_text())
+        except (ConnectionError, OSError) as e:
             print(f"request failed: {e}", file=sys.stderr)
+            return 1
+    client.close()
+    return 0
 
 
 if __name__ == "__main__":

@@ -43,7 +43,7 @@ from graph_loom_spark.cypher.ast import CypherError
 from graph_loom_spark.cypher.coerce import compare_expr, numeric_first_sort_cols
 from graph_loom_spark.cypher.parser import parse, resolve_param, trim_quotes
 from graph_loom_spark.graph import DEFAULT_LABEL, PropertyGraph
-from graph_loom_spark.ids import reserve_slots, uuid7_expr
+from graph_loom_spark.ids import assign_uuid7_ids
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -678,19 +678,13 @@ class CypherExecutor:
         # and the reference keeps the binding unchanged (cypher_spec.rs:1346)
         if lv is None or rv is None or b.kinds.get(lv) != "node" or b.kinds.get(rv) != "node":
             return
-        n = b.df.count()
-        if n == 0:
-            return
         typ = p.rel.typ or DEFAULT_LABEL
         props = {k: resolve_param(v, params) for k, v in p.rel.props.items()}
-        start_slot = reserve_slots(n)
-        w = Window.orderBy(F.lit(1))
-        df = (
-            b.df.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
-            .withColumn("__eid", uuid7_expr(F.col("__rn"), start_slot))
-            .drop("__rn")
-            .localCheckpoint(eager=True)  # pin ids before the double use below
-        )
+        # distributed id mint: no single-partition window (ids.py), ids
+        # pinned (checkpoint) before the double use below
+        df, n = assign_uuid7_ids(b.df, "__eid")
+        if n == 0:
+            return
         new_edges = df.select(
             F.col("__eid").alias("id"),
             _c(_vcol(lv)).alias("src"),
@@ -730,17 +724,10 @@ class CypherExecutor:
 
         pairs = b.df.select(_c(_vcol(lv)).alias("src"), _c(_vcol(rv)).alias("dst")).distinct()
         to_create = pairs.join(existing_min, ["src", "dst"], "left_anti")
-        n_new = to_create.count()
-        created = None
+        created, n_new = assign_uuid7_ids(to_create, "id")
+        if n_new == 0:
+            created = None
         if n_new > 0:
-            start_slot = reserve_slots(n_new)
-            w = Window.orderBy(F.lit(1))
-            created = (
-                to_create.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
-                .withColumn("id", uuid7_expr(F.col("__rn"), start_slot))
-                .drop("__rn")
-                .localCheckpoint(eager=True)
-            )
             self.graph.add_edges_df(
                 created.select(
                     "id", "src", "dst", F.lit(typ).alias("label"), props_map_lit(props).alias("properties")

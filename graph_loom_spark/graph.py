@@ -200,17 +200,22 @@ class PropertyGraph:
     def upsert_property(self, kind: str, ids_df: DataFrame, key: str, value: str) -> int:
         """SET var.prop = value on all ids in ``ids_df``; returns touched count.
 
-        Compiles to ``map_concat`` guarded by membership — LAST_WIN dedup
-        policy keeps the new value (session.py).
+        Compiles to ``map_filter`` (drop the key) + ``map_concat`` (add the
+        new value) — upsert semantics independent of the session's
+        ``spark.sql.mapKeyDedupPolicy`` (the default EXCEPTION policy
+        would throw on a plain map_concat when the key already exists,
+        and PropertyGraph accepts any caller-built SparkSession).
         """
         df, setter = self._target(kind)
         ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
         marked = df.join(ids_df.withColumn("_hit", F.lit(True)), "id", "left")
+        upserted = F.map_concat(
+            F.map_filter("properties", lambda k, _: k != F.lit(key)),
+            F.create_map(F.lit(key), F.lit(value)),
+        )
         updated = marked.withColumn(
             "properties",
-            F.when(
-                F.col("_hit"), F.map_concat("properties", F.create_map(F.lit(key), F.lit(value)))
-            ).otherwise(F.col("properties")),
+            F.when(F.col("_hit"), upserted).otherwise(F.col("properties")),
         ).drop("_hit")
         setter(updated)
         self._bump()

@@ -64,6 +64,60 @@ def uuid7_batch(n: int) -> list[str]:
     return [_format_uuid7(start + i) for i in range(n)]
 
 
+def assign_uuid7_ids(df, id_col: str):
+    """Mint one monotonic UUIDv7 per row, fully distributed.
+
+    Returns ``(df_with_id_col, row_count)``; the result is eagerly
+    localCheckpointed so the ids are pinned (stable across re-evaluation).
+
+    Replaces the round-1 ``row_number() OVER (ORDER BY lit(1))`` shape,
+    whose unpartitioned window funnels every row through ONE task — fine
+    for reference-sized mutations, a wall when a MATCH..MERGE binds
+    millions of pairs. Here every partition numbers itself:
+
+    1. ``localCheckpoint`` the input — pins partition contents/order so
+       ``spark_partition_id`` is stable across the two passes;
+    2. collect per-partition counts (one tiny row per partition) and
+       cumulative-sum them on the driver into per-partition offsets;
+    3. reserve ONE contiguous slot block for the whole batch (ids stay
+       globally monotonic vs every other batch from this process);
+    4. ordinal = offset[pid] + row_number within pid (ordered by a
+       pre-materialized ``monotonically_increasing_id`` — evaluated in
+       the same projection as the pid so both see the pinned partitions).
+
+    The within-pid window does shuffle on pid, but that is a *parallel*
+    exchange (as many reducers as partitions), not a single-task funnel.
+    """
+    from pyspark.sql import Window  # local import: avoid cycle at module load
+
+    pinned = df.localCheckpoint(eager=True)
+    counts = pinned.groupBy(F.spark_partition_id().alias("__pid")).count().collect()
+    n = int(sum(r["count"] for r in counts))
+    if n == 0:
+        return pinned.withColumn(id_col, F.lit(None).cast("string")), 0
+    start_slot = reserve_slots(n)
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["count"])
+    spark = pinned.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="__pid int, __off long")
+    tagged = pinned.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    out = (
+        tagged.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, uuid7_expr(F.col("__off") + F.col("__rn"), start_slot))
+        .drop("__pid", "__mid", "__rn", "__off")
+        .localCheckpoint(eager=True)
+    )
+    return out, n
+
+
 def uuid7_expr(ordinal: Column, start_slot: int) -> Column:
     """Distributed UUIDv7 column from a 0-based bigint ordinal column and a
     slot block from :func:`reserve_slots`.

@@ -20,11 +20,10 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from graph_loom_spark.cypher.ast import CypherError
 from graph_loom_spark.graph import GraphConsistencyError, PropertyGraph
-from graph_loom_spark.ids import reserve_slots, uuid7_expr
+from graph_loom_spark.ids import assign_uuid7_ids
 from graph_loom_spark.result import ResultRow
 
 LegacyResult = tuple[list[ResultRow], int, int, bool]  # rows, nodes, rels, mutated
@@ -408,17 +407,9 @@ def exec_cypher_match_merge(graph: PropertyGraph, stmt: str) -> LegacyResult:
     cand = sel.distinct()
     existing = graph.edges.filter(F.col("label") == rel_type).select("src", "dst")
     new = cand.join(existing, ["src", "dst"], "left_anti")
-    n_new = new.count()
+    created, n_new = assign_uuid7_ids(new, "id")  # distributed mint (ids.py)
     rows: list[ResultRow] = []
     if n_new:
-        start_slot = reserve_slots(n_new)
-        w = Window.orderBy(F.lit(1))
-        created = (
-            new.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
-            .withColumn("id", uuid7_expr(F.col("__rn"), start_slot))
-            .drop("__rn")
-            .localCheckpoint(eager=True)
-        )
         from graph_loom_spark.cypher.compiler import props_map_lit
 
         graph.add_edges_df(

@@ -25,10 +25,26 @@ _MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
-    """Keep the minimum id per exact key group; report group size."""
-    return df.groupBy(*key_cols).agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("bigint").alias("dup_count")
-    ).select(id_col, "dup_count")
+    """Keep the minimum id per exact key group; report group size.
+
+    Groups by a compact hash of the key columns, not the raw values: a
+    raw ``groupBy(text)`` makes the full document bytes the shuffle key,
+    and at corpus scale the key bytes dominate shuffle I/O. Two
+    independent hashes (xxhash64 + 32-bit murmur = 96 bits) keep the
+    shuffle key at 12 bytes/row; a false merge needs a simultaneous
+    collision in both across distinct texts (~n²/2⁻⁹⁷ — negligible even
+    at 10¹¹ docs). Output is identical to the raw grouping.
+    """
+    keyed = df.select(
+        F.xxhash64(*key_cols).alias("__k64"),
+        F.hash(*key_cols).alias("__k32"),
+        F.col(id_col),
+    )
+    return (
+        keyed.groupBy("__k64", "__k32")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("bigint").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
 
 
 def _shingles(text_col, n: int = 3):
@@ -84,17 +100,28 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     threshold: float = 0.5,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Banded LSH: equal band-hash ⇒ candidate pair; estimated Jaccard =
-    fraction of equal signature slots; keep pairs ≥ threshold."""
-    num_perm = bands * 4  # assumes num_perm divisible; rows per band = num_perm//bands
+    fraction of equal signature slots; keep pairs ≥ threshold.
+
+    ``num_perm`` (the signature length) defaults to the length declared in
+    the DataFrame schema when the signature column came from ``F.array``
+    (as minhash_signatures builds it); bands must divide it — slicing past
+    the signature end would hash empty arrays (every doc collides in those
+    bands: O(n²) candidates), under-covering misses pairs."""
     # materialize signatures once: banding + both estimate joins reuse
     # them, and recomputing shingles×permutations 3x dominates otherwise
     sig = signatures.select(F.col(id_col).alias("id"), "signature").localCheckpoint(eager=True)
-    rows_per_band = None
-    # derive rows per band from actual signature length at plan time is not
-    # possible; callers pass bands dividing num_perm (default 32 → 8×4)
-    rows_per_band = 4
+    if num_perm is None:
+        # Probe the real signature length off the checkpointed data (one
+        # cheap action on already-materialized blocks) instead of
+        # trusting a hardcoded default.
+        row = sig.select(F.size("signature").alias("n")).first()
+        num_perm = int(row["n"]) if row is not None else bands
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
     banded = sig.select(
         "id",
         "signature",

@@ -233,6 +233,95 @@ def ivf_topk(
     )
 
 
+def cosine_near_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (cosine ≥ threshold) with no cross
+    join: centroid-blocked join + angular triangle-inequality pruning.
+
+    Same result set as the brute-force all-pairs join, but the only
+    full-table join is an equi-join on admissible (cell_a, cell_b)
+    pairs:
+
+    1. assign every vector to its nearest spherical-k-means centroid
+       (``ivf_centroids``/``ivf_assign`` — one Arrow-batched matmul);
+    2. per cell, radius r_c = max angle(member, centroid) (one cheap
+       aggregate; n_cells rows collected);
+    3. driver prunes cell pairs: any pair (a∈i, b∈j) satisfies
+       angle(c_i,c_j) ≤ r_i + angle(a,b) + r_j, so if
+       angle(c_i,c_j) − r_i − r_j > acos(threshold) NO member pair can
+       reach the threshold — drop the cell pair (exactness preserved;
+       only provably-empty blocks are skipped);
+    4. equi-join members over the surviving (cell_a, cell_b) list
+       (tiny, broadcast) and apply the exact cosine filter.
+
+    Worst case (all cell pairs admissible) degrades to distributed
+    block-nested-loop — never worse than the cross join; on clustered
+    data most of the O(n²) work is pruned. n_cells ~ √n keeps both the
+    per-block fan-out and the driver-side pair table bounded at scale.
+    Zero-norm vectors can never pass the threshold (NaN cosine) and are
+    excluded up front so radii stay finite.
+    """
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    embeddings = embeddings.filter(_norm(F.col(vec_col)) > 0)
+    C = ivf_centroids(
+        embeddings, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        schema="cell int, __c array<double>",
+    )
+    # member→centroid angle; centroids are unit-norm so cos = dot/|v|
+    memcos = _dot(F.col(vec_col), F.col("__c")) / _norm(F.col(vec_col))
+    clamped = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), memcos))
+    radii = {
+        int(r["cell"]): float(r["r"])
+        for r in assigned.join(F.broadcast(cent_df), "cell")
+        .groupBy("cell")
+        .agg(F.max(F.acos(clamped)).alias("r"))
+        .collect()
+    }
+    max_angle = math.acos(max(-1.0, min(1.0, threshold)))
+    ang = np.arccos(np.clip(np.asarray(C) @ np.asarray(C).T, -1.0, 1.0))
+    # ordered pairs both ways (+ diagonal): with id_a < id_b applied after
+    # the join, each vector pair surfaces exactly once, whichever cell
+    # holds the smaller id. 1e-9 absorbs float error in the angle math.
+    admissible = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if ang[i][j] - radii[i] - radii[j] <= max_angle + 1e-9
+    ]
+    pair_df = spark.createDataFrame(admissible, schema="cell_a int, cell_b int")
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"), F.col("cell").alias("cell_a")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"), F.col("cell").alias("cell_b")
+    )
+    cand = (
+        a.join(F.broadcast(pair_df), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    cos = _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b")))
+    return cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -244,8 +333,9 @@ def cosine_near_pairs(
     exact: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold). ``exact=True``
-    brute-forces all pairs (testing only); default prunes via shared
-    LSH bucket first — the scale path."""
+    brute-forces all pairs (testing only — prefer
+    :func:`cosine_near_pairs_blocked`, exact without the cross join);
+    default prunes via shared LSH bucket first (approximate)."""
     if exact:
         a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
         b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))

@@ -54,7 +54,9 @@ class ResultRow:
                 "label": self.label,
                 "metadata": self.properties,
             }
-        return {"kind": "info", "info": self.info}
+        # The reference DTO always carries an id field; info rows get ""
+        # (server.rs map_outcome: `id: String::new()`).
+        return {"kind": "info", "id": "", "info": self.info}
 
 
 @dataclass

@@ -15,9 +15,9 @@ from graph_loom_spark.serve import QueryServer
 
 
 @pytest.fixture()
-def server(spark):
+def server(spark, tmp_path):
     sess = CypherSession(PropertyGraph.empty(spark))
-    qs = QueryServer(sess, api_key="sekrit", timeout_s=120)
+    qs = QueryServer(sess, api_key="sekrit", timeout_s=120, log_dir=str(tmp_path / "logs"))
     httpd = qs.serve(port=0)  # ephemeral port
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
@@ -56,10 +56,16 @@ def test_query_roundtrip_dto_shape(server):
     assert row["metadata"] == {"name": "Neo"}
 
 
-def test_execution_error_in_band(server):
-    code, out = _post(server, {"query": "THIS IS NOT A QUERY"})
-    assert code == 200  # errors are in-band, like the reference gRPC/WS
-    assert "error" in out and out["rows"] == []
+def test_execution_error_400_text(server):
+    # server.rs handle_query: Ok(Err(e)) → HttpResponse::BadRequest().body(e)
+    try:
+        _post(server, {"query": "THIS IS NOT A QUERY"})
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        body = e.read().decode()
+        assert body  # error text in the body, not JSON
+        assert not body.startswith("{")
 
 
 def test_bad_request(server):

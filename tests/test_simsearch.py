@@ -30,3 +30,25 @@ def test_ivf_deterministic(spark):
     c1 = sim.ivf_centroids(emb, n_cells=4, sample_size=512, seed=7)
     c2 = sim.ivf_centroids(emb, n_cells=4, sample_size=512, seed=7)
     assert (c1 == c2).all()
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+
+
+def test_blocked_near_pairs_exact_parity(spark):
+    """The centroid-blocked plan must return EXACTLY the brute-force
+    pair set — the pruning may only skip provably-empty blocks."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for threshold in (0.4, 0.2):  # looser threshold → fewer prunable blocks
+        exact = _pairs(sim.cosine_near_pairs(emb, threshold=threshold, exact=True))
+        blocked = _pairs(
+            sim.cosine_near_pairs_blocked(emb, threshold=threshold, n_cells=8)
+        )
+        assert blocked == exact
+
+
+def test_blocked_near_pairs_no_cartesian(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = sim.cosine_near_pairs_blocked(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
