@@ -179,53 +179,91 @@ def connected_components(graph: PropertyGraph, max_iter: int = 50) -> DataFrame:
     (Hash collisions would need ~2^32 nodes to matter; a collision can
     only merge two components, never split one.)
 
-    Delta propagation: only nodes whose component changed last round
-    can lower a neighbor, so each round joins the adjacency against the
-    shrinking changed-set instead of all nodes — an unchanged neighbor's
-    value was already folded in the round after it last changed. Round 1
-    (delta = everyone) equals full propagation; the fixpoint is
-    identical. Converges in O(graph diameter) rounds; for
-    very-high-diameter 100 TB graphs swap in large-star/small-star
-    (O(log d) rounds).
+    Delta propagation + pointer jumping: only nodes whose component
+    changed last round can lower a neighbor, so each round joins the
+    adjacency against the shrinking changed-set instead of all nodes —
+    an unchanged neighbor's value was already folded in the round after
+    it last changed. After the neighbor step, a pointer-jump step folds
+    in the component-of-my-component (``comp[comp[u]]`` over the
+    previous round's materialized mapping): reach more-than-doubles per
+    round (Fibonacci growth), the same O(log d) round count that
+    large-star/small-star buys, while reusing the delta machinery (one
+    adjacency join + one self-equi-join per round, both on longs).
+    Values only ever decrease toward the component minimum, so the
+    fixpoint — and the output — is identical to plain propagation.
+
+    Shuffle sizing: the loop runs ~6 shuffle stages per round, so task-
+    scheduling overhead — not data — dominates when partitions are
+    oversized (measured at sf0.1: 23 s with the session's 32 shuffle
+    partitions vs 14 s with 8). Partition count is therefore sized from
+    the actual row counts (~500k rows per partition, floor 8) and the
+    session setting is restored afterwards; at cluster scale the same
+    formula grows the count with the data. The adjacency is
+    hash-partitioned on the join key once before pinning, so rounds
+    shuffle only the (shrinking) delta, never the full edge list.
     """
     sadj = _directed_adjacency(graph.edges)
-    adj = sadj.select(
-        F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v")
-    ).localCheckpoint(eager=True)
+    adj = (
+        sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
+        .repartition("v")
+        .localCheckpoint(eager=True)
+    )
     idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(eager=True)
-    comp = idmap.select(F.col("iid"), F.col("iid").alias("component"))
-    delta = comp
-    for _ in range(max_iter):
-        nbr_min = (
-            adj.join(delta.select(F.col("iid").alias("v"), F.col("component").alias("c")), "v")
-            .groupBy(F.col("u").alias("iid"))
-            .agg(F.min("c").alias("nbr_component"))
-        )
-        nxt = (
-            comp.join(nbr_min, "iid", "left")
-            .select(
-                "iid",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.least("component", F.coalesce("nbr_component", "component"))
-                    != F.col("component")
-                ).alias("__chg"),
-            )
+    spark = graph.nodes.sparkSession
+    n_edges = adj.count()
+    n_nodes = idmap.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(8, (n_nodes + n_edges) // 500_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        comp = (
+            idmap.select(F.col("iid"), F.col("iid").alias("component"))
+            .repartition("iid")
             .localCheckpoint(eager=True)
         )
-        delta = nxt.filter(F.col("__chg")).drop("__chg")
-        changed = delta.count()
-        comp = nxt.drop("__chg")
-        if changed == 0:
-            break
-    withid = comp.join(idmap, "iid")
-    rep = withid.groupBy(F.col("component").alias("__hc")).agg(
-        F.min("id").alias("component")
-    )
-    return (
-        withid.select("id", F.col("component").alias("__hc"))
-        .join(rep, "__hc")
-        .select("id", "component")
-    )
+        delta = comp
+        for _ in range(max_iter):
+            nbr_min = (
+                adj.join(
+                    delta.select(F.col("iid").alias("v"), F.col("component").alias("c")), "v"
+                )
+                .groupBy(F.col("u").alias("iid"))
+                .agg(F.min("c").alias("__nc"))
+            )
+            stepped = comp.join(nbr_min, "iid", "left").select(
+                "iid",
+                F.col("component").alias("__old"),
+                F.least("component", F.coalesce("__nc", "component")).alias("component"),
+            )
+            # pointer jump over the PREVIOUS round's checkpointed mapping —
+            # cheap scan of pinned blocks, no self-join recompute of stepped
+            parent = comp.select(F.col("iid").alias("__p"), F.col("component").alias("__gp"))
+            nxt = (
+                stepped.join(parent, stepped["component"] == parent["__p"], "left")
+                .select(
+                    "iid",
+                    "__old",
+                    F.least("component", F.coalesce("__gp", "component")).alias("component"),
+                )
+                .repartition("iid")
+                .localCheckpoint(eager=True)
+            )
+            delta = nxt.filter(F.col("component") < F.col("__old")).select("iid", "component")
+            changed = delta.count()
+            comp = nxt.select("iid", "component")
+            if changed == 0:
+                break
+        # map hash-components back to min string ids inside the sized-
+        # partition window, pinned so the caller's action is a pure scan
+        withid = comp.join(idmap, "iid")
+        rep = withid.groupBy(F.col("component").alias("__hc")).agg(
+            F.min("id").alias("component")
+        )
+        return (
+            withid.select("id", F.col("component").alias("__hc"))
+            .join(rep, "__hc")
+            .select("id", "component")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

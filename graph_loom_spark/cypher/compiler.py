@@ -762,15 +762,27 @@ class CypherExecutor:
             ).distinct()
             if not cl.detach:
                 # incident check runs BEFORE any deletion, including of rels
-                # deleted by this same statement (reference cypher_spec.rs:1235)
-                incident = self.graph.edges.join(
-                    node_ids.withColumnRenamed("id", "__del"),
-                    (F.col("src") == F.col("__del")) | (F.col("dst") == F.col("__del")),
-                    "left_semi",
+                # deleted by this same statement (reference cypher_spec.rs:1235);
+                # semi-join of the delete-set against the edge-endpoint union
+                # (equi-join, not an OR theta-join)
+                offender = (
+                    node_ids.join(
+                        self.graph.edges.select(F.col("src").alias("id")).unionByName(
+                            self.graph.edges.select(F.col("dst").alias("id"))
+                        ),
+                        "id",
+                        "left_semi",
+                    )
+                    .agg(F.min("id"))
+                    .first()[0]
                 )
-                if not incident.isEmpty():
+                if offender is not None:
+                    # reference names the offending node (cypher_spec.rs:1237);
+                    # it reports an arbitrary one (HashMap order) — we pick the
+                    # smallest id for determinism
                     raise CypherError(
-                        "Cannot DELETE node with existing relationships; use DETACH DELETE"
+                        f"Cannot DELETE node {offender} with existing relationships; "
+                        "use DETACH DELETE"
                     )
             node_ids = node_ids.localCheckpoint(eager=True)
         if rel_vars:

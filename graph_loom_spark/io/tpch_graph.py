@@ -98,6 +98,29 @@ def _with_lineitem_seq(li: DataFrame) -> DataFrame:
     return li.withColumn(_LSEQ, F.row_number().over(w))
 
 
+# sf_dir → parquet path of the materialized lineitem-with-seq table.
+# The seq window is the ONLY shuffle in the projection, and without
+# materialization it re-executes inside every Cypher query that touches
+# Lineitem. Writing it once per session keeps later queries on a plain
+# parquet scan — predicate pushdown and column pruning still reach the
+# raw columns (unlike materializing the unioned MapType node/edge
+# frames, which would hide them behind a map). At cluster scale the
+# path would live on shared storage; a session tempdir is the local
+# equivalent.
+_LSEQ_CACHE: dict[str, str] = {}
+
+
+def _lineitem_with_seq_cached(spark: SparkSession, sf_dir: str, li: DataFrame) -> DataFrame:
+    import tempfile
+
+    path = _LSEQ_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="gls_liseq_") + "/lineitem_seq.parquet"
+        _with_lineitem_seq(li).write.mode("overwrite").parquet(path)
+        _LSEQ_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def _node_id(prefix: str, keys: list[str], table: str):
     base = surrogate_id(prefix, keys)
     if prefix == "L" and table == "lineitem":
@@ -125,7 +148,7 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Propert
     tables = load_tables(
         spark, sf_dir, [t for t in TABLES if t not in ("events", "documents", "embeddings")]
     )
-    tables["lineitem"] = _with_lineitem_seq(tables["lineitem"])
+    tables["lineitem"] = _lineitem_with_seq_cached(spark, sf_dir, tables["lineitem"])
     node_parts = []
     for label, table, prefix, keys in _NODE_SPECS:
         df = tables[table]

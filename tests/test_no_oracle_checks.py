@@ -1,0 +1,219 @@
+"""Correctness signals for the entry queries the DuckDB oracle cannot
+check (engine-hash-seeded / approximate / iterative): validate them
+driver-side against pure-Python reference implementations at sf0.001,
+so "no_oracle" no longer means "unchecked".
+
+- connected components: exact equality vs union-find;
+- weighted LPA: exact equality vs a pure-Python synchronous run of the
+  reference algorithm (same weights, same tie-break);
+- community density: exact recompute of sizes/internal edges;
+- simhash near-pairs: exact equality vs brute-force Hamming over the
+  computed fingerprints (validates the 16-bit-band pigeonhole recall);
+- minhash LSH pairs: recall 1.0 on truly-similar pairs vs exact
+  n-gram Jaccard computed from the raw text (no engine hashes);
+- RP-LSH ANN: recall floor vs the exact brute-force top-k.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from graph_loom_spark import analytics
+from graph_loom_spark.io.tpch_graph import build_graph
+from graph_loom_spark.ops import dedup as ops_dedup
+from graph_loom_spark.ops import simsearch as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _graph(spark):
+    return build_graph(spark, SF_DIR, cache=False)
+
+
+# ------------------------------------------------------------- components
+
+
+def test_components_match_union_find(spark):
+    g = _graph(spark)
+    node_ids = [r["id"] for r in g.nodes.select("id").collect()]
+    edges = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    roots = defaultdict(list)
+    for n in node_ids:
+        roots[find(n)].append(n)
+    expected = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            expected[n] = m
+
+    got = {r["id"]: r["component"] for r in analytics.connected_components(g).collect()}
+    assert got == expected
+
+
+# -------------------------------------------------------------- LPA + density
+
+
+def _python_lpa(nodes, adj_weights, max_iter=8):
+    """The reference algorithm, synchronous variant, pure Python: each
+    round every node adopts argmax_c Σ w(u←v); ties → smallest community
+    id; stop when stable (frontend.rs:564-588)."""
+    comm = {n: n for n in nodes}
+    for _ in range(max_iter):
+        nxt = {}
+        changed = False
+        for u in nodes:
+            scores = defaultdict(float)
+            for v, w in adj_weights.get(u, []):
+                scores[comm[v]] += w
+            if scores:
+                best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                best = comm[u]
+            nxt[u] = best
+            changed = changed or best != comm[u]
+        comm = nxt
+        if not changed:
+            break
+    return comm
+
+
+def test_lpa_and_density_match_python(spark):
+    g = _graph(spark)
+    nrows = g.nodes.select("id", "label", "properties").collect()
+    labels = {r["id"]: r["label"] for r in nrows}
+    metas = {r["id"]: dict(r["properties"]) for r in nrows}
+    edges = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+
+    def weight(u, v):
+        w = 1.0
+        if labels[u] == labels[v] and labels[u] != "":
+            w += 0.75
+        mu, mv = metas[u], metas[v]
+        eq = sum(1 for k, x in mu.items() if mv.get(k) == x)
+        w += 0.5 * (eq / max(len(mu), 1))
+        return w
+
+    adj_weights = defaultdict(list)
+    for s, d in edges:
+        adj_weights[s].append((d, weight(s, d)))
+        adj_weights[d].append((s, weight(d, s)))
+
+    expected = _python_lpa(list(labels), adj_weights)
+    got = {
+        r["id"]: r["community"]
+        for r in analytics.weighted_label_propagation(g).collect()
+    }
+    assert got == expected
+
+    # density: recompute sizes / internal edges / the division in Python
+    comm_df = spark.createDataFrame(
+        [(k, v) for k, v in got.items()], "id string, community string"
+    )
+    sizes = defaultdict(int)
+    for n, c in got.items():
+        sizes[c] += 1
+    internal = defaultdict(int)
+    for s, d in edges:
+        if got[s] == got[d]:
+            internal[got[s]] += 1
+    for r in analytics.community_density(g, comm_df).collect():
+        c = r["community"]
+        n = sizes[c]
+        assert r["n_nodes"] == n
+        assert r["internal_edges"] == internal.get(c, 0)
+        exp_density = internal.get(c, 0) / max(n * (n - 1) / 2, 1.0)
+        assert math.isclose(r["density"], exp_density, rel_tol=0, abs_tol=1e-12)
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = {r["doc_id"]: r["simhash"] for r in ops_dedup.simhash(docs).collect()}
+    ids = sorted(fp)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                expected.add((min(a, b), max(a, b), ham))
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in fp.items()], "doc_id bigint, simhash bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ops_dedup.simhash_near_pairs(sdf).collect()
+    }
+    assert got == expected  # banding may only prune provably-far pairs
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def _true_jaccard_pairs(rows, n=3):
+    """Exact word-3-gram Jaccard from the raw text — no engine hashes."""
+    import re
+
+    sets = {}
+    for r in rows:
+        toks = re.sub(r"\s+", " ", r["text"].strip().lower()).split(" ")
+        grams = {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+        sets[r["doc_id"]] = grams
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            out[(a, b)] = inter / union if union else 0.0
+    return out
+
+
+def test_minhash_lsh_recall_on_similar_pairs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    true_j = _true_jaccard_pairs(docs.select("doc_id", "text").collect())
+    sigs = ops_dedup.minhash_signatures(docs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops_dedup.minhash_lsh_pairs(sigs, threshold=0.3).collect()
+    }
+    strong = {p for p, j in true_j.items() if j >= 0.6}
+    assert strong, "corpus should contain planted near-duplicates"
+    # every strongly-similar pair must be surfaced (est error ~1/sqrt(32))
+    assert strong <= got
+    # and nothing outright dissimilar sneaks past the estimate filter
+    for p in got:
+        assert true_j[p] >= 0.05
+
+
+# ----------------------------------------------------------------- ANN LSH
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, probe_id=7, k=10).collect()}
+    # bits must track log(n): probe 7's true neighbors are only cosine
+    # 0.25-0.35 (p≈0.6 per hyperplane), so at n=500 use 16 buckets/table;
+    # expected recall with 4 tables + Hamming-1 probing ≈ 0.92/neighbor.
+    # Hyperplanes are seed-fixed → the outcome is deterministic.
+    bk = sim.rp_lsh_buckets(emb, dim=64, bits=4, tables=4)
+    approx = {r["vec_id"] for r in sim.ann_topk(bk, probe_id=7, k=10, bits=4).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 6

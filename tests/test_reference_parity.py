@@ -420,3 +420,71 @@ def test_cypher_multiline_create_comma_delimited(session):
     labels = {r["label"] for r in session.graph.nodes.select("label").collect()}
     assert "T1" in labels
     assert "T10" in labels
+
+
+# ---------------------------------------------------------------------------
+# Error-message parity: clients of the reference see these exact strings
+# (serve layer returns them verbatim in 400 bodies / gRPC error field)
+# ---------------------------------------------------------------------------
+def _err(session, query, params=None):
+    with pytest.raises((CypherError, GraphConsistencyError)) as ei:
+        session.execute(query, params)
+    return str(ei.value)
+
+
+def test_error_strings_match_reference(session):
+    # query_interface.rs:132 — unrecognized statement echoes the statement
+    assert _err(session, 'UPDATE NODE Person SET name="X";').startswith(
+        "unrecognized statement:"
+    )
+    # query_interface.rs:662 — bad uuid (suffix is the parser's detail text)
+    assert _err(session, "MATCH NODE Person WHERE id=not-a-uuid;").startswith(
+        "invalid uuid:"
+    )
+    # query_interface.rs:564 — CREATE REL with endpoints not in the graph
+    u1, u2 = uuid7_batch(2)
+    assert (
+        _err(session, f"CREATE REL from={u1} to={u2} label=LIKES;")
+        == "invalid endpoint(s) for relationship"
+    )
+    # query_interface.rs:560-562 — missing CREATE REL parts
+    assert _err(session, f"CREATE REL to={u2} label=LIKES;") == "missing from uuid"
+    assert _err(session, f"CREATE REL from={u1} label=LIKES;") == "missing to uuid"
+    assert _err(session, f"CREATE REL from={u1} to={u2};") == "missing label"
+    # query_interface.rs:303,313,349 — legacy WHERE diagnostics
+    assert _err(session, "MATCH NODE Person WHERE HAS();") == "WHERE has() requires a key"
+    assert (
+        _err(session, 'MATCH NODE Person WHERE id!="x";')
+        == "'!=' supported only for metadata keys"
+    )
+    assert _err(session, "MATCH NODE Person WHERE ???;").startswith(
+        "unrecognized WHERE condition:"
+    )
+    # query_interface.rs:80 — empty input
+    assert _err(session, "   ") == "empty query"
+    # query_interface.rs:386 — MATCH..MERGE routes to the legacy pairwise
+    # handler, which demands two comma patterns (same in the reference)
+    session.execute("CREATE (:Person {name:'A'})")
+    assert (
+        _err(session, "MATCH (p:Person) MERGE (q:Person {name:'B'})")
+        == "missing second pattern"
+    )
+    # cypher_spec.rs:1385-1387 — Cypher MERGE restricted to rel patterns
+    assert (
+        _err(session, "MERGE (q:Person {name:'B'})")
+        == "MERGE currently supports only single relationship patterns"
+    )
+
+
+def test_delete_with_rels_error_names_offending_node(session):
+    session.execute(
+        "CREATE (a:P {name:'x'});CREATE (b:P {name:'y'});"
+        "MATCH (a:P),(b:P) WHERE id(a) < id(b) MERGE (a)-[:R]->(b)"
+    )
+    msg = _err(session, "MATCH (n:P) DELETE n")
+    # cypher_spec.rs:1237 — names the node; ours reports the smallest id
+    assert msg.startswith("Cannot DELETE node ")
+    assert msg.endswith(" with existing relationships; use DETACH DELETE")
+    named = msg[len("Cannot DELETE node ") : -len(" with existing relationships; use DETACH DELETE")]
+    ids = sorted(r["id"] for r in session.graph.nodes.select("id").collect())
+    assert named == ids[0]
