@@ -196,6 +196,11 @@ def _q_docs_fingerprint(spark, sf_dir):
     return ops_text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_tfidf(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms — integer-input float math, oracle-exact."""
+    return ops_text.tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -305,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_tfidf": _q_docs_tfidf,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -477,6 +483,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint "
             "FROM documents"
+        ),
+        "docs_tfidf": (
+            "WITH toks AS ("
+            "SELECT doc_id, t AS term FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS t "
+            "FROM documents) WHERE t <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id, term, tfidf FROM ("
+            "SELECT tf.doc_id, tf.term, "
+            "round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf, "
+            "row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC, tf.term) AS rk "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN n) WHERE rk <= 5"
         ),
         "emb_cosine_topk": (
             "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 7) "

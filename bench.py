@@ -95,6 +95,19 @@ def main() -> None:
     # cost. A tiny aggregate + one small parquet scan warms both paths.
     spark.range(100_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Python-worker pool startup (~2s) otherwise lands on the first
+    # pandas-UDF query (emb_ann_lsh) — session overhead, not query cost.
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        def _warm(v):
+            return v
+
+        _warm.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        spark.range(1000).select(F.pandas_udf(_warm, "long")("id")).count()
+    except Exception as e:
+        print(f"bench pandas warm-up warning: {e}", file=sys.stderr, flush=True)
     _drop_persisted_blocks(spark)
 
     timings: dict[str, float] = {}

@@ -27,6 +27,8 @@ doubles per iteration. Skewed hub nodes are handled by AQE skew-join.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -163,105 +165,275 @@ def community_density(graph: PropertyGraph, communities: DataFrame) -> DataFrame
     )
 
 
-def connected_components(graph: PropertyGraph, max_iter: int = 50) -> DataFrame:
-    """Undirected connected components via iterative min-id propagation
-    (the reference's BFS flood, frontend.rs:3044-3063, generalized to all
-    components): returns ``(id, component)`` where component is the
-    smallest node id in the component.
+def force_layout(
+    graph: PropertyGraph,
+    iters: int = 30,
+    target_dist: float = 120.0,
+    spring_k: float = 4.0,
+    damping: float = 6.0,
+    min_sep: float = 90.0,
+    repulse_k: float = 10.0,
+    max_speed: float = 600.0,
+    max_step: float = 5.0,
+    hub_repulsion_scale: float = 0.25,
+    gravity_k: float = 0.5,
+    dt: float = 0.033,
+    init_radius: float = 1000.0,
+    seed: int = 42,
+) -> DataFrame:
+    """G5: force-directed layout as a batch operator — returns
+    ``(id, x, y)``. Physics mirrors the reference's spring-damper
+    simulation (frontend.rs:3019-3228: edge springs toward
+    ``target_dist``, close-pair repulsion under ``min_sep`` scaled by
+    log-degree for hubs, center-of-mass gravity, velocity damping with
+    speed/step clamps; constants are the reference defaults).
 
-    The iteration runs entirely on ``xxhash64`` surrogates of the node
-    ids: min-aggregating and joining 8-byte longs keeps every round in
-    vectorized hash aggregation, where the ~30-byte string ids forced
-    object-hash/sort fallbacks that dominated runtime (measured ~4× on
-    the sf0.1 projection). The propagated minimum is then the min *hash*
-    per component, so a final groupBy maps each hash-component back to
-    the smallest string id — same result, two cheap extra shuffles.
-    (Hash collisions would need ~2^32 nodes to matter; a collision can
-    only merge two components, never split one.)
-
-    Delta propagation + pointer jumping: only nodes whose component
-    changed last round can lower a neighbor, so each round joins the
-    adjacency against the shrinking changed-set instead of all nodes —
-    an unchanged neighbor's value was already folded in the round after
-    it last changed. After the neighbor step, a pointer-jump step folds
-    in the component-of-my-component (``comp[comp[u]]`` over the
-    previous round's materialized mapping): reach more-than-doubles per
-    round (Fibonacci growth), the same O(log d) round count that
-    large-star/small-star buys, while reusing the delta machinery (one
-    adjacency join + one self-equi-join per round, both on longs).
-    Values only ever decrease toward the component minimum, so the
-    fixpoint — and the output — is identical to plain propagation.
-
-    Shuffle sizing: the loop runs ~6 shuffle stages per round, so task-
-    scheduling overhead — not data — dominates when partitions are
-    oversized (measured at sf0.1: 23 s with the session's 32 shuffle
-    partitions vs 14 s with 8). Partition count is therefore sized from
-    the actual row counts (~500k rows per partition, floor 8) and the
-    session setting is restored afterwards; at cluster scale the same
-    formula grows the count with the data. The adjacency is
-    hash-partitioned on the join key once before pinning, so rounds
-    shuffle only the (shrinking) delta, never the full edge list.
+    Scale shape: the reference's O(N²) repulsion pass (explicitly "small/
+    med graphs are fine", frontend.rs:3135) is replaced by its own
+    spatial-hash-grid idea (frontend.rs:744-762) done distributed: each
+    point lands in a ``min_sep``-sized grid cell, candidates = equi-join
+    of points against the 9 neighboring cells, exact distance check on
+    candidates only — Θ(close pairs), never all pairs. Springs are one
+    edges⋈positions join per iteration. Positions checkpoint per
+    iteration (flat lineage). Initial placement is a deterministic
+    hash-seeded disc (the GUI's golden spiral is per-insertion state the
+    batch op doesn't have); layouts are qualitative, so determinism +
+    force parity is the contract, not pixel equality.
     """
-    sadj = _directed_adjacency(graph.edges)
-    adj = (
-        sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
-        .repartition("v")
-        .localCheckpoint(eager=True)
+    pos = graph.nodes.select(
+        "id",
+        (
+            F.sqrt(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 20)) / F.lit(float(1 << 20)))
+            * init_radius
+            * F.cos(
+                F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1 << 20))
+                / F.lit(float(1 << 20))
+                * (2 * math.pi)
+            )
+        ).alias("x"),
+        (
+            F.sqrt(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 20)) / F.lit(float(1 << 20)))
+            * init_radius
+            * F.sin(
+                F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1 << 20))
+                / F.lit(float(1 << 20))
+                * (2 * math.pi)
+            )
+        ).alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+    ).localCheckpoint(eager=True)
+
+    deg = (
+        graph.edges.select(F.col("src").alias("id"))
+        .unionAll(graph.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
     )
-    idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(eager=True)
-    spark = graph.nodes.sparkSession
-    n_edges = adj.count()
-    n_nodes = idmap.count()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(8, (n_nodes + n_edges) // 500_000)
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        comp = (
-            idmap.select(F.col("iid"), F.col("iid").alias("component"))
-            .repartition("iid")
+    # log-degree hub scale (frontend.rs:3167-3169), precomputed once
+    hub = graph.nodes.select("id").join(deg, "id", "left").select(
+        "id",
+        (1.0 + hub_repulsion_scale * F.log(F.coalesce("deg", F.lit(0.0)) + 1.0)).alias("hub"),
+    ).localCheckpoint(eager=True)
+
+    epairs = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        a = pos.select(F.col("id").alias("src"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+        b = pos.select(F.col("id").alias("dst"), F.col("x").alias("bx"), F.col("y").alias("by"))
+        sj = epairs.join(a, "src").join(b, "dst")
+        dist = F.sqrt(
+            (F.col("bx") - F.col("ax")) ** 2 + (F.col("by") - F.col("ay")) ** 2
+        ) + F.lit(1e-6)
+        mag = F.lit(spring_k) * (dist - target_dist) / dist
+        spring = (
+            sj.select(
+                F.col("src").alias("id"),
+                (mag * (F.col("bx") - F.col("ax"))).alias("fx"),
+                (mag * (F.col("by") - F.col("ay"))).alias("fy"),
+            )
+            .unionAll(
+                sj.select(
+                    F.col("dst").alias("id"),
+                    (mag * (F.col("ax") - F.col("bx"))).alias("fx"),
+                    (mag * (F.col("ay") - F.col("by"))).alias("fy"),
+                )
+            )
+        )
+
+        celled = pos.select(
+            "id", "x", "y",
+            F.floor(F.col("x") / min_sep).cast("long").alias("cx"),
+            F.floor(F.col("y") / min_sep).cast("long").alias("cy"),
+        )
+        probe = celled.select(
+            F.col("id").alias("oid"), F.col("x").alias("ox"), F.col("y").alias("oy"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.floor(F.col("x") / min_sep).cast("long") + di).alias("cx"),
+                            (F.floor(F.col("y") / min_sep).cast("long") + dj).alias("cy"),
+                        )
+                        for di in (-1, 0, 1)
+                        for dj in (-1, 0, 1)
+                    ]
+                )
+            ).alias("__c"),
+        ).select("oid", "ox", "oy", "__c.cx", "__c.cy")
+        close = (
+            celled.join(probe, ["cx", "cy"])
+            .filter(F.col("id") != F.col("oid"))
+            .withColumn(
+                "dist",
+                F.sqrt((F.col("x") - F.col("ox")) ** 2 + (F.col("y") - F.col("oy")) ** 2),
+            )
+            .filter((F.col("dist") < min_sep) & (F.col("dist") > 1e-6))
+        )
+        overlap = F.lit(repulse_k) * (min_sep - F.col("dist"))
+        rep = (
+            close.join(hub, "id")
+            .select(
+                "id",
+                (overlap * F.col("hub") * (F.col("x") - F.col("ox")) / F.col("dist")).alias("fx"),
+                (overlap * F.col("hub") * (F.col("y") - F.col("oy")) / F.col("dist")).alias("fy"),
+            )
+        )
+
+        com = pos.agg(F.avg("x").alias("gx"), F.avg("y").alias("gy")).first()
+        gx, gy = float(com["gx"] or 0.0), float(com["gy"] or 0.0)
+        grav = pos.select(
+            "id",
+            (F.lit(gravity_k) * (F.lit(gx) - F.col("x"))).alias("fx"),
+            (F.lit(gravity_k) * (F.lit(gy) - F.col("y"))).alias("fy"),
+        )
+
+        forces = (
+            spring.unionAll(rep).unionAll(grav)
+            .groupBy("id")
+            .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy"))
+        )
+        damp = max(0.0, 1.0 - damping * dt)
+        nvx = (F.col("vx") + F.coalesce("fx", F.lit(0.0)) * dt) * damp
+        nvy = (F.col("vy") + F.coalesce("fy", F.lit(0.0)) * dt) * damp
+        speed = F.sqrt(nvx**2 + nvy**2) + F.lit(1e-9)
+        scale = F.least(F.lit(1.0), F.lit(max_speed) / speed)
+        nvx, nvy = nvx * scale, nvy * scale
+        stepx, stepy = nvx * dt, nvy * dt
+        stepn = F.sqrt(stepx**2 + stepy**2) + F.lit(1e-9)
+        sscale = F.least(F.lit(1.0), F.lit(max_step) / stepn)
+        pos = (
+            pos.join(forces, "id", "left")
+            .select(
+                "id",
+                (F.col("x") + stepx * sscale).alias("x"),
+                (F.col("y") + stepy * sscale).alias("y"),
+                nvx.alias("vx"),
+                nvy.alias("vy"),
+            )
             .localCheckpoint(eager=True)
         )
-        delta = comp
+    return pos.select("id", "x", "y")
+
+
+def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
+    """Undirected connected components (the reference's BFS flood,
+    frontend.rs:3044-3063, generalized to all components): returns
+    ``(id, component)`` where component is the smallest node id in the
+    component.
+
+    Algorithm: **min-contraction** (the large-star family). Each level
+    maps every node to m(u) = min(u, min neighbor) — one aggregate —
+    then rebuilds the edge list between *representatives*
+    ((m(u), m(v)), self-loops dropped, deduped) and recurses on the
+    contracted graph. Every edge has a non-minimal endpoint, so the
+    node set at least halves per level and the edge set collapses
+    geometrically (measured on the sf0.1 projection: 3.9M → 2.9M → 1.0M
+    → 2k → 4 → 0 edges in 5 levels); total work is a small constant
+    times the input size, vs. O(diameter) full-size rounds for plain
+    label propagation. The m-chains are then unwound top-down (small
+    joins on the shrinking per-level maps) to label the original nodes.
+
+    Everything iterative runs on ``xxhash64`` surrogates of the node
+    ids: min-aggregating and joining 8-byte longs keeps every level in
+    vectorized hash aggregation, where the ~30-byte string ids forced
+    object-hash/sort fallbacks (measured ~4×). The propagated minimum is
+    therefore the min *hash* per component; a final groupBy maps each
+    hash-component back to the smallest string id — same result, two
+    cheap extra shuffles. (A hash collision would need ~2^32 nodes to
+    matter, and can only merge components, never split one.)
+
+    Shuffle sizing: the loop runs several shuffle stages per level, so
+    task-scheduling overhead — not data — dominates when partitions are
+    oversized (measured at sf0.1: 23 s at the session's 32 shuffle
+    partitions vs 14 s at 8). Partition count is sized from the actual
+    row counts (~500k rows per partition, floor 8) and the session
+    setting restored afterwards; at cluster scale the same formula
+    grows the count with the data.
+    """
+    spark = graph.nodes.sparkSession
+    # size partitions BEFORE building the pinned frames, so the setup
+    # exchanges (and the partition count baked into the checkpoints,
+    # which every later level inherits) match the data, not the session
+    n_edges = 2 * graph.edges.count()
+    n_nodes = graph.nodes.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = int(max(8, (n_nodes + n_edges) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        sadj = _directed_adjacency(graph.edges)
+        adj = (
+            sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
+            .repartition(parts, "u")
+            .localCheckpoint(eager=True)
+        )
+        idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(
+            eager=True
+        )
+        levels = []  # per-level u → m maps (only nodes with edges at that level)
+        cur = adj
         for _ in range(max_iter):
-            nbr_min = (
-                adj.join(
-                    delta.select(F.col("iid").alias("v"), F.col("component").alias("c")), "v"
-                )
-                .groupBy(F.col("u").alias("iid"))
-                .agg(F.min("c").alias("__nc"))
-            )
-            stepped = comp.join(nbr_min, "iid", "left").select(
-                "iid",
-                F.col("component").alias("__old"),
-                F.least("component", F.coalesce("__nc", "component")).alias("component"),
-            )
-            # pointer jump over the PREVIOUS round's checkpointed mapping —
-            # cheap scan of pinned blocks, no self-join recompute of stepped
-            parent = comp.select(F.col("iid").alias("__p"), F.col("component").alias("__gp"))
-            nxt = (
-                stepped.join(parent, stepped["component"] == parent["__p"], "left")
-                .select(
-                    "iid",
-                    "__old",
-                    F.least("component", F.coalesce("__gp", "component")).alias("component"),
-                )
-                .repartition("iid")
+            m = (
+                cur.groupBy("u")
+                .agg(F.min("v").alias("__mv"))
+                .select("u", F.least("u", "__mv").alias("m"))
                 .localCheckpoint(eager=True)
             )
-            delta = nxt.filter(F.col("component") < F.col("__old")).select("iid", "component")
-            changed = delta.count()
-            comp = nxt.select("iid", "component")
-            if changed == 0:
+            levels.append(m)
+            contracted = (
+                cur.join(m.select("u", F.col("m").alias("__mu")), "u")
+                .join(m.select(F.col("u").alias("v"), F.col("m").alias("__mv2")), "v")
+                .select(F.col("__mu").alias("u"), F.col("__mv2").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .repartition("u")
+                .localCheckpoint(eager=True)
+            )
+            cur = contracted
+            if contracted.isEmpty():
                 break
+        # unwind: root(u at level L) = m_L(u); one level up,
+        # root(u) = root_{l+1}(m_l(u)), nodes isolated deeper → themselves
+        root = None
+        for m in reversed(levels):
+            if root is None:
+                root = m.select("u", F.col("m").alias("root"))
+            else:
+                root = m.join(root.withColumnRenamed("u", "m"), "m", "left").select(
+                    "u", F.coalesce("root", F.col("m")).alias("root")
+                )
+        # degree-0 nodes never appear in any level map → their own root
+        if root is None:
+            comp = idmap.select("id", "iid", F.col("iid").alias("__hc"))
+        else:
+            comp = idmap.join(root.withColumnRenamed("u", "iid"), "iid", "left").select(
+                "id", "iid", F.coalesce("root", F.col("iid")).alias("__hc")
+            )
         # map hash-components back to min string ids inside the sized-
         # partition window, pinned so the caller's action is a pure scan
-        withid = comp.join(idmap, "iid")
-        rep = withid.groupBy(F.col("component").alias("__hc")).agg(
-            F.min("id").alias("component")
-        )
+        rep = comp.groupBy("__hc").agg(F.min("id").alias("component"))
         return (
-            withid.select("id", F.col("component").alias("__hc"))
-            .join(rep, "__hc")
+            comp.join(rep, "__hc")
             .select("id", "component")
             .localCheckpoint(eager=True)
         )

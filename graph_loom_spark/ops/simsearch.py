@@ -103,19 +103,44 @@ def rp_lsh_buckets(
     synthetic corpus); OR-ing ``tables`` independent bucketings is the
     standard fix: recall 1-(1-p)^L at L× the index/scan cost. At 100 TB
     the frame is written partitioned by (table, bucket) so a probe
-    touches only its posting lists."""
-    rows = []
-    for t in range(tables):
-        sig = F.lit(0).cast("long")
-        for i, plane in enumerate(_random_hyperplanes(dim, bits, seed + 1000 * t)):
-            proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-            sig = sig + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        rows.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-    return embeddings.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("__tb")
-    ).select(id_col, vec_col, "__tb.table", "__tb.bucket")
+    touches only its posting lists.
+
+    All tables×bits projections run as ONE Arrow-batched matmul per
+    batch (a pandas UDF, like ivf_assign) — the expression-tree
+    alternative builds tables×bits sequential fold expressions and was
+    ~5× slower at 2k vectors."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.asarray(
+        [
+            plane
+            for t in range(tables)
+            for plane in _random_hyperplanes(dim, bits, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )  # (tables*bits, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def _buckets(v):
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        signs = (M @ H.T) >= 0  # (n, tables*bits)
+        signs = signs.reshape(len(M), tables, bits)
+        out = (signs * weights).sum(axis=2)  # (n, tables) bucket ids
+        return pd.Series(list(out.astype("int64")))
+
+    _buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    bucket_udf = F.pandas_udf(_buckets, "array<long>")
+    tagged = spread(embeddings).select(
+        F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col)).alias("__bks")
+    )
+    return tagged.select(
+        id_col,
+        vec_col,
+        F.posexplode("__bks").alias("table", "bucket"),
+    )
 
 
 def ann_topk(
@@ -134,6 +159,11 @@ def ann_topk(
     generation is an equi-join on (table, bucket) — a posting-list
     lookup, never a scan of the full index."""
     spark = bucketed.sparkSession
+    # Pin the index: three consumers below (probe buckets, probe vector,
+    # candidate join) would otherwise each re-evaluate tables×bits
+    # hyperplane projections per row. At cluster scale the index is a
+    # written table and this is a no-op read.
+    bucketed = bucketed.localCheckpoint(eager=True)
     prow = bucketed.filter(F.col(id_col) == probe_id).select("table", "bucket").collect()
     if not prow:
         raise ValueError(f"probe id {probe_id} not found")

@@ -91,6 +91,50 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk_terms(
+    documents: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: ``(doc_id, term, tfidf)``.
+
+    tfidf = round(tf · ln(N/df), 6) over the same tokenizer as
+    :func:`lang_id` (lowercase, split on non-[a-z0-9_] runs). The raw
+    product differs across engines by 1 ulp (libm vs Math.log), so the
+    score is rounded to 6 digits AND the top-k ranking orders by the
+    rounded value — both the rows and their selection are then
+    engine-independent. Tie-break: score desc, then term asc.
+
+    Scale shape: explode → two partial-aggregable groupBys (the shuffle
+    carries (doc_id, term, count) resp. (term, count)); the doc-frequency
+    join is a plain equi-join on term (broadcastable while the term
+    dictionary is small, shuffle join at corpus scale); the top-k window
+    partitions by doc_id — no global ordering anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = documents.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("__tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("__df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the whitespace-normalized,
     lowercased text — identical in every engine, unlike xxhash64."""

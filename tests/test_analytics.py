@@ -75,6 +75,34 @@ def test_community_density(spark):
     assert abs(rows[0]["density"] - 1.0) < 1e-9
 
 
+def test_force_layout_contracts_edges_and_is_deterministic(spark):
+    # star + chain: springs must pull edge lengths toward target_dist
+    names = [f"n{i}" for i in range(8)]
+    nodes = [("X", {"name": n}) for n in names]
+    edges = [(f"n{i}", f"n{i+1}", "R", {}) for i in range(7)]
+    g, nid = _graph(spark, nodes, edges)
+
+    out1 = {r["id"]: (r["x"], r["y"]) for r in analytics.force_layout(g, iters=15).collect()}
+    out2 = {r["id"]: (r["x"], r["y"]) for r in analytics.force_layout(g, iters=15).collect()}
+    assert out1 == out2  # hash-seeded init + fixed physics → deterministic
+    assert all(
+        all(map(lambda v: v == v and abs(v) < 1e7, xy)) for xy in out1.values()
+    )  # finite, no NaN
+
+    import math as m
+
+    def avg_edge_len(pos):
+        ls = []
+        for s, d, _, _ in edges:
+            (x1, y1), (x2, y2) = pos[nid[s]], pos[nid[d]]
+            ls.append(m.hypot(x2 - x1, y2 - y1))
+        return sum(ls) / len(ls)
+
+    init = {r["id"]: (r["x"], r["y"]) for r in analytics.force_layout(g, iters=0).collect()}
+    # springs move the layout toward the preferred edge length
+    assert abs(avg_edge_len(out1) - 120.0) < abs(avg_edge_len(init) - 120.0)
+
+
 def test_connected_components(spark):
     nodes = [("X", {"name": n}) for n in ["a", "b", "c", "d", "e"]]
     edges = [("a", "b", "R", {}), ("b", "c", "R", {}), ("d", "e", "R", {})]
