@@ -238,6 +238,15 @@ def _q_events_top_users(spark, sf_dir):
     return ops_events.top_users_by_value(ops_events.load_events(spark, f"{sf_dir}/events.parquet"))
 
 
+def _q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (union-tag + carry-forward window — one shuffle, no range
+    theta-join). DuckDB oracle uses its native ASOF JOIN."""
+    return ops_events.purchases_with_last_click(
+        ops_events.load_events(spark, f"{sf_dir}/events.parquet")
+    )
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     """IVF-partitioned approximate top-k — approximate, rows-only check."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -303,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,
+        "events_asof_join": _q_events_asof_join,
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -433,6 +443,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
             "FROM events WHERE event_type = 'purchase' "
             "GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20"
+        ),
+        "events_asof_join": (
+            "WITH clicks AS ("
+            "SELECT user_id, ts, max(event_id) AS click_id FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts), "
+            "purchases AS ("
+            "SELECT event_id AS purchase_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.purchase_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts, "
+            "c.click_id, CAST(c.ts AS VARCHAR) AS click_ts "
+            "FROM purchases p ASOF LEFT JOIN clicks c "
+            "ON p.user_id = c.user_id AND c.ts <= p.ts"
         ),
         "agg_rollup": (
             "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "

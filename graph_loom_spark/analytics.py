@@ -103,34 +103,46 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
     neighbors v in community c; ties → smallest community id; isolated
     nodes keep their own id. Stops early when no node changes.
     """
+    spark = graph.nodes.sparkSession
     weights = similarity_weights(graph).localCheckpoint(eager=True)
     comm = graph.nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
-
-    for _ in range(max_iter):
-        scores = (
-            weights.join(comm.select(F.col("id").alias("v"), F.col("community").alias("c")), "v")
-            .groupBy("u", "c")
-            .agg(F.sum("w").alias("score"))
-        )
-        win = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("c").asc())
-        best = (
-            scores.withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("u").alias("id"), F.col("c").alias("new_community"))
-        )
-        nxt = (
-            comm.join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce("new_community", "community").alias("community"),
-                (F.coalesce("new_community", "community") != F.col("community")).alias("__chg"),
+    # iterative loop → size shuffle partitions from the data (same
+    # task-scheduling-overhead lever as connected_components)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = int(max(8, (weights.count() + comm.count()) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for _ in range(max_iter):
+            scores = (
+                weights.join(
+                    comm.select(F.col("id").alias("v"), F.col("community").alias("c")), "v"
+                )
+                .groupBy("u", "c")
+                .agg(F.sum("w").alias("score"))
             )
-        ).localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("__chg")).count()
-        comm = nxt.drop("__chg")
-        if changed == 0:
-            break
-    return comm
+            win = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("c").asc())
+            best = (
+                scores.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("u").alias("id"), F.col("c").alias("new_community"))
+            )
+            nxt = (
+                comm.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_community", "community").alias("community"),
+                    (F.coalesce("new_community", "community") != F.col("community")).alias(
+                        "__chg"
+                    ),
+                )
+            ).localCheckpoint(eager=True)
+            changed = nxt.filter(F.col("__chg")).count()
+            comm = nxt.drop("__chg")
+            if changed == 0:
+                break
+        return comm
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def community_density(graph: PropertyGraph, communities: DataFrame) -> DataFrame:

@@ -295,27 +295,37 @@ class CypherExecutor:
         )
         eh = ends.select(F.col("__node").alias("__node_s"), F.xxhash64("__node").alias("__node"))
         adj = adj.select(F.xxhash64("__u").alias("__u"), F.xxhash64("__v").alias("__v"))
+        spark = self.graph.nodes.sparkSession
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         if max_hops > 1:
             # materialize the (src,dst) pairs once: every hop joins this
             # frame, and re-deriving it per hop repeats the upstream scans
             adj = adj.localCheckpoint(eager=True)
+            # hop loop = several shuffle stages per hop on modest frames;
+            # size partitions from the data so task scheduling doesn't
+            # dominate (same lever as connected_components)
+            parts = int(max(8, adj.count() // 500_000))
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
-        frontier = sh.select("__start", F.col("__start").alias("__node"))
-        seen = frontier
-        reached = [frontier.withColumn("__depth", F.lit(0))]
-        for d in range(1, max_hops + 1):
-            nxt = (
-                frontier.join(adj, frontier["__node"] == adj["__u"])
-                .select("__start", F.col("__v").alias("__node"))
-                .distinct()
-                .join(seen, ["__start", "__node"], "left_anti")
-                .localCheckpoint(eager=True)  # cut 8-deep iterative lineage
-            )
-            if nxt.isEmpty():
-                break
-            reached.append(nxt.withColumn("__depth", F.lit(d)))
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
+        try:
+            frontier = sh.select("__start", F.col("__start").alias("__node"))
+            seen = frontier
+            reached = [frontier.withColumn("__depth", F.lit(0))]
+            for d in range(1, max_hops + 1):
+                nxt = (
+                    frontier.join(adj, frontier["__node"] == adj["__u"])
+                    .select("__start", F.col("__v").alias("__node"))
+                    .distinct()
+                    .join(seen, ["__start", "__node"], "left_anti")
+                    .localCheckpoint(eager=True)  # cut 8-deep iterative lineage
+                )
+                if nxt.isEmpty():
+                    break
+                reached.append(nxt.withColumn("__depth", F.lit(d)))
+                seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
         all_reached = reduce(lambda x, y: x.unionByName(y), reached)
         pairs = (

@@ -56,6 +56,81 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    with ``right.ts <= left.ts`` sharing the key (left join — no match →
+    nulls). Output: all left columns + ``__asof_<ts_col>`` + the
+    requested right columns.
+
+    Spark has no native as-of join; the scalable form is union-tag +
+    one window: tag right rows 0 and left rows 1, sort per key by
+    (ts, tag) — so a right row at the exact left timestamp is visible —
+    and carry the last non-null right payload forward. ONE shuffle on
+    the key and a within-partition sort, vs. the naive
+    range-theta-join which explodes to per-key cross products. Skewed
+    hot keys are AQE's problem, as with any keyed window.
+
+    Ties: among right rows with identical (key, ts) the carried row is
+    sort-order-arbitrary — pre-dedupe the right side per (key, ts) for
+    engine-independent determinism.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {ts_col}
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias("__asof_ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *on, F.col(ts_col), F.lit(0).alias("__side"), payload.alias("__pl")
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__pl", F.lit(None).cast(r.schema["__pl"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__pl", ignorenulls=True).over(w)
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__m.__asof_ts").alias(f"__asof_{ts_col}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(c) for c in right_cols)
+    return (
+        u.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(*out_cols)
+    )
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """As-of query: each purchase joined to the user's most recent click
+    at-or-before it. Right side deduped per (user_id, ts) keeping the
+    max event_id so the match is engine-deterministic."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], ts_col="ts", right_cols=["click_id"])
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        "click_id",
+        F.col("__asof_ts").cast("string").alias("click_ts"),
+    )
+
+
 def top_users_by_value(events: DataFrame, event_type: str = "purchase", k: int = 20) -> DataFrame:
     """Filtered top-k aggregation (orderBy+limit → TakeOrdered at scale)."""
     return (
