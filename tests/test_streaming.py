@@ -65,3 +65,32 @@ def test_stream_sessionize_matches_batch_counts(spark, events_path):
     batch = batch_events.sessionize(batch_events.load_events(spark, events_path))
     want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (ingestion twin of ops.dedup.exact_dedup)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    (d / "part-0.parquet").write_bytes(
+        open(f"{SF_DIR}/documents.parquet", "rb").read()
+    )
+    return str(d)
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, docs_path):
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_exact_dedup(stream), "docs_dedup_t", output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM docs_dedup_t")
+    batch = spark.read.parquet(docs_path)
+    # one surviving row per distinct text, each a real document row
+    assert got.count() == batch.select("text").distinct().count()
+    assert got.select("text").distinct().count() == got.count()
+    assert (
+        got.join(batch, ["doc_id", "text"], "left_anti").count() == 0
+    )  # every emitted row exists in the source
