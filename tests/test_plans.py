@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale-critical plan properties —
+predicate pushdown through the property-map projection, broadcast of
+small dimensions, anti-join set-ops, partial aggregation, hash-keyed
+shuffles, and the absence of cartesian products — are asserted on the
+executed plans so a refactor cannot silently regress them."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+)
+_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_entry)
+
+
+def _plan(spark, name: str) -> str:
+    df = _entry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_label_scan_pushes_property_filter_into_parquet(spark):
+    plan = _plan(spark, "cypher_label_scan")
+    # properties["c_mktsegment"] == 'BUILDING' must collapse back to the
+    # raw column and reach the scan as a parquet filter
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_join_broadcasts_small_dimension(spark):
+    plan = _plan(spark, "agg_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_setop_uses_anti_join_not_nested_loop(spark):
+    plan = _plan(spark, "setop_customers_no_orders")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_shuffles_hash_key_not_text(spark):
+    plan = _plan(spark, "docs_exact_dedup")
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine
+    assert "xxhash64" in plan
+    # the exchange must partition on the compact hash key, never the text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_near_dup_and_multi_pattern_have_no_cartesian(spark):
+    for name in ["emb_near_dup", "cypher_multi_pattern", "events_asof_join"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # the only tolerated nested-loop join is the Cypher executor's
+        # 1-row binding-table seed (Range(0,1) — the reference's
+        # `rows = vec![{}]`); anything else is a real blow-up
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        seed = plan.count("Range (0, 1, step=1")
+        assert bnlj <= seed, f"{name}: non-seed nested-loop join\n{plan[:2000]}"
+
+
+def test_asof_join_is_single_keyed_shuffle(spark):
+    plan = _plan(spark, "events_asof_join")
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    # union-tag + window: everything funnels through user_id partitioning,
+    # (clicks dedupe pre-aggregates on (user_id, ts) — also keyed)
+    assert exchanges, "expected a keyed exchange"
+    assert all("user_id" in e for e in exchanges)
