@@ -17,8 +17,26 @@ def spread(df: DataFrame) -> DataFrame:
     single core. Repartition up to the cluster's default parallelism —
     but only when the input is actually narrower, so a 100 TB table that
     already has thousands of splits is left untouched (no extra
-    shuffle)."""
+    shuffle).
+
+    The narrowness probe (``df.rdd.getNumPartitions()``) forces a plan→
+    RDD conversion, so its result is memoized per input-file set — one
+    conversion per distinct source per session instead of per query."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (target, tuple(sorted(df.inputFiles())))
+    except Exception:
+        key = None
+    if key is not None and key[1]:
+        narrow = _SPREAD_CACHE.get(key)
+        if narrow is None:
+            narrow = df.rdd.getNumPartitions() < target
+            _SPREAD_CACHE[key] = narrow
+    else:  # non-file source (e.g. createDataFrame): probe directly
+        narrow = df.rdd.getNumPartitions() < target
+    if narrow:
         return df.repartition(target)
     return df
+
+
+_SPREAD_CACHE: dict[tuple, bool] = {}

@@ -69,3 +69,48 @@ def test_repl_auth_required(server):
     host, port = server
     with pytest.raises(ConnectionError, match="401"):
         WebSocketClient(host, port, api_key="wrong")
+
+
+class _SlowSession:
+    """Stand-in whose queries outlive the server budget."""
+
+    def execute_and_log(self, query, params=None, log_dir=None):
+        import time
+
+        time.sleep(2.0)
+        raise AssertionError("should have timed out first")
+
+    execute = execute_and_log
+
+
+def test_repl_timeout_text(tmp_path):
+    qs = QueryServer(_SlowSession(), ws_timeout_s=0.2, log_dir=str(tmp_path))
+    httpd = qs.serve(port=0)
+    try:
+        with WebSocketClient("127.0.0.1", httpd.server_address[1]) as c:
+            c.recv_text()  # banner
+            c.send_text("MATCH (n) RETURN n")
+            assert c.recv_text() == "timeout"  # ReplWs Err(_) → ctx.text("timeout")
+    finally:
+        httpd.shutdown()
+
+
+def test_http_timeout_504(tmp_path):
+    import urllib.error
+    import urllib.request
+
+    qs = QueryServer(_SlowSession(), timeout_s=0.2, log_dir=str(tmp_path))
+    httpd = qs.serve(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/api/query",
+            data=json.dumps({"query": "MATCH (n) RETURN n"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 504
+        assert ei.value.read().decode() == "query timeout"  # server.rs:174
+    finally:
+        httpd.shutdown()
