@@ -114,6 +114,34 @@ def _q_cypher_distinct(spark, sf_dir):  # O3
     ).select(F.col("info").alias("o_orderpriority"))
 
 
+def _q_cypher_with_pipeline(spark, sf_dir):  # O4 WITH + ORDER/SKIP/LIMIT
+    """RETURN after MATCH..WITH is a reference parse error (the RETURN
+    split runs first — cypher_spec.rs:348-357), so the observable output
+    of a WITH pipeline is the no-RETURN entity dump of surviving vars."""
+    return _cypher(
+        spark,
+        sf_dir,
+        "MATCH (s:Supplier) WITH s ORDER BY s.s_name SKIP 1 LIMIT 5",
+    ).select(F.col("id").alias("supplier_id"))
+
+
+def _q_cypher_optional_match(spark, sf_dir):  # §2.9 quirk: OPTIONAL == inner
+    return _cypher(
+        spark,
+        sf_dir,
+        'OPTIONAL MATCH (c:Customer {c_mktsegment:"FURNITURE"})-[:PLACED]->(o:Order) '
+        "RETURN o.o_orderkey",
+    ).select(F.col("info").cast("bigint").alias("o_orderkey"))
+
+
+def _q_cypher_multi_item_return(spark, sf_dir):  # O5 flattening
+    """Multi-item RETURN flattens to one output row per item per binding
+    (interleaved Info rows), not a k-column row — oracle is UNION ALL."""
+    return _cypher(spark, sf_dir, "MATCH (r:Region) RETURN r.r_name, id(r)").select(
+        F.col("info").alias("v")
+    )
+
+
 def _q_cypher_id_func(spark, sf_dir):  # F1
     return _cypher(spark, sf_dir, "MATCH (n:Nation) RETURN id(n)").select(
         F.col("info").alias("id")
@@ -301,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_multi_pattern": _q_cypher_multi_pattern,
         "cypher_order_by_limit": _q_cypher_order_by_limit,
         "cypher_distinct": _q_cypher_distinct,
+        "cypher_with_pipeline": _q_cypher_with_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "cypher_multi_item_return": _q_cypher_multi_item_return,
         "cypher_id_func": _q_cypher_id_func,
         "cypher_id_pairs": _q_cypher_id_pairs,
         "cypher_undirected": _q_cypher_undirected,
@@ -366,6 +397,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_name FROM supplier ORDER BY s_name DESC LIMIT 3 OFFSET 2"
         ),
         "cypher_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+        "cypher_with_pipeline": (
+            "SELECT 'S:' || lpad(CAST(s_suppkey AS VARCHAR), 12, '0') AS supplier_id "
+            "FROM (SELECT s_suppkey FROM supplier ORDER BY s_name LIMIT 5 OFFSET 1)"
+        ),
+        # OPTIONAL MATCH executes as plain MATCH (inner join, no
+        # null-padding) — reference cypher_spec.rs:761 discards the flag
+        "cypher_optional_match": (
+            "SELECT o.o_orderkey FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'FURNITURE'"
+        ),
+        # O5: k items → k interleaved single-value rows per binding
+        "cypher_multi_item_return": (
+            "SELECT r_name AS v FROM region "
+            "UNION ALL SELECT 'R:' || lpad(CAST(r_regionkey AS VARCHAR), 12, '0') AS v FROM region"
+        ),
         "cypher_id_func": f"SELECT {_ID_N} AS id FROM nation",
         "cypher_id_pairs": (
             "SELECT 'R:' || lpad(CAST(b.r_regionkey AS VARCHAR), 12, '0') AS id "
