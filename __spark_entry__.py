@@ -251,6 +251,11 @@ def _q_emb_ann_lsh(spark, sf_dir):
     return ops_sim.ann_topk(bk, probe_id=7, k=10)
 
 
+def _q_agg_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (A5 surface) — matches quantile_cont."""
+    return ops_rel.price_percentiles(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_agg_rollup(spark, sf_dir):
     """ROLLUP grouping-set aggregation (A5 extension surface)."""
     return ops_rel.grouping_sets_rollup(_t(spark, sf_dir, "orders"))
@@ -344,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,
         "events_asof_join": _q_events_asof_join,
+        "agg_percentiles": _q_agg_percentiles,
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -501,6 +507,13 @@ def oracle_sql() -> dict[str, str]:
             "c.click_id, CAST(c.ts AS VARCHAR) AS click_ts "
             "FROM purchases p ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND c.ts <= p.ts"
+        ),
+        "agg_percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25, "
+            "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50, "
+            "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "agg_rollup": (
             "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "

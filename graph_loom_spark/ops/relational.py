@@ -100,3 +100,29 @@ def grouping_sets_cube(orders: DataFrame) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact grouped percentiles (p25/p50/p75 of extendedprice per
+    returnflag), linear interpolation.
+
+    ``F.percentile`` is the exact (sort-based) aggregate, matching
+    DuckDB's ``quantile_cont`` — both interpolate linearly between the
+    two straddling order statistics, so values agree to float noise and
+    are rounded to 4 digits for the oracle hash. Exact percentile sorts
+    within each group; at 100 TB prefer ``approx_percentile``
+    (t-digest, partial-aggregable) when 1e-3 relative error is fine —
+    kept exact here because approximate sketches are not
+    oracle-comparable across engines.
+    """
+    pcts = F.percentile(F.col("l_extendedprice").cast("double"), F.lit([0.25, 0.5, 0.75]))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+        )
+    )
