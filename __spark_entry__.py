@@ -224,6 +224,23 @@ def _q_docs_fingerprint(spark, sf_dir):
     return ops_text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: flag docs sharing any word 8-gram
+    with the 'benchmark' (docs 0-4) via a broadcast semi-join on gram
+    hashes. Hash-gram equality equals string-gram equality barring
+    xxhash64 collisions — same argument as docs_ngram_jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return ops_text.contamination_flags(docs, bench, n=8)
+
+
+def _q_docs_sample(spark, sf_dir):
+    """Deterministic md5-threshold stratified sample (50% per lang)."""
+    return ops_text.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", 0.5
+    ).select("doc_id", "lang")
+
+
 def _q_docs_tfidf(spark, sf_dir):
     """Per-doc top-5 TF-IDF terms — integer-input float math, oracle-exact."""
     return ops_text.tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
@@ -358,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_contamination": _q_docs_contamination,
+        "docs_sample": _q_docs_sample,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -564,6 +583,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint "
             "FROM documents"
+        ),
+        "docs_contamination": (
+            "WITH g AS (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+7], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-7, 1))]) AS grams "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 5), "
+            "hits AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(grams) AS dg FROM g) "
+            "JOIN bench ON dg = bg) "
+            "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "docs_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'"
         ),
         "docs_tfidf": (
             "WITH toks AS ("

@@ -140,3 +140,70 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text — identical in every engine, unlike xxhash64."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def contamination_flags(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag documents sharing any word
+    ``n``-gram with a benchmark corpus — the standard pre-training decontamination
+    check. Returns ``(doc_id, contaminated)`` for every document.
+
+    Shape: the benchmark's distinct n-gram set is tiny relative to the
+    corpus (benchmarks are small), so its exploded grams broadcast and
+    the flag is a broadcast LEFT SEMI join on the gram hash — one scan
+    of the corpus, no shuffle of document data. Grams are hashed
+    (xxhash64) so the join carries 8 bytes, not text.
+    """
+    from pyspark.sql import functions as F2
+
+    def grams(df, idc):
+        toks = F2.split(
+            F2.regexp_replace(F2.lower(F2.trim(F2.col(text_col))), r"\s+", " "), " "
+        )
+        g = F2.transform(
+            F2.sequence(F2.lit(0), F2.greatest(F2.size(toks) - n, F2.lit(0))),
+            lambda i: F2.xxhash64(F2.concat_ws(" ", F2.slice(toks, i + 1, n))),
+        )
+        return df.select(F2.col(idc).alias(idc), F2.explode(F2.array_distinct(g)).alias("__g"))
+
+    bench_grams = grams(benchmark, id_col).select("__g").distinct()
+    doc_grams = grams(documents, id_col)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        documents.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 8 hex
+    digits of md5(strata || ':' || id) fall under ``fraction`` of the
+    32-bit space — compared as fixed-width lowercase hex strings, which
+    order exactly like the integers they encode. Engine-independent (md5
+    everywhere — the DuckDB oracle reproduces the exact row set, unlike
+    rand()/TABLESAMPLE), stable under re-runs and partitioning, and a
+    pure narrow filter — the scan shape a 100 TB reproducible-sampling
+    pass needs. Per-stratum rates stay proportional because the hash is
+    uniform within each stratum.
+    """
+    threshold_hex = f"{int(fraction * float(1 << 32)):08x}"
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.filter(bucket < threshold_hex)
