@@ -297,9 +297,12 @@ class CypherExecutor:
         adj = adj.select(F.xxhash64("__u").alias("__u"), F.xxhash64("__v").alias("__v"))
         spark = self.graph.nodes.sparkSession
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        if max_hops > 1:
-            # materialize the (src,dst) pairs once: every hop joins this
-            # frame, and re-deriving it per hop repeats the upstream scans
+        if max_hops > 2:
+            # 3+ passes over the edge list: materialize the (src,dst)
+            # pairs once — re-deriving them per hop repeats the upstream
+            # scans. For 1-2 hops the scans are cheaper than pinning the
+            # whole adjacency (measured 2.5s → 1.3s on a 2-hop walk over
+            # 3.9M edges at sf0.1).
             adj = adj.localCheckpoint(eager=True)
             # hop loop = several shuffle stages per hop on modest frames;
             # size partitions from the data so task scheduling doesn't
@@ -308,18 +311,26 @@ class CypherExecutor:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
         try:
-            frontier = sh.select("__start", F.col("__start").alias("__node"))
+            frontier = sh.select("__start", F.col("__start").alias("__node")).localCheckpoint(
+                eager=True
+            )
+            n_frontier = frontier.count()
             seen = frontier
             reached = [frontier.withColumn("__depth", F.lit(0))]
             for d in range(1, max_hops + 1):
+                # a small frontier broadcast against the edge list means
+                # the hop never shuffles the adjacency; big frontiers
+                # (dense traversals) fall back to a shuffled join
+                fr = F.broadcast(frontier) if n_frontier <= 300_000 else frontier
                 nxt = (
-                    frontier.join(adj, frontier["__node"] == adj["__u"])
+                    fr.join(adj, fr["__node"] == adj["__u"])
                     .select("__start", F.col("__v").alias("__node"))
                     .distinct()
                     .join(seen, ["__start", "__node"], "left_anti")
                     .localCheckpoint(eager=True)  # cut 8-deep iterative lineage
                 )
-                if nxt.isEmpty():
+                n_frontier = nxt.count()
+                if n_frontier == 0:
                     break
                 reached.append(nxt.withColumn("__depth", F.lit(d)))
                 seen = seen.unionByName(nxt).localCheckpoint(eager=True)
