@@ -54,9 +54,18 @@ def main() -> int:
     client = connect(args.host, args.port, args.api_key)
 
     if args.eval_query:
-        client.send_text(args.eval_query)
-        print(client.recv_text())
-        client.close()
+        if not args.eval_query.strip():
+            print("empty query", file=sys.stderr)
+            client.close()
+            return 1
+        try:
+            client.send_text(args.eval_query)
+            print(client.recv_text())
+        except (ConnectionError, OSError) as e:
+            print(f"request failed: {e}", file=sys.stderr)
+            return 1
+        finally:
+            client.close()
         return 0
 
     if not args.quiet:

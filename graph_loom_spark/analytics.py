@@ -104,14 +104,18 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
     nodes keep their own id. Stops early when no node changes.
     """
     spark = graph.nodes.sparkSession
-    weights = similarity_weights(graph).localCheckpoint(eager=True)
-    comm = graph.nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
-    # iterative loop → size shuffle partitions from the data (same
-    # task-scheduling-overhead lever as connected_components)
+    # size shuffle partitions from the data BEFORE building the pinned
+    # frames (same lever as connected_components — the setup exchanges
+    # and the partitioning baked into the checkpoints must match the
+    # data, not the session); weights ≈ 2×edges rows
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = int(max(8, (weights.count() + comm.count()) // 500_000))
+    parts = int(max(8, (graph.nodes.count() + 2 * graph.edges.count()) // 500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
+        weights = similarity_weights(graph).localCheckpoint(eager=True)
+        comm = graph.nodes.select("id", F.col("id").alias("community")).localCheckpoint(
+            eager=True
+        )
         for _ in range(max_iter):
             scores = (
                 weights.join(
@@ -424,6 +428,14 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
             cur = contracted
             if contracted.isEmpty():
                 break
+        else:  # loop exhausted without an empty edge set
+            # an unconverged contraction would silently SPLIT components
+            # at the unwind — fail loudly instead (each level strictly
+            # shrinks the node set, so hitting this needs a graph deeper
+            # than 2^max_iter contractions)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} contraction levels"
+            )
         # unwind: root(u at level L) = m_L(u); one level up,
         # root(u) = root_{l+1}(m_l(u)), nodes isolated deeper → themselves
         root = None

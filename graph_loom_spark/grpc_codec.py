@@ -27,6 +27,11 @@ from __future__ import annotations
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto int64 would need 10-byte two's-complement; this schema
+        # only carries counts/bools/lengths, so negatives are a caller
+        # bug — fail fast instead of looping forever on n >>= 7
+        raise ValueError(f"negative varint: {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -21,18 +21,25 @@ def spread(df: DataFrame) -> DataFrame:
 
     The narrowness probe (``df.rdd.getNumPartitions()``) forces a plan→
     RDD conversion, so its result is memoized per input-file set — one
-    conversion per distinct source per session instead of per query."""
+    conversion per distinct source per session instead of per query.
+    Partitioning is a property of the PLAN, not the files, so the memo
+    applies only to leaf scans (no children in the analyzed plan);
+    transformed frames always probe directly."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    key = None
     try:
-        key = (target, tuple(sorted(df.inputFiles())))
+        if df._jdf.queryExecution().analyzed().children().isEmpty():
+            files = tuple(sorted(df.inputFiles()))
+            if files:
+                key = (target, files)
     except Exception:
         key = None
-    if key is not None and key[1]:
+    if key is not None:
         narrow = _SPREAD_CACHE.get(key)
         if narrow is None:
             narrow = df.rdd.getNumPartitions() < target
             _SPREAD_CACHE[key] = narrow
-    else:  # non-file source (e.g. createDataFrame): probe directly
+    else:  # transformed frame or non-file source: probe directly
         narrow = df.rdd.getNumPartitions() < target
     if narrow:
         return df.repartition(target)

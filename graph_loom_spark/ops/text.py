@@ -202,6 +202,9 @@ def stratified_sample(
     pass needs. Per-stratum rates stay proportional because the hash is
     uniform within each stratum.
     """
+    if fraction >= 1.0:
+        return df  # full sample; the 8-hex threshold cannot express 2^32
+    fraction = max(fraction, 0.0)
     threshold_hex = f"{int(fraction * float(1 << 32)):08x}"
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8

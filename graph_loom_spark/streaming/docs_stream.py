@@ -48,15 +48,18 @@ def stream_exact_dedup(
 
     Keys on ``(xxhash64(text), murmur3(text))`` — the batch operator's
     96-bit content key — so the dedup state never stores document
-    bytes. With ``ts_col`` the state is watermark-bounded
-    (``dropDuplicates`` on key+event-time semantics); without it the
-    state grows with distinct keys (12 bytes each), the
-    all-history-exact mode.
+    bytes. With ``ts_col`` the state is watermark-bounded via
+    ``dropDuplicatesWithinWatermark`` (duplicates within the horizon are
+    suppressed regardless of their exact timestamps; keys expire after
+    it); without it the state grows with distinct keys (12 bytes each),
+    the all-history-exact mode.
     """
     keyed = docs.withColumn("__k64", F.xxhash64(text_col)).withColumn(
         "__k32", F.hash(text_col)
     )
     if ts_col is not None:
         keyed = keyed.withWatermark(ts_col, watermark)
-        return keyed.dropDuplicates(["__k64", "__k32", ts_col]).drop("__k64", "__k32")
+        return keyed.dropDuplicatesWithinWatermark(["__k64", "__k32"]).drop(
+            "__k64", "__k32"
+        )
     return keyed.dropDuplicates(["__k64", "__k32"]).drop("__k64", "__k32")

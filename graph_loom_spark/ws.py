@@ -66,6 +66,12 @@ def _read_exact(rfile, n: int) -> bytes:
     return buf
 
 
+# One declared frame length beyond this aborts the connection before
+# any payload is buffered — a client could otherwise declare an 8 GB
+# frame and drive the serving thread into unbounded allocation.
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+
+
 def read_frame(rfile) -> tuple[int, bool, bytes]:
     """Read one frame → (opcode, fin, unmasked payload)."""
     b0, b1 = _read_exact(rfile, 2)
@@ -77,6 +83,8 @@ def read_frame(rfile) -> tuple[int, bool, bytes]:
         (n,) = struct.unpack(">H", _read_exact(rfile, 2))
     elif n == 127:
         (n,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    if n > MAX_FRAME_BYTES:
+        raise ConnectionError(f"websocket frame too large ({n} bytes)")
     key = _read_exact(rfile, 4) if masked else None
     payload = _read_exact(rfile, n) if n else b""
     if key:
