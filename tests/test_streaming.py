@@ -94,3 +94,36 @@ def test_stream_exact_dedup_matches_batch_distinct(spark, docs_path):
     assert (
         got.join(batch, ["doc_id", "text"], "left_anti").count() == 0
     )  # every emitted row exists in the source
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Watermark mode: duplicates of a text inside the horizon are
+    suppressed even when their timestamps differ."""
+    from graph_loom_spark.streaming import docs_stream as sd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha text", "2024-01-01 10:00:00"),
+        (2, "alpha text", "2024-01-01 10:00:05"),  # dup, 5s later
+        (3, "beta text", "2024-01-01 10:00:01"),
+        (4, "beta text", "2024-01-01 10:59:00"),  # dup, inside 1h horizon
+        (5, "gamma text", "2024-01-01 10:00:02"),
+    ]
+    src = str(tmp_path / "docs_ts")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    )
+    se.run_available_now(
+        sd.stream_exact_dedup(stream, ts_col="ts", watermark="1 hour"),
+        "docs_dedup_wm_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT text FROM docs_dedup_wm_t").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha text", "beta text", "gamma text"]
