@@ -14,14 +14,24 @@ from pyspark.sql.window import Window
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read the events table, tolerating TIMESTAMP(NANOS) parquet (which
-    vanilla Spark rejects): nanos are read as long via the legacy conf and
-    truncated to a proper micros timestamp with integer division (never
-    float — epoch nanos exceed double's 2^53 integer range)."""
+    """Read the events table, normalizing ``ts`` to a session-TZ
+    TIMESTAMP whatever the writer used:
+
+    - TIMESTAMP(NANOS) (vanilla Spark rejects it): read as long via the
+      legacy conf, truncated to micros with integer division (never
+      float — epoch nanos exceed double's 2^53 integer range);
+    - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): cast to TIMESTAMP —
+      under the engine's fixed UTC session zone this keeps the wall
+      clock bit-identical to what the DuckDB oracle reads;
+    - TIMESTAMP: as-is.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

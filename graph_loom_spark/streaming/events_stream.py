@@ -26,29 +26,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (legacy parquet read)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over the events parquet dir; ts normalized to a
-    micros timestamp exactly like the batch loader (ops.events)."""
+    session-TZ TIMESTAMP exactly like the batch loader (ops.events).
+
+    File-source streams need an explicit schema, and the right one
+    depends on how the writer encoded ``ts`` (TIMESTAMP(NANOS) → long
+    under the legacy conf; micros → TIMESTAMP_NTZ or TIMESTAMP) — probe
+    it with a one-file batch read of the same directory, then apply the
+    matching normalization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    if probed == "bigint":
+        schema, ts_type = _events_schema(T.LongType()), "nanos"
+    elif probed == "timestamp_ntz":
+        schema, ts_type = _events_schema(T.TimestampNTZType()), "ntz"
+    else:
+        schema, ts_type = _events_schema(T.TimestampType()), "ltz"
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "nanos":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def stream_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
