@@ -13,8 +13,9 @@ Reference semantics (all in src/gui/frontend.rs):
   rounds, stop when stable (frontend.rs:564-588). The reference updates
   in-place while iterating nodes in sorted order (asynchronous); the
   distributed version here is the standard synchronous variant with a
-  deterministic tie-break (max score, then smallest community id) — the
-  reference's tie-break is HashMap iteration order, i.e. unspecified.
+  deterministic tie-break (max score, then smallest xxhash64 community
+  surrogate) — the reference's tie-break is HashMap iteration order,
+  i.e. unspecified, so any fixed deterministic order is equally faithful.
 - community density: internal undirected edges ÷ max(n·(n-1)/2, 1)
   (frontend.rs:602-616).
 
@@ -61,46 +62,105 @@ def _directed_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def _node_features(graph: PropertyGraph) -> DataFrame:
+    """Per node: ``(iid, label, kvh, msz)`` — xxhash64 surrogate id, the
+    label, the properties map folded to an array of per-entry
+    ``xxhash64(key, value)`` longs, and the map size.
+
+    This is the slim join payload for the weight computation: the k/v
+    overlap of two maps equals ``size(array_intersect(kvh_a, kvh_b))``
+    (map keys are unique, so each entry hash is unique per node up to a
+    2^-64 collision), and an array of ≤~16 longs ships through the
+    shuffle an order of magnitude cheaper than the stringified map.
+    All narrow projections — no shuffle."""
+    return graph.nodes.select(
+        F.xxhash64("id").alias("iid"),
+        "label",
+        F.transform(
+            F.map_entries("properties"), lambda e: F.xxhash64(e["key"], e["value"])
+        ).alias("kvh"),
+        F.size("properties").alias("msz"),
+    )
+
+
+def _hashed_weights(graph: PropertyGraph) -> DataFrame:
+    """Metadata-overlap weights on xxhash64 surrogates: ``(u, v, w)``
+    longs+double for both orientations of every edge.
+
+    One pass joins each (undirected) edge to both endpoints' features
+    and emits the two orientations from the same row — half the join
+    work of joining the doubled adjacency, and the shuffled payload is
+    hashed longs instead of string ids + string maps (measured ~5× on
+    the sf0.1 projection). Parallel edges deliberately kept (they add
+    weight, frontend.rs:536-562)."""
+    feats = _node_features(graph)
+    e = graph.edges.select(F.xxhash64("src").alias("su"), F.xxhash64("dst").alias("sv"))
+    fs = feats.select(
+        F.col("iid").alias("su"), F.col("label").alias("__ls"),
+        F.col("kvh").alias("__hs"), F.col("msz").alias("__ms"),
+    )
+    fd = feats.select(
+        F.col("iid").alias("sv"), F.col("label").alias("__ld"),
+        F.col("kvh").alias("__hd"), F.col("msz").alias("__md"),
+    )
+    j = e.join(fs, "su").join(fd, "sv")
+    label_bonus = F.when(
+        (F.col("__ls") == F.col("__ld")) & (F.col("__ls") != ""), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    eq = F.size(F.array_intersect("__hs", "__hd")).cast("double")
+    w_fwd = F.lit(1.0) + F.lit(0.75) * label_bonus + F.lit(0.5) * eq / F.greatest(
+        F.col("__ms"), F.lit(1)
+    ).cast("double")
+    w_rev = F.lit(1.0) + F.lit(0.75) * label_bonus + F.lit(0.5) * eq / F.greatest(
+        F.col("__md"), F.lit(1)
+    ).cast("double")
+    # both orientations from ONE join execution: a self-union of `j`
+    # would re-run the whole join per branch (measured 2× at sf0.1);
+    # explode of a 2-element array emits them in the same pass
+    both = F.explode(
+        F.array(
+            F.struct(F.col("su").alias("u"), F.col("sv").alias("v"), w_fwd.alias("w")),
+            F.struct(F.col("sv").alias("u"), F.col("su").alias("v"), w_rev.alias("w")),
+        )
+    )
+    return j.select(both.alias("__o")).select("__o.u", "__o.v", "__o.w")
+
+
 def similarity_weights(graph: PropertyGraph) -> DataFrame:
     """Per adjacency pair (u, v): the reference's metadata-overlap weight
     w(u←v) = 1 + 0.75·[label_u = label_v ≠ ''] + 0.5·overlap/max(|meta_u|,1)
-    (frontend.rs:536-562). Returns ``(u, v, w)`` for both orientations.
+    (frontend.rs:536-562). Returns ``(u, v, w)`` for both orientations,
+    with the original string node ids.
 
-    Two hash joins against the (broadcastable-when-small) nodes frame;
-    the k/v overlap is a ``map_zip_with`` + ``aggregate`` pure-JVM
-    expression, no UDF.
-    """
-    adj = _directed_adjacency(graph.edges)
-    nu = graph.nodes.select(
-        F.col("id").alias("u"), F.col("label").alias("__lu"), F.col("properties").alias("__mu")
+    Thin wrapper over :func:`_hashed_weights` (the surrogate-keyed fast
+    path LPA iterates on) plus two long-keyed joins back to string ids."""
+    idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid"))
+    hw = _hashed_weights(graph)
+    return (
+        hw.join(idmap.select(F.col("iid").alias("u"), F.col("id").alias("__su")), "u")
+        .join(idmap.select(F.col("iid").alias("v"), F.col("id").alias("__sv")), "v")
+        .select(F.col("__su").alias("u"), F.col("__sv").alias("v"), "w")
     )
-    nv = graph.nodes.select(
-        F.col("id").alias("v"), F.col("label").alias("__lv"), F.col("properties").alias("__mv")
-    )
-    j = adj.join(nu, "u").join(nv, "v")
-    label_bonus = F.when(
-        (F.col("__lu") == F.col("__lv")) & (F.col("__lu") != ""), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    eq_count = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "__mu", "__mv", lambda k, a, b: (a.isNotNull() & b.isNotNull() & (a == b)).cast("int")
-            )
-        ),
-        F.lit(0),
-        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
-    )
-    overlap = eq_count.cast("double") / F.greatest(F.size("__mu"), F.lit(1)).cast("double")
-    w = F.lit(1.0) + F.lit(0.75) * label_bonus + F.lit(0.5) * overlap
-    return j.select("u", "v", w.alias("w"))
 
 
 def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     """Weighted LPA (frontend.rs:509-588): returns ``(id, community)``.
 
     Synchronous rounds: each node adopts argmax_c Σ w(u←v) over
-    neighbors v in community c; ties → smallest community id; isolated
-    nodes keep their own id. Stops early when no node changes.
+    neighbors v in community c; ties → the community whose xxhash64
+    surrogate is smallest (a fixed deterministic order — the reference's
+    own tie-break is HashMap iteration order, i.e. unspecified);
+    isolated nodes keep their own id. Stops early when no node changes.
+
+    Scale design: the whole loop runs on 8-byte xxhash64 surrogates —
+    node ids AND community labels — so every per-round join/aggregate
+    stays in vectorized hash aggregation (string keys forced sort
+    fallbacks, measured ~4× slower; same lever as
+    :func:`connected_components`). The weights frame is computed once,
+    pre-partitioned on the per-round join key ``v`` and checkpointed,
+    so rounds shuffle only the small (iid, community) frame plus the
+    one unavoidable (u, c) score shuffle. String ids are joined back
+    exactly once at the end.
     """
     spark = graph.nodes.sparkSession
     # size shuffle partitions from the data BEFORE building the pinned
@@ -108,13 +168,28 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
     # and the partitioning baked into the checkpoints must match the
     # data, not the session); weights ≈ 2×edges rows
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = int(max(8, (graph.nodes.count() + 2 * graph.edges.count()) // 500_000))
+    # floor at defaultParallelism: LPA's per-round work is a few LARGE
+    # shuffles (unlike components' many tiny levels), so undersized
+    # partitions idle most cores (measured at sf0.1: 9 partitions on 32
+    # cores ran rounds ~3× slower); the data-sized term takes over at
+    # cluster scale
+    parts = int(
+        max(
+            spark.sparkContext.defaultParallelism,
+            (graph.nodes.count() + 2 * graph.edges.count()) // 500_000,
+        )
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        weights = similarity_weights(graph).localCheckpoint(eager=True)
-        comm = graph.nodes.select("id", F.col("id").alias("community")).localCheckpoint(
+        idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(
             eager=True
         )
+        weights = (
+            _hashed_weights(graph).repartition(parts, "v").localCheckpoint(eager=True)
+        )
+        comm = idmap.select(
+            F.col("iid").alias("id"), F.col("iid").alias("community")
+        ).localCheckpoint(eager=True)
         for _ in range(max_iter):
             scores = (
                 weights.join(
@@ -125,10 +200,9 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
             )
             # argmax folded into a hash aggregate: min of (-score, c)
             # structs is lexicographic, so it picks max score then
-            # smallest community id — identical tie-break to the former
-            # row_number window, but a partial-aggregating hash agg
-            # instead of a full sort per round (one fewer sort-shuffle
-            # in every LPA iteration; matters at 8 rounds × 100× data).
+            # smallest community surrogate — one partial-aggregating
+            # hash agg instead of a row_number window (one fewer
+            # sort-shuffle in every LPA iteration).
             best = (
                 scores.groupBy("u")
                 .agg(
@@ -152,7 +226,18 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
             comm = nxt.drop("__chg")
             if changed == 0:
                 break
-        return comm
+        # surrogate → string id, for both the node and its community
+        # label (every community label is some node's surrogate)
+        return (
+            comm.join(idmap.select(F.col("iid").alias("id"), F.col("id").alias("__sid")), "id")
+            .join(
+                idmap.select(
+                    F.col("iid").alias("community"), F.col("id").alias("__scomm")
+                ),
+                "community",
+            )
+            .select(F.col("__sid").alias("id"), F.col("__scomm").alias("community"))
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 

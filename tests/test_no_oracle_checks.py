@@ -66,13 +66,51 @@ def test_components_match_union_find(spark):
     assert got == expected
 
 
+def test_components_match_union_find_sf001(spark):
+    """Same exact union-find check, one notch up (sf0.01, ~86k nodes):
+    exercises the contraction loop across multiple levels with 10× the
+    sf0.001 data, so the unwind path is validated on a chain of per-level
+    maps rather than the near-trivial small-graph case."""
+    g = build_graph(spark, "/root/testdata/sf0.01", cache=False)
+    node_ids = [r["id"] for r in g.nodes.select("id").collect()]
+    edges = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    roots = defaultdict(list)
+    for n in node_ids:
+        roots[find(n)].append(n)
+    expected = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            expected[n] = m
+
+    got = {r["id"]: r["component"] for r in analytics.connected_components(g).collect()}
+    assert got == expected
+
+
 # -------------------------------------------------------------- LPA + density
 
 
-def _python_lpa(nodes, adj_weights, max_iter=8):
+def _python_lpa(nodes, adj_weights, hashes, max_iter=8):
     """The reference algorithm, synchronous variant, pure Python: each
-    round every node adopts argmax_c Σ w(u←v); ties → smallest community
-    id; stop when stable (frontend.rs:564-588)."""
+    round every node adopts argmax_c Σ w(u←v); ties → the community with
+    the smallest xxhash64 surrogate (the engine's deterministic stand-in
+    for the reference's unspecified HashMap-order tie-break,
+    frontend.rs:564-588); stop when stable. ``hashes`` maps node id →
+    its xxhash64 surrogate (collected from Spark so both sides use the
+    exact same hash)."""
     comm = {n: n for n in nodes}
     for _ in range(max_iter):
         nxt = {}
@@ -82,7 +120,7 @@ def _python_lpa(nodes, adj_weights, max_iter=8):
             for v, w in adj_weights.get(u, []):
                 scores[comm[v]] += w
             if scores:
-                best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                best = min(scores.items(), key=lambda kv: (-kv[1], hashes[kv[0]]))[0]
             else:
                 best = comm[u]
             nxt[u] = best
@@ -114,7 +152,11 @@ def test_lpa_and_density_match_python(spark):
         adj_weights[s].append((d, weight(s, d)))
         adj_weights[d].append((s, weight(d, s)))
 
-    expected = _python_lpa(list(labels), adj_weights)
+    hashes = {
+        r["id"]: r["h"]
+        for r in g.nodes.select("id", F.xxhash64("id").alias("h")).collect()
+    }
+    expected = _python_lpa(list(labels), adj_weights, hashes)
     got = {
         r["id"]: r["community"]
         for r in analytics.weighted_label_propagation(g).collect()
