@@ -20,6 +20,7 @@ from graph_loom_spark.interface import CypherSession
 from graph_loom_spark.io.tpch_graph import build_graph
 from graph_loom_spark.ops import dedup as ops_dedup
 from graph_loom_spark.ops import events as ops_events
+from graph_loom_spark.ops import multimodal as ops_mm
 from graph_loom_spark.ops import relational as ops_rel
 from graph_loom_spark.ops import simsearch as ops_sim
 from graph_loom_spark.ops import text as ops_text
@@ -246,6 +247,37 @@ def _q_docs_tfidf(spark, sf_dir):
     return ops_text.tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_media_image_features(spark, sf_dir):
+    """Real multimodal decode, oracle-checked end to end: encode a BMP
+    per document (dimensions closed-form in doc_id), ship it through a
+    binary column, decode it with the stdlib codec
+    (ops/codecs.py:decode_bmp) inside Arrow-batched mapInPandas — the
+    oracle predicts the decoded header fields from doc_id alone, so a
+    hash match proves the encode→decode loop is byte-correct. The
+    raster-derived phash is validated separately in pytest (not
+    SQL-expressible)."""
+    media = ops_mm.media_from_documents(_t(spark, sf_dir, "documents"))
+    return ops_mm.image_features(media).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+def _q_media_audio_stats(spark, sf_dir):
+    """Real PCM-WAV decode (stdlib wave/struct), oracle-checked: frame
+    count and duration are closed-form in doc_id; RMS is validated in
+    pytest (not SQL-expressible)."""
+    media = ops_mm.media_from_documents(_t(spark, sf_dir, "documents"), kind="wav")
+    return ops_mm.audio_features(media).select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_frames").alias("n_frames"),
+        "duration_s",
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -377,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
+        "media_image_features": _q_media_image_features,
+        "media_audio_stats": _q_media_audio_stats,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -600,6 +634,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'"
+        ),
+        # BMP layout: 54-byte header + rows padded to 4 bytes
+        # (width/height are closed-form in doc_id — media_from_documents)
+        "media_image_features": (
+            "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS media_id, "
+            "CAST(8 + doc_id % 9 AS BIGINT) AS width, "
+            "CAST(8 + doc_id % 7 AS BIGINT) AS height, "
+            "CAST(54 + ((8 + doc_id % 9) * 3 + 3 - ((8 + doc_id % 9) * 3 + 3) % 4) "
+            "* (8 + doc_id % 7) AS BIGINT) AS n_bytes "
+            "FROM documents"
+        ),
+        "media_audio_stats": (
+            "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS media_id, "
+            "CAST(8000 AS BIGINT) AS sample_rate, "
+            "CAST(400 + (doc_id * 37) % 800 AS BIGINT) AS n_frames, "
+            "CAST(400 + (doc_id * 37) % 800 AS DOUBLE) / 8000.0 AS duration_s "
+            "FROM documents"
         ),
         "docs_tfidf": (
             "WITH toks AS ("

@@ -2,12 +2,16 @@
 pipelines.
 
 Media is carried as an opaque ``binary`` column plus typed metadata
-(mime, width/height, sample rate, duration). All Spark-side plumbing —
+(mime, width/height, sample rate, duration). The Spark-side plumbing —
 schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing — is
-real and tested; the actual codec calls are stubbed behind
-``_decode_stub`` (the container ships no image/audio libraries) with a
-deterministic fake so tests can assert end-to-end behavior. Swap
-``_decode_stub`` for Pillow/torchaudio/pyav in production.
+real and tested, and so are the codecs for every format the stdlib can
+express: BMP and binary-PPM images are decoded pixel-exact (with a real
+64-bit average-hash fingerprint) and PCM WAV audio is decoded to header
+params + RMS amplitude (:mod:`graph_loom_spark.ops.codecs`). Formats
+that require external libraries (PNG/JPEG/MP4 — not in this container)
+raise ``UnsupportedMediaError`` inside the same seam and surface as
+null feature columns; a production build swaps in Pillow/pyav at that
+single point.
 
 Scale notes: media rows are large; pipelines below use ``mapInPandas``
 (one Arrow batch at a time, bounded memory) and repartition by a size
@@ -17,13 +21,15 @@ so downstream joins/aggregations stay columnar.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from graph_loom_spark.ops import codecs
+from graph_loom_spark.ops.codecs import UnsupportedMediaError
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -53,27 +59,14 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(data: bytes) -> dict:
-    """Deterministic fake decoder. Real deployments replace this with a
-    codec call (Pillow / pyav); everything downstream only sees the dict.
-
-    Raises like a real decoder would on missing payloads.
-    """
-    if data is None:
-        raise NotImplementedError("no payload: real decoder required")
-    h = hashlib.sha256(data).digest()
-    return {
-        "width": 16 + h[0] % 64,
-        "height": 16 + h[1] % 64,
-        "phash": h[:8].hex(),
-    }
-
-
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched ``mapInPandas``.
 
-    The per-batch loop is the pattern for any Python-side media codec:
-    one pandas batch in, one out, no per-row Python UDF dispatch.
+    Real decode for BMP/P6-PPM (width/height from the parsed header,
+    64-bit average-hash from the decoded raster); unsupported or broken
+    payloads yield null feature columns. The per-batch loop is the
+    pattern for any Python-side media codec: one pandas batch in, one
+    out, no per-row Python UDF dispatch.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,11 +74,18 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 try:
-                    d = _decode_stub(bytes(data) if data is not None else None)
+                    raw = bytes(data) if data is not None else None
+                    d = codecs.decode_image(raw)
                     rows.append(
-                        (mid, d["width"], d["height"], len(data), d["phash"])
+                        (
+                            mid,
+                            d["width"],
+                            d["height"],
+                            len(raw),
+                            codecs.average_hash(d["width"], d["height"], d["pixels"]),
+                        )
                     )
-                except NotImplementedError:
+                except (UnsupportedMediaError, ValueError):
                     rows.append((mid, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes", "phash"]
@@ -94,20 +94,98 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode PCM WAV audio → header params + RMS amplitude, same
+    Arrow-batched shape as :func:`image_features`. Non-WAV payloads
+    yield null feature columns."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = codecs.decode_wav(bytes(data) if data is not None else b"")
+                    rows.append(
+                        (
+                            mid,
+                            d["n_channels"],
+                            d["sample_rate"],
+                            d["n_frames"],
+                            d["duration_s"],
+                            d["rms"],
+                        )
+                    )
+                except (UnsupportedMediaError, ValueError):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_frames",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return media.select("media_id", "data").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def _resize_raster(width: int, height: int, pixels, max_side: int):
+    """Nearest-neighbor downsample so max(width, height) ≤ max_side."""
+    if max(width, height) <= max_side:
+        return width, height, pixels
+    scale = max_side / max(width, height)
+    nw = max(1, round(width * scale))
+    nh = max(1, round(height * scale))
+    out = []
+    for y in range(nh):
+        sy = min(height - 1, y * height // nh)
+        base = sy * width
+        for x in range(nw):
+            out.append(pixels[base + min(width - 1, x * width // nw)])
+    return nw, nh, out
+
+
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize pipeline plumbing: same schema in/out, records the target
-    size in ``meta``. The byte transform is the stub (real: PIL resize);
-    partitioning/batching/meta handling are the real pattern."""
+    """Real resize for decodable images: decode → nearest-neighbor
+    downsample to ``max_side`` → re-encode as BMP; records the applied
+    transform in ``meta``. Unsupported formats pass through untouched
+    with ``meta["resize_skipped"] = "1"`` (the Pillow seam). Same schema
+    in/out, Arrow-batched."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
-            for meta in pdf["meta"]:
+            datas, mimes, metas = [], [], []
+            for mime, data, meta in zip(pdf["mime"], pdf["data"], pdf["meta"]):
                 m = dict(meta) if meta is not None else {}
-                m["resized_max_side"] = str(max_side)
+                try:
+                    raw = bytes(data) if data is not None else None
+                    d = codecs.decode_image(raw)
+                    nw, nh, px = _resize_raster(
+                        d["width"], d["height"], d["pixels"], max_side
+                    )
+                    datas.append(
+                        codecs.encode_bmp(nw, nh, lambda x, y, px=px, nw=nw: px[y * nw + x])
+                    )
+                    mimes.append("image/bmp")
+                    m["resized_max_side"] = str(max_side)
+                    m["resized_to"] = f"{nw}x{nh}"
+                except (UnsupportedMediaError, ValueError):
+                    datas.append(data)
+                    mimes.append(mime)
+                    m["resize_skipped"] = "1"
                 metas.append(m)
-            pdf = pdf.assign(meta=metas)
-            yield pdf
+            yield pdf.assign(mime=mimes, data=datas, meta=metas)
 
     return media.mapInPandas(do_resize, MEDIA_SCHEMA)
 
@@ -151,21 +229,94 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table for tests/demos: payload bytes are
-    a pure function of media_id."""
+def _image_dims(seq: int) -> tuple[int, int]:
+    """Closed-form image dimensions for deterministic fixtures — also
+    computable in plain SQL (the oracle side of the entry query)."""
+    return 8 + seq % 9, 8 + seq % 7
+
+
+def _image_pixel(seq: int, x: int, y: int) -> tuple[int, int, int]:
     return (
-        spark.range(n)
-        .repartition(partitions)
-        .select(
-            F.concat(F.lit("m"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("media_id"),
-            F.when(F.col("id") % 3 == 0, F.lit("image/png"))
-            .when(F.col("id") % 3 == 1, F.lit("audio/wav"))
-            .otherwise(F.lit("video/mp4"))
-            .alias("mime"),
-            F.repeat(F.sha2(F.col("id").cast("string"), 256), 8).cast("binary").alias("data"),
-            F.create_map(F.lit("source"), F.lit("synthetic"))
-            .cast("map<string,string>")  # align valueContainsNull with MEDIA_SCHEMA
-            .alias("meta"),
-        )
+        (seq * 31 + x * 7 + y * 13) % 256,
+        (seq * 17 + x * 3 + y * 5) % 256,
+        (seq * 7 + x * 11 + y * 3) % 256,
     )
+
+
+def _wav_frames(seq: int) -> int:
+    """Closed-form frame count (8 kHz mono PCM-16) — SQL-computable."""
+    return 400 + (seq * 37) % 800
+
+
+def _payload_for(seq: int, kind: str) -> bytes:
+    """Deterministic REAL payload for a sequence number: a decodable
+    BMP / P6 PPM / PCM WAV whose header fields are closed-form in
+    ``seq`` (so an SQL oracle can predict what the decoder must find)."""
+    if kind == "bmp":
+        w, h = _image_dims(seq)
+        return codecs.encode_bmp(w, h, lambda x, y: _image_pixel(seq, x, y))
+    if kind == "ppm":
+        w, h = _image_dims(seq)
+        return codecs.encode_ppm(w, h, lambda x, y: _image_pixel(seq, x, y))
+    if kind == "wav":
+        return codecs.encode_wav(
+            _wav_frames(seq), 8000, lambda i: ((i * (seq + 3)) % 97 - 48) * 100
+        )
+    # deliberately-undecodable payload: exercises the external-codec seam
+    return b"\x89PNG\r\n\x1a\n" + bytes((seq * 13 + i) % 256 for i in range(64))
+
+
+def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with REAL payloads: BMP and PPM images,
+    PCM WAV audio, plus undecodable PNG-magic rows that exercise the
+    external-codec seam. Byte-for-byte a pure function of media_id."""
+    kinds = ["bmp", "wav", "ppm", "png"]
+    mimes = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
+             "wav": "audio/wav", "png": "image/png"}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                seq = int(i)
+                kind = kinds[seq % 4]
+                rows.append(
+                    (
+                        f"m{seq:06d}",
+                        mimes[kind],
+                        _payload_for(seq, kind),
+                        {"source": "synthetic", "kind": kind},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "data", "meta"])
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, kind: str = "bmp") -> DataFrame:
+    """Derive a deterministic media table from the ``documents`` table:
+    one payload per doc, dimensions/frames closed-form in ``doc_id``.
+
+    This is what makes the multimodal decoders oracle-checkable: Spark
+    ENCODES real bytes, ships them through the binary column, and
+    DECODES them with the stdlib codecs — while a DuckDB oracle predicts
+    the decoded header fields from ``doc_id`` alone (see
+    ``__spark_entry__.oracle_sql``). ``docs`` needs only ``doc_id``."""
+    mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap", "wav": "audio/wav"}[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                seq = int(did)
+                rows.append(
+                    (
+                        f"m{seq:012d}",
+                        mime,
+                        _payload_for(seq, kind),
+                        {"source": "documents", "kind": kind},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "data", "meta"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -7,6 +7,7 @@ import json
 
 from graph_loom_spark.graph import PropertyGraph
 from graph_loom_spark.io import exports
+from graph_loom_spark.ops import codecs
 from graph_loom_spark.ops import multimodal as mm
 
 
@@ -62,29 +63,90 @@ def test_export_graph_csv_two_files(spark, tmp_path):
     assert out_refs == [{"rel_id": rid, "label": "WORKS_AT", "to": b}]
 
 
+# ------------------------------------------------------------------- codecs
+def test_bmp_roundtrip_pixel_exact():
+    px = lambda x, y: ((x * 7 + y) % 256, (y * 5) % 256, (x + y * 3) % 256)
+    data = codecs.encode_bmp(13, 9, px)  # odd width exercises row padding
+    d = codecs.decode_bmp(data)
+    assert (d["width"], d["height"]) == (13, 9)
+    assert d["pixels"] == [px(x, y) for y in range(9) for x in range(13)]
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = lambda x, y: (x % 256, y % 256, (x ^ y) % 256)
+    data = codecs.encode_ppm(10, 6, px)
+    # inject a comment into the header — the grammar allows it
+    data = data.replace(b"P6\n", b"P6\n# test comment\n", 1)
+    d = codecs.decode_ppm(data)
+    assert (d["width"], d["height"]) == (10, 6)
+    assert d["pixels"] == [px(x, y) for y in range(6) for x in range(10)]
+
+
+def test_wav_roundtrip_params_and_rms():
+    data = codecs.encode_wav(800, 8000, lambda i: 1000 if i % 2 else -1000)
+    d = codecs.decode_wav(data)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_frames"] == 800 and abs(d["duration_s"] - 0.1) < 1e-12
+    assert abs(d["rms"] - 1000.0) < 1e-9  # constant magnitude → rms == |s|
+
+
+def test_decode_image_rejects_external_codec_formats():
+    import pytest
+
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
 # ---------------------------------------------------------------- multimodal
-def test_media_image_features_deterministic(spark):
+def test_media_image_features_real_decode(spark):
     media = mm.synthetic_media(spark, n=12)
-    feats = mm.image_features(media).collect()
+    feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
     assert len(feats) == 12
-    for r in feats:
-        assert r["n_bytes"] == 512  # 8 × 64-char sha hex as bytes
-        assert 16 <= r["width"] < 80
-        assert len(r["phash"]) == 16
-    # pure function of payload → rerun identical
-    again = {r["media_id"]: r["phash"] for r in mm.image_features(media).collect()}
-    assert all(again[r["media_id"]] == r["phash"] for r in feats)
+    for seq in range(12):
+        r = feats[f"m{seq:06d}"]
+        kind = ["bmp", "wav", "ppm", "png"][seq % 4]
+        if kind in ("bmp", "ppm"):
+            w, h = mm._image_dims(seq)
+            assert (r["width"], r["height"]) == (w, h)
+            # phash must equal the one computed directly from the raster
+            expect = codecs.average_hash(
+                w, h, [mm._image_pixel(seq, x, y) for y in range(h) for x in range(w)]
+            )
+            assert r["phash"] == expect
+        else:  # wav + png payloads are not decodable images → null row
+            assert r["width"] is None and r["phash"] is None
 
 
-def test_media_resize_meta_roundtrip(spark):
-    media = mm.synthetic_media(spark, n=6)
-    out = mm.resize_images(media, max_side=128)
+def test_media_audio_features_real_decode(spark):
+    media = mm.synthetic_media(spark, n=12)
+    rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    for seq in range(12):
+        r = rows[f"m{seq:06d}"]
+        if seq % 4 == 1:  # wav rows
+            assert r["sample_rate"] == 8000
+            assert r["n_frames"] == mm._wav_frames(seq)
+            assert abs(r["duration_s"] - r["n_frames"] / 8000.0) < 1e-12
+            assert r["rms"] > 0
+        else:
+            assert r["sample_rate"] is None
+
+
+def test_media_resize_real_downsample(spark):
+    media = mm.synthetic_media(spark, n=8)
+    out = mm.resize_images(media, max_side=4)
     assert [(f.name, f.dataType) for f in out.schema.fields] == [
         (f.name, f.dataType) for f in media.schema.fields
     ]
-    rows = out.collect()
-    assert all(r["meta"]["resized_max_side"] == "128" for r in rows)
-    assert all(r["meta"]["source"] == "synthetic" for r in rows)
+    for r in out.collect():
+        kind = r["meta"]["kind"]
+        if kind in ("bmp", "ppm"):
+            d = codecs.decode_bmp(bytes(r["data"]))  # re-encoded as BMP
+            assert max(d["width"], d["height"]) <= 4
+            assert r["meta"]["resized_max_side"] == "4"
+            assert r["mime"] == "image/bmp"
+        else:
+            assert r["meta"].get("resize_skipped") == "1"
+        assert r["meta"]["source"] == "synthetic"
 
 
 def test_media_sample_frames_bounded(spark):
@@ -93,14 +155,16 @@ def test_media_sample_frames_bounded(spark):
     per_id: dict[str, int] = {}
     for r in frames:
         per_id[r["media_id"]] = per_id.get(r["media_id"], 0) + 1
-        assert len(r["frame"]) == 64
+        assert len(r["frame"]) <= 64
     assert all(c <= 3 for c in per_id.values())
     assert len(per_id) == 5
 
 
 def test_media_stats(spark):
-    media = mm.synthetic_media(spark, n=9)
+    media = mm.synthetic_media(spark, n=8)
     stats = {r["mime"]: r for r in mm.media_stats(media).collect()}
-    assert set(stats) == {"image/png", "audio/wav", "video/mp4"}
-    assert all(r["n_items"] == 3 for r in stats.values())
-    assert all(r["total_bytes"] == 3 * 512 for r in stats.values())
+    assert set(stats) == {
+        "image/bmp", "audio/wav", "image/x-portable-pixmap", "image/png"
+    }
+    assert all(r["n_items"] == 2 for r in stats.values())
+    assert all(r["total_bytes"] > 0 for r in stats.values())
