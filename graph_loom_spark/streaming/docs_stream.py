@@ -63,3 +63,120 @@ def stream_exact_dedup(
             "__k64", "__k32"
         )
     return keyed.dropDuplicates(["__k64", "__k32"]).drop("__k64", "__k32")
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    bands: int = 8,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental NEAR-duplicate dedup for an ingestion stream — the
+    actual LLM-corpus shape: as documents arrive, drop any whose
+    estimated Jaccard (MinHash, same signatures/banding as the batch
+    ``ops.dedup`` operators) reaches ``threshold`` against an
+    already-seen document; survivors land in ``out_dir``.
+
+    Mechanics (``foreachBatch``, since the candidate join + estimate
+    filter is not expressible in a single stateful streaming op):
+
+    1. signature each micro-batch (``minhash_signatures`` — the batch
+       operator, JVM expressions only);
+    2. band-join the new signatures against the parquet-backed
+       signature index of every previously seen doc (state is
+       ``num_perm`` longs/doc — never document bytes; at cluster scale
+       this directory is a Delta/Iceberg table partitioned by band and
+       the new-batch side is broadcast);
+    3. drop newcomers at est-Jaccard ≥ threshold vs the index, or vs an
+       earlier (smaller-id) doc in the same batch — arrival order is
+       precedence, the standard first-seen-wins ingestion rule;
+    4. append survivors to ``out_dir`` and ALL new signatures (kept or
+       dropped — precedence must not resurrect near-dups of dropped
+       docs' own near-dups... it must match the batch rule: a doc is
+       dropped iff SOME earlier doc collides, kept or not) to the index.
+
+    When documents arrive in id order, the accumulated ``out_dir``
+    equals the batch rule "keep doc d iff no banded pair (a, d) with
+    a < d at est ≥ threshold" computed from ``minhash_lsh_pairs`` over
+    the whole corpus — asserted in tests/test_streaming.py.
+    """
+    from graph_loom_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
+
+    def _banded(sig: DataFrame, idc: str) -> DataFrame:
+        return sig.select(
+            F.col(idc),
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.hash(
+                                F.slice("signature", bi * rows_per_band + 1, rows_per_band)
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(F.col(idc), "signature", "b.band", "b.bh")
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            batch_df, text_col=text_col, id_col=id_col, num_perm=num_perm
+        ).localCheckpoint(eager=True)
+        # --- vs the prior index
+        try:
+            prior = spark.read.parquet(index_dir)
+            have_prior = not prior.isEmpty()
+        except Exception:  # first batch: no index yet
+            have_prior = False
+        dropped = None
+        if have_prior:
+            new_b = _banded(sigs, id_col)
+            old_b = _banded(prior, "__old_id")
+            est = F.size(
+                F.filter(F.zip_with("signature", "__old_sig", lambda x, y: x == y), lambda v: v)
+            ) / F.size(F.col("signature"))
+            dropped = (
+                new_b.join(
+                    old_b.select(
+                        "band", "bh", F.col("signature").alias("__old_sig")
+                    ),
+                    ["band", "bh"],
+                )
+                .filter(est >= threshold)
+                .select(F.col(id_col))
+                .distinct()
+            )
+        # --- vs earlier docs in the same batch (arrival precedence)
+        intra = (
+            minhash_lsh_pairs(
+                sigs, id_col=id_col, bands=bands, threshold=threshold, num_perm=num_perm
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        dropped = intra if dropped is None else dropped.unionByName(intra).distinct()
+        kept = batch_df.join(dropped, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_dir)
+        sigs.withColumnRenamed(id_col, "__old_id").write.mode("append").parquet(index_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -96,6 +96,62 @@ def test_stream_exact_dedup_matches_batch_distinct(spark, docs_path):
     )  # every emitted row exists in the source
 
 
+def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
+    """Incremental LSH dedup drained in id-ordered micro-batches must
+    accumulate exactly the batch rule: keep doc d iff minhash_lsh_pairs
+    over the WHOLE corpus has no pair (a, d) with a < d."""
+    import os
+    import time
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.streaming import docs_stream as sd
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    splits = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    # one file per split, mtimes strictly increasing so the file source
+    # (which orders by timestamp) replays them in id order
+    for i, part in enumerate(splits):
+        staging = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(staging)
+        fn = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{src}/part-{i}.parquet"
+        os.rename(f"{staging}/{fn}", dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+
+    stream = sd.read_docs_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        sd.stream_minhash_dedup(
+            stream,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.3,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    pairs = ops_dedup.minhash_lsh_pairs(
+        ops_dedup.minhash_signatures(docs), threshold=0.3
+    )
+    dropped = {r["id_b"] for r in pairs.collect()}
+    want = set(ids) - dropped
+    assert dropped, "corpus should contain planted near-duplicates"
+    assert got == want
+
+
 def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     """Watermark mode: duplicates of a text inside the horizon are
     suppressed even when their timestamps differ."""
