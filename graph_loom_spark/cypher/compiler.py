@@ -118,13 +118,11 @@ class CypherExecutor:
         """Nodes frame pre-filtered by the var's statically-known label
         (union-branch pruning); falls back to the full frame."""
         lbl = b.labels.get(var)
-        df = self.graph.nodes
-        return df.filter(F.col("label") == lbl) if lbl is not None else df
+        return self.graph.nodes_for_label(lbl)
 
     def _edges_hinted(self, b: "_Binding", var: str) -> DataFrame:
         lbl = b.labels.get(var)
-        df = self.graph.edges
-        return df.filter(F.col("label") == lbl) if lbl is not None else df
+        return self.graph.edges_for_label(lbl)
 
     # ------------------------------------------------------------- entry
     def execute(self, statement: str, params: dict[str, str] | None = None) -> DataFrame:
@@ -159,18 +157,14 @@ class CypherExecutor:
     def _nodes_matching(self, np: ast.NodePattern, params: dict[str, str] | None) -> DataFrame:
         """Label + exact-property scan (S1). ``params=None`` → raw compare
         (path endpoints); else $param-resolved (node-only patterns)."""
-        df = self.graph.nodes
-        if np.label is not None:
-            df = df.filter(F.col("label") == np.label)
+        df = self.graph.nodes_for_label(np.label)
         for k, vraw in np.props.items():
             v = resolve_param(vraw, params) if params is not None else vraw
             df = df.filter(F.col("properties")[k] == v)
         return df
 
     def _edges_matching(self, typ: str | None, props: dict[str, str], params: dict[str, str] | None) -> DataFrame:
-        df = self.graph.edges
-        if typ is not None:
-            df = df.filter(F.col("label") == typ)
+        df = self.graph.edges_for_label(typ)
         for k, vraw in props.items():
             v = resolve_param(vraw, params) if params is not None else vraw
             df = df.filter(F.col("properties")[k] == v)

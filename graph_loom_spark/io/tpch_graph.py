@@ -149,42 +149,52 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Propert
         spark, sf_dir, [t for t in TABLES if t not in ("events", "documents", "embeddings")]
     )
     tables["lineitem"] = _lineitem_with_seq_cached(spark, sf_dir, tables["lineitem"])
-    node_parts = []
+    node_parts: dict[str, DataFrame] = {}
     for label, table, prefix, keys in _NODE_SPECS:
         df = tables[table]
-        node_parts.append(
-            df.select(
-                _node_id(prefix, keys, table).alias("id"),
-                F.lit(label).alias("label"),
-                _props_map(df).alias("properties"),
-            )
+        node_parts[label] = df.select(
+            _node_id(prefix, keys, table).alias("id"),
+            F.lit(label).alias("label"),
+            _props_map(df).alias("properties"),
         )
-    nodes = node_parts[0]
-    for p in node_parts[1:]:
+    parts = list(node_parts.values())
+    nodes = parts[0]
+    for p in parts[1:]:
         nodes = nodes.unionByName(p)
 
-    edge_parts = []
+    edge_parts: dict[str, DataFrame] = {}
     for elabel, table, sp, sk, dp, dk in _EDGE_SPECS:
         df = tables[table]
-        edge_parts.append(
-            df.select(
-                F.concat(
-                    F.lit("E:"), F.lit(elabel), F.lit(":"), _node_id(sp, sk, table),
-                    F.lit(">"), _node_id(dp, dk, table),
-                ).alias("id"),
-                _node_id(sp, sk, table).alias("src"),
-                _node_id(dp, dk, table).alias("dst"),
-                F.lit(elabel).alias("label"),
-                F.map_from_arrays(
-                    F.array().cast("array<string>"), F.array().cast("array<string>")
-                ).alias("properties"),
-            )
+        part = df.select(
+            F.concat(
+                F.lit("E:"), F.lit(elabel), F.lit(":"), _node_id(sp, sk, table),
+                F.lit(">"), _node_id(dp, dk, table),
+            ).alias("id"),
+            _node_id(sp, sk, table).alias("src"),
+            _node_id(dp, dk, table).alias("dst"),
+            F.lit(elabel).alias("label"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("properties"),
         )
-    edges = edge_parts[0]
-    for p in edge_parts[1:]:
+        # same label can come from several tables (FROM_NATION)
+        edge_parts[elabel] = (
+            part if elabel not in edge_parts else edge_parts[elabel].unionByName(part)
+        )
+    eparts = list(edge_parts.values())
+    edges = eparts[0]
+    for p in eparts[1:]:
         edges = edges.unionByName(p)
 
     if cache:
         nodes = nodes.cache()
         edges = edges.cache()
-    return PropertyGraph(spark, nodes, edges)
+    g = PropertyGraph(spark, nodes, edges)
+    if not cache:
+        # per-label single-scan slices: a `:Label` pattern compiles
+        # against one parquet scan instead of the pruned 7-branch union
+        # (cuts per-query Catalyst planning ~3×; see PropertyGraph
+        # docstring). Skipped when caching — the cached union IS the
+        # fast path then, and the slices would bypass it.
+        g.register_label_sources(node_parts, edge_parts)
+    return g
