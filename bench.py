@@ -35,9 +35,14 @@ def _drop_persisted_blocks(spark) -> None:
         # Spark's ContextCleaner reclaims shuffle files / broadcasts only
         # after their references are garbage-collected; dropping the
         # py4j refs and forcing a JVM GC makes that happen between
-        # queries instead of mid-flight during a later one.
-        gc.collect()
-        sc._jvm.System.gc()
+        # queries instead of mid-flight during a later one. TWO passes:
+        # the first GC frees the py4j/RDD refs (which only ENQUEUES the
+        # cleanups), the second reclaims what the ContextCleaner then
+        # released (measured: a repeated query degraded 4→100 s without
+        # this, and recovered only after a second gc cycle).
+        for _ in range(2):
+            gc.collect()
+            sc._jvm.System.gc()
     except Exception as e:  # cleanup must never kill the bench
         print(f"bench cleanup warning: {e}", file=sys.stderr, flush=True)
 
@@ -122,11 +127,15 @@ def main() -> None:
             _drop_persisted_blocks(spark)  # before teardown caused r1 noise
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # n_queries records the denominator: the timed set grew 26 → 45 in
+    # round 3 (all entry queries), so cross-round TOTALS are only
+    # comparable per-query or normalized by this count.
     result = json.dumps(
         {
             "metric": "total_bench_seconds",
             "value": total,
             "unit": "sec",
+            "n_queries": len([t for t in timings.values() if t >= 0]),
             "queries": timings,
             "sf": sf,
         }

@@ -385,6 +385,20 @@ def exec_cypher_match_merge(graph: PropertyGraph, stmt: str) -> LegacyResult:
 
     na = graph.nodes.filter(F.col("label") == label_a).select(F.col("id").alias("__a"))
     nb = graph.nodes.filter(F.col("label") == label_b).select(F.col("id").alias("__b"))
+    # Reference semantics: a theta-join over the full A×B cross product
+    # (query_interface.rs:490-525) — output is O(|A|·|B|). Warn when the
+    # pair estimate is large so a user can't foot-gun silently at scale.
+    ca, cb = na.count(), nb.count()
+    if ca * cb > 50_000_000:
+        import warnings
+
+        warnings.warn(
+            f"pairwise MATCH..MERGE crosses {ca}x{cb} nodes "
+            f"({ca * cb:,} candidate pairs) — this operator is the "
+            "reference's O(|A|*|B|) semantic and does not scale; "
+            "restrict the labels or use the Cypher MATCH path instead",
+            stacklevel=2,
+        )
     pairs = na.crossJoin(nb)
     if var_a == var_b:
         pairs = pairs.filter(F.col("__a") != F.col("__b"))

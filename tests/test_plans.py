@@ -69,6 +69,32 @@ def test_near_dup_and_multi_pattern_have_no_cartesian(spark):
         assert bnlj <= seed, f"{name}: non-seed nested-loop join\n{plan[:2000]}"
 
 
+def test_layout_step_com_is_single_row_broadcast_not_cartesian(spark):
+    """The center-of-mass gravity term in force_layout's per-iteration
+    plan must be a 1-row broadcast (BroadcastNestedLoopJoin over the
+    1-row COM aggregate), never a CartesianProduct and never a driver
+    round-trip — asserted on the compiled step plan itself."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark import analytics
+    from graph_loom_spark.io.tpch_graph import build_graph
+
+    g = build_graph(spark, SF_DIR, cache=False)
+    pos = g.nodes.select(
+        "id", F.lit(0.0).alias("x"), F.lit(0.0).alias("y"),
+        F.lit(0.0).alias("vx"), F.lit(0.0).alias("vy"),
+    )
+    hub = g.nodes.select("id", F.lit(1.0).alias("hub"))
+    step = analytics._layout_step(
+        pos, g.edges.select("src", "dst"), hub,
+        target_dist=120.0, spring_k=4.0, damping=6.0, min_sep=90.0,
+        repulse_k=10.0, max_speed=600.0, max_step=5.0, gravity_k=0.5, dt=0.033,
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row COM join
+
+
 def test_asof_join_is_single_keyed_shuffle(spark):
     plan = _plan(spark, "events_asof_join")
     exchanges = [
