@@ -36,6 +36,31 @@ from pyspark.sql import functions as F
 from graph_loom_spark.graph import PropertyGraph
 
 
+def _persistent_ids(spark) -> set:
+    try:
+        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    except Exception:
+        return set()
+
+
+def _free_intermediates(spark, entry_ids: set, keep_ids: set) -> None:
+    """Unpersist every RDD pinned since ``entry_ids`` except ``keep_ids``.
+
+    The iterative operators below ``localCheckpoint`` per round; those
+    blocks otherwise stay pinned until the session ends, so a long-lived
+    service (or a 47-query bench session) accumulates gigabytes of dead
+    checkpoint state and every later query pays eviction + GC churn
+    (measured: the same LPA run 38 s early-session vs 192 s late). Each
+    operator now frees its own intermediates, keeping only the eagerly
+    checkpointed result it returns."""
+    try:
+        for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+            if rid not in entry_ids and rid not in keep_ids:
+                rdd.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
+
+
 def degrees(graph: PropertyGraph) -> DataFrame:
     """Undirected degree per node: ``(id, degree)``; isolated nodes → 0.
 
@@ -180,6 +205,7 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
         )
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    entry_ids = _persistent_ids(spark)
     try:
         idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(
             eager=True
@@ -227,8 +253,11 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
             if changed == 0:
                 break
         # surrogate → string id, for both the node and its community
-        # label (every community label is some node's surrogate)
-        return (
+        # label (every community label is some node's surrogate); pin the
+        # result, then free every intermediate checkpoint (weights, the
+        # per-round comm chain, idmap) — see _free_intermediates
+        pre_final = _persistent_ids(spark)
+        result = (
             comm.join(idmap.select(F.col("iid").alias("id"), F.col("id").alias("__sid")), "id")
             .join(
                 idmap.select(
@@ -237,7 +266,10 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
                 "community",
             )
             .select(F.col("__sid").alias("id"), F.col("__scomm").alias("community"))
+            .localCheckpoint(eager=True)
         )
+        _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
@@ -309,6 +341,8 @@ def force_layout(
     batch op doesn't have); layouts are qualitative, so determinism +
     force parity is the contract, not pixel equality.
     """
+    spark = graph.nodes.sparkSession
+    entry_ids = _persistent_ids(spark)
     pos = graph.nodes.select(
         "id",
         (
@@ -362,7 +396,10 @@ def force_layout(
             gravity_k=gravity_k,
             dt=dt,
         ).localCheckpoint(eager=True)
-    return pos.select("id", "x", "y")
+    pre_final = _persistent_ids(spark)
+    result = pos.select("id", "x", "y").localCheckpoint(eager=True)
+    _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+    return result
 
 
 def _layout_step(
@@ -528,6 +565,7 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     parts = int(max(8, (n_nodes + n_edges) // 500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    entry_ids = _persistent_ids(spark)
     try:
         sadj = _directed_adjacency(graph.edges)
         adj = (
@@ -586,12 +624,16 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
                 "id", "iid", F.coalesce("root", F.col("iid")).alias("__hc")
             )
         # map hash-components back to min string ids inside the sized-
-        # partition window, pinned so the caller's action is a pure scan
+        # partition window, pinned so the caller's action is a pure scan;
+        # then free the per-level maps/adjacency (see _free_intermediates)
         rep = comp.groupBy("__hc").agg(F.min("id").alias("component"))
-        return (
+        pre_final = _persistent_ids(spark)
+        result = (
             comp.join(rep, "__hc")
             .select("id", "component")
             .localCheckpoint(eager=True)
         )
+        _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -366,18 +366,30 @@ def cosine_near_pairs_blocked(
         if ang[i][j] - radii[i] - radii[j] <= max_angle + 1e-9
     ]
     pair_df = spark.createDataFrame(admissible, schema="cell_a int, cell_b int")
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"), F.col("cell").alias("cell_a")
+    # norms computed ONCE per row (n higher-order exprs), so the
+    # per-pair verify below is a single interpreted dot product plus a
+    # scalar divide — higher-order array expressions are interpreted,
+    # not codegen'd, and the pair set is the hot loop (|pairs| >> n).
+    # The arithmetic shape (raw-vector dot ÷ norm product) is kept
+    # bit-identical to the DuckDB oracle; pre-normalizing the vectors
+    # instead would perturb the last ulp and can flip round(·, 4).
+    normed = assigned.select(
+        F.col(id_col), F.col("cell"), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"), F.col("cell").alias("cell_b")
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"),
+        F.col("__n").alias("__na"), F.col("cell").alias("cell_a"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"),
+        F.col("__n").alias("__nb"), F.col("cell").alias("cell_b"),
     )
     cand = (
         a.join(F.broadcast(pair_df), "cell_a")
         .join(b, "cell_b")
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    cos = _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b")))
+    cos = _dot(F.col("__a"), F.col("__b")) / (F.col("__na") * F.col("__nb"))
     return cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
