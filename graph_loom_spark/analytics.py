@@ -33,32 +33,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_loom_spark.graph import PropertyGraph
-
-
-def _persistent_ids(spark) -> set:
-    try:
-        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
-    except Exception:
-        return set()
-
-
-def _free_intermediates(spark, entry_ids: set, keep_ids: set) -> None:
-    """Unpersist every RDD pinned since ``entry_ids`` except ``keep_ids``.
-
-    The iterative operators below ``localCheckpoint`` per round; those
-    blocks otherwise stay pinned until the session ends, so a long-lived
-    service (or a 47-query bench session) accumulates gigabytes of dead
-    checkpoint state and every later query pays eviction + GC churn
-    (measured: the same LPA run 38 s early-session vs 192 s late). Each
-    operator now frees its own intermediates, keeping only the eagerly
-    checkpointed result it returns."""
-    try:
-        for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
-            if rid not in entry_ids and rid not in keep_ids:
-                rdd.unpersist()
-    except Exception:
-        pass  # cleanup must never fail the query
+from graph_loom_spark.graph import PropertyGraph, _free_intermediates, _persistent_ids
 
 
 def degrees(graph: PropertyGraph) -> DataFrame:

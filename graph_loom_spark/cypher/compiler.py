@@ -42,7 +42,12 @@ from graph_loom_spark.cypher import ast
 from graph_loom_spark.cypher.ast import CypherError
 from graph_loom_spark.cypher.coerce import compare_expr, numeric_first_sort_cols
 from graph_loom_spark.cypher.parser import parse, resolve_param, trim_quotes
-from graph_loom_spark.graph import DEFAULT_LABEL, PropertyGraph
+from graph_loom_spark.graph import (
+    DEFAULT_LABEL,
+    PropertyGraph,
+    _free_intermediates,
+    _persistent_ids,
+)
 from graph_loom_spark.ids import assign_uuid7_ids
 
 RESULT_SCHEMA = T.StructType(
@@ -290,6 +295,7 @@ class CypherExecutor:
         eh = ends.select(F.col("__node").alias("__node_s"), F.xxhash64("__node").alias("__node"))
         adj = adj.select(F.xxhash64("__u").alias("__u"), F.xxhash64("__v").alias("__v"))
         spark = self.graph.nodes.sparkSession
+        entry_ids = _persistent_ids(spark)
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         if max_hops > 2:
             # 3+ passes over the edge list: materialize the (src,dst)
@@ -333,12 +339,18 @@ class CypherExecutor:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
         all_reached = reduce(lambda x, y: x.unionByName(y), reached)
+        # pin only the final (start, node) pairs and free the ~2/hop BFS
+        # checkpoints (frontier/seen/adjacency) they were built from —
+        # the binding table below stays lazy over this one small frame
+        pre_final = _persistent_ids(spark)
         pairs = (
             all_reached.filter((F.col("__depth") >= min_hops) & (F.col("__depth") <= max_hops))
             .join(eh, "__node")
             .join(sh, "__start")
             .select(F.col("__start_s").alias("__start"), F.col("__node_s").alias("__node"))
+            .localCheckpoint(eager=True)
         )
+        _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
 
         lv, rv = p.left.var, p.right.var
         conds: list[Column] = []
