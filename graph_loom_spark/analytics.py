@@ -33,7 +33,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_loom_spark.graph import PropertyGraph, _free_intermediates, _persistent_ids
+from graph_loom_spark.graph import PropertyGraph, _free_intermediates, _tracked_checkpoint
 
 
 def degrees(graph: PropertyGraph) -> DataFrame:
@@ -180,18 +180,19 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
         )
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    entry_ids = _persistent_ids(spark)
+    tracked: list = []
     try:
-        idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(
-            eager=True
+        idmap = _tracked_checkpoint(
+            graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
         )
-        weights = (
-            _hashed_weights(graph).repartition(parts, "v").localCheckpoint(eager=True)
+        weights = _tracked_checkpoint(
+            _hashed_weights(graph).repartition(parts, "v"), tracked
         )
-        comm = idmap.select(
-            F.col("iid").alias("id"), F.col("iid").alias("community")
-        ).localCheckpoint(eager=True)
-        for _ in range(max_iter):
+        comm = _tracked_checkpoint(
+            idmap.select(F.col("iid").alias("id"), F.col("iid").alias("community")),
+            tracked,
+        )
+        for it in range(max_iter):
             scores = (
                 weights.join(
                     comm.select(F.col("id").alias("v"), F.col("community").alias("c")), "v"
@@ -213,25 +214,30 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
                 )
                 .select(F.col("u").alias("id"), F.col("__b.c").alias("new_community"))
             )
-            nxt = (
-                comm.join(best, "id", "left")
-                .select(
+            nxt = _tracked_checkpoint(
+                comm.join(best, "id", "left").select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),
                     (F.coalesce("new_community", "community") != F.col("community")).alias(
                         "__chg"
                     ),
-                )
-            ).localCheckpoint(eager=True)
-            changed = nxt.filter(F.col("__chg")).count()
+                ),
+                tracked,
+            )
             comm = nxt.drop("__chg")
-            if changed == 0:
-                break
+            # Convergence probe every 2nd round only (and never on the
+            # last, where the loop ends anyway): rounds past the fixpoint
+            # are no-ops, so the worst case is one wasted round, and each
+            # probe is a short-circuiting limit-1 scan (isEmpty) over the
+            # pinned blocks instead of the full count this used to pay
+            # every single round — up to 4 fewer jobs per LPA run.
+            if it % 2 == 1 and it < max_iter - 1:
+                if nxt.filter(F.col("__chg")).isEmpty():
+                    break
         # surrogate → string id, for both the node and its community
         # label (every community label is some node's surrogate); pin the
         # result, then free every intermediate checkpoint (weights, the
         # per-round comm chain, idmap) — see _free_intermediates
-        pre_final = _persistent_ids(spark)
         result = (
             comm.join(idmap.select(F.col("iid").alias("id"), F.col("id").alias("__sid")), "id")
             .join(
@@ -243,7 +249,7 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
             .select(F.col("__sid").alias("id"), F.col("__scomm").alias("community"))
             .localCheckpoint(eager=True)
         )
-        _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+        _free_intermediates(spark, tracked)
         return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -317,7 +323,7 @@ def force_layout(
     force parity is the contract, not pixel equality.
     """
     spark = graph.nodes.sparkSession
-    entry_ids = _persistent_ids(spark)
+    tracked: list = []
     pos = graph.nodes.select(
         "id",
         (
@@ -340,7 +346,8 @@ def force_layout(
         ).alias("y"),
         F.lit(0.0).alias("vx"),
         F.lit(0.0).alias("vy"),
-    ).localCheckpoint(eager=True)
+    )
+    pos = _tracked_checkpoint(pos, tracked)
 
     deg = (
         graph.edges.select(F.col("src").alias("id"))
@@ -349,12 +356,15 @@ def force_layout(
         .agg(F.count(F.lit(1)).cast("double").alias("deg"))
     )
     # log-degree hub scale (frontend.rs:3167-3169), precomputed once
-    hub = graph.nodes.select("id").join(deg, "id", "left").select(
-        "id",
-        (1.0 + hub_repulsion_scale * F.log(F.coalesce("deg", F.lit(0.0)) + 1.0)).alias("hub"),
-    ).localCheckpoint(eager=True)
+    hub = _tracked_checkpoint(
+        graph.nodes.select("id").join(deg, "id", "left").select(
+            "id",
+            (1.0 + hub_repulsion_scale * F.log(F.coalesce("deg", F.lit(0.0)) + 1.0)).alias("hub"),
+        ),
+        tracked,
+    )
 
-    epairs = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    epairs = _tracked_checkpoint(graph.edges.select("src", "dst"), tracked)
 
     for _ in range(iters):
         pos = _layout_step(
@@ -370,10 +380,10 @@ def force_layout(
             max_step=max_step,
             gravity_k=gravity_k,
             dt=dt,
-        ).localCheckpoint(eager=True)
-    pre_final = _persistent_ids(spark)
+        )
+        pos = _tracked_checkpoint(pos, tracked)
     result = pos.select("id", "x", "y").localCheckpoint(eager=True)
-    _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+    _free_intermediates(spark, tracked)
     return result
 
 
@@ -540,35 +550,36 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     parts = int(max(8, (n_nodes + n_edges) // 500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    entry_ids = _persistent_ids(spark)
+    tracked: list = []
     try:
         sadj = _directed_adjacency(graph.edges)
-        adj = (
-            sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
-            .repartition(parts, "u")
-            .localCheckpoint(eager=True)
+        adj = _tracked_checkpoint(
+            sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v")).repartition(
+                parts, "u"
+            ),
+            tracked,
         )
-        idmap = graph.nodes.select("id", F.xxhash64("id").alias("iid")).localCheckpoint(
-            eager=True
+        idmap = _tracked_checkpoint(
+            graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
         )
         levels = []  # per-level u → m maps (only nodes with edges at that level)
         cur = adj
         for _ in range(max_iter):
-            m = (
+            m = _tracked_checkpoint(
                 cur.groupBy("u")
                 .agg(F.min("v").alias("__mv"))
-                .select("u", F.least("u", "__mv").alias("m"))
-                .localCheckpoint(eager=True)
+                .select("u", F.least("u", "__mv").alias("m")),
+                tracked,
             )
             levels.append(m)
-            contracted = (
+            contracted = _tracked_checkpoint(
                 cur.join(m.select("u", F.col("m").alias("__mu")), "u")
                 .join(m.select(F.col("u").alias("v"), F.col("m").alias("__mv2")), "v")
                 .select(F.col("__mu").alias("u"), F.col("__mv2").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .repartition("u")
-                .localCheckpoint(eager=True)
+                .repartition("u"),
+                tracked,
             )
             cur = contracted
             if contracted.isEmpty():
@@ -602,13 +613,12 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
         # partition window, pinned so the caller's action is a pure scan;
         # then free the per-level maps/adjacency (see _free_intermediates)
         rep = comp.groupBy("__hc").agg(F.min("id").alias("component"))
-        pre_final = _persistent_ids(spark)
         result = (
             comp.join(rep, "__hc")
             .select("id", "component")
             .localCheckpoint(eager=True)
         )
-        _free_intermediates(spark, entry_ids, _persistent_ids(spark) - pre_final)
+        _free_intermediates(spark, tracked)
         return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

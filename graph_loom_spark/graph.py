@@ -59,15 +59,28 @@ class GraphConsistencyError(ValueError):
     """Raised on FK violations / illegal deletes, mirroring reference errors."""
 
 
-def _persistent_ids(spark) -> set:
+def _tracked_checkpoint(df: DataFrame, tracked: list) -> DataFrame:
+    """``localCheckpoint(eager=True)`` and record the pinned block's exact
+    RDD id in ``tracked``.
+
+    The checkpointed Dataset's analyzed plan is a ``LogicalRDD`` whose
+    ``rdd`` field IS the persisted RDD, so its id keys
+    ``getPersistentRDDs`` directly. Tracking exact ids (rather than
+    diffing the global persistent-RDD set around the operator) keeps a
+    concurrent query's checkpoints safe: in a multi-query service the
+    set-difference approach could free blocks some other in-flight
+    operator had just pinned — local checkpoints are non-recomputable,
+    so that's a hard job failure, not a cache miss."""
+    out = df.localCheckpoint(eager=True)
     try:
-        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+        tracked.append(out._jdf.queryExecution().analyzed().rdd().id())
     except Exception:
-        return set()
+        pass  # tracking is best-effort; worst case the block stays pinned
+    return out
 
 
-def _free_intermediates(spark, entry_ids: set, keep_ids: set) -> None:
-    """Unpersist every RDD pinned since ``entry_ids`` except ``keep_ids``.
+def _free_intermediates(spark, tracked_ids) -> None:
+    """Unpersist exactly the RDD ids recorded by :func:`_tracked_checkpoint`.
 
     Iterative operators (LPA, components, layout, var-length BFS)
     ``localCheckpoint`` per round; those blocks otherwise stay pinned
@@ -78,8 +91,10 @@ def _free_intermediates(spark, entry_ids: set, keep_ids: set) -> None:
     intermediates, keeping only the eagerly checkpointed result it
     returns."""
     try:
-        for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
-            if rid not in entry_ids and rid not in keep_ids:
+        persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for rid in tracked_ids:
+            rdd = persistent.get(rid)
+            if rdd is not None:
                 rdd.unpersist()
     except Exception:
         pass  # cleanup must never fail the query

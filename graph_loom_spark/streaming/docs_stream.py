@@ -95,16 +95,60 @@ def stream_minhash_dedup(
     3. drop newcomers at est-Jaccard ≥ threshold vs the index, or vs an
        earlier (smaller-id) doc in the same batch — arrival order is
        precedence, the standard first-seen-wins ingestion rule;
-    4. append survivors to ``out_dir`` and ALL new signatures (kept or
-       dropped — precedence must not resurrect near-dups of dropped
-       docs' own near-dups... it must match the batch rule: a doc is
-       dropped iff SOME earlier doc collides, kept or not) to the index.
+    4. write survivors and ALL new signatures (kept or dropped —
+       precedence must not resurrect near-dups of dropped docs' own
+       near-dups... it must match the batch rule: a doc is dropped iff
+       SOME earlier doc collides, kept or not) under per-batch
+       partitions ``__batch_id=<n>/`` of ``out_dir`` / ``index_dir``.
+
+    Replay safety: ``foreachBatch`` is at-least-once, so a micro-batch
+    can be re-run after a partial failure. Both writes are
+    ``overwrite`` on the batch's own partition directory (re-running a
+    batch rewrites exactly its own output — blind root-level appends
+    would duplicate survivors), and the prior-index read excludes the
+    current ``__batch_id`` partition, so signatures a failed attempt
+    already wrote can't make the replayed docs self-collide at
+    est-Jaccard 1.0 and silently drop the whole batch. Consumers read
+    ``out_dir`` as ordinary partitioned parquet (the extra
+    ``__batch_id`` column is the partition key).
 
     When documents arrive in id order, the accumulated ``out_dir``
     equals the batch rule "keep doc d iff no banded pair (a, d) with
     a < d at est ≥ threshold" computed from ``minhash_lsh_pairs`` over
-    the whole corpus — asserted in tests/test_streaming.py.
+    the whole corpus — asserted in tests/test_streaming.py, along with
+    replay idempotency (same batch processed twice ≡ once).
     """
+    process = _minhash_batch_processor(
+        index_dir,
+        out_dir,
+        threshold=threshold,
+        bands=bands,
+        num_perm=num_perm,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def _minhash_batch_processor(
+    index_dir: str,
+    out_dir: str,
+    *,
+    threshold: float = 0.5,
+    bands: int = 8,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The ``foreachBatch`` body of :func:`stream_minhash_dedup`,
+    exposed so tests can drive it directly with explicit batch ids
+    (including re-delivering the same batch to assert replay
+    idempotency)."""
+    from graph_loom_spark.graph import _free_intermediates, _tracked_checkpoint
     from graph_loom_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
 
     if num_perm % bands != 0:
@@ -130,53 +174,73 @@ def stream_minhash_dedup(
             ).alias("b"),
         ).select(F.col(idc), "signature", "b.band", "b.bh")
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.localCheckpoint(eager=True)
-        sigs = minhash_signatures(
-            batch_df, text_col=text_col, id_col=id_col, num_perm=num_perm
-        ).localCheckpoint(eager=True)
-        # --- vs the prior index
+        tracked: list = []
         try:
-            prior = spark.read.parquet(index_dir)
-            have_prior = not prior.isEmpty()
-        except Exception:  # first batch: no index yet
-            have_prior = False
-        dropped = None
-        if have_prior:
-            new_b = _banded(sigs, id_col)
-            old_b = _banded(prior, "__old_id")
-            est = F.size(
-                F.filter(F.zip_with("signature", "__old_sig", lambda x, y: x == y), lambda v: v)
-            ) / F.size(F.col("signature"))
-            dropped = (
-                new_b.join(
-                    old_b.select(
-                        "band", "bh", F.col("signature").alias("__old_sig")
-                    ),
-                    ["band", "bh"],
+            batch_df = _tracked_checkpoint(batch_df, tracked)
+            sigs = _tracked_checkpoint(
+                minhash_signatures(
+                    batch_df, text_col=text_col, id_col=id_col, num_perm=num_perm
+                ),
+                tracked,
+            )
+            # --- vs the prior index, excluding this batch's own
+            # partition (a failed earlier attempt of the SAME batch may
+            # already have written its signatures there — including them
+            # would self-collide every replayed doc at est 1.0); the
+            # partition filter prunes those files out of the scan
+            dropped = None
+            try:
+                prior = (
+                    spark.read.option("basePath", index_dir)
+                    .parquet(index_dir)
+                    .filter(F.col("__batch_id") != F.lit(int(batch_id)))
+                    .drop("__batch_id")
                 )
-                .filter(est >= threshold)
-                .select(F.col(id_col))
+                have_prior = not prior.isEmpty()
+            except Exception:  # first batch: no index yet
+                have_prior = False
+            if have_prior:
+                new_b = _banded(sigs, id_col)
+                old_b = _banded(prior, "__old_id")
+                est = F.size(
+                    F.filter(
+                        F.zip_with("signature", "__old_sig", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                ) / F.size(F.col("signature"))
+                dropped = (
+                    new_b.join(
+                        old_b.select("band", "bh", F.col("signature").alias("__old_sig")),
+                        ["band", "bh"],
+                    )
+                    .filter(est >= threshold)
+                    .select(F.col(id_col))
+                    .distinct()
+                )
+            # --- vs earlier docs in the same batch (arrival precedence)
+            intra = (
+                minhash_lsh_pairs(
+                    sigs, id_col=id_col, bands=bands, threshold=threshold, num_perm=num_perm
+                )
+                .select(F.col("id_b").alias(id_col))
                 .distinct()
             )
-        # --- vs earlier docs in the same batch (arrival precedence)
-        intra = (
-            minhash_lsh_pairs(
-                sigs, id_col=id_col, bands=bands, threshold=threshold, num_perm=num_perm
+            dropped = intra if dropped is None else dropped.unionByName(intra).distinct()
+            kept = batch_df.join(dropped, id_col, "left_anti")
+            # idempotent per-batch writes: overwrite THIS batch's
+            # partition only; a retry rewrites the same directories with
+            # the same deterministic content
+            kept.write.mode("overwrite").parquet(f"{out_dir}/__batch_id={int(batch_id)}")
+            sigs.withColumnRenamed(id_col, "__old_id").write.mode("overwrite").parquet(
+                f"{index_dir}/__batch_id={int(batch_id)}"
             )
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        dropped = intra if dropped is None else dropped.unionByName(intra).distinct()
-        kept = batch_df.join(dropped, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_dir)
-        sigs.withColumnRenamed(id_col, "__old_id").write.mode("append").parquet(index_dir)
+        finally:
+            # free the two per-trigger checkpoint blocks — a long-running
+            # stream otherwise pins two dead blocks per micro-batch forever
+            _free_intermediates(spark, tracked)
 
-    return (
-        docs.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
+    return _process
