@@ -183,3 +183,43 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT text FROM docs_dedup_wm_t").collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["alpha text", "beta text", "gamma text"]
+
+
+def test_minhash_dedup_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch (same
+    batch_id) must leave out_dir/index_dir exactly as a single delivery
+    would — and must NOT self-collide the replayed docs against the
+    signatures their failed first attempt already wrote."""
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.streaming.docs_stream import _minhash_batch_processor
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    b0 = docs.filter(F.col("doc_id") <= cut)
+    b1 = docs.filter(F.col("doc_id") > cut)
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    process = _minhash_batch_processor(index_dir, out_dir, threshold=0.3)
+
+    process(b0, 0)
+    process(b1, 1)
+    once_out = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    once_idx = spark.read.parquet(index_dir).count()
+
+    # replay batch 1 (simulated retry after its writes already landed)
+    process(b1, 1)
+    again_out = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    again_idx = spark.read.parquet(index_dir).count()
+    assert again_out == once_out
+    assert again_idx == once_idx
+
+    # and the accumulated result still equals the batch first-seen rule
+    pairs = ops_dedup.minhash_lsh_pairs(
+        ops_dedup.minhash_signatures(docs), threshold=0.3
+    )
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert dropped, "corpus should contain planted near-duplicates"
+    assert once_out == set(ids) - dropped
