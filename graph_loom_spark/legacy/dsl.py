@@ -388,17 +388,28 @@ def exec_cypher_match_merge(graph: PropertyGraph, stmt: str) -> LegacyResult:
     # Reference semantics: a theta-join over the full A×B cross product
     # (query_interface.rs:490-525) — output is O(|A|·|B|). Warn when the
     # pair estimate is large so a user can't foot-gun silently at scale.
-    ca, cb = na.count(), nb.count()
-    if ca * cb > 50_000_000:
-        import warnings
+    # The gate is the optimizer's free sizeInBytes statistic (no job);
+    # the exact counts (two bounded jobs) run only when both sides are
+    # plausibly big enough that 50M+ pairs are in play — small label
+    # sets, the common case, pay zero extra Spark jobs for the check.
+    def _est_bytes(df: DataFrame) -> int:
+        try:
+            return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            return 0
 
-        warnings.warn(
-            f"pairwise MATCH..MERGE crosses {ca}x{cb} nodes "
-            f"({ca * cb:,} candidate pairs) — this operator is the "
-            "reference's O(|A|*|B|) semantic and does not scale; "
-            "restrict the labels or use the Cypher MATCH path instead",
-            stacklevel=2,
-        )
+    if min(_est_bytes(na), _est_bytes(nb)) > 512 * 1024:
+        ca, cb = na.count(), nb.count()
+        if ca * cb > 50_000_000:
+            import warnings
+
+            warnings.warn(
+                f"pairwise MATCH..MERGE crosses {ca}x{cb} nodes "
+                f"({ca * cb:,} candidate pairs) — this operator is the "
+                "reference's O(|A|*|B|) semantic and does not scale; "
+                "restrict the labels or use the Cypher MATCH path instead",
+                stacklevel=2,
+            )
     pairs = na.crossJoin(nb)
     if var_a == var_b:
         pairs = pairs.filter(F.col("__a") != F.col("__b"))

@@ -49,9 +49,15 @@ def read_events_stream(
     depends on how the writer encoded ``ts`` (TIMESTAMP(NANOS) → long
     under the legacy conf; micros → TIMESTAMP_NTZ or TIMESTAMP) — probe
     it with a one-file batch read of the same directory, then apply the
-    matching normalization."""
+    matching normalization. An empty or not-yet-created directory is a
+    normal startup condition for a file-source stream; the probe then
+    falls back to the legacy long-nanos schema rather than refusing to
+    define the stream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    try:
+        probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    except Exception:  # AnalysisException: path missing / no files yet
+        probed = "bigint"
     if probed == "bigint":
         schema, ts_type = _events_schema(T.LongType()), "nanos"
     elif probed == "timestamp_ntz":
