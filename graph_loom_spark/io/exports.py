@@ -31,6 +31,25 @@ def _ensure_parent(path: str) -> None:
     os.makedirs(parent, exist_ok=True)
 
 
+# Single-file (reference-parity) exports collect to the driver. At 100 TB
+# that is an accidental driver OOM, so every local path is guarded: past
+# this many rows the export refuses and points at ``distributed=True``.
+# The probe is a limit-N+1 count — bounded work, short-circuits the scan.
+DEFAULT_MAX_LOCAL_ROWS = 1_000_000
+
+
+def _guard_local(df: DataFrame, what: str, max_local_rows: int) -> None:
+    if max_local_rows is None or max_local_rows <= 0:  # explicit opt-out
+        return
+    if df.limit(max_local_rows + 1).count() > max_local_rows:
+        raise ValueError(
+            f"{what}: selection exceeds max_local_rows={max_local_rows:,}; "
+            "the single-file export collects to the driver. Pass "
+            "distributed=True to write a sharded directory in parallel, or "
+            "raise max_local_rows explicitly if the driver really has room."
+        )
+
+
 def _selected_nodes(graph: PropertyGraph, ids_df: DataFrame | None) -> DataFrame:
     if ids_df is None:
         return graph.nodes
@@ -39,7 +58,11 @@ def _selected_nodes(graph: PropertyGraph, ids_df: DataFrame | None) -> DataFrame
 
 
 def export_nodes_json(
-    graph: PropertyGraph, ids_df: DataFrame | None, path: str, distributed: bool = False
+    graph: PropertyGraph,
+    ids_df: DataFrame | None,
+    path: str,
+    distributed: bool = False,
+    max_local_rows: int = DEFAULT_MAX_LOCAL_ROWS,
 ) -> str:
     """S7: selected nodes as ``[{id, label, metadata}]`` (frontend.rs:18-40)."""
     sel = _selected_nodes(graph, ids_df).select(
@@ -48,6 +71,7 @@ def export_nodes_json(
     if distributed:
         sel.write.mode("overwrite").json(path)
         return path
+    _guard_local(sel, "export_nodes_json", max_local_rows)
     _ensure_parent(path)
     rows = [
         {"id": r["id"], "label": r["label"], "metadata": dict(r["metadata"] or {})}
@@ -60,7 +84,11 @@ def export_nodes_json(
 
 
 def export_nodes_csv(
-    graph: PropertyGraph, ids_df: DataFrame | None, path: str, distributed: bool = False
+    graph: PropertyGraph,
+    ids_df: DataFrame | None,
+    path: str,
+    distributed: bool = False,
+    max_local_rows: int = DEFAULT_MAX_LOCAL_ROWS,
 ) -> str:
     """S8: selected nodes CSV ``id,label,metadata_json`` (frontend.rs:42-55)."""
     sel = _selected_nodes(graph, ids_df).select(
@@ -69,6 +97,7 @@ def export_nodes_csv(
     if distributed:
         sel.write.mode("overwrite").option("header", True).csv(path)
         return path
+    _guard_local(sel, "export_nodes_csv", max_local_rows)
     _ensure_parent(path)
     import csv
 
@@ -126,7 +155,12 @@ def _adjacency_structs(graph: PropertyGraph) -> DataFrame:
     )
 
 
-def export_graph_json(graph: PropertyGraph, path: str, distributed: bool = False) -> str:
+def export_graph_json(
+    graph: PropertyGraph,
+    path: str,
+    distributed: bool = False,
+    max_local_rows: int = DEFAULT_MAX_LOCAL_ROWS,
+) -> str:
     """S9: whole graph as ``{nodes: [... with out_rels/in_rels], relationships: [...]}``
     (frontend.rs:58-115). Distributed mode writes the two record sets as
     JSON-lines directories (``{path}/nodes``, ``{path}/relationships``)."""
@@ -142,6 +176,8 @@ def export_graph_json(graph: PropertyGraph, path: str, distributed: bool = False
         nodes.write.mode("overwrite").json(os.path.join(path, "nodes"))
         rels.write.mode("overwrite").json(os.path.join(path, "relationships"))
         return path
+    _guard_local(graph.nodes, "export_graph_json", max_local_rows)
+    _guard_local(rels, "export_graph_json", max_local_rows)
     _ensure_parent(path)
 
     def _refs(arr):
@@ -179,7 +215,10 @@ def export_graph_json(graph: PropertyGraph, path: str, distributed: bool = False
 
 
 def export_graph_csv(
-    graph: PropertyGraph, base_path: str, distributed: bool = False
+    graph: PropertyGraph,
+    base_path: str,
+    distributed: bool = False,
+    max_local_rows: int = DEFAULT_MAX_LOCAL_ROWS,
 ) -> tuple[str, str]:
     """S10: ``{stem}_nodes.csv`` (id,label,metadata_json,out_rels_json,
     in_rels_json — out/in refs keyed ``to``/``from`` like the reference,
@@ -220,6 +259,9 @@ def export_graph_csv(
         nodes_flat.write.mode("overwrite").option("header", True).csv(nodes_path)
         rels_flat.write.mode("overwrite").option("header", True).csv(rels_path)
         return nodes_path, rels_path
+
+    _guard_local(graph.nodes, "export_graph_csv", max_local_rows)
+    _guard_local(rels_flat, "export_graph_csv", max_local_rows)
 
     import csv
 

@@ -51,6 +51,23 @@ def test_export_graph_json_adjacency(spark, tmp_path):
     ]
 
 
+def test_export_local_size_guard(spark, tmp_path):
+    """Single-file exports refuse past max_local_rows and point at the
+    distributed path; the distributed path itself stays un-guarded."""
+    import pytest
+
+    g, a, b, _ = _tiny_graph(spark)
+    with pytest.raises(ValueError, match="distributed=True"):
+        exports.export_nodes_json(g, None, str(tmp_path / "n.json"), max_local_rows=1)
+    with pytest.raises(ValueError, match="distributed=True"):
+        exports.export_graph_csv(g, str(tmp_path / "g.csv"), max_local_rows=1)
+    # opt-out (<=0) and distributed mode both still work
+    exports.export_nodes_json(g, None, str(tmp_path / "n2.json"), max_local_rows=0)
+    exports.export_nodes_json(
+        g, None, str(tmp_path / "n3"), distributed=True, max_local_rows=1
+    )
+
+
 def test_export_graph_csv_two_files(spark, tmp_path):
     g, a, b, rid = _tiny_graph(spark)
     nodes_path, rels_path = exports.export_graph_csv(g, str(tmp_path / "graph.csv"))
