@@ -277,6 +277,21 @@ def _q_media_image_features(spark, sf_dir):
     )
 
 
+def _q_media_png_features(spark, sf_dir):
+    """Real PNG decode (stdlib zlib+struct, ops/codecs.py:decode_png),
+    oracle-checked end to end: the fixture encoder uses stored-block
+    zlib, so width/height AND total byte size are closed-form in doc_id
+    — a hash match proves chunk framing, zlib stream and unfiltering
+    all round-trip byte-correct."""
+    media = ops_mm.media_from_documents(_t(spark, sf_dir, "documents"), kind="png")
+    return ops_mm.image_features(media).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
 def _q_media_audio_stats(spark, sf_dir):
     """Real PCM-WAV decode (stdlib wave/struct), oracle-checked: frame
     count and duration are closed-form in doc_id; RMS is validated in
@@ -423,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
+        "media_png_features": _q_media_png_features,
         "media_audio_stats": _q_media_audio_stats,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -656,6 +672,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8 + doc_id % 7 AS BIGINT) AS height, "
             "CAST(54 + ((8 + doc_id % 9) * 3 + 3 - ((8 + doc_id % 9) * 3 + 3) % 4) "
             "* (8 + doc_id % 7) AS BIGINT) AS n_bytes "
+            "FROM documents"
+        ),
+        # PNG layout: 8-byte sig + 25 IHDR + 12+idat IDAT + 12 IEND with
+        # stored-block zlib (level 0): idat = 11 + (3w+1)h → total
+        # 68 + (3w+1)h (encode_png docstring; w,h closed-form in doc_id)
+        "media_png_features": (
+            "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS media_id, "
+            "CAST(8 + doc_id % 9 AS BIGINT) AS width, "
+            "CAST(8 + doc_id % 7 AS BIGINT) AS height, "
+            "CAST(68 + (3 * (8 + doc_id % 9) + 1) * (8 + doc_id % 7) AS BIGINT) AS n_bytes "
             "FROM documents"
         ),
         "media_audio_stats": (

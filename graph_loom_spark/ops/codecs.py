@@ -1,17 +1,22 @@
 """Pure-stdlib media codecs for the multimodal pipeline seam.
 
-The container ships no image/audio libraries, but three formats are
-fully decodable (and encodable) with ``struct`` / ``wave`` alone:
+The container ships no image/audio libraries, but four formats are
+fully decodable (and encodable) with ``struct`` / ``zlib`` / ``wave``
+alone:
 
 - BMP (Windows bitmap, uncompressed 24-bit, BITMAPINFOHEADER)
 - PPM (binary P6)
+- PNG (non-interlaced, 8-bit depth; gray / truecolor / palette /
+  gray+alpha / RGBA color types, all five scanline filters — the
+  format is just chunk framing + zlib + per-row delta filters, spec'd
+  in RFC 2083, so ``struct`` + ``zlib`` cover it completely)
 - WAV (RIFF PCM, via the stdlib ``wave`` module)
 
 These make the decode seam in :mod:`graph_loom_spark.ops.multimodal`
 *real*: headers are parsed from actual bytes, pixels are decoded, and a
 64-bit average-hash perceptual fingerprint is computed from the decoded
-raster. Formats that genuinely need external codecs (PNG/JPEG/MP4)
-still raise ``UnsupportedMediaError`` — the documented seam where a
+raster. Formats that genuinely need external codecs (JPEG/MP4) still
+raise ``UnsupportedMediaError`` — the documented seam where a
 production build plugs in Pillow/pyav.
 
 Everything here is per-row Python executed inside Arrow-batched
@@ -25,6 +30,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 
 class UnsupportedMediaError(Exception):
@@ -133,6 +139,161 @@ def decode_ppm(data: bytes) -> dict:
     return {"width": width, "height": height, "pixels": pixels}
 
 
+# ----------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes:
+    """Minimal truecolor 8-bit PNG; ``pixel_fn(x, y) -> (r, g, b)`` with
+    (0, 0) top-left. ``filter_type`` applies that scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
+    tests to exercise each unfilter path.
+
+    The IDAT stream uses zlib level 0 (stored deflate blocks), so the
+    total byte size is closed-form in (width, height):
+    ``68 + (3·width + 1)·height`` while one stored block suffices
+    (raw ≤ 65535 bytes) — which is what lets a SQL oracle predict
+    ``n_bytes`` for fixture payloads exactly.
+    """
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {filter_type}")
+    stride = width * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            line += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        else:
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pred = {1: a, 2: up, 3: (a + up) >> 1, 4: _paeth(a, up, c)}[filter_type]
+                raw.append((line[i] - pred) & 0xFF)
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse a non-interlaced 8-bit-depth PNG → ``{width, height,
+    pixels}`` (row-major RGB, (0,0) top-left; alpha dropped, gray and
+    palette expanded). Handles color types 0/2/3/4/6 and all five
+    scanline filters; 16-bit depth and Adam7 interlace raise
+    ``UnsupportedMediaError``."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) < ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"PLTE":
+            plte = payload
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG compression={comp} filter-method={filt}")
+    if interlace != 0:
+        raise UnsupportedMediaError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise UnsupportedMediaError(f"PNG bit depth {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG zlib stream: {e}") from e
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    bpp = channels  # bytes per pixel at depth 8
+    prev = bytearray(stride)
+    rows: list[bytearray] = []
+    rp = 0
+    for _y in range(height):
+        ftype = raw[rp]
+        line = bytearray(raw[rp + 1 : rp + 1 + stride])
+        rp += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG scanline filter {ftype}")
+        rows.append(line)
+        prev = line
+    pixels: list[tuple[int, int, int]] = []
+    for line in rows:
+        if ctype == 2:
+            pixels.extend(tuple(line[i : i + 3]) for i in range(0, stride, 3))
+        elif ctype == 6:
+            pixels.extend(tuple(line[i : i + 3]) for i in range(0, stride, 4))
+        elif ctype == 0:
+            pixels.extend((v, v, v) for v in line)
+        elif ctype == 4:
+            pixels.extend((line[i], line[i], line[i]) for i in range(0, stride, 2))
+        else:  # ctype == 3: palette lookup
+            pixels.extend(tuple(plte[3 * v : 3 * v + 3]) for v in line)
+    return {"width": width, "height": height, "pixels": pixels}
+
+
 # ----------------------------------------------------------------------- WAV
 
 
@@ -190,14 +351,16 @@ def decode_wav(data: bytes) -> dict:
 
 
 def decode_image(data: bytes) -> dict:
-    """Sniff + decode an image payload (BMP/PPM) → ``{width, height,
-    pixels}``; anything else raises ``UnsupportedMediaError``."""
+    """Sniff + decode an image payload (BMP/PPM/PNG) → ``{width, height,
+    pixels}``; anything else (JPEG, …) raises ``UnsupportedMediaError``."""
     if data is None:
         raise ValueError("no payload")
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise UnsupportedMediaError("image format requires an external codec")
 
 

@@ -5,13 +5,13 @@ Media is carried as an opaque ``binary`` column plus typed metadata
 (mime, width/height, sample rate, duration). The Spark-side plumbing —
 schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing — is
 real and tested, and so are the codecs for every format the stdlib can
-express: BMP and binary-PPM images are decoded pixel-exact (with a real
-64-bit average-hash fingerprint) and PCM WAV audio is decoded to header
-params + RMS amplitude (:mod:`graph_loom_spark.ops.codecs`). Formats
-that require external libraries (PNG/JPEG/MP4 — not in this container)
-raise ``UnsupportedMediaError`` inside the same seam and surface as
-null feature columns; a production build swaps in Pillow/pyav at that
-single point.
+express: BMP, binary-PPM and PNG images are decoded pixel-exact (with a
+real 64-bit average-hash fingerprint) and PCM WAV audio is decoded to
+header params + RMS amplitude (:mod:`graph_loom_spark.ops.codecs`).
+Formats that require external libraries (JPEG/MP4 — not in this
+container) raise ``UnsupportedMediaError`` inside the same seam and
+surface as null feature columns; a production build swaps in
+Pillow/pyav at that single point.
 
 Scale notes: media rows are large; pipelines below use ``mapInPandas``
 (one Arrow batch at a time, bounded memory) and repartition by a size
@@ -62,7 +62,7 @@ FRAME_SCHEMA = T.StructType(
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched ``mapInPandas``.
 
-    Real decode for BMP/P6-PPM (width/height from the parsed header,
+    Real decode for BMP/P6-PPM/PNG (width/height from the parsed header,
     64-bit average-hash from the decoded raster); unsupported or broken
     payloads yield null feature columns. The per-batch loop is the
     pattern for any Python-side media codec: one pandas batch in, one
@@ -258,18 +258,25 @@ def _payload_for(seq: int, kind: str) -> bytes:
     if kind == "ppm":
         w, h = _image_dims(seq)
         return codecs.encode_ppm(w, h, lambda x, y: _image_pixel(seq, x, y))
+    if kind == "png":
+        w, h = _image_dims(seq)
+        # stored-block zlib → n_bytes = 68 + (3w+1)h, SQL-predictable
+        return codecs.encode_png(w, h, lambda x, y: _image_pixel(seq, x, y))
     if kind == "wav":
         return codecs.encode_wav(
             _wav_frames(seq), 8000, lambda i: ((i * (seq + 3)) % 97 - 48) * 100
         )
-    # deliberately-undecodable payload: exercises the external-codec seam
-    return b"\x89PNG\r\n\x1a\n" + bytes((seq * 13 + i) % 256 for i in range(64))
+    # deliberately-undecodable payload (JPEG magic + junk): exercises the
+    # external-codec seam
+    return b"\xff\xd8\xff\xe0" + bytes((seq * 13 + i) % 256 for i in range(64))
 
 
 def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic media table with REAL payloads: BMP and PPM images,
-    PCM WAV audio, plus undecodable PNG-magic rows that exercise the
-    external-codec seam. Byte-for-byte a pure function of media_id."""
+    """Deterministic media table with REAL payloads: BMP, PPM and PNG
+    images plus PCM WAV audio. Byte-for-byte a pure function of
+    media_id. (The undecodable external-codec seam — JPEG — is covered
+    by the ``jpg`` kind of :func:`_payload_for` and direct codec
+    tests.)"""
     kinds = ["bmp", "wav", "ppm", "png"]
     mimes = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
              "wav": "audio/wav", "png": "image/png"}
@@ -302,7 +309,12 @@ def media_from_documents(docs: DataFrame, kind: str = "bmp") -> DataFrame:
     DECODES them with the stdlib codecs — while a DuckDB oracle predicts
     the decoded header fields from ``doc_id`` alone (see
     ``__spark_entry__.oracle_sql``). ``docs`` needs only ``doc_id``."""
-    mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap", "wav": "audio/wav"}[kind]
+    mime = {
+        "bmp": "image/bmp",
+        "ppm": "image/x-portable-pixmap",
+        "png": "image/png",
+        "wav": "audio/wav",
+    }[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -111,7 +111,53 @@ def test_decode_image_rejects_external_codec_formats():
     import pytest
 
     with pytest.raises(codecs.UnsupportedMediaError):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        codecs.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+
+
+def test_png_roundtrip_all_filters_pixel_exact():
+    def pf(x, y):
+        return ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x * 11 + y * 3) % 256)
+
+    for w, h in [(1, 1), (8, 8), (16, 14), (5, 3)]:
+        for ft in range(5):  # None/Sub/Up/Average/Paeth scanline filters
+            data = codecs.encode_png(w, h, pf, filter_type=ft)
+            d = codecs.decode_png(data)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == [pf(x, y) for y in range(h) for x in range(w)]
+            # stored-block zlib keeps the size closed-form (oracle side)
+            assert len(data) == 68 + (3 * w + 1) * h
+
+
+def test_png_color_types_and_rejects():
+    import struct
+    import zlib
+
+    import pytest
+
+    def build(ctype, width, height, raw_rows, plte=None, depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
+        raw = b"".join(b"\x00" + bytes(r) for r in raw_rows)
+        out = codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+        if plte:
+            out += codecs._png_chunk(b"PLTE", bytes(plte))
+        return out + codecs._png_chunk(b"IDAT", zlib.compress(raw)) + codecs._png_chunk(
+            b"IEND", b""
+        )
+
+    assert codecs.decode_png(build(0, 2, 2, [[10, 20], [30, 40]]))["pixels"] == [
+        (10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)
+    ]  # grayscale
+    assert codecs.decode_png(
+        build(3, 2, 1, [[1, 0]], plte=[255, 0, 0, 0, 255, 0])
+    )["pixels"] == [(0, 255, 0), (255, 0, 0)]  # palette
+    assert codecs.decode_png(build(4, 2, 1, [[7, 255, 9, 0]]))["pixels"] == [
+        (7, 7, 7), (9, 9, 9)
+    ]  # gray+alpha (alpha dropped)
+    assert codecs.decode_png(build(6, 1, 1, [[1, 2, 3, 200]]))["pixels"] == [(1, 2, 3)]
+    with pytest.raises(codecs.UnsupportedMediaError):  # 16-bit depth
+        codecs.decode_png(build(2, 1, 1, [[0] * 6], depth=16))
+    with pytest.raises(codecs.UnsupportedMediaError):  # Adam7
+        codecs.decode_png(build(2, 1, 1, [[0] * 3], interlace=1))
 
 
 # ---------------------------------------------------------------- multimodal
@@ -122,7 +168,7 @@ def test_media_image_features_real_decode(spark):
     for seq in range(12):
         r = feats[f"m{seq:06d}"]
         kind = ["bmp", "wav", "ppm", "png"][seq % 4]
-        if kind in ("bmp", "ppm"):
+        if kind in ("bmp", "ppm", "png"):
             w, h = mm._image_dims(seq)
             assert (r["width"], r["height"]) == (w, h)
             # phash must equal the one computed directly from the raster
@@ -130,7 +176,7 @@ def test_media_image_features_real_decode(spark):
                 w, h, [mm._image_pixel(seq, x, y) for y in range(h) for x in range(w)]
             )
             assert r["phash"] == expect
-        else:  # wav + png payloads are not decodable images → null row
+        else:  # wav payloads are not decodable images → null row
             assert r["width"] is None and r["phash"] is None
 
 
@@ -156,7 +202,7 @@ def test_media_resize_real_downsample(spark):
     ]
     for r in out.collect():
         kind = r["meta"]["kind"]
-        if kind in ("bmp", "ppm"):
+        if kind in ("bmp", "ppm", "png"):
             d = codecs.decode_bmp(bytes(r["data"]))  # re-encoded as BMP
             assert max(d["width"], d["height"]) <= 4
             assert r["meta"]["resized_max_side"] == "4"
