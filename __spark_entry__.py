@@ -387,7 +387,7 @@ def _q_graph_degrees(spark, sf_dir):  # A2/G3
     return analytics.degrees(_graph(spark, sf_dir))
 
 
-def _q_graph_components(spark, sf_dir):  # G4 — iterative, rows-only check
+def _q_graph_components(spark, sf_dir):  # G4 — oracle-checked (see oracle_sql)
     return analytics.connected_components(_graph(spark, sf_dir))
 
 
@@ -743,8 +743,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # docs_minhash_pairs / docs_simhash_pairs / emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
-        # graph_components / graph_lpa / graph_community_density: iterative
-        # fixpoint algorithms (not SQL-expressible) → rows-only check.
+        # graph_lpa / graph_community_density: iterative fixpoint
+        # algorithms (not SQL-expressible) → rows-only check; both have
+        # exact pytest recomputations (tests/test_no_oracle_checks.py).
+        # graph_components IS oracle-checked below via the tpch
+        # projection's quotient structure: every R/N/C/S/O/L node maps to
+        # its region tree through the FK chain (each tree is internally
+        # connected by construction), lineitems bridge (customer-region,
+        # supplier-region, part) triples, so component structure is
+        # decided by a tiny region graph (parts bridge regions they share
+        # a lineitem with); a recursive CTE closes over that ≤|regions|
+        # graph, then the min original node id per component broadcasts
+        # back down — exact, and O(nodes) work instead of a transitive
+        # closure over the full 79k-node graph.
         "graph_degrees": (
             "WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
             "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
@@ -778,5 +789,50 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT lid FROM li) "
             "SELECT n.id AS id, CAST(count(e.id) AS BIGINT) AS degree "
             "FROM all_nodes n LEFT JOIN ends e ON n.id = e.id GROUP BY n.id"
+        ),
+        "graph_components": (
+            "WITH RECURSIVE "
+            "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+            "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+            "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
+            "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
+            "FROM lineitem), "
+            "cust_r AS (SELECT c_custkey, n_regionkey AS r FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey), "
+            "supp_r AS (SELECT s_suppkey, n_regionkey AS r FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey), "
+            "ord_r AS (SELECT o_orderkey, r FROM orders JOIN cust_r ON o_custkey = c_custkey), "
+            "lqr AS (SELECT li.lid, li.l_partkey, o.r AS rc, s.r AS rs "
+            "FROM li JOIN ord_r o ON li.l_orderkey = o.o_orderkey "
+            "JOIN supp_r s ON li.l_suppkey = s.s_suppkey), "
+            "pr AS (SELECT DISTINCT l_partkey, rc AS r FROM lqr "
+            "UNION SELECT DISTINCT l_partkey, rs FROM lqr), "
+            "re0 AS (SELECT DISTINCT rc AS u, rs AS v FROM lqr "
+            "UNION SELECT a.r, b.r FROM pr a JOIN pr b ON a.l_partkey = b.l_partkey), "
+            "re AS (SELECT u, v FROM re0 UNION SELECT v, u FROM re0), "
+            "reach AS (SELECT r_regionkey AS a, r_regionkey AS b FROM region "
+            "UNION SELECT r.a, e.v FROM reach r JOIN re e ON e.u = r.b), "
+            "rcomp AS (SELECT a AS r, min(b) AS cr FROM reach GROUP BY a), "
+            "nmap AS ("
+            "SELECT 'R:'||lpad(CAST(r_regionkey AS VARCHAR),12,'0') AS id, r_regionkey AS r FROM region "
+            "UNION ALL SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0'), n_regionkey FROM nation "
+            "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0'), r FROM cust_r "
+            "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0'), r FROM supp_r "
+            "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0'), r FROM ord_r "
+            "UNION ALL SELECT lid, rc FROM lqr), "
+            "labeled AS ("
+            "SELECT n.id, CAST(c.cr AS VARCHAR) AS ck FROM nmap n JOIN rcomp c ON n.r = c.r "
+            "UNION ALL "
+            "SELECT 'P:'||lpad(CAST(p.l_partkey AS VARCHAR),12,'0'), CAST(min(c.cr) AS VARCHAR) "
+            "FROM pr p JOIN rcomp c ON p.r = c.r GROUP BY p.l_partkey "
+            "UNION ALL "
+            "SELECT 'P:'||lpad(CAST(p_partkey AS VARCHAR),12,'0'), "
+            "'ISO:'||lpad(CAST(p_partkey AS VARCHAR),12,'0') "
+            "FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM pr)), "
+            "rep AS (SELECT ck, min(id) AS component FROM labeled GROUP BY ck) "
+            "SELECT l.id AS id, r.component AS component "
+            "FROM labeled l JOIN rep r ON l.ck = r.ck"
         ),
     }
