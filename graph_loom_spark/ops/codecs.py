@@ -347,6 +347,148 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------- video
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(width: int, height: int, n_frames: int, pixel_fn) -> bytes:
+    """YUV4MPEG2 container, C420 chroma; ``pixel_fn(f, x, y) -> (r, g,
+    b)`` per frame ``f``. Even dimensions required (4:2:0 subsampling).
+    BT.601 full-range integer RGB→YUV; chroma = 2×2 box average.
+    Deterministic fixture encoder: the total size is closed-form —
+    ``len(header) + n_frames·(6 + w·h·3/2)``."""
+    if width % 2 or height % 2:
+        raise ValueError("y4m 4:2:0 needs even dimensions")
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode())
+    half_w, half_h = width // 2, height // 2
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        ys = bytearray(width * height)
+        us = bytearray(half_w * half_h)
+        vs = bytearray(half_w * half_h)
+        for y in range(height):
+            for x in range(width):
+                r, g, b = pixel_fn(f, x, y)
+                ys[y * width + x] = (77 * r + 150 * g + 29 * b) >> 8
+        for cy in range(half_h):
+            for cx in range(half_w):
+                su = sv = 0
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        r, g, b = pixel_fn(f, 2 * cx + dx, 2 * cy + dy)
+                        su += 128 + ((-43 * r - 85 * g + 128 * b) >> 8)
+                        sv += 128 + ((128 * r - 107 * g - 21 * b) >> 8)
+                us[cy * half_w + cx] = min(255, max(0, su // 4))
+                vs[cy * half_w + cx] = min(255, max(0, sv // 4))
+        out += ys + us + vs
+    return bytes(out)
+
+
+def encode_mjpeg(frame_bodies: list[bytes]) -> bytes:
+    """Concatenated-JPEG stream from opaque frame bodies (bodies must not
+    contain the 0xFFD9 EOI marker). Each frame is wrapped SOI…EOI — the
+    real MJPEG stream shape; only the inner JPEG entropy data is fake."""
+    out = bytearray()
+    for body in frame_bodies:
+        if b"\xff\xd9" in body:
+            raise ValueError("frame body contains EOI marker")
+        out += b"\xff\xd8" + body + b"\xff\xd9"
+    return bytes(out)
+
+
+def demux_y4m(data: bytes) -> dict:
+    """Demux a YUV4MPEG2 stream → ``{width, height, frames}`` with each
+    frame the raw C420 planes (``w·h`` Y then ``w/2·h/2`` U and V).
+    Non-4:2:0 chroma raises ``UnsupportedMediaError``."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    width = height = None
+    for tok in data[:nl].decode("ascii", "replace").split()[1:]:
+        if tok.startswith("W"):
+            width = int(tok[1:])
+        elif tok.startswith("H"):
+            height = int(tok[1:])
+        elif tok.startswith("C") and not tok[1:].startswith("420"):
+            raise UnsupportedMediaError(f"y4m chroma mode {tok}")
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    fsize = width * height + 2 * ((width // 2) * (height // 2))
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad y4m FRAME marker")
+        frame = data[fnl + 1 : fnl + 1 + fsize]
+        if len(frame) < fsize:
+            raise ValueError("truncated y4m frame")
+        frames.append(bytes(frame))
+        pos = fnl + 1 + fsize
+    return {"width": width, "height": height, "frames": frames}
+
+
+def demux_mjpeg(data: bytes) -> dict:
+    """Split a concatenated-JPEG (MJPEG) stream on SOI/EOI markers →
+    ``{frames}``. Real demux logic; per-frame DECODE still needs an
+    external JPEG codec (the documented seam)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not an MJPEG payload")
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError("garbage between MJPEG frames")
+        end = data.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            raise ValueError("truncated MJPEG frame (no EOI)")
+        frames.append(bytes(data[pos : end + 2]))
+        pos = end + 2
+    return {"frames": frames}
+
+
+def demux_video(data: bytes) -> dict:
+    """Sniff + demux a video payload (Y4M/MJPEG) → ``{frames, ...}``;
+    container formats that need external demuxers (MP4/MKV…) raise
+    ``UnsupportedMediaError``."""
+    if data is None:
+        raise ValueError("no payload")
+    if data.startswith(_Y4M_MAGIC):
+        return demux_y4m(data)
+    if data[:2] == b"\xff\xd8":
+        return demux_mjpeg(data)
+    raise UnsupportedMediaError("video container requires an external demuxer")
+
+
+def yuv420_frame_to_rgb(frame: bytes, width: int, height: int) -> list:
+    """One C420 frame (as produced by :func:`demux_y4m`) → row-major
+    RGB tuples; BT.601 full-range integer inverse, clamped."""
+    half_w = width // 2
+    ylen = width * height
+    clen = half_w * (height // 2)
+    if len(frame) < ylen + 2 * clen:
+        raise ValueError("short YUV frame")
+    ys = frame[:ylen]
+    us = frame[ylen : ylen + clen]
+    vs = frame[ylen + clen : ylen + 2 * clen]
+    out = []
+    for y in range(height):
+        crow = (y // 2) * half_w
+        base = y * width
+        for x in range(width):
+            yy = ys[base + x]
+            u = us[crow + x // 2] - 128
+            v = vs[crow + x // 2] - 128
+            r = yy + ((359 * v) >> 8)
+            g = yy - ((88 * u + 183 * v) >> 8)
+            b = yy + ((454 * u) >> 8)
+            out.append(
+                (min(255, max(0, r)), min(255, max(0, g)), min(255, max(0, b)))
+            )
+    return out
+
+
 # ------------------------------------------------------------------ dispatch
 
 

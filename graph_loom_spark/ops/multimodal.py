@@ -191,10 +191,14 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Video frame sampling plumbing: one input row → ≤ ``max_frames``
-    output rows (media_id, frame_index, frame bytes). The frame split is
-    stubbed as fixed-size byte slices; a real build calls the demuxer in
-    the same loop shape."""
+    """Video frame sampling with REAL demux for the stdlib-expressible
+    containers: YUV4MPEG2 (raw C420 planes, decodable to RGB via
+    ``codecs.yuv420_frame_to_rgb``) and MJPEG (concatenated JPEGs split
+    on SOI/EOI markers — the demux is real; per-frame decode stays at
+    the JPEG external-codec seam). One input row → ≤ ``max_frames``
+    output rows, every ``every_n``-th frame. Containers that need an
+    external demuxer (MP4/MKV) yield no rows — the same null surface as
+    the image/audio feature extractors."""
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -202,14 +206,15 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> D
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 if data is None:
                     continue
-                raw = bytes(data)
-                # stub demux: treat every 64-byte block as a "frame"
-                n_blocks = max(len(raw) // 64, 1)
+                try:
+                    frames = codecs.demux_video(bytes(data))["frames"]
+                except (UnsupportedMediaError, ValueError):
+                    continue
                 taken = 0
-                for i in range(0, n_blocks, every_n):
+                for i in range(0, len(frames), every_n):
                     if taken >= max_frames:
                         break
-                    out.append((mid, i, raw[i * 64 : (i + 1) * 64]))
+                    out.append((mid, i, frames[i]))
                     taken += 1
             yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame"])
 
@@ -248,6 +253,12 @@ def _wav_frames(seq: int) -> int:
     return 400 + (seq * 37) % 800
 
 
+def _video_dims(seq: int) -> tuple[int, int, int]:
+    """Closed-form (width, height, n_frames) for y4m fixtures — even
+    dims (4:2:0), SQL-computable."""
+    return 8 + 2 * (seq % 5), 6 + 2 * (seq % 4), 2 + seq % 5
+
+
 def _payload_for(seq: int, kind: str) -> bytes:
     """Deterministic REAL payload for a sequence number: a decodable
     BMP / P6 PPM / PCM WAV whose header fields are closed-form in
@@ -265,6 +276,14 @@ def _payload_for(seq: int, kind: str) -> bytes:
     if kind == "wav":
         return codecs.encode_wav(
             _wav_frames(seq), 8000, lambda i: ((i * (seq + 3)) % 97 - 48) * 100
+        )
+    if kind == "y4m":
+        w, h, nf = _video_dims(seq)
+        return codecs.encode_y4m(w, h, nf, lambda f, x, y: _image_pixel(seq * 7 + f, x, y))
+    if kind == "mjpeg":
+        _, _, nf = _video_dims(seq)
+        return codecs.encode_mjpeg(
+            [bytes((seq * 11 + f * 5 + i) % 255 for i in range(48)) for f in range(nf)]
         )
     # deliberately-undecodable payload (JPEG magic + junk): exercises the
     # external-codec seam
@@ -300,6 +319,36 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthetic_videos(spark, n: int = 16, partitions: int = 2) -> DataFrame:
+    """Deterministic video table: alternating real YUV4MPEG2 payloads
+    (decodable frames) and MJPEG streams (real demux, JPEG-seam frames),
+    plus every 8th row an MP4-magic payload exercising the external-
+    demuxer seam. Byte-for-byte a pure function of media_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                seq = int(i)
+                if seq % 8 == 7:
+                    kind, mime = "mp4", "video/mp4"
+                    payload = b"\x00\x00\x00\x18ftypmp42" + bytes(
+                        (seq * 13 + j) % 256 for j in range(64)
+                    )
+                elif seq % 2 == 0:
+                    kind, mime = "y4m", "video/x-yuv4mpeg"
+                    payload = _payload_for(seq, "y4m")
+                else:
+                    kind, mime = "mjpeg", "video/x-motion-jpeg"
+                    payload = _payload_for(seq, "mjpeg")
+                rows.append(
+                    (f"v{seq:06d}", mime, payload, {"source": "synthetic", "kind": kind})
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "data", "meta"])
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, kind: str = "bmp") -> DataFrame:
     """Derive a deterministic media table from the ``documents`` table:
     one payload per doc, dimensions/frames closed-form in ``doc_id``.
@@ -314,6 +363,7 @@ def media_from_documents(docs: DataFrame, kind: str = "bmp") -> DataFrame:
         "ppm": "image/x-portable-pixmap",
         "png": "image/png",
         "wav": "audio/wav",
+        "y4m": "video/x-yuv4mpeg",
     }[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -212,15 +212,63 @@ def test_media_resize_real_downsample(spark):
         assert r["meta"]["source"] == "synthetic"
 
 
-def test_media_sample_frames_bounded(spark):
-    media = mm.synthetic_media(spark, n=5)
+def test_y4m_roundtrip_and_rgb():
+    def pf(f, x, y):
+        return ((f * 31 + x * 7 + y * 13) % 256, (f * 17 + x * 3 + y * 5) % 256,
+                (f * 7 + x * 11 + y * 3) % 256)
+
+    data = codecs.encode_y4m(8, 6, 4, pf)
+    d = codecs.demux_y4m(data)
+    assert (d["width"], d["height"], len(d["frames"])) == (8, 6, 4)
+    # Y plane is exact BT.601 integer math per pixel
+    ys = d["frames"][2][: 8 * 6]
+    for y in range(6):
+        for x in range(8):
+            r, g, b = pf(2, x, y)
+            assert ys[y * 8 + x] == (77 * r + 150 * g + 29 * b) >> 8
+    # RGB reconstruction is bounded by chroma subsampling, not broken
+    rgb = codecs.yuv420_frame_to_rgb(d["frames"][2], 8, 6)
+    orig = [pf(2, x, y) for y in range(6) for x in range(8)]
+    assert len(rgb) == 48
+    assert max(abs(a - b) for p, q in zip(rgb, orig) for a, b in zip(p, q)) <= 64
+
+
+def test_mjpeg_demux_roundtrip():
+    import pytest
+
+    mj = codecs.encode_mjpeg([b"\x01\x02\x03", b"", b"\x7f" * 10])
+    frames = codecs.demux_mjpeg(mj)["frames"]
+    assert len(frames) == 3
+    assert frames[0] == b"\xff\xd8\x01\x02\x03\xff\xd9"
+    with pytest.raises(codecs.UnsupportedMediaError):  # MP4 = external seam
+        codecs.demux_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
+
+
+def test_media_sample_frames_real_demux(spark):
+    media = mm.synthetic_videos(spark, n=16)
     frames = mm.sample_frames(media, every_n=2, max_frames=3).collect()
     per_id: dict[str, int] = {}
     for r in frames:
         per_id[r["media_id"]] = per_id.get(r["media_id"], 0) + 1
-        assert len(r["frame"]) <= 64
-    assert all(c <= 3 for c in per_id.values())
-    assert len(per_id) == 5
+    for seq in range(16):
+        mid = f"v{seq:06d}"
+        if seq % 8 == 7:  # mp4: external demuxer seam -> no rows
+            assert mid not in per_id
+            continue
+        w, h, nf = mm._video_dims(seq)
+        assert per_id[mid] == min(3, (nf + 1) // 2)
+    # y4m frames are the raw C420 planes with the exact plane size
+    for r in frames:
+        seq = int(r["media_id"][1:])
+        if seq % 8 != 7 and seq % 2 == 0:
+            w, h, _ = mm._video_dims(seq)
+            assert len(r["frame"]) == w * h * 3 // 2
+            assert r["frame_index"] % 2 == 0
+    # and they decode: phash the first frame of v000000
+    w, h, _ = mm._video_dims(0)
+    first = next(bytes(r["frame"]) for r in frames if r["media_id"] == "v000000" and r["frame_index"] == 0)
+    rgb = codecs.yuv420_frame_to_rgb(first, w, h)
+    assert len(codecs.average_hash(w, h, rgb)) == 16
 
 
 def test_media_stats(spark):
