@@ -289,6 +289,22 @@ def _q_docs_tfidf(spark, sf_dir):
     return ops_text.tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup-token / top-bigram fraction)
+    — integer-ratio math, oracle-exact."""
+    return ops_text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup pipeline: exact 3-gram Jaccard ≥ 0.5 pairs →
+    min-contraction connected components → canonical per cluster. The
+    oracle rebuilds the same pairs brute-force and closes them with a
+    recursive CTE — exact, so the whole pipeline is hash-checked."""
+    return ops_dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 def _q_media_image_features(spark, sf_dir):
     """Real multimodal decode, oracle-checked end to end: encode a BMP
     per document (dimensions closed-form in doc_id), ship it through a
@@ -479,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_repetition": _q_docs_repetition,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -762,6 +780,32 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC, tf.term) AS rk "
             "FROM tf JOIN dfreq USING (term) CROSS JOIN n) WHERE rk <= 5"
         ),
+        # dup_token_frac / top_bigram_frac are single divisions of exact
+        # integers (≤ 2^53) → correctly-rounded IEEE doubles in both
+        # engines, no rounding needed. Spark counts bigrams by xxhash64;
+        # the max count equals the string-bigram max barring an
+        # intra-document hash collision (~n²/2^64) — same argument as
+        # docs_ngram_jaccard.
+        "docs_repetition": (
+            "WITH base AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_distinct(toks)) AS nd, toks "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "bgs AS (SELECT doc_id, unnest("
+            "[array_to_string(toks[i:i+1], ' ') "
+            "for i in generate_series(1, len(toks)-1)]) AS bg "
+            "FROM base WHERE len(toks) >= 2), "
+            "top AS (SELECT doc_id, max(c) AS topc FROM ("
+            "SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg) "
+            "GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+            "1.0 - CAST(b.nd AS DOUBLE) / b.n_tokens AS dup_token_frac, "
+            "CASE WHEN b.n_tokens >= 2 THEN "
+            "CAST(coalesce(top.topc, 0) AS DOUBLE) / (b.n_tokens - 1) "
+            "ELSE 0.0 END AS top_bigram_frac "
+            "FROM base b LEFT JOIN top USING (doc_id)"
+        ),
         "emb_cosine_topk": (
             "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 7) "
             "SELECT e.vec_id, round("
@@ -787,6 +831,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+        ),
+        # pairs identical to docs_ngram_jaccard's; the component closure
+        # is a recursive CTE (fine at oracle scale — the doc-pair graph
+        # is tiny), the engine side is min-contraction.
+        "docs_dedup_clusters": (
+            "WITH RECURSIVE "
+            "sh AS (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
+            "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
         ),
         "emb_near_dup": (
             "SELECT id_a, id_b, cosine FROM ("

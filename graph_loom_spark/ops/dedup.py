@@ -296,3 +296,49 @@ def ngram_jaccard_pairs(
     return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering — the full pipeline a training-data
+    dedup pass runs: similarity pairs → connected components → one
+    canonical document per cluster. Returns ``(doc_id, cluster_id,
+    is_canonical)`` for EVERY document (singletons cluster with
+    themselves); ``cluster_id`` is the smallest doc_id in the cluster and
+    ``is_canonical`` marks the keeper (first-seen-wins by id, the same
+    rule as :func:`exact_dedup` and the streaming dedup).
+
+    ``pairs`` defaults to exact :func:`ngram_jaccard_pairs` (inverted
+    shingle index — candidate generation is Θ(colliding pairs)); pass
+    :func:`minhash_lsh_pairs` output instead for the approximate path at
+    scale. Components run on the min-contraction algorithm
+    (analytics.connected_components): total work is O(pairs), not
+    O(diameter) full-size rounds — near-dup graphs are mostly tiny
+    near-cliques plus the occasional boilerplate mega-cluster, and
+    contraction collapses both geometrically.
+    """
+    from graph_loom_spark.analytics import connected_components
+    from graph_loom_spark.graph import PropertyGraph
+
+    spark = documents.sparkSession
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            documents, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        )
+    # components run on string ids; fixed-width zero-pad so the min
+    # string id IS the min numeric id
+    sid = lambda c: F.lpad(F.col(c).cast("string"), 14, "0")  # noqa: E731
+    nodes = documents.select(sid(id_col).alias("id"))
+    edges = pairs.select(sid("id_a").alias("src"), sid("id_b").alias("dst"))
+    comp = connected_components(PropertyGraph(spark, nodes=nodes, edges=edges))
+    return comp.select(
+        F.col("id").cast("bigint").alias(id_col),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -431,3 +431,104 @@ def cosine_near_pairs(
     return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully distributed Euclidean k-means (Lloyd's): returns
+    ``(vec_id, cluster)`` with deterministic clustering.
+
+    Unlike :func:`ivf_centroids` (which Lloyd-iterates driver-side on a
+    bounded SAMPLE to build a coarse quantizer), both k-means steps here
+    run on the full table as Spark jobs — the 100 TB path:
+
+    - **assignment**: one Arrow-batched pandas UDF doing a single
+      (batch×dim)·(dim×k) distance matmul per batch (same shape as
+      :func:`ivf_assign`; an expression-per-centroid alternative blows
+      up codegen at k≥16);
+    - **update**: ``groupBy(cluster).agg(avg(vec[d]) …)`` — one
+      partial-aggregable shuffle carrying k×dim doubles total, nothing
+      data-sized.
+
+    Only the k×dim centroid matrix is collected per iteration (it
+    parameterizes the next broadcast-side UDF) — the same driver
+    footprint MLlib's KMeans pays per step. Determinism: init is the
+    vectors of the k smallest ids (no RNG); centroids are rounded to 6
+    decimals each update so float summation order (Spark partial aggs
+    vs anything else) cannot leak into assignments; numpy ``argmin``
+    breaks distance ties toward the lowest cluster index.
+
+    The input projection is localCheckpointed once so the k scans read
+    a pinned in-memory table, not the source parquet per iteration; the
+    block is freed before returning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from graph_loom_spark.graph import _free_intermediates, _tracked_checkpoint
+
+    spark = embeddings.sparkSession
+    tracked: list = []
+    X = _tracked_checkpoint(
+        spread(embeddings.select(id_col, vec_col)), tracked
+    )
+    init_rows = X.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds row count {len(init_rows)}")
+    C = np.round(np.asarray([r[1] for r in init_rows], dtype=np.float64), 6)
+    dim = C.shape[1]
+
+    def _assign(centroids: np.ndarray):
+        cn = (centroids**2).sum(axis=1)
+
+        def _cell(v):
+            M = np.asarray(v.tolist(), dtype=np.float64)
+            if M.size == 0:
+                return pd.Series([], dtype="int32")
+            d2 = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ centroids.T) + cn[None, :]
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_cell, "int")
+
+    assigned = None
+    for _ in range(iters):
+        assigned = X.select(
+            F.col(id_col), F.col(vec_col), _assign(C)(F.col(vec_col)).alias("cluster")
+        )
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col(vec_col)[d]).alias(f"c{d}") for d in range(dim)])
+            .collect()
+        )
+        nxt = C.copy()  # empty clusters keep their previous centroid
+        for row in upd:
+            nxt[row["cluster"]] = [row[f"c{d}"] for d in range(dim)]
+        nxt = np.round(nxt, 6)
+        if np.array_equal(nxt, C):
+            break
+        C = nxt
+    result = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
+    _free_intermediates(spark, tracked)
+    return result
+
+
+def kmeans_summary(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster sizes + members' min id per cluster — the stable summary
+    shape for the entry query (sizes are exact integers; min id pins the
+    clustering itself, not just its histogram)."""
+    assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size"), F.min(id_col).alias("min_id")
+    )

@@ -210,3 +210,71 @@ def stratified_sample(
         F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8
     )
     return df.filter(bucket < threshold_hex)
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1 — adapted to token level because
+    this corpus has no line structure): ``(doc_id, n_tokens,
+    dup_token_frac, top_bigram_frac)``.
+
+    - ``dup_token_frac``  = 1 − distinct_tokens / n_tokens — how much of
+      the document is repeated vocabulary.
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      / total bigrams — boilerplate/template detector.
+
+    Both are single divisions of exact integers → engine-exact (IEEE 754
+    division of integers ≤ 2^53 is correctly rounded everywhere), no
+    rounding needed. Tokenizer matches :func:`fingerprint` /
+    ``ngram_jaccard``: lowercase, trim, collapse whitespace, split ' '.
+
+    Scale shape: the per-doc token/distinct counts are narrow projections
+    (no shuffle); the top-bigram count is explode → two partial-aggregable
+    groupBys keyed by (doc_id, bigram-hash) resp. doc_id — the shuffle
+    carries 16-byte keys + counts, never text — then a broadcast-sized
+    join back onto the narrow stats. One scan of the corpus.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("__nd"),
+        toks.alias("__toks"),
+    )
+    # bigrams of consecutive tokens; empty for 0/1-token docs
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.element_at("__toks", i + 1), F.element_at("__toks", i + 2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    top = (
+        base.select("doc_id", F.explode(bigrams).alias("__bg"))
+        .groupBy("doc_id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__top"))
+    )
+    return (
+        base.drop("__toks")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.lit(1.0) - F.col("__nd").cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / (F.col("n_tokens") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )

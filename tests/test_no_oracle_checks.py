@@ -259,3 +259,42 @@ def test_ann_lsh_recall(spark):
     approx = {r["vec_id"] for r in sim.ann_topk(bk, probe_id=7, k=10, bits=4).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 6
+
+
+# ------------------------------------------------------------- kmeans
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Distributed Lloyd's ≡ a single-machine numpy run of the identical
+    algorithm (same deterministic init, same 6-decimal centroid
+    rounding, same lowest-index tie-break) on the sf0.001 embeddings."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.collect()), key=lambda t: t[0]
+    )
+    ids = np.asarray([t[0] for t in rows])
+    X = np.asarray([t[1] for t in rows], dtype=np.float64)
+    k, iters = 6, 8
+    C = np.round(X[:k], 6)
+    assign = None
+    for _ in range(iters):
+        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        nxt = C.copy()
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                nxt[j] = m.mean(axis=0)
+        nxt = np.round(nxt, 6)
+        if np.array_equal(nxt, C):
+            break
+        C = nxt
+    expected = dict(zip(ids.tolist(), assign.tolist()))
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.kmeans(emb, k=k, iters=iters).collect()
+    }
+    assert got == expected

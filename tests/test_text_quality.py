@@ -1,0 +1,71 @@
+"""Unit tests for the training-data quality/repetition text operators
+(edge cases the sf corpus doesn't cover: empty text, 1-token docs,
+fully-repeated docs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graph_loom_spark.ops import text as ops_text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_stats_exact(spark):
+    rows = [
+        (0, "a b a b a b"),          # 6 toks, 2 distinct; bigrams: "a b"x3, "b a"x2 -> top 3/5
+        (1, "x y z w"),              # all distinct; every bigram unique -> top 1/3
+        (2, "solo"),                 # 1 token: no bigrams
+        (3, ""),                     # empty string -> split gives [""] (1 token)
+        (4, "t t"),                  # 2 toks 1 distinct; 1 bigram -> top 1/1
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.repetition_stats(_docs(spark, rows)).collect()
+    }
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["dup_token_frac"] == pytest.approx(1 - 2 / 6)
+    assert out[0]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1  # split("") -> [""]
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[4]["dup_token_frac"] == pytest.approx(0.5)
+    assert out[4]["top_bigram_frac"] == 1.0
+
+
+def test_repetition_stats_normalizes_whitespace(spark):
+    # tokenizer must match fingerprint/ngram_jaccard: trim + collapse
+    rows = [(0, "  a   b\t b  "), (1, "a b b")]
+    out = ops_text.repetition_stats(_docs(spark, rows)).collect()
+    a, b = sorted(out, key=lambda r: r["doc_id"])
+    assert (a["n_tokens"], a["dup_token_frac"], a["top_bigram_frac"]) == (
+        b["n_tokens"],
+        b["dup_token_frac"],
+        b["top_bigram_frac"],
+    )
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    # a~b and b~c overlap (Jaccard >= 0.5) but a~c don't directly;
+    # transitivity must still cluster all three. d is a singleton.
+    rows = [
+        (10, "w1 w2 w3 w4 w5 w6"),
+        (11, "w1 w2 w3 w4 w5 zz"),      # shares 4-of-? shingles with 10
+        (12, "w2 w3 w4 w5 zz yy"),      # chains via 11
+        (13, "completely different text here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_dedup.dedup_clusters(docs, n=3, threshold=0.3).collect()
+    }
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == out[12]["cluster_id"] == 10
+    assert out[10]["is_canonical"] and not out[11]["is_canonical"]
+    assert out[13]["cluster_id"] == 13 and out[13]["is_canonical"]
