@@ -295,6 +295,22 @@ def _q_docs_repetition(spark, sf_dir):
     return ops_text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_pii(spark, sf_dir):
+    """PII scrub (count + redaction fingerprint). The sf corpus carries
+    no PII, so counts are zero here — the fingerprint still hash-checks
+    the full replace pipeline byte-for-byte; pattern hits themselves are
+    covered by pytest fixtures with synthetic emails/IPs/phones."""
+    return ops_text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _q_emb_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means cluster summary (size + min member id
+    per cluster). Iterative fixpoint → no SQL oracle; exact vs a numpy
+    reference in tests/test_no_oracle_checks.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.kmeans_summary(emb, k=8, iters=10)
+
+
 def _q_docs_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline: exact 3-gram Jaccard ≥ 0.5 pairs →
     min-contraction connected components → canonical per cluster. The
@@ -497,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_repetition": _q_docs_repetition,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "emb_kmeans": _q_emb_kmeans,
+        "docs_pii": _q_docs_pii,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -832,6 +850,19 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
         ),
+        "docs_pii": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, '\\+\\d{9,15}')) AS BIGINT) AS n_phone, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+\\d{9,15}', '<PHONE>', 'g')) AS redacted_fingerprint "
+            "FROM documents"
+        ),
         # pairs identical to docs_ngram_jaccard's; the component closure
         # is a recursive CTE (fine at oracle scale — the doc-pair graph
         # is tiny), the engine side is min-contraction.
@@ -865,6 +896,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # docs_minhash_pairs / docs_simhash_pairs / emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
+        # emb_kmeans: iterative fixpoint → no oracle; exact vs a numpy
+        # reference run of the identical algorithm in pytest.
         # graph_lpa / graph_community_density: iterative fixpoint
         # algorithms (not SQL-expressible) → rows-only check; both have
         # exact pytest recomputations (tests/test_no_oracle_checks.py).

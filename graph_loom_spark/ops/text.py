@@ -278,3 +278,39 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("top_bigram_frac"),
         )
     )
+
+
+# Shared PII patterns — restricted to syntax that Java's regex (Spark)
+# and RE2 (the DuckDB oracle) interpret identically: character classes,
+# bounded repetition, \b word boundaries; no lookaround, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{9,15}", "<PHONE>"),
+}
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the pre-training scrub pass: returns
+    ``(doc_id, n_email, n_ipv4, n_phone, redacted_fingerprint)`` where
+    the fingerprint is md5 of the text with every match replaced by its
+    ``<TYPE>`` tag (emails first, then IPs, then phones — order matters
+    because an email's domain could otherwise be clipped into an IP-like
+    token).
+
+    Pure JVM expressions (regexp_extract_all / regexp_replace / md5) —
+    whole-stage codegen, one narrow scan, no shuffle; the full redacted
+    text never leaves the executor, only its hash. Engine-exact vs the
+    oracle because the patterns are in the Java∩RE2 common subset and
+    Spark's replace-all matches DuckDB's 'g' flag.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, (pat, tag) in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, tag)
+    return documents.select("doc_id", *counts, F.md5(red).alias("redacted_fingerprint"))

@@ -69,3 +69,28 @@ def test_dedup_clusters_transitive_chain(spark):
     assert out[10]["cluster_id"] == out[11]["cluster_id"] == out[12]["cluster_id"] == 10
     assert out[10]["is_canonical"] and not out[11]["is_canonical"]
     assert out[13]["cluster_id"] == 13 and out[13]["is_canonical"]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk or +4915112345678 now"),
+        (1, "server at 10.0.0.1 and 192.168.1.255, mail root@host.org"),
+        (2, "nothing sensitive here"),
+        (3, "a@b.io a@b.io"),  # duplicate matches both counted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.pii_scrub(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 1, 0)
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (1, 2)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_email"] == 2
+
+    import hashlib
+
+    expected = hashlib.md5(
+        b"contact <EMAIL> or <PHONE> now"
+    ).hexdigest()
+    assert out[0]["redacted_fingerprint"] == expected
+    assert out[1]["redacted_fingerprint"] == hashlib.md5(
+        b"server at <IP> and <IP>, mail <EMAIL>"
+    ).hexdigest()
