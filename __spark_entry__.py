@@ -295,6 +295,18 @@ def _q_docs_repetition(spark, sf_dir):
     return ops_text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint sets, k=8 w=4 — md5-based window
+    minima are engine-portable, oracle-exact."""
+    return ops_text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_bpe_tokens(spark, sf_dir):
+    """BPE-ish-regex vs whitespace token counts — pure regexp math,
+    oracle-exact (pattern is in the Java-regex ∩ RE2 subset)."""
+    return ops_text.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_pii(spark, sf_dir):
     """PII scrub (count + redaction fingerprint). The sf corpus carries
     no PII, so counts are zero here — the fingerprint still hash-checks
@@ -515,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_kmeans": _q_emb_kmeans,
         "docs_pii": _q_docs_pii,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "docs_winnow": _q_docs_winnow,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -849,6 +863,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+        ),
+        "docs_winnow": (
+            "WITH nm AS (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
+            "g AS (SELECT doc_id, "
+            "[substr(md5(substr(norm, i, 8)), 1, 8) "
+            "for i in generate_series(1, CASE WHEN len(norm) >= 8 THEN len(norm) - 7 "
+            "WHEN len(norm) >= 1 THEN 1 ELSE 0 END)] AS hs FROM nm) "
+            "SELECT doc_id, unnest(list_distinct("
+            "[list_min(hs[j:j+3]) for j in generate_series(1, greatest(len(hs) - 3, 1))]"
+            ")) AS fp FROM g WHERE len(hs) >= 1"
+        ),
+        "docs_bpe_tokens": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) "
+            "AS n_bpe_tokens, "
+            "CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE) / "
+            "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END AS bpe_per_ws "
+            "FROM documents"
         ),
         "docs_pii": (
             "SELECT doc_id, "

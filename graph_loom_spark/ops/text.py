@@ -314,3 +314,81 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, tag)
     return documents.select("doc_id", *counts, F.md5(red).alias("redacted_fingerprint"))
+
+
+# GPT-2-style pre-tokenizer, restricted to the Java-regex ∩ RE2 common
+# subset (no lookarounds): contractions, letter runs, digit runs,
+# punctuation runs — each optionally preceded by one space. Whitespace
+# between tokens is consumed implicitly by extract-all.
+_BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex alongside the
+    whitespace count — the standard "how many tokens will this cost"
+    estimator a training pipeline runs before the real tokenizer.
+    Returns ``(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws)``.
+
+    Pure ``regexp_extract_all`` size — codegen'd, no shuffle, one scan.
+    The pattern avoids lookarounds so Spark (java.util.regex) and the
+    DuckDB oracle (RE2) tokenize identically.
+    """
+    ws = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH_RE), 0))
+    return documents.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws).otherwise(F.lit(0.0)).alias(
+            "bpe_per_ws"
+        ),
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum; the distinct selected hashes are the
+    document's fingerprint set. Guarantees any shared substring of
+    length ≥ k+w−1 contributes a shared fingerprint — the local-match
+    detector exact dedup can't give and MinHash only approximates.
+
+    Returns exploded ``(doc_id, fp)`` rows, ``fp`` = first 8 hex chars of
+    md5(k-gram) — fixed-width hex compares identically to the u32 it
+    encodes, so window minima are engine-independent (md5 everywhere; a
+    polynomial rolling hash would be faster per byte but engine-local —
+    same portability trade as :func:`fingerprint`).
+
+    Shape: transform/slice array expressions per row (codegen, one scan,
+    zero shuffle — per-doc dedupe is ``array_distinct`` BEFORE the
+    explode). Docs shorter than ``k`` chars hash as a single truncated
+    gram; empty docs emit no rows.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    L = F.length(norm)
+    # Spark's sequence(1, 0) counts DOWN — gate the gram count explicitly
+    n_grams = (
+        F.when(L >= k, L - k + 1).when(L >= 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = documents.select("doc_id", grams.alias("__hs"))
+    nh = F.size("__hs")
+    wins = F.when(
+        nh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nh - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", F.explode(wins).alias("fp"))

@@ -94,3 +94,39 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[1]["redacted_fingerprint"] == hashlib.md5(
         b"server at <IP> and <IP>, mail <EMAIL>"
     ).hexdigest()
+
+
+def test_bpe_token_stats(spark):
+    rows = [
+        (0, "don't stop"),            # don | 't | stop -> 3 bpe, 2 ws
+        (1, "abc123 x!"),             # abc | 123 | x | ! -> 4 bpe, 2 ws
+        (2, ""),                      # empty -> 0/0, ratio 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.bpe_token_stats(docs).collect()}
+    assert (out[0]["n_ws_tokens"], out[0]["n_bpe_tokens"]) == (2, 3)
+    assert (out[1]["n_ws_tokens"], out[1]["n_bpe_tokens"]) == (2, 4)
+    assert (out[2]["n_ws_tokens"], out[2]["n_bpe_tokens"], out[2]["bpe_per_ws"]) == (0, 0, 0.0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # docs sharing a substring of length >= k+w-1 (= 11) must share a fp
+    shared = "quintessential-marker"
+    rows = [
+        (0, "aaa " + shared + " bbb"),
+        (1, "zzz prefix " + shared),
+        (2, "totally unrelated content qq"),
+        (3, "tiny"),   # shorter than k: single truncated gram
+        (4, ""),       # empty: no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = ops_text.winnow_fingerprints(docs).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared substring must yield a shared fingerprint"
+    assert len(fps[3]) == 1
+    assert 4 not in fps
+    import hashlib
+
+    assert fps[3] == {hashlib.md5(b"tiny").hexdigest()[:8]}
