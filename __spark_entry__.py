@@ -325,6 +325,13 @@ def _q_emb_kmeans(spark, sf_dir):
     return ops_sim.kmeans_summary(emb, k=8, iters=10)
 
 
+def _q_emb_pca(spark, sf_dir):
+    """Distributed one-pass-Gram PCA projection to 2 components.
+    Eigen-solve → no SQL oracle; exact vs a numpy reference in
+    tests/test_no_oracle_checks.py."""
+    return ops_sim.pca(_t(spark, sf_dir, "embeddings"), n_components=2)
+
+
 def _q_docs_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline: exact 3-gram Jaccard ≥ 0.5 pairs →
     min-contraction connected components → canonical per cluster. The
@@ -542,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_pca": _q_emb_pca,
         "docs_pii": _q_docs_pii,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
@@ -951,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         # based or approximate → intentionally no oracle (rows-only check).
         # emb_kmeans: iterative fixpoint → no oracle; exact vs a numpy
         # reference run of the identical algorithm in pytest.
+        # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.
         # graph_lpa / graph_community_density: iterative fixpoint
         # algorithms (not SQL-expressible) → rows-only check; both have
         # exact pytest recomputations (tests/test_no_oracle_checks.py).

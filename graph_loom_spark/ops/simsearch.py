@@ -538,3 +538,78 @@ def kmeans_summary(
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("size"), F.min(id_col).alias("min_id")
     )
+
+
+def pca(
+    embeddings: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA over an embedding column: returns
+    ``(vec_id, pc)`` with ``pc`` = the ``n_components``-dim projection
+    (array<double>) of the mean-centered vector — the standard
+    dimensionality-reduction pass before ANN/clustering at corpus scale.
+
+    One-pass covariance: each Arrow batch contributes its Gram matrix
+    ``XᵀX`` (dim×dim), row sum, and count via ``mapInPandas`` — so the
+    driver aggregates #batches × (dim² + dim + 1) doubles, never data —
+    then ``cov = (Σ XᵀX − n·μμᵀ)/(n−1)`` and a dim×dim ``eigh`` on the
+    driver (64×64 here; the driver-side cost is O(dim³), independent of
+    row count). Projection is one broadcast matmul per batch.
+
+    Determinism: eigh of the SAME covariance is deterministic, and the
+    covariance is made partition-order-independent by rounding (1e-9)
+    before the solve; each component's sign is fixed by making its
+    largest-|coefficient| entry positive (eigenvector sign is otherwise
+    arbitrary). Validated against a single-machine numpy PCA in pytest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(embeddings.select(vec_col).head()[0])
+    gram_schema = "n long, s string, g string"
+
+    def _partials(batches):
+        for pdf in batches:
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if M.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [M.shape[0]],
+                    # float64 bytes round-trip exactly through hex strings
+                    "s": [M.sum(axis=0).tobytes().hex()],
+                    "g": [(M.T @ M).tobytes().hex()],
+                }
+            )
+
+    parts = embeddings.select(vec_col).mapInPandas(_partials, gram_schema).collect()
+    if not parts:
+        raise ValueError("pca: empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in parts:
+        s += np.frombuffer(bytes.fromhex(r["s"]), dtype=np.float64)
+        g += np.frombuffer(bytes.fromhex(r["g"]), dtype=np.float64).reshape(dim, dim)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    cov = np.round((cov + cov.T) / 2.0, 9)  # symmetrize + order-independence
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :n_components].T.copy()  # (k, dim), desc eigenvalue
+    for j in range(comps.shape[0]):  # canonical sign
+        if comps[j, np.argmax(np.abs(comps[j]))] < 0:
+            comps[j] = -comps[j]
+
+    proj_schema = f"{id_col} long, pc array<double>"
+
+    def _project(batches):
+        for pdf in batches:
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if M.size == 0:
+                continue
+            P = np.round((M - mu) @ comps.T, 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(P)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_project, proj_schema)

@@ -298,3 +298,34 @@ def test_kmeans_matches_numpy_reference(spark):
         for r in sim.kmeans(emb, k=k, iters=iters).collect()
     }
     assert got == expected
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed one-pass Gram PCA ≡ single-machine numpy PCA (same
+    covariance formula, 1e-9 rounding, sign canonicalization, 6-decimal
+    projection rounding) on the sf0.001 embeddings."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.collect()), key=lambda t: t[0]
+    )
+    X = np.asarray([t[1] for t in rows], dtype=np.float64)
+    n = len(X)
+    mu = X.mean(axis=0)
+    cov = np.round((np.cov(X, rowvar=False, bias=False) + 0) / 1.0, 9)
+    cov = np.round((cov + cov.T) / 2.0, 9)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :2].T.copy()
+    for j in range(2):
+        if comps[j, np.argmax(np.abs(comps[j]))] < 0:
+            comps[j] = -comps[j]
+    expected = {
+        t[0]: np.round((np.asarray(t[1], dtype=np.float64) - mu) @ comps.T, 6)
+        for t in rows
+    }
+
+    got = {r["vec_id"]: r["pc"] for r in sim.pca(emb, n_components=2).collect()}
+    assert set(got) == set(expected)
+    for vid, pc in got.items():
+        assert np.allclose(pc, expected[vid], atol=1e-5), vid
