@@ -104,3 +104,28 @@ def test_asof_join_is_single_keyed_shuffle(spark):
     # (clicks dedupe pre-aggregates on (user_id, ts) — also keyed)
     assert exchanges, "expected a keyed exchange"
     assert all("user_id" in e for e in exchanges)
+
+
+def test_winnow_is_single_scan_no_shuffle(spark):
+    # the whole fingerprint pipeline is array expressions + explode —
+    # any Exchange would mean the per-doc dedupe leaked into a shuffle
+    plan = _plan(spark, "docs_winnow")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_shuffles_bigram_hash_not_text(spark):
+    plan = _plan(spark, "docs_repetition")
+    assert plan.count("HashAggregate") >= 2  # partial + final on bigrams
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_pii_and_bpe_are_narrow_scans(spark):
+    for name in ("docs_pii", "docs_bpe_tokens"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        # column pruning: only doc_id + text leave the scan
+        assert "n_chars" not in plan.split("ReadSchema")[-1], name
