@@ -1,0 +1,169 @@
+"""Table sources for the pipeline surface: parquet / JSONL / CSV / ORC
+readers and writers with EXPLICIT schemas and corrupt-record capture.
+
+The reference's only ingest is its RON whole-graph snapshot
+(src/persistence/persist.rs:14-21) — this module is the beyond-reference
+source surface a training-data pipeline needs: the same `documents` /
+`events` / `embeddings` tables arriving as JSONL or CSV drops instead
+of parquet.
+
+Scale rules baked in:
+- **Never infer schemas.** ``inferSchema``/sampled JSON inference is an
+  extra full pass over the data before the real read — at 100 TB that
+  doubles the scan. Schemas here are declared once, and the reader
+  rejects drift into a ``_corrupt_record`` column instead of silently
+  re-typing columns.
+- **PERMISSIVE by default**: malformed rows land in ``_corrupt`` with
+  the raw line preserved, so a bad shard quarantines instead of killing
+  a 1000-executor job; ``mode="FAILFAST"`` opts into strictness.
+- Embeddings ship through JSON/CSV as a JSON-encoded array string —
+  parsed back with ``from_json`` (codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# embeddings: the vector crosses text formats as a JSON array string
+EMBEDDINGS_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.StringType()),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` with the declared ``schema``. For the
+    text formats (jsonl/csv) malformed rows are captured in
+    ``_corrupt`` (PERMISSIVE) or abort the job (FAILFAST); parquet/orc
+    carry their own schema and are verified against the declared one by
+    Spark's reader. Returns only the declared columns plus ``_corrupt``
+    for text formats."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
+    if fmt in ("jsonl", "json"):
+        return (
+            spark.read.schema(_with_corrupt(schema))
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    if fmt == "csv":
+        return (
+            spark.read.schema(_with_corrupt(schema))
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("header", True)
+            # embeddings/props may contain commas — standard quoting
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unsupported source format: {fmt}")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", partition_by=None) -> None:
+    """Distributed write (sharded directory — executors write in
+    parallel; there is deliberately no single-file mode here, unlike the
+    parity exports in :mod:`graph_loom_spark.io.exports`)."""
+    fmt = fmt.lower()
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt in ("jsonl", "json"):
+        w.json(path)
+    elif fmt == "csv":
+        w.option("header", True).option("quote", '"').option("escape", '"').csv(path)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+    return read_table(spark, path, DOCUMENTS_SCHEMA, fmt, **kw)
+
+
+def read_events(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+    return read_table(spark, path, EVENTS_SCHEMA, fmt, **kw)
+
+
+def read_embeddings(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+    """Embeddings from any format; for text formats the JSON-encoded
+    vector string is parsed back to ``array<float>`` JVM-side."""
+    if fmt.lower() in ("parquet", "orc"):
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+        return read_table(spark, path, schema, fmt, **kw)
+    raw = read_table(spark, path, EMBEDDINGS_TEXT_SCHEMA, fmt, **kw)
+    return raw.withColumn(
+        "embedding", F.from_json("embedding", T.ArrayType(T.FloatType()))
+    )
+
+
+def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE text read into (clean, corrupt) frames: clean
+    rows with the corrupt column dropped, corrupt rows as raw lines.
+
+    The frame is cached first: Spark refuses to answer queries that
+    reference only the corrupt-record column of a raw text scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — caching
+    materializes the parse, which is also what you want operationally:
+    the quarantine split is the one pass that should pay the parse, with
+    both halves then written out (the cache is dropped by the caller's
+    session teardown, or explicitly via ``df.unpersist()``)."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.sparkSession.createDataFrame(
+            [], T.StructType([T.StructField(CORRUPT_COL, T.StringType())])
+        )
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad

@@ -1,0 +1,86 @@
+"""Round-trip + quarantine tests for the table sources (JSONL/CSV/ORC
+document drops with explicit schemas — the beyond-reference ingest
+surface)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graph_loom_spark.io import sources
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return sources.read_documents(spark, f"{SF_DIR}/documents.parquet")
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "docs_jsonl")
+    sources.write_table(docs, p, "jsonl")
+    back, bad = sources.quarantine(sources.read_documents(spark, p, "jsonl"))
+    assert bad.count() == 0
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_documents_csv_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "docs_csv")
+    sources.write_table(docs, p, "csv")
+    back, bad = sources.quarantine(sources.read_documents(spark, p, "csv"))
+    assert bad.count() == 0
+    assert back.count() == docs.count()
+    # spot-check content equality on a sample row
+    a = docs.filter(F.col("doc_id") == 3).head().asDict()
+    b = back.filter(F.col("doc_id") == 3).head().asDict()
+    assert a == b
+
+
+def test_embeddings_jsonl_roundtrip_parses_vector(spark, tmp_path):
+    emb = sources.read_embeddings(spark, f"{SF_DIR}/embeddings.parquet")
+    p = str(tmp_path / "emb_jsonl")
+    sources.write_table(
+        emb.withColumn("embedding", F.to_json("embedding")), p, "jsonl"
+    )
+    back = sources.read_embeddings(spark, p, "jsonl")
+    row_a = emb.filter(F.col("vec_id") == 5).head()
+    row_b = back.filter(F.col("vec_id") == 5).head()
+    assert row_b["embedding"] is not None
+    assert list(row_a["embedding"]) == list(row_b["embedding"])
+
+
+def test_corrupt_jsonl_rows_quarantine_not_crash(spark, tmp_path):
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": "not-a-number", "text": 7}\n'
+    )
+    df = sources.read_documents(spark, str(p), "jsonl")
+    clean, bad = sources.quarantine(df)
+    assert clean.count() == 1
+    assert bad.count() == 2
+    assert clean.head()["doc_id"] == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "docs_orc")
+    sources.write_table(docs, p, "orc")
+    back = sources.read_documents(spark, p, "orc")
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+
+
+def test_unsupported_format_raises(spark):
+    try:
+        sources.read_documents(spark, "/nonexistent", "avro")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "avro" in str(e)
