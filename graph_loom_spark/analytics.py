@@ -143,7 +143,9 @@ def similarity_weights(graph: PropertyGraph) -> DataFrame:
     )
 
 
-def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
+def weighted_label_propagation(
+    graph: PropertyGraph, max_iter: int = 8, broadcast_nodes_max: int = 5_000_000
+) -> DataFrame:
     """Weighted LPA (frontend.rs:509-588): returns ``(id, community)``.
 
     Synchronous rounds: each node adopts argmax_c Σ w(u←v) over
@@ -173,10 +175,11 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
     # partitions idle most cores (measured at sf0.1: 9 partitions on 32
     # cores ran rounds ~3× slower); the data-sized term takes over at
     # cluster scale
+    n_nodes_total = graph.nodes.count()
     parts = int(
         max(
             spark.sparkContext.defaultParallelism,
-            (graph.nodes.count() + 2 * graph.edges.count()) // 500_000,
+            (n_nodes_total + 2 * graph.edges.count()) // 500_000,
         )
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -192,10 +195,25 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
             idmap.select(F.col("iid").alias("id"), F.col("iid").alias("community")),
             tracked,
         )
+        # The (iid, community) frame is 16 bytes/node. While it fits an
+        # executor broadcast (≤ broadcast_nodes_max nodes ≈ 80 MB), hint
+        # it explicitly on BOTH per-round joins: AQE does eventually
+        # convert the score join to broadcast, but only after paying the
+        # comm-side exchange stages — measured 7.6-8.7 s vs 2.0-2.8 s
+        # per round at sf0.1. Past the threshold (cluster-scale |V|) the
+        # rounds fall back to the plain co-shuffled joins.
+        bcast = (
+            F.broadcast if n_nodes_total <= broadcast_nodes_max else (lambda df: df)
+        )
         for it in range(max_iter):
             scores = (
                 weights.join(
-                    comm.select(F.col("id").alias("v"), F.col("community").alias("c")), "v"
+                    bcast(
+                        comm.select(
+                            F.col("id").alias("v"), F.col("community").alias("c")
+                        )
+                    ),
+                    "v",
                 )
                 .groupBy("u", "c")
                 .agg(F.sum("w").alias("score"))
@@ -215,7 +233,7 @@ def weighted_label_propagation(graph: PropertyGraph, max_iter: int = 8) -> DataF
                 .select(F.col("u").alias("id"), F.col("__b.c").alias("new_community"))
             )
             nxt = _tracked_checkpoint(
-                comm.join(best, "id", "left").select(
+                comm.join(bcast(best), "id", "left").select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),
                     (F.coalesce("new_community", "community") != F.col("community")).alias(
