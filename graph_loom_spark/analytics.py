@@ -524,7 +524,9 @@ def _layout_step(
     )
 
 
-def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    graph: PropertyGraph, max_iter: int = 30, broadcast_nodes_max: int = 5_000_000
+) -> DataFrame:
     """Undirected connected components (the reference's BFS flood,
     frontend.rs:3044-3063, generalized to all components): returns
     ``(id, component)`` where component is the smallest node id in the
@@ -582,6 +584,12 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
         )
         levels = []  # per-level u → m maps (only nodes with edges at that level)
         cur = adj
+        # The per-level m map is ≤ |nodes-at-level| (u, m) long pairs and
+        # only SHRINKS with depth — while the initial node set fits a
+        # broadcast, every level's two rebuild joins can skip the m-side
+        # exchanges (same measured lever as the LPA comm broadcast); at
+        # cluster scale the plain co-shuffled joins remain.
+        bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
         for _ in range(max_iter):
             m = _tracked_checkpoint(
                 cur.groupBy("u")
@@ -591,8 +599,8 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
             )
             levels.append(m)
             contracted = _tracked_checkpoint(
-                cur.join(m.select("u", F.col("m").alias("__mu")), "u")
-                .join(m.select(F.col("u").alias("v"), F.col("m").alias("__mv2")), "v")
+                cur.join(bcast(m.select("u", F.col("m").alias("__mu"))), "u")
+                .join(bcast(m.select(F.col("u").alias("v"), F.col("m").alias("__mv2"))), "v")
                 .select(F.col("__mu").alias("u"), F.col("__mv2").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
@@ -617,14 +625,15 @@ def connected_components(graph: PropertyGraph, max_iter: int = 30) -> DataFrame:
             if root is None:
                 root = m.select("u", F.col("m").alias("root"))
             else:
-                root = m.join(root.withColumnRenamed("u", "m"), "m", "left").select(
+                # root is the deeper (strictly smaller) level's map
+                root = m.join(bcast(root.withColumnRenamed("u", "m")), "m", "left").select(
                     "u", F.coalesce("root", F.col("m")).alias("root")
                 )
         # degree-0 nodes never appear in any level map → their own root
         if root is None:
             comp = idmap.select("id", "iid", F.col("iid").alias("__hc"))
         else:
-            comp = idmap.join(root.withColumnRenamed("u", "iid"), "iid", "left").select(
+            comp = idmap.join(bcast(root.withColumnRenamed("u", "iid")), "iid", "left").select(
                 "id", "iid", F.coalesce("root", F.col("iid")).alias("__hc")
             )
         # map hash-components back to min string ids inside the sized-
