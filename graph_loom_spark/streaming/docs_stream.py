@@ -244,3 +244,51 @@ def _minhash_batch_processor(
             _free_intermediates(spark, tracked)
 
     return _process
+
+
+def stream_quality_filter(
+    docs: DataFrame,
+    min_quality: int = 2,
+    max_dup_token_frac: float = 0.9,
+    scrub_pii: bool = True,
+) -> DataFrame:
+    """Streaming quality gate — the filter stage of an ingestion
+    pipeline, built from the SAME batch operators (``quality_score``,
+    ``repetition_stats``'s dup-token expression, ``pii_scrub``'s
+    redaction) so stream and batch agree row-for-row (pinned by the
+    stream≡batch pytest).
+
+    Everything here is a stateless projection/filter — no watermark, no
+    state store; Structured Streaming runs it per micro-batch exactly as
+    batch would. Emits the surviving documents with their scores and
+    (optionally) the PII-redacted text.
+    """
+    from graph_loom_spark.ops.text import PII_PATTERNS, _TOKEN_RE
+
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    len_ok = (chars >= 50) & (chars <= 20000)
+    tok_ok = (toks >= 10) & ((chars.cast("double") / toks) <= 12.0)
+    alpha_ratio = alpha.cast("double") / chars
+    score = (
+        len_ok.cast("int") + tok_ok.cast("int") + (alpha_ratio >= 0.5).cast("int")
+    )
+    tok_arr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(tok_arr)).cast("double") / F.size(
+        tok_arr
+    )
+    out = docs.withColumn("quality_score", score.cast("bigint")).withColumn(
+        "dup_token_frac", dup_frac
+    )
+    if scrub_pii:
+        red = F.col("text")
+        for pat, tag in PII_PATTERNS.values():
+            red = F.regexp_replace(red, pat, tag)
+        out = out.withColumn("text", red)
+    return out.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+    )

@@ -223,3 +223,43 @@ def test_minhash_dedup_batch_replay_idempotent(spark, tmp_path):
     dropped = {r["id_b"] for r in pairs.collect()}
     assert dropped, "corpus should contain planted near-duplicates"
     assert once_out == set(ids) - dropped
+
+
+def test_stream_quality_filter_matches_batch(spark, docs_path):
+    """The streaming quality gate is stateless, so a drained stream must
+    equal the same expressions applied in batch — row for row, including
+    the PII-redacted text."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import text as ops_text
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_quality_filter(stream, min_quality=2), "docs_quality_t",
+        output_mode="append",
+    )
+    got = {
+        r["doc_id"]: (r["quality_score"], r["text"])
+        for r in spark.sql("SELECT * FROM docs_quality_t").collect()
+    }
+
+    batch = spark.read.parquet(docs_path)
+    q = ops_text.quality_score(batch).select("doc_id", "quality_score")
+    rep = ops_text.repetition_stats(batch).select("doc_id", "dup_token_frac")
+    scrub = ops_text.pii_scrub(batch).select("doc_id")  # patterns only
+    red = batch.select("doc_id", "text")
+    from graph_loom_spark.ops.text import PII_PATTERNS
+
+    col = F.col("text")
+    for pat, tag in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, tag)
+    red = red.withColumn("text", col)
+    want = {
+        r["doc_id"]: (r["quality_score"], r["text"])
+        for r in q.join(rep, "doc_id")
+        .join(red, "doc_id")
+        .filter((F.col("quality_score") >= 2) & (F.col("dup_token_frac") <= 0.9))
+        .collect()
+    }
+    assert got == want
