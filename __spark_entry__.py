@@ -28,6 +28,7 @@ from graph_loom_spark.ops import text as ops_text
 _GRAPH_CACHE: dict[str, object] = {}
 _LPA_CACHE: dict[str, DataFrame] = {}
 _JACCARD_CACHE: dict[str, DataFrame] = {}
+_WINNOW_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -63,7 +64,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _JACCARD_CACHE):
+    for cache in (_LPA_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -249,6 +250,20 @@ def _q_events_sessionize(spark, sf_dir):
     return ops_events.sessionize(_events(spark, sf_dir))
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel, first-match semantics."""
+    return ops_events.funnel(_events(spark, sf_dir))
+
+
+def _q_events_retention(spark, sf_dir):
+    """Daily first-activity cohorts × active-day offsets."""
+    return ops_events.retention_cohorts(_events(spark, sf_dir)).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     return ops_dedup.exact_dedup(_t(spark, sf_dir, "documents"), ["text"])
 
@@ -297,10 +312,32 @@ def _q_docs_repetition(spark, sf_dir):
     return ops_text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _winnow_fps(spark, sf_dir) -> DataFrame:
+    # deterministic → memo-safe; shared by docs_winnow + docs_winnow_pairs
+    cached = _WINNOW_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _WINNOW_CACHE[sf_dir] = ops_text.winnow_fingerprints(
+            _t(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _WINNOW_CACHE[sf_dir]
+
+
 def _q_docs_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprint sets, k=8 w=4 — md5-based window
     minima are engine-portable, oracle-exact."""
-    return ops_text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return _winnow_fps(spark, sf_dir)
+
+
+def _q_docs_winnow_pairs(spark, sf_dir):
+    """Local-overlap pairs via shared winnowing fingerprints (inverted
+    fp index with the df≤10 noise cap, Θ(colliding pairs)) — oracle
+    brute-forces the same capped join."""
+    return ops_dedup.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        min_shared=2,
+        max_fp_df=10,
+        fps=_winnow_fps(spark, sf_dir),
+    )
 
 
 def _q_docs_bpe_tokens(spark, sf_dir):
@@ -535,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_no_orders": _q_setop_customers_no_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_top_users": _q_events_top_users,
         "events_asof_join": _q_events_asof_join,
         "agg_percentiles": _q_agg_percentiles,
@@ -553,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii": _q_docs_pii,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
+        "docs_winnow_pairs": _q_docs_winnow_pairs,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -683,6 +723,30 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+            "SELECT CAST(1 AS INT) AS step, 'view' AS step_name, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
+        ),
+        "events_retention": (
+            "WITH cohort AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day "
+            "FROM events GROUP BY user_id), "
+            "activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+            "SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day, "
+            "CAST(datediff('day', c.cohort_day, a.day) AS INT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM activity a JOIN cohort c ON a.user_id = c.user_id "
+            "GROUP BY c.cohort_day, datediff('day', c.cohort_day, a.day)"
         ),
         "events_sessionize": (
             "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM ("
@@ -898,6 +962,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct("
             "[list_min(hs[j:j+3]) for j in generate_series(1, greatest(len(hs) - 3, 1))]"
             ")) AS fp FROM g WHERE len(hs) >= 1"
+        ),
+        "docs_winnow_pairs": (
+            "WITH nm AS (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
+            "g AS (SELECT doc_id, "
+            "[substr(md5(substr(norm, i, 8)), 1, 8) "
+            "for i in generate_series(1, CASE WHEN len(norm) >= 8 THEN len(norm) - 7 "
+            "WHEN len(norm) >= 1 THEN 1 ELSE 0 END)] AS hs FROM nm), "
+            "f AS (SELECT doc_id, unnest(list_distinct("
+            "[list_min(hs[j:j+3]) for j in generate_series(1, greatest(len(hs) - 3, 1))]"
+            ")) AS fp FROM g WHERE len(hs) >= 1), "
+            "fpk AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM f GROUP BY fp) "
+            "WHERE c <= 10), "
+            "f2 AS (SELECT f.doc_id, f.fp FROM f JOIN fpk USING (fp)) "
+            "SELECT id_a, id_b, shared_fps FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(count(*) AS BIGINT) AS shared_fps "
+            "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) WHERE shared_fps >= 2"
         ),
         "docs_bpe_tokens": (
             "SELECT doc_id, "

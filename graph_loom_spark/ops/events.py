@@ -150,3 +150,74 @@ def top_users_by_value(events: DataFrame, event_type: str = "purchase", k: int =
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(k)
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis (first-match semantics): step i counts the
+    users whose earliest step-i event occurs strictly AFTER their
+    matched step-(i−1) event. Returns ``(step, step_name, n_users)``.
+
+    Shape: one filtered min-aggregation per step (map-side partial,
+    shuffle keyed by user) joined onto the previous step's reach frame
+    — step frames only shrink, so later joins are broadcast candidates
+    under AQE; no windows, no self-join over raw events.
+    """
+    reach = None  # (user, t_prev)
+    out = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reach is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t_prev"))
+        else:
+            cur = (
+                ev.join(reach, "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_prev"))
+            )
+        reach = cur
+        out.append(
+            cur.agg(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(step).alias("step_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-activity day;
+    for each (cohort_day, day_offset) the count of cohort users active
+    that day. Returns ``(cohort_day, day_offset, n_users)``.
+
+    Shape: one min-agg for cohort assignment, one distinct-activity
+    projection, an equi-join on user (cohort frame ≤ one row per user)
+    and a final count agg — all partial-aggregable, keyed shuffles only.
+    """
+    cohort = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    return (
+        activity.join(cohort, "u")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -362,33 +362,52 @@ def winnow_fingerprints(
     polynomial rolling hash would be faster per byte but engine-local —
     same portability trade as :func:`fingerprint`).
 
-    Shape: transform/slice array expressions per row (codegen, one scan,
-    zero shuffle — per-doc dedupe is ``array_distinct`` BEFORE the
-    explode). Docs shorter than ``k`` chars hash as a single truncated
-    gram; empty docs emit no rows.
+    Shape: normalization stays a codegen'd expression; the per-position
+    hash + sliding-window min runs in ONE Arrow-batched ``mapInPandas``
+    (numpy ``sliding_window_view`` min + ``unique`` per doc) — zero
+    shuffle, one scan. This is deliberately NOT the pure-expression form
+    (``transform(sequence(...), i -> md5(substr ...))``): Catalyst
+    interprets higher-order-function lambdas element-by-element, no
+    whole-stage codegen, measured 12-14 s vs 2-5 s for this at sf0.1 —
+    the same HOF-vs-Arrow trade as ``ivf_assign``. Docs shorter than
+    ``k`` chars hash as a single truncated gram; empty docs emit no
+    rows.
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    L = F.length(norm)
-    # Spark's sequence(1, 0) counts DOWN — gate the gram count explicitly
-    n_grams = (
-        F.when(L >= k, L - k + 1).when(L >= 1, F.lit(1)).otherwise(F.lit(0))
+
+    def _winnow(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["__n"]):
+                L = len(text)
+                if L == 0:
+                    continue
+                ng = L - k + 1 if L >= k else 1
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(text[i : i + k].encode()).digest()[:4], "big"
+                        )
+                        for i in range(ng)
+                    ),
+                    dtype=np.uint32,
+                    count=ng,
+                )
+                if ng >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                for v in np.unique(mins):
+                    ids.append(doc_id)
+                    fps.append(f"{v:08x}")
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return documents.select("doc_id", norm.alias("__n")).mapInPandas(
+        _winnow, "doc_id long, fp string"
     )
-    grams = F.when(
-        n_grams > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = documents.select("doc_id", grams.alias("__hs"))
-    nh = F.size("__hs")
-    wins = F.when(
-        nh >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(nh - w + 1, F.lit(1))),
-                lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc_id", F.explode(wins).alias("fp"))

@@ -3,6 +3,8 @@ per key, left-join nulls when nothing precedes."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from graph_loom_spark.ops.events import asof_join
 
 
@@ -24,3 +26,52 @@ def test_asof_join_semantics(spark):
     assert out["l3"] == (None, None)  # right row is later → left-join nulls
     assert out["l4"] == (None, None)  # key with no right rows at all
     assert len(out) == 4
+
+
+def test_funnel_first_match_ordering(spark):
+    from graph_loom_spark.ops.events import funnel
+
+    rows = [
+        # u1 completes view->click->purchase in order
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # u2 clicks BEFORE viewing; later click counts, purchase missing
+        (4, "2024-01-01 09:00:00", 2, "click"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        (6, "2024-01-01 11:00:00", 2, "click"),
+        # u3 views only
+        (7, "2024-01-01 08:00:00", 3, "view"),
+        # u4 purchases with no view: not in funnel at all
+        (8, "2024-01-01 08:00:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["step"]: r["n_users"] for r in funnel(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from graph_loom_spark.ops.events import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-03 10:00:00", 1, "view"),   # offset 2
+        (3, "2024-01-01 23:59:00", 2, "view"),
+        (4, "2024-01-02 00:01:00", 2, "view"),   # offset 1
+        (5, "2024-01-02 05:00:00", 3, "view"),   # separate cohort
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }

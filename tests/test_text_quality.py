@@ -130,3 +130,31 @@ def test_winnow_shared_substring_guarantee(spark):
     import hashlib
 
     assert fps[3] == {hashlib.md5(b"tiny").hexdigest()[:8]}
+
+
+def test_winnow_overlap_pairs_detects_shared_passage(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (0, "intro text " + shared + " outro"),
+        (1, shared + " completely different tail content"),
+        (2, "unrelated document body with other words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in ops_dedup.winnow_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_overlap_df_cap_drops_universal_fps(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    # every doc shares the same text -> every fp has df = 4 > cap 3
+    rows = [(i, "identical boilerplate body everywhere") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert ops_dedup.winnow_overlap_pairs(docs, min_shared=1, max_fp_df=3).count() == 0
+    assert ops_dedup.winnow_overlap_pairs(docs, min_shared=1, max_fp_df=None).count() == 6
