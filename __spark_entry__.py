@@ -586,7 +586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_tfidf": _q_docs_tfidf,
         "docs_repetition": _q_docs_repetition,
-        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_kmeans": _q_emb_kmeans,
         "emb_pca": _q_emb_pca,
         "docs_pii": _q_docs_pii,
@@ -603,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        # immediately after docs_ngram_jaccard: reuses its memoized pairs
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,

@@ -1,0 +1,126 @@
+"""Scaling probe: run the heavy pipeline operators at sf0.01, sf0.1 and
+a synthetic ~10×-sf0.1 corpus, and report wall-clock scaling factors.
+
+The 10× corpus is derived (not hand-synthesized data — the task data
+stays authoritative for correctness): each document/embedding is
+replicated with shifted ids and deterministically perturbed text/vector
+values, so cardinalities (distinct shingles, near-dup pair density,
+cluster structure) grow realistically instead of collapsing into exact
+duplicates.
+
+Usage: PYTHONPATH=. python scripts/scale_probe.py [ops...]
+Writes the derived corpus under /tmp/spark_graft_scale/ (not testdata).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graph_loom_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+DERIVED = "/tmp/spark_graft_scale"
+COPIES = 10
+
+
+def _derive(spark) -> None:
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    n_docs = docs.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("__c"))
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("__c") * n_docs).alias("doc_id"),
+            # perturb: prefix a per-copy token so replicas are near- but
+            # not exact duplicates of the originals
+            F.when(F.col("__c") == 0, F.col("text"))
+            .otherwise(F.concat(F.lit("v"), F.col("__c").cast("string"), F.lit(" "), F.col("text")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    big_docs.write.mode("overwrite").parquet(f"{DERIVED}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("__c") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("__c").cast("float") * 0.001)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    big_emb.write.mode("overwrite").parquet(f"{DERIVED}/embeddings.parquet")
+
+
+def main() -> None:
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.ops import simsearch as ops_sim
+    from graph_loom_spark.ops import text as ops_text
+
+    spark = get_spark(app_name="scale-probe", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DERIVED}/documents.parquet"):
+        print("deriving 10x corpus ...", flush=True)
+        _derive(spark)
+
+    OPS = {
+        "exact_dedup": lambda d, e: ops_dedup.exact_dedup(d, ["text"]).count(),
+        "minhash_pairs": lambda d, e: ops_dedup.minhash_lsh_pairs(d).count(),
+        "simhash_pairs": lambda d, e: ops_dedup.simhash_near_pairs(d).count(),
+        "winnow": lambda d, e: ops_text.winnow_fingerprints(d).count(),
+        "repetition": lambda d, e: ops_text.repetition_stats(d).count(),
+        "tfidf": lambda d, e: ops_text.tfidf_topk_terms(d).count(),
+        "dedup_clusters": lambda d, e: ops_dedup.dedup_clusters(d).count(),
+        "kmeans": lambda d, e: ops_sim.kmeans(e, k=8, iters=5).count(),
+        "pca": lambda d, e: ops_sim.pca(e).count(),
+    }
+    only = sys.argv[1:]
+    scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]
+    loaded = {}
+    for tag, path in scales:
+        loaded[tag] = (
+            spark.read.parquet(f"{path}/documents.parquet").localCheckpoint(eager=True),
+            spark.read.parquet(f"{path}/embeddings.parquet").localCheckpoint(eager=True),
+        )
+    print(f"{'op':16s} " + " ".join(f"{t:>10s}" for t, _ in scales) + "   x(0.1->10x)")
+    for name, fn in OPS.items():
+        if only and name not in only:
+            continue
+        row = []
+        for tag, _ in scales:
+            d, e = loaded[tag]
+            t0 = time.time()
+            try:
+                fn(d, e)
+                row.append(time.time() - t0)
+            except Exception as ex:
+                print(f"{name}: FAIL at {tag}: {str(ex)[:90]}")
+                row.append(float("nan"))
+                break
+        if len(row) == len(scales):
+            factor = row[2] / row[1] if row[1] else float("nan")
+            print(
+                f"{name:16s} " + " ".join(f"{v:9.2f}s" for v in row) + f"   {factor:6.1f}x",
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
