@@ -346,6 +346,28 @@ def _q_docs_bpe_tokens(spark, sf_dir):
     return ops_text.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_pack(spark, sf_dir):
+    """Concat-then-chunk sequence packing map (budget 128, 8 shards) —
+    integer window math over id order, oracle-exact."""
+    return ops_text.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=128, shards=8
+    )
+
+
+def _q_docs_dup_spans(spark, sf_dir):
+    """Duplicate-passage coverage via corpus-wide repeated word 5-grams
+    (Lee et al. 2022 substring-dedup signal at n-gram granularity).
+    Hash-gram equality equals string-gram equality barring xxhash64
+    collisions — same argument as docs_ngram_jaccard."""
+    return ops_dedup.dup_ngram_coverage(_t(spark, sf_dir, "documents"), n=5)
+
+
+def _q_docs_gopher(spark, sf_dir):
+    """Gopher quality rules, token-level subset (Rae et al. 2021 A1.1):
+    integer counts + single IEEE divisions — oracle-exact."""
+    return ops_text.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_pii(spark, sf_dir):
     """PII scrub (count + redaction fingerprint). The sf corpus carries
     no PII, so counts are zero here — the fingerprint still hash-checks
@@ -589,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "emb_pca": _q_emb_pca,
         "docs_pii": _q_docs_pii,
+        "docs_gopher": _q_docs_gopher,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_pack": _q_docs_pack,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
@@ -994,6 +1019,71 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE) / "
             "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END AS bpe_per_ws "
             "FROM documents"
+        ),
+        "docs_pack": (
+            "WITH b AS (SELECT doc_id, doc_id % 8 AS shard, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, shard, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev_cum "
+            "FROM b) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, "
+            "CAST(floor(prev_cum / 128) AS BIGINT) AS seq_idx, "
+            "CAST(prev_cum % 128 AS BIGINT) AS offset_tokens FROM c"
+        ),
+        # Coverage counts are position-set sizes — Spark's 0-based posexplode
+        # vs the oracle's 1-based generate_series offsets cancel out because
+        # only the distinct-index COUNT is compared.
+        "docs_dup_spans": (
+            "WITH b AS (SELECT doc_id, toks, len(toks) AS nt FROM ("
+            "SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, nt - 4)) AS pos, "
+            "unnest([array_to_string(toks[i:i+4], ' ') "
+            "for i in generate_series(1, nt - 4)]) AS gram "
+            "FROM b WHERE nt >= 5), "
+            "dup AS (SELECT gram FROM ("
+            "SELECT gram, count(*) AS c FROM g GROUP BY gram) WHERE c >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS j "
+            "FROM g JOIN dup USING (gram)), "
+            "cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(cnt.covered, 0) AS BIGINT) AS covered_tokens, "
+            "CAST(coalesce(cnt.covered, 0) AS DOUBLE) / b.nt AS dup_coverage "
+            "FROM b LEFT JOIN cnt USING (doc_id)"
+        ),
+        # Gopher token-level rules: every quantity is an integer count or a
+        # single IEEE division of integers ≤ 2^53 → engine-exact (same
+        # argument as docs_repetition). The stop-hit sum expands the
+        # GOPHER_STOPWORDS list; thresholds mirror ops/text.py defaults.
+        "docs_gopher": (
+            "WITH t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks "
+            "FROM (SELECT doc_id, text, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm "
+            "FROM documents)) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len, "
+            "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) "
+            "/ len(toks) AS alpha_word_frac, "
+            "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(toks) "
+            "AS symbol_ratio, "
+            "CAST(" + " + ".join(
+                f"CAST(list_contains(toks, '{s}') AS INT)"
+                for s in ops_text.GOPHER_STOPWORDS
+            ) + " AS BIGINT) AS stop_hits, "
+            "(len(toks) >= 50 AND len(toks) <= 100000 "
+            "AND CAST(len(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) >= 3.0 "
+            "AND CAST(len(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) <= 10.0 "
+            "AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(toks) <= 0.1 "
+            "AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) "
+            "/ len(toks) >= 0.8 "
+            "AND (" + " + ".join(
+                f"CAST(list_contains(toks, '{s}') AS INT)"
+                for s in ops_text.GOPHER_STOPWORDS
+            ) + ") >= 2) AS gopher_pass "
+            "FROM t"
         ),
         "docs_pii": (
             "SELECT doc_id, "

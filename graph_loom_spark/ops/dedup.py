@@ -410,3 +410,69 @@ def winnow_overlap_pairs(
     )
     _free_intermediates(spark, tracked)
     return result
+
+
+def dup_ngram_coverage(
+    documents: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-passage coverage: for each document, the fraction of its
+    tokens lying inside a word ``n``-gram that occurs more than once
+    anywhere in the corpus (including elsewhere in the same document) —
+    the n-gram-granularity form of the exact-substring dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" (their suffix-array machinery finds maximal repeats; fixed-n
+    grams give the same per-token coverage statistic with pure
+    relational operators). Returns ``(doc_id, n_tokens, covered_tokens,
+    dup_coverage)`` for every document.
+
+    Shape (100 TB): grams are 8-byte xxhash64 values — the corpus-wide
+    occurrence count is one partial-aggregable groupBy keyed by the
+    hash; duplicated-gram positions come back via an equi-join of the
+    (id, pos, hash) gram stream against the count>=2 hash set (AQE
+    handles hot grams); span→token expansion is a bounded n-fold
+    explode; the distinct covered-index count is one more keyed
+    aggregation. Never shuffles text, never compares all pairs. The
+    result equals string-gram coverage barring xxhash64 collisions
+    (~|grams|²/2⁶⁴) — same argument as ngram_jaccard.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    base = documents.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__nt")
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.col("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__pos", "__g"),
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__g")
+    )
+    covered = (
+        grams.join(dup, "__g")
+        .select(id_col, F.explode(F.sequence("__pos", F.col("__pos") + (n - 1))).alias("__idx"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("__idx").alias("covered_tokens"))
+    )
+    return (
+        base.select(id_col, F.col("__nt").cast("bigint").alias("n_tokens"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("dup_coverage"),
+        )
+    )

@@ -345,6 +345,81 @@ def bpe_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Stopword set for the Gopher "contains common words" rule — a small
+# public English list; presence of >= 2 distinct members is the signal.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules, token-level subset (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1): returns
+    ``(doc_id, n_tokens, mean_token_len, alpha_word_frac, symbol_ratio,
+    stop_hits, gopher_pass)`` where ``gopher_pass`` is the AND of
+
+    - token count in ``[min_tokens, max_tokens]``
+    - mean token length in ``[min_mean_len, max_mean_len]``
+    - symbol-to-word ratio (``#`` or ``...`` occurrences / tokens)
+      ``<= max_symbol_ratio``
+    - fraction of tokens containing an alphabetic char ``>= min_alpha_frac``
+    - at least ``min_stop_hits`` distinct common stopwords present
+
+    The line-structure rules of the paper (bullet/ellipsis line ratios)
+    need documents with line breaks and live in the C4-style line
+    cleaner; this operator is the per-token half every pre-training
+    pipeline runs first.
+
+    All quantities are integer counts and single IEEE divisions → exact
+    in any engine (same argument as :func:`repetition_stats`). Pure
+    codegen'd expressions, one narrow scan, no shuffle — the 100 TB
+    shape: a quality pass must never cost more than the read itself.
+    Tokenizer matches :func:`fingerprint`: lowercase, trim, collapse
+    whitespace, split on single spaces.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = documents.select("doc_id", F.col(text_col).alias("__t"), norm.alias("__n"))
+    toks = F.split(F.col("__n"), " ")
+    n_tok = F.size(toks)
+    # total token chars = normalized length minus the (n-1) separators
+    tok_chars = F.length(F.col("__n")) - (n_tok - F.lit(1))
+    mean_len = tok_chars.cast("double") / n_tok
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / n_tok
+    symbols = F.size(F.regexp_extract_all(F.col("__t"), F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = symbols.cast("double") / n_tok
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ok = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return base.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        ok.alias("gopher_pass"),
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
 ) -> DataFrame:
@@ -410,4 +485,52 @@ def winnow_fingerprints(
 
     return documents.select("doc_id", norm.alias("__n")).mapInPandas(
         _winnow, "doc_id long, fp string"
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-example packing map: concatenate documents (in id order,
+    within a shard) into a single token stream and chunk it into
+    fixed-``budget`` sequences — the standard concat-then-chunk batching
+    of GPT-style pre-training. For each document returns
+    ``(doc_id, shard, n_tokens, seq_idx, offset_tokens)``: the sequence
+    its first token lands in and the offset inside that sequence.
+    Documents may straddle a boundary (that IS concat-then-chunk
+    semantics; packers that restart long docs are a policy layer above
+    this map).
+
+    Scale shape: the only shuffle is the per-shard window
+    (``sum() over (partition by shard order by id)``) — ``shards``
+    bounds the window-partition size, so at 100 TB you raise it until a
+    shard's (id, count) pairs fit a task; the token count itself is a
+    narrow codegen'd projection, and document text never enters the
+    shuffle. ``shard = id % shards`` (not a hash) so the oracle
+    reproduces the exact assignment in any engine.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    base = documents.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("bigint").alias("shard"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(prev_cum / budget).cast("bigint").alias("seq_idx"),
+        (prev_cum % budget).cast("bigint").alias("offset_tokens"),
     )

@@ -158,3 +158,102 @@ def test_winnow_overlap_df_cap_drops_universal_fps(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     assert ops_dedup.winnow_overlap_pairs(docs, min_shared=1, max_fp_df=3).count() == 0
     assert ops_dedup.winnow_overlap_pairs(docs, min_shared=1, max_fp_df=None).count() == 6
+
+
+def test_gopher_quality_rules(spark):
+    # 60 real words incl. stopwords -> passes every rule
+    good = " ".join(["the", "cat", "sat", "with", "food"] * 12)
+    # 60 tokens but every "word" is punctuation -> alpha fraction 0
+    junk = " ".join(["###"] * 60)
+    # too short
+    short = "the cat with hat"
+    # long mean token length (>10) but otherwise fine
+    longw = " ".join(["the", "with"] + ["antidisestablishmentarian"] * 58)
+    rows = [(0, good), (1, junk), (2, short), (3, longw)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.gopher_quality(df).collect()}
+
+    assert out[0]["n_tokens"] == 60
+    assert out[0]["gopher_pass"] is True
+    assert out[0]["stop_hits"] == 2  # "the" + "with"
+    assert out[0]["alpha_word_frac"] == 1.0
+
+    assert out[1]["alpha_word_frac"] == 0.0
+    assert out[1]["symbol_ratio"] == pytest.approx(3.0)  # three '#' matches per "###" token
+    assert out[1]["gopher_pass"] is False
+
+    assert out[2]["n_tokens"] == 4
+    assert out[2]["gopher_pass"] is False
+
+    assert out[3]["mean_token_len"] > 10.0
+    assert out[3]["gopher_pass"] is False
+
+
+def test_gopher_quality_symbol_and_mean_len_exact(spark):
+    # "ab cd#" -> norm "ab cd#": 2 toks, 6 chars - 1 sep = 5 -> mean 2.5;
+    # one '#' -> symbol_ratio 0.5; "..." counts as one symbol match
+    rows = [(0, "ab cd#"), (1, "hm ...")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.gopher_quality(df).collect()}
+    assert out[0]["mean_token_len"] == pytest.approx(2.5)
+    assert out[0]["symbol_ratio"] == pytest.approx(0.5)
+    assert out[1]["symbol_ratio"] == pytest.approx(0.5)
+
+
+def test_dup_ngram_coverage_exact(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    rows = [
+        (0, "a b c d e x y"),            # shares "a b c d e" with doc 1 -> 5/7
+        (1, "z a b c d e"),              # -> 5/6
+        (2, "p q r s t p q r s t"),      # self-repeat -> 10/10
+        (3, "u v"),                      # shorter than n -> 0
+        (4, "m n o aa bb cc"),           # all grams unique -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r for r in ops_dedup.dup_ngram_coverage(df, n=5).collect()
+    }
+    assert (out[0]["covered_tokens"], out[0]["n_tokens"]) == (5, 7)
+    assert out[0]["dup_coverage"] == pytest.approx(5 / 7)
+    assert (out[1]["covered_tokens"], out[1]["n_tokens"]) == (5, 6)
+    assert out[2]["dup_coverage"] == 1.0
+    assert (out[3]["covered_tokens"], out[3]["dup_coverage"]) == (0, 0.0)
+    assert out[4]["covered_tokens"] == 0
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    # shards=1, budget=10: token counts 4,5,3,6 -> prev_cum 0,4,9,12
+    rows = [
+        (0, "w w w w"),
+        (1, "w w w w w"),
+        (2, "w w w"),
+        (3, "w w w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.pack_sequences(df, budget=10, shards=1).collect()
+    }
+    assert [(out[i]["seq_idx"], out[i]["offset_tokens"]) for i in range(4)] == [
+        (0, 0),
+        (0, 4),
+        (0, 9),
+        (1, 2),
+    ]
+    assert all(out[i]["shard"] == 0 for i in range(4))
+
+
+def test_pack_sequences_shards_partition_independently(spark):
+    # doc ids 0..3 over 2 shards: shard 0 gets ids 0,2; shard 1 gets 1,3
+    rows = [(i, "w w w") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.pack_sequences(df, budget=4, shards=2).collect()
+    }
+    assert (out[0]["shard"], out[2]["shard"]) == (0, 0)
+    assert (out[1]["shard"], out[3]["shard"]) == (1, 1)
+    # within each shard the second doc starts at prev_cum=3 -> seq 0 offset 3
+    assert (out[2]["seq_idx"], out[2]["offset_tokens"]) == (0, 3)
+    assert (out[3]["seq_idx"], out[3]["offset_tokens"]) == (0, 3)
