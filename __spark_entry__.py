@@ -391,6 +391,17 @@ def _q_emb_pca(spark, sf_dir):
     return ops_sim.pca(_t(spark, sf_dir, "embeddings"), n_components=2)
 
 
+def _q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-cosine-dedup, Abbas et al. 2023), k=8,
+    threshold 0.3 (the synthetic corpus has no true near-dups — 0.3 sits
+    at the cosine 99th percentile so the drop set is non-trivial).
+    Iterative k-means inside → no SQL oracle; exact vs a numpy
+    brute-force in tests/test_simsearch.py."""
+    return ops_sim.semdedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=10, threshold=0.3
+    )
+
+
 def _q_docs_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline: exact 3-gram Jaccard ≥ 0.5 pairs →
     min-contraction connected components → canonical per cluster. The
@@ -629,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         # immediately after docs_ngram_jaccard: reuses its memoized pairs
         "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,

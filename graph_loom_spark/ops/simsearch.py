@@ -613,3 +613,66 @@ def pca(
             yield pd.DataFrame({id_col: pdf[id_col], "pc": list(P)})
 
     return embeddings.select(id_col, vec_col).mapInPandas(_project, proj_schema)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then inside each cluster drop every vector whose
+    cosine similarity to a lower-id cluster-mate is ``>= threshold``.
+    Returns ``(vec_id, cluster, keep)`` for every vector.
+
+    Scale shape: the quadratic step is confined to intra-cluster pairs —
+    exactly the published algorithm's trick; ``k`` grows with the corpus
+    so cluster populations stay bounded (the paper uses k≈11k for LAION).
+    The pair stream is an equi-join on ``cluster`` (shuffle carries
+    id + vector once per side), cosine is a codegen'd zip_with/aggregate
+    expression with norms hoisted before the join, and the drop set is a
+    distinct projection of the losing ids. Clustering reuses
+    :func:`kmeans` (fully distributed, deterministic — no RNG, rounded
+    centroids), so the whole operator is exactly reproducible; the pytest
+    oracle recomputes it brute-force in numpy.
+    """
+    assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    vecs = embeddings.select(id_col, vec_col).join(assigned, id_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("cluster"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__nrm"),
+    )
+    a = vecs.select(
+        F.col("__id").alias("__ida"), "cluster",
+        F.col("__v").alias("__va"), F.col("__nrm").alias("__na"),
+    )
+    b = vecs.select(
+        F.col("__id").alias("__idb"), "cluster",
+        F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        vecs.select("__id", "cluster")
+        .join(dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            (~F.coalesce(F.col("__dup"), F.lit(False))).alias("keep"),
+        )
+    )

@@ -329,3 +329,50 @@ def test_pca_matches_numpy_reference(spark):
     assert set(got) == set(expected)
     for vid, pc in got.items():
         assert np.allclose(pc, expected[vid], atol=1e-5), vid
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """SemDeDup ≡ numpy: reference k-means (identical deterministic
+    algorithm, see test_kmeans_matches_numpy_reference) + brute-force
+    intra-cluster cosine dedup keep-min-id."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.collect()), key=lambda t: t[0]
+    )
+    ids = np.asarray([t[0] for t in rows])
+    X = np.asarray([t[1] for t in rows], dtype=np.float64)
+    k, iters, thr = 6, 8, 0.3
+    C = np.round(X[:k], 6)
+    assign = None
+    for _ in range(iters):
+        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        nxt = C.copy()
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                nxt[j] = m.mean(axis=0)
+        nxt = np.round(nxt, 6)
+        if np.array_equal(nxt, C):
+            break
+        C = nxt
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    expected = {}
+    for i, vid in enumerate(ids.tolist()):
+        keep = True
+        for j in np.nonzero(assign == assign[i])[0]:
+            if ids[j] < vid and float(Xn[i] @ Xn[j]) >= thr:
+                keep = False
+                break
+        expected[vid] = (int(assign[i]), keep)
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in sim.semdedup(emb, k=k, iters=iters, threshold=thr).collect()
+    }
+    assert got == expected
+    # the corpus must actually exercise both branches at this threshold
+    assert any(not v[1] for v in expected.values())
+    assert any(v[1] for v in expected.values())
