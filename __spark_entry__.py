@@ -346,6 +346,24 @@ def _q_docs_bpe_tokens(spark, sf_dir):
     return ops_text.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_vocab(spark, sf_dir):
+    """Corpus vocabulary head: top-50 terms by occurrence — integer
+    counts + deterministic tiebreak, oracle-exact."""
+    return ops_text.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+# Mixture weights for the entry query: upweight four sources, zero the
+# rest — exact double literals so Spark and the oracle parse identically.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _q_docs_mixture(spark, sf_dir):
+    """Data-mixture sampling rates per source toward a target token
+    share — exact integer counts, single-division doubles rounded to 6,
+    oracle-exact."""
+    return ops_text.mixture_rates(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
+
+
 def _q_docs_pack(spark, sf_dir):
     """Concat-then-chunk sequence packing map (budget 128, 8 shards) —
     integer window math over id order, oracle-exact."""
@@ -625,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher": _q_docs_gopher,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_pack": _q_docs_pack,
+        "docs_vocab": _q_docs_vocab,
+        "docs_mixture": _q_docs_mixture,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
@@ -1031,6 +1051,29 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE) / "
             "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END AS bpe_per_ws "
             "FROM documents"
+        ),
+        "docs_vocab": (
+            "WITH tok AS (SELECT unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+')) AS term FROM documents), "
+            "c AS (SELECT term, count(*) AS n_occurrences FROM tok "
+            "WHERE term <> '' GROUP BY term) "
+            "SELECT term, CAST(n_occurrences AS BIGINT) AS n_occurrences, "
+            "CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS BIGINT) "
+            "AS rank FROM c ORDER BY n_occurrences DESC, term LIMIT 50"
+        ),
+        # raw rate uses the UNROUNDED share (weight / (n/total)); only the
+        # two output doubles are rounded — mirrored exactly in ops/text.py.
+        "docs_mixture": (
+            "WITH s AS (SELECT source, CAST(sum(len(regexp_extract_all(text, "
+            "'\\S+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+            "t AS (SELECT sum(n_tokens) AS tot FROM s), "
+            "r AS (SELECT source, n_tokens, "
+            "round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share, "
+            "(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 "
+            "WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END) "
+            "/ (CAST(n_tokens AS DOUBLE) / tot) AS raw FROM s CROSS JOIN t) "
+            "SELECT source, n_tokens, token_share, "
+            "round(raw / max(raw) OVER (), 6) AS rate FROM r"
         ),
         "docs_pack": (
             "WITH b AS (SELECT doc_id, doc_id % 8 AS shard, "

@@ -59,23 +59,33 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language id: argmax of per-language hit counts,
     ties broken by profile order, 'und' (undetermined) when all zero.
 
-    Shape: tokenize (split on non-word runs) → explode → one aggregation
-    with a conditional-count column per language → tiny argmax projection
-    over the aggregated attributes. The aggregation is map-side partial
-    (only (doc_id, 4 counts) shuffles), and keeping the argmax over
-    *attribute references* — not inlined score expressions — keeps the
-    codegen'd expression tree small; a naive nested-CASE over inline
-    scores re-evaluates each score ~5x and blows up compile time."""
+    Shape: one narrow projection computing the 4 per-language whole-token
+    hit counts as regex match counts (no explode, no shuffle — see the
+    comment below), then a second projection doing the argmax over the
+    count *attributes*. Keeping the argmax over attribute references —
+    not inlined score expressions — matters: CollapseProject declines to
+    merge the two selects because the counts are expensive and
+    multiply-referenced, so each regex runs once per row; a naive
+    nested-CASE over inline scores re-evaluates each count ~5x."""
     langs = list(LANG_PROFILES)
-    base = documents.select(
+    # Whole-token profile-hit counts as regexp_extract_all sizes — one
+    # narrow codegen'd scan, NO explode/shuffle (the former
+    # explode → groupBy shape paid a data-sized exchange purely to count
+    # token hits; measured 1.7 s → ~0.3 s at sf0.1). Token semantics are
+    # IDENTICAL to splitting on [^a-z0-9_]+ and comparing tokens: a match
+    # must start at ^ or consume one delimiter char, and the negative
+    # lookahead rejects matches inside a longer token. Java-regex only —
+    # the oracle keeps the portable split/unnest formulation and the
+    # driver compares results.
+    def _hits(words: list[str]) -> Column:
+        pat = r"(?:^|[^a-z0-9_])(?:" + "|".join(words) + r")(?![a-z0-9_])"
+        return F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)
+        )
+
+    scored = documents.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("tok"),
-    )
-    scored = base.groupBy("doc_id").agg(
-        *[
-            F.sum(F.col("tok").isin(*words).cast("int")).alias(f"__s_{lang}")
-            for lang, words in LANG_PROFILES.items()
-        ]
+        *[_hits(words).alias(f"__s_{lang}") for lang, words in LANG_PROFILES.items()],
     )
     scores: dict[str, Column] = {lang: F.col(f"__s_{lang}") for lang in langs}
     best = F.lit("und")
@@ -392,7 +402,17 @@ def gopher_quality(
     # total token chars = normalized length minus the (n-1) separators
     tok_chars = F.length(F.col("__n")) - (n_tok - F.lit(1))
     mean_len = tok_chars.cast("double") / n_tok
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # tokens containing a letter, counted by regex instead of a
+    # filter() HOF: higher-order-function lambdas knock the whole
+    # projection out of whole-stage codegen (plan-asserted in
+    # test_plans.py). Each match consumes one space-delimited token
+    # that contains [a-z]; `[^ ]*` cannot cross the single-space
+    # separators of the normalized text, so matches ≡ qualifying
+    # tokens. (The oracle keeps the clearer list_filter form — only
+    # results are compared.)
+    alpha_words = F.size(
+        F.regexp_extract_all(F.col("__n"), F.lit(r"(?:^| )[^ ]*[a-z][^ ]*"), 0)
+    )
     alpha_frac = alpha_words.cast("double") / n_tok
     symbols = F.size(F.regexp_extract_all(F.col("__t"), F.lit(r"#|\.\.\."), 0))
     symbol_ratio = symbols.cast("double") / n_tok
@@ -533,4 +553,83 @@ def pack_sequences(
         "n_tokens",
         F.floor(prev_cum / budget).cast("bigint").alias("seq_idx"),
         (prev_cum % budget).cast("bigint").alias("offset_tokens"),
+    )
+
+
+def vocab_topk(documents: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-level vocabulary head: top-``k`` terms by total occurrence
+    count — ``(term, n_occurrences, rank)``, rank dense in count-desc /
+    term-asc order. The tokenizer matches :func:`lang_id` / TF-IDF
+    (lowercase, split on non-[a-z0-9_] runs).
+
+    Shape: explode → one partial-aggregable groupBy (shuffle carries
+    (term, count)); the global top-k is TakeOrdered over the aggregated
+    term dictionary — no full sort, driver sees k rows. This is the
+    vocabulary/tokenizer-training statistic every corpus build runs.
+    """
+    counts = (
+        documents.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("term").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return top.select(
+        "term", "n_occurrences", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+def mixture_rates(
+    documents: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-mixture planning: per-source sampling rates that hit a
+    target token-share mix while keeping the largest-rate source at
+    rate 1.0 (maximal data use — the bookkeeping step behind
+    domain-reweighting schemes à la The Pile / DoReMi deployment).
+    Returns ``(source, n_tokens, token_share, rate)``.
+
+    ``raw_s = weight_s / share_s`` (sources absent from ``weights`` get
+    weight 0 → rate 0), normalized by the max raw rate. Token counts are
+    exact integers; shares/rates are single-division doubles rounded to
+    6 digits — oracle-exact. Shape: one partial-aggregable groupBy over
+    (source, count); the normalization runs on the tiny per-source frame
+    (a window over |sources| rows), nothing data-sized after the first
+    aggregate.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    per_src = (
+        documents.select(F.col(source_col).alias("source"), n_tok.alias("__nt"))
+        .groupBy("source")
+        .agg(F.sum("__nt").cast("bigint").alias("n_tokens"))
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens").cast("double") / total
+    raw = F.coalesce(wmap[F.col("source")], F.lit(0.0)) / share
+    scored = per_src.select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        raw.alias("__raw"),
+    )
+    max_raw = F.max("__raw").over(Window.partitionBy())
+    return scored.select(
+        "source",
+        "n_tokens",
+        "token_share",
+        F.round(F.col("__raw") / max_raw, 6).alias("rate"),
     )

@@ -129,3 +129,38 @@ def test_pii_and_bpe_are_narrow_scans(spark):
         assert "Exchange" not in plan, name
         # column pruning: only doc_id + text leave the scan
         assert "n_chars" not in plan.split("ReadSchema")[-1], name
+
+
+def test_dup_ngram_coverage_shuffles_hashes_not_text(spark):
+    plan = _plan(spark, "docs_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    # every exchange carries gram hashes / ids — document text must stay
+    # in the narrow pre-shuffle projection
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+    assert plan.count("HashAggregate") >= 2  # partial + final gram counts
+
+
+def test_pack_sequences_single_window_exchange_no_text(spark):
+    plan = _plan(spark, "docs_pack")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exactly one shuffle: the per-shard window partitioning; and it must
+    # carry (id, shard, count), never the document text
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 1
+    assert "text" not in exchanges[0]
+
+
+def test_gopher_quality_is_narrow_scan(spark):
+    plan = _plan(spark, "docs_gopher")
+    # pure codegen'd projection: no exchange at all, and the root Project
+    # carries the `*(n)` whole-stage-codegen marker (a filter() HOF
+    # lambda would knock it out — see the regex comment in ops/text.py)
+    assert "Exchange" not in plan
+    assert plan.lstrip().startswith("*(")
+    assert "lambdafunction" not in plan

@@ -257,3 +257,33 @@ def test_pack_sequences_shards_partition_independently(spark):
     # within each shard the second doc starts at prev_cum=3 -> seq 0 offset 3
     assert (out[2]["seq_idx"], out[2]["offset_tokens"]) == (0, 3)
     assert (out[3]["seq_idx"], out[3]["offset_tokens"]) == (0, 3)
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    rows = [(0, "b a a"), (1, "a b c"), (2, "C c-c")]  # a:3 b:2 c:3(ci+split)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["rank"]: (r["term"], r["n_occurrences"]) for r in ops_text.vocab_topk(df, k=2).collect()}
+    # a=3, c=3 (lowercased; "C c-c" -> c,c,c... "c-c" splits to c,c) -> c:4? recount:
+    # doc2 "C c-c" -> tokens: c, c, c => c:3 total with doc1's c -> c=4? doc1 has one c.
+    # totals: a=3 (doc0 x2 + doc1), b=2, c=4 -> top2: c(4) rank1, a(3) rank2
+    assert out[1] == ("c", 4)
+    assert out[2] == ("a", 3)
+
+
+def test_mixture_rates_normalized(spark):
+    rows = [
+        (0, "w w w w", "A"),     # 4 tokens
+        (1, "w w w w w w", "B"), # 6
+        (2, "w w", "C"),         # 2 -> total 12
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["source"]: r
+        for r in ops_text.mixture_rates(df, {"A": 0.5, "B": 0.5}).collect()
+    }
+    # shares: A=1/3, B=1/2, C=1/6; raw: A=1.5, B=1.0, C=0 -> rates 1.0, 2/3, 0
+    assert out["A"]["rate"] == pytest.approx(1.0)
+    assert out["B"]["rate"] == pytest.approx(round(1.0 / 1.5, 6))
+    assert out["C"]["rate"] == 0.0
+    assert out["A"]["n_tokens"] == 4 and out["B"]["n_tokens"] == 6
+    assert out["B"]["token_share"] == pytest.approx(0.5)
