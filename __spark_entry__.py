@@ -582,12 +582,33 @@ def _q_emb_near_dup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Graph analytics (reference §2.10: A2/G1/G2/G4)
 # --------------------------------------------------------------------------
+def _q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the supplier co-supply graph
+    (suppliers adjacent iff they supply a common part) — degree-oriented
+    wedge join, exact integer counts, oracle-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("src"))
+    b = ps.select(F.col("p"), F.col("s").alias("dst"))
+    edges = a.join(b, "p").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return analytics.triangle_counts(edges)
+
+
 def _q_graph_degrees(spark, sf_dir):  # A2/G3
     return analytics.degrees(_graph(spark, sf_dir))
 
 
 def _q_graph_components(spark, sf_dir):  # G4 — oracle-checked (see oracle_sql)
     return analytics.connected_components(_graph(spark, sf_dir))
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """Directed PageRank, 5 power iterations over the tpch projection.
+    Iterative float fixpoint → no SQL oracle; exact vs a numpy replay in
+    tests/test_no_oracle_checks.py."""
+    return analytics.pagerank(_graph(spark, sf_dir), iters=5)
 
 
 def _q_graph_lpa(spark, sf_dir):  # G1 — iterative, rows-only check
@@ -664,8 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "graph_triangles": _q_graph_triangles,
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
+        "graph_pagerank": _q_graph_pagerank,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
     }
@@ -1202,6 +1225,26 @@ def oracle_sql() -> dict[str, str]:
         # graph, then the min original node id per component broadcasts
         # back down — exact, and O(nodes) work instead of a transitive
         # closure over the full 79k-node graph.
+        # Same degree-orientation as the operator: (deg, id) row-value
+        # comparisons; exact integer counts.
+        "graph_triangles": (
+            "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v "
+            "FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+            "ek AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a, "
+            "CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b "
+            "FROM e JOIN deg da ON e.u = da.id JOIN deg db ON e.v = db.id), "
+            "w AS (SELECT e1.a AS a, e1.b AS x, e2.b AS y "
+            "FROM ek e1 JOIN ek e2 ON e1.a = e2.a "
+            "JOIN deg dx ON e1.b = dx.id JOIN deg dy ON e2.b = dy.id "
+            "WHERE (dx.d, e1.b) < (dy.d, e2.b)), "
+            "t AS (SELECT w.a, w.x, w.y FROM w JOIN ek ON ek.a = w.x AND ek.b = w.y) "
+            "SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
+            "SELECT a AS id FROM t UNION ALL SELECT x FROM t "
+            "UNION ALL SELECT y FROM t) GROUP BY id"
+        ),
         "graph_degrees": (
             "WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
             "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "

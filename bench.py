@@ -62,7 +62,14 @@ def _drop_persisted_blocks(spark) -> None:
 # __spark_entry__.queries() at runtime so a newly-registered operator can
 # never be correctness-green but perf-blind. Keep the heavy iterative
 # graph queries last so their block churn can't inflate earlier rows.
-_BENCH_LAST = ["graph_degrees", "graph_components", "graph_lpa", "graph_community_density"]
+_BENCH_LAST = [
+    "graph_triangles",
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_components",
+    "graph_lpa",
+    "graph_community_density",
+]
 
 
 def bench_query_names(qs: dict) -> list[str]:

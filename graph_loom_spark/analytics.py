@@ -649,3 +649,159 @@ def connected_components(
         return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph:
+    ``(id, n_triangles)`` for every node in at least one triangle.
+
+    Degree-oriented wedge enumeration (the standard distributed triangle
+    algorithm, cf. Suri & Vassilvitskii 2011 "Counting Triangles and the
+    Curse of the Last Reducer"): orient each edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only at
+    the smaller endpoint, and close them with one equi-join back on the
+    oriented edge set. Orientation bounds per-node out-degree by
+    O(sqrt(|E|)), so hub nodes cannot produce quadratic wedge lists —
+    THE skew guard a 100 TB co-occurrence graph needs; all joins are
+    equi-joins on ids (AQE handles residual skew), nothing is ever
+    all-pairs.
+
+    Input edges may be directed/duplicated/self-looped; they are
+    canonicalized (undirected, distinct, loops dropped) first. Exact
+    integer counts → reproducible in ANSI SQL for the oracle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): key struct compares lexicographically
+    ek = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+                < F.struct(F.col("dv").alias("d"), F.col("v").alias("i")),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("__e")
+        )
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+    )
+    # wedges at the small endpoint; order the two spokes by (deg, id) so
+    # the closing edge is exactly one oriented lookup
+    kd = deg.select(F.col("id"), F.col("d"))
+    e1 = ek.select(F.col("a"), F.col("b").alias("x"))
+    e2 = ek.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (
+        e1.join(e2, "a")
+        .join(kd.select(F.col("id").alias("x"), F.col("d").alias("dx")), "x")
+        .join(kd.select(F.col("id").alias("y"), F.col("d").alias("dy")), "y")
+        .filter(
+            F.struct(F.col("dx").alias("d"), F.col("x").alias("i"))
+            < F.struct(F.col("dy").alias("d"), F.col("y").alias("i"))
+        )
+        .select("a", "x", "y")
+    )
+    tri = wedges.join(
+        ek.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    return (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def pagerank(
+    graph: PropertyGraph, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Directed PageRank, fixed ``iters`` power iterations: returns
+    ``(id, rank)`` with ranks summing to ~1.
+
+    r ← (1−d)/N + d·(Σ_{u→v} r_u/outdeg_u + dangling_mass/N), the
+    standard formulation with dangling-node mass redistributed uniformly.
+    Determinism: ranks are rounded to 9 decimals after every iteration,
+    so Spark's partial-aggregation summation order cannot leak into the
+    result (same lever as :func:`~graph_loom_spark.ops.simsearch.kmeans`'s
+    rounded centroids) — the pytest oracle replays the identical
+    algorithm in numpy and matches exactly.
+
+    Scale shape: the per-iteration work is one equi-join of the rank
+    frame with the (pre-partitioned, checkpointed) out-degree-annotated
+    edge list plus one partial-aggregable groupBy on dst — both on
+    8-byte xxhash64 surrogates; the dangling mass is a 1-row aggregate
+    broadcast into the update expression. Lineage is checkpointed per
+    round; intermediates are freed before returning (string ids join
+    back once at the end).
+    """
+    spark = graph.nodes.sparkSession
+    tracked: list = []
+    idmap = _tracked_checkpoint(
+        graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
+    )
+    n_nodes = idmap.count()
+    edges_h = graph.edges.select(
+        F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
+    )
+    outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    ed = _tracked_checkpoint(
+        edges_h.join(outdeg, "u").repartition("u"), tracked
+    )
+    ranks = _tracked_checkpoint(
+        idmap.select(
+            F.col("iid").alias("nid"),
+            F.round(F.lit(1.0 / n_nodes), 9).alias("r"),
+        ),
+        tracked,
+    )
+    dangling = _tracked_checkpoint(
+        idmap.select(F.col("iid").alias("nid")).join(
+            outdeg.select(F.col("u").alias("nid")), "nid", "left_anti"
+        ),
+        tracked,
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.select(F.col("nid").alias("u"), "r"), "u")
+            .select(F.col("v").alias("nid"), (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("nid")
+            .agg(F.sum("c").alias("__in"))
+        )
+        dmass_row = (
+            dangling.join(ranks, "nid").agg(F.sum("r").alias("m")).collect()
+        )
+        dmass = dmass_row[0]["m"] or 0.0
+        base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
+        ranks = _tracked_checkpoint(
+            ranks.select("nid")
+            .join(contrib, "nid", "left")
+            .select(
+                "nid",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            ),
+            tracked,
+        )
+    result = (
+        ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
+        .select("id", F.col("r").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    _free_intermediates(spark, tracked)
+    return result

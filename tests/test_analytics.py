@@ -113,3 +113,19 @@ def test_connected_components(spark):
     assert comp[nid["a"]] != comp[nid["d"]]
     # component id = smallest member id
     assert comp[nid["a"]] == min(nid[n] for n in ["a", "b", "c"])
+
+
+def test_triangle_counts_exact(spark):
+    from graph_loom_spark import analytics
+
+    # K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4);
+    # node 5-6 pendant edge, 7 self-loop, plus a duplicated/reversed edge
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+        (3, 2),          # reverse duplicate of (2,3)
+        (5, 6), (7, 7),  # pendant + self-loop
+        (1, 2),          # exact duplicate
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["id"]: r["n_triangles"] for r in analytics.triangle_counts(df).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}

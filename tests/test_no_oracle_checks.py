@@ -376,3 +376,37 @@ def test_semdedup_matches_numpy_reference(spark):
     # the corpus must actually exercise both branches at this threshold
     assert any(not v[1] for v in expected.values())
     assert any(v[1] for v in expected.values())
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Distributed PageRank ≡ a numpy replay of the identical algorithm
+    (same dangling handling, same per-iteration 9-decimal rounding) on
+    the sf0.001 projection."""
+    import numpy as np
+
+    g = _graph(spark)
+    node_ids = sorted(r["id"] for r in g.nodes.select("id").collect())
+    idx = {n: i for i, n in enumerate(node_ids)}
+    edges = [
+        (idx[r["src"]], idx[r["dst"]])
+        for r in g.edges.select("src", "dst").collect()
+    ]
+    N = len(node_ids)
+    d = 0.85
+    iters = 5
+    od = np.zeros(N, dtype=np.int64)
+    for u, _ in edges:
+        od[u] += 1
+    r = np.full(N, round(1.0 / N, 9))
+    dangling = od == 0
+    for _ in range(iters):
+        contrib = np.zeros(N)
+        for u, v in edges:
+            contrib[v] += r[u] / od[u]
+        dmass = float(r[dangling].sum())
+        base = (1.0 - d) / N + d * dmass / N
+        r = np.round(base + d * contrib, 9)
+    expected = {n: r[i] for n, i in idx.items()}
+
+    got = {row["id"]: row["rank"] for row in analytics.pagerank(g).collect()}
+    assert got == expected
