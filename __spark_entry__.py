@@ -583,16 +583,20 @@ def _q_emb_near_dup(spark, sf_dir):
 # Graph analytics (reference §2.10: A2/G1/G2/G4)
 # --------------------------------------------------------------------------
 def _q_graph_triangles(spark, sf_dir):
-    """Per-node triangle counts on the supplier co-supply graph
-    (suppliers adjacent iff they supply a common part) — degree-oriented
+    """Per-node triangle counts on the part co-purchase graph (parts
+    adjacent iff they appear in the same order), restricted to the
+    deterministic quarter ``l_orderkey % 4 = 0`` — co-purchase is the
+    naturally SPARSE association graph (~4 items/order ⇒ avg degree
+    ~100·sf-independent), where the co-supply variants degenerate to
+    near-complete graphs on this uniform synthetic data. Degree-oriented
     wedge join, exact integer counts, oracle-checked."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
     ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("src"))
-    b = ps.select(F.col("p"), F.col("s").alias("dst"))
-    edges = a.join(b, "p").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    a = ps.select(F.col("o"), F.col("p").alias("src"))
+    b = ps.select(F.col("o"), F.col("p").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return analytics.triangle_counts(edges)
 
 
@@ -1228,9 +1232,10 @@ def oracle_sql() -> dict[str, str]:
         # Same degree-orientation as the operator: (deg, id) row-value
         # comparisons; exact integer counts.
         "graph_triangles": (
-            "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), "
-            "e AS (SELECT DISTINCT a.s AS u, b.s AS v "
-            "FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
             "deg AS (SELECT id, count(*) AS d FROM ("
             "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
             "ek AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a, "
