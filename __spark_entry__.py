@@ -530,6 +530,12 @@ def _q_agg_cube(spark, sf_dir):
     return ops_rel.grouping_sets_cube(_t(spark, sf_dir, "orders"))
 
 
+def _q_events_anomaly(spark, sf_dir):
+    """Per-user max-|z| event (value vs the user's own mean/std) —
+    rounded-z selection and values, oracle-exact."""
+    return ops_events.user_extreme_events(_events(spark, sf_dir), k=1)
+
+
 def _q_events_top_users(spark, sf_dir):
     """Filtered top-k aggregation over the events table."""
     return ops_events.top_users_by_value(ops_events.load_events(spark, f"{sf_dir}/events.parquet"))
@@ -650,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_anomaly": _q_events_anomaly,
         "events_top_users": _q_events_top_users,
         "events_asof_join": _q_events_asof_join,
         "agg_percentiles": _q_agg_percentiles,
@@ -840,6 +847,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM ("
             "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events)) GROUP BY user_id"
+        ),
+        # z rounded to 4 digits, and the per-user top-1 ranked on the
+        # ROUNDED |z| (tie-break event_id) — selection and values are then
+        # engine-independent despite float mean/stddev (same discipline
+        # as docs_tfidf). std > 0 guard: engines disagree on x/0.0.
+        "events_anomaly": (
+            "WITH z AS (SELECT user_id, event_id, value, "
+            "CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0 THEN "
+            "round((value - avg(value) OVER (PARTITION BY user_id)) / "
+            "stddev_samp(value) OVER (PARTITION BY user_id), 4) END AS z "
+            "FROM events) "
+            "SELECT user_id, event_id, value, z FROM ("
+            "SELECT user_id, event_id, value, z, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY abs(z) DESC, event_id) AS rk "
+            "FROM z WHERE z IS NOT NULL) WHERE rk <= 1"
         ),
         "events_top_users": (
             "SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "

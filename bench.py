@@ -153,7 +153,7 @@ def main() -> None:
     ab_names = [
         n
         for n in os.environ.get(
-            "SPARK_GRAFT_AB", "cypher_var_length,graph_community_density"
+            "SPARK_GRAFT_AB", "cypher_var_length,graph_community_density,graph_lpa"
         ).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]

@@ -684,7 +684,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # orient by (degree, id): key struct compares lexicographically
+    # orient by (degree, id), CARRYING the big endpoint's degree so the
+    # wedge stage orders its two spokes without re-joining the degree
+    # table (saves two joins on the wedge-sized stream — the expensive
+    # stage of the whole operator)
     ek = (
         e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
@@ -692,22 +695,27 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.when(
                 F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
                 < F.struct(F.col("dv").alias("d"), F.col("v").alias("i")),
-                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(
+                    F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db")
+                ),
             )
-            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"), F.col("u").alias("b"), F.col("du").alias("db")
+                )
+            )
             .alias("__e")
         )
-        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+        .select(
+            F.col("__e.a").alias("a"), F.col("__e.b").alias("b"), F.col("__e.db").alias("db")
+        )
     )
-    # wedges at the small endpoint; order the two spokes by (deg, id) so
-    # the closing edge is exactly one oriented lookup
-    kd = deg.select(F.col("id"), F.col("d"))
-    e1 = ek.select(F.col("a"), F.col("b").alias("x"))
-    e2 = ek.select(F.col("a"), F.col("b").alias("y"))
+    # wedges at the small endpoint; order the two spokes by their carried
+    # (deg, id) keys so the closing edge is exactly one oriented lookup
+    e1 = ek.select(F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    e2 = ek.select(F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy"))
     wedges = (
         e1.join(e2, "a")
-        .join(kd.select(F.col("id").alias("x"), F.col("d").alias("dx")), "x")
-        .join(kd.select(F.col("id").alias("y"), F.col("d").alias("dy")), "y")
         .filter(
             F.struct(F.col("dx").alias("d"), F.col("x").alias("i"))
             < F.struct(F.col("dy").alias("d"), F.col("y").alias("i"))
@@ -727,7 +735,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
 
 def pagerank(
-    graph: PropertyGraph, iters: int = 5, damping: float = 0.85
+    graph: PropertyGraph,
+    iters: int = 5,
+    damping: float = 0.85,
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """Directed PageRank, fixed ``iters`` power iterations: returns
     ``(id, rank)`` with ranks summing to ~1.
@@ -774,21 +785,28 @@ def pagerank(
         ),
         tracked,
     )
+    # The rank frame is 16 bytes/node — while it fits an executor
+    # broadcast, hint it on BOTH per-iteration joins (the contrib join
+    # against the big pinned edge frame, and the update join). Same
+    # lever and threshold as weighted_label_propagation: AQE would
+    # convert these eventually but only after paying the exchange
+    # stages on the data-sized side every iteration.
+    bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
     for _ in range(iters):
         contrib = (
-            ed.join(ranks.select(F.col("nid").alias("u"), "r"), "u")
+            ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
             .select(F.col("v").alias("nid"), (F.col("r") / F.col("od")).alias("c"))
             .groupBy("nid")
             .agg(F.sum("c").alias("__in"))
         )
         dmass_row = (
-            dangling.join(ranks, "nid").agg(F.sum("r").alias("m")).collect()
+            dangling.join(bcast(ranks), "nid").agg(F.sum("r").alias("m")).collect()
         )
         dmass = dmass_row[0]["m"] or 0.0
         base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
         ranks = _tracked_checkpoint(
             ranks.select("nid")
-            .join(contrib, "nid", "left")
+            .join(bcast(contrib), "nid", "left")
             .select(
                 "nid",
                 F.round(

@@ -221,3 +221,36 @@ def retention_cohorts(
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def user_extreme_events(events: DataFrame, k: int = 1) -> DataFrame:
+    """Per-user anomaly pick: the ``k`` events with the largest absolute
+    z-score of ``value`` against that user's own mean/stddev —
+    ``(user_id, event_id, value, z)``. Users with fewer than 2 events
+    (stddev undefined) or zero variance are skipped.
+
+    The z-score is rounded to 4 digits and BOTH the returned value and
+    the top-k ranking use the rounded number (tie-break |z| desc then
+    event_id asc) — the same two-sided rounding discipline as TF-IDF, so
+    selection and values are engine-independent despite float mean/std.
+
+    Shape: one window partitioned by user (mean/std/rank in a single
+    shuffle) — the per-key profile-then-rank pattern of a 100 TB
+    monitoring pass; nothing global, no second pass.
+    """
+    w = Window.partitionBy("user_id")
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    # explicit std > 0 guard: engines disagree on double x/0.0 (NULL vs
+    # IEEE inf), so zero-variance users are skipped by construction
+    z = F.when(std > 0, F.round((F.col("value") - mean) / std, 4))
+    wr = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("__z")).desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "event_id", "value", z.alias("__z"))
+        .filter(F.col("__z").isNotNull())
+        .withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") <= k)
+        .select("user_id", "event_id", "value", F.col("__z").alias("z"))
+    )

@@ -75,3 +75,20 @@ def test_retention_cohorts_offsets(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_user_extreme_events_zscore(spark):
+    from graph_loom_spark.ops import events as ops_events
+
+    rows = [
+        # user 1: values 1,1,1,10 -> mean 3.25, std_samp 4.5 -> z(10)=1.5
+        (1, 1, 1.0), (2, 1, 1.0), (3, 1, 1.0), (4, 1, 10.0),
+        (5, 2, 7.0),              # single event: stddev undefined -> skipped
+        (6, 3, 2.0), (7, 3, 2.0), # zero variance -> skipped
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    out = ops_events.user_extreme_events(df, k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_id"], r["event_id"], r["value"]) == (1, 4, 10.0)
+    assert r["z"] == 1.5
