@@ -73,6 +73,26 @@ def pinned_rdd_ids() -> set:
     return ids
 
 
+def reset_caches() -> None:
+    """Drop every memoized frame (graph projection, LPA communities,
+    jaccard pairs, winnow fingerprints). A harness that restarts the
+    SparkSession mid-run MUST call this: the cached DataFrames belong to
+    the old context and are unusable in the new one."""
+    for cache in (_GRAPH_CACHE, _LPA_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
+        cache.clear()
+
+
+def reset_memo(name: str) -> None:
+    """Drop the result memo behind one query so a timing harness can
+    re-measure its full computation (a memoized rerun times a cache
+    hit). Queries without a memo are a no-op."""
+    {
+        "graph_lpa": _LPA_CACHE,
+        "docs_ngram_jaccard": _JACCARD_CACHE,
+        "docs_winnow": _WINNOW_CACHE,
+    }.get(name, {}).clear()
+
+
 def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The communities frame is deterministic (fixed tie-break) and comes
     # back as an eager localCheckpoint, so it is safe to share across
