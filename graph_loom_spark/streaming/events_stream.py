@@ -198,3 +198,80 @@ def run_available_now(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {table_name} did not drain in {timeout_s}s")
+
+
+def stream_anomaly_stateful(
+    events: DataFrame,
+    z_thresh: float = 3.0,
+    min_history: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Online per-user anomaly detection via ``applyInPandasWithState``:
+    each user's state is the running ``(n, mean, M2)`` Welford moments of
+    ``value``; an event is flagged when its z-score against the state
+    BEFORE it is absorbed exceeds ``z_thresh`` (after ``min_history``
+    prior events). Emits ``(user_id, event_id, ts, value, z)`` per
+    flagged event.
+
+    This is the streaming-native form of
+    :func:`graph_loom_spark.ops.events.user_extreme_events`: batch scores
+    against the COMPLETE per-user distribution; a stream can only score
+    against history seen so far, so the two legitimately differ — the
+    pytest checks the stream against a pure-Python replay of the same
+    online rule instead of the batch operator.
+
+    Scale shape: state is 3 doubles + a long per user (bounded by key
+    cardinality, not history); per micro-batch work is one grouped Arrow
+    batch per user partition. Events inside a batch are processed in
+    (event-time, event_id) order so replays are deterministic; Welford
+    updates are numerically stable for long histories.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, ts timestamp, value double, z double"
+    state_schema = "n long, mean double, m2 double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+        ids = batch["event_id"].to_numpy()
+        vals = batch["value"].fillna(0.0).to_numpy()
+        order = sorted(range(len(ids)), key=lambda i: (ts_us[i], ids[i]))
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        hits = []
+        for i in order:
+            v = float(vals[i])
+            if n >= min_history and n >= 2:
+                var = m2 / (n - 1)
+                if var > 0:
+                    z = (v - mean) / math.sqrt(var)
+                    if abs(z) >= z_thresh:
+                        hits.append(
+                            {
+                                "user_id": uid,
+                                "event_id": int(ids[i]),
+                                "ts": pd.Timestamp(int(ts_us[i]), unit="us"),
+                                "value": v,
+                                "z": round(z, 4),
+                            }
+                        )
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        if hits:
+            yield pd.DataFrame(hits)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -263,3 +263,85 @@ def test_stream_quality_filter_matches_batch(spark, docs_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_anomaly_matches_online_replay(spark, events_path):
+    """Stateful streaming anomaly ≡ a pure-Python replay of the same
+    online Welford rule over (ts, event_id)-ordered per-user history."""
+    import math
+
+    se.run_available_now(
+        se.stream_anomaly_stateful(
+            se.read_events_stream(spark, events_path), z_thresh=2.0
+        ),
+        "anom_t",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["z"]
+        for r in spark.sql("SELECT * FROM anom_t").collect()
+    }
+
+    ev = batch_events.load_events(spark, events_path).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    hist = {}
+    want = {}
+    rows = sorted(
+        ev.collect(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+    )
+    for r in rows:
+        n, mean, m2 = hist.get(r["user_id"], (0, 0.0, 0.0))
+        v = float(r["value"] or 0.0)
+        if n >= 5:
+            var = m2 / (n - 1)
+            if var > 0:
+                z = (v - mean) / math.sqrt(var)
+                if abs(z) >= 2.0:
+                    want[(r["user_id"], r["event_id"])] = round(z, 4)
+        n += 1
+        delta = v - mean
+        mean += delta / n
+        m2 += delta * (v - mean)
+        hist[r["user_id"]] = (n, mean, m2)
+    assert got == want
+
+
+def test_stream_anomaly_flags_synthetic_spike(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: alternating 1/2 history then a 100 spike
+        *[
+            (i, 1, base + pd.Timedelta(minutes=i), "click", float(1 + i % 2))
+            for i in range(8)
+        ],
+        (8, 1, base + pd.Timedelta(minutes=8), "click", 100.0),
+        # user 2: constant values -> zero variance, never flagged
+        *[
+            (10 + i, 2, base + pd.Timedelta(minutes=i), "click", 5.0)
+            for i in range(8)
+        ],
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    pdf["props"] = "{}"
+    d = tmp_path / "anom_src"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), str(d / "p0.parquet"))
+
+    se.run_available_now(
+        se.stream_anomaly_stateful(
+            se.read_events_stream(spark, str(d)), z_thresh=3.0
+        ),
+        "anom_syn_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT * FROM anom_syn_t").collect()
+    assert len(got) == 1
+    assert (got[0]["user_id"], got[0]["event_id"]) == (1, 8)
+    assert got[0]["z"] > 3.0
