@@ -485,6 +485,16 @@ def kmeans(
         raise ValueError(f"k={k} exceeds row count {len(init_rows)}")
     C = np.round(np.asarray([r[1] for r in init_rows], dtype=np.float64), 6)
     dim = C.shape[1]
+    # Size the update-aggregate's shuffle from the data: the posexplode
+    # stream is n·dim doubles and the reduce side is k·dim rows, so on
+    # small inputs the session default (e.g. 32) means iters×32 near-empty
+    # reduce tasks whose scheduling dominates the whole fit (measured
+    # ~10.8 s → ~5 s at sf0.1, 2k×64). Same save/restore lever as LPA;
+    # at cluster scale the n·dim term takes over and sizes it up.
+    n_rows = X.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = int(max(8, (n_rows * dim) // 2_000_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     def _assign(centroids: np.ndarray):
         cn = (centroids**2).sum(axis=1)
@@ -520,6 +530,7 @@ def kmeans(
             break
         C = nxt
     result = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _free_intermediates(spark, tracked)
     return result
 

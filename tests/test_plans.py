@@ -164,3 +164,41 @@ def test_gopher_quality_is_narrow_scan(spark):
     assert "Exchange" not in plan
     assert plan.lstrip().startswith("*(")
     assert "lambdafunction" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count
+    must sort-merge join with NO exchange on either side — the pay-the-
+    shuffle-once-at-write layout for repeated 100 TB fact joins."""
+    from graph_loom_spark.io.bucketed import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 4, path=str(tmp_path / "o"))
+    write_bucketed(
+        lineitem, "t_lineitem_b", "o_orderkey", 4, path=str(tmp_path / "l")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # control: the same join on the raw (unbucketed) frames DOES shuffle
+        raw = spark.read.parquet(f"{SF_DIR}/orders.parquet").join(
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
