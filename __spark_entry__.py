@@ -400,6 +400,14 @@ def _q_docs_dup_spans(spark, sf_dir):
     return ops_dedup.dup_ngram_coverage(_t(spark, sf_dir, "documents"), n=5)
 
 
+def _q_docs_span_removal(spark, sf_dir):
+    """Duplicate-passage removal (keep first occurrence of each repeated
+    word 5-gram, delete tokens of later ones — Lee et al. 2022 rule).
+    Cleaned text is fingerprinted executor-side; oracle replays the
+    identical rule over gram strings."""
+    return ops_dedup.remove_dup_ngram_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
 def _q_docs_gopher(spark, sf_dir):
     """Gopher quality rules, token-level subset (Rae et al. 2021 A1.1):
     integer counts + single IEEE divisions — oracle-exact."""
@@ -617,12 +625,9 @@ def _q_graph_triangles(spark, sf_dir):
     near-complete graphs on this uniform synthetic data. Degree-oriented
     wedge join, exact integer counts, oracle-checked."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    ps = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = ps.select(F.col("o"), F.col("p").alias("src"))
-    b = ps.select(F.col("o"), F.col("p").alias("dst"))
-    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # orders hold ≤ ~7 items, far under the hot-group cap, so the capped
+    # operator and the cap-free oracle SQL build the identical edge set
+    edges = ops_dedup.co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return analytics.triangle_counts(edges)
 
 
@@ -694,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii": _q_docs_pii,
         "docs_gopher": _q_docs_gopher,
         "docs_dup_spans": _q_docs_dup_spans,
+        "docs_span_removal": _q_docs_span_removal,
         "docs_pack": _q_docs_pack,
         "docs_vocab": _q_docs_vocab,
         "docs_mixture": _q_docs_mixture,
@@ -1177,6 +1183,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(cnt.covered, 0) AS BIGINT) AS covered_tokens, "
             "CAST(coalesce(cnt.covered, 0) AS DOUBLE) / b.nt AS dup_coverage "
             "FROM b LEFT JOIN cnt USING (doc_id)"
+        ),
+        # Keep-first-occurrence replay over gram STRINGS (Spark windows
+        # over the xxhash64 — identical barring collisions); 1-based vs
+        # 0-based positions preserve occurrence order, so the removal
+        # sets coincide and the cleaned-text md5s match exactly.
+        "docs_span_removal": (
+            "WITH b AS (SELECT doc_id, toks, len(toks) AS nt FROM ("
+            "SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, nt - 4)) AS pos, "
+            "unnest([array_to_string(toks[i:i+4], ' ') "
+            "for i in generate_series(1, nt - 4)]) AS gram "
+            "FROM b WHERE nt >= 5), "
+            "r AS (SELECT doc_id, pos, "
+            "row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g), "
+            "rem AS (SELECT DISTINCT doc_id, "
+            "unnest(generate_series(pos, pos + 4)) AS idx FROM r WHERE rk > 1), "
+            "tokix AS (SELECT doc_id, unnest(generate_series(1, nt)) AS idx, "
+            "unnest(toks) AS tok FROM b), "
+            "kept AS (SELECT t.doc_id, t.idx, t.tok FROM tokix t "
+            "LEFT JOIN rem ON t.doc_id = rem.doc_id AND t.idx = rem.idx "
+            "WHERE rem.idx IS NULL), "
+            "cnt AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id), "
+            "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(cnt.nrem, 0) AS BIGINT) AS n_removed, "
+            "md5(coalesce(agg.txt, '')) AS clean_fingerprint "
+            "FROM b LEFT JOIN cnt ON b.doc_id = cnt.doc_id "
+            "LEFT JOIN agg ON b.doc_id = agg.doc_id"
         ),
         # Gopher token-level rules: every quantity is an integer count or a
         # single IEEE division of integers ≤ 2^53 → engine-exact (same

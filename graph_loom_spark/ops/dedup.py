@@ -476,3 +476,111 @@ def dup_ngram_coverage(
             ).alias("dup_coverage"),
         )
     )
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 1000,
+) -> DataFrame:
+    """Build the co-occurrence (bipartite-projection) edge list: items
+    are adjacent iff they share a group — ``(src, dst)`` with
+    ``src < dst``, distinct. The association-graph constructor behind
+    co-purchase / co-citation / co-mention analyses (feeds
+    :func:`~graph_loom_spark.analytics.triangle_counts`, components,
+    PageRank).
+
+    ``max_group_size`` is the scale guard: a group of g items emits
+    g·(g-1)/2 pairs, so one hot group (a mega-order, a viral session)
+    can quadratically dominate the whole job; groups above the cap are
+    DROPPED — the standard practice for projection graphs (cf. the
+    same df-cap idea in :func:`winnow_overlap_pairs`). Pass ``None``
+    to disable.
+
+    Shape: one partial-aggregable group-size count, a broadcast-or-
+    shuffled semi-join to filter capped groups, then the pair self-join
+    on the group key — everything equi-join, AQE handles residual skew.
+    """
+    g = F.col(group_col).alias("__g")
+    i = F.col(item_col)
+    base = df.select(g, i.alias("__i")).distinct()
+    if max_group_size is not None:
+        sizes = (
+            base.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_group_size)
+            .select("__g")
+        )
+        base = base.join(sizes, "__g")
+    a = base.select("__g", F.col("__i").alias("src"))
+    b = base.select("__g", F.col("__i").alias("dst"))
+    return (
+        a.join(b, "__g")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def remove_dup_ngram_spans(
+    documents: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-passage REMOVAL (the transformation behind
+    :func:`dup_ngram_coverage`'s signal, following Lee et al. 2022's
+    keep-first-occurrence rule at n-gram granularity): for every word
+    ``n``-gram occurring more than once in the corpus, the first
+    occurrence (smallest ``(doc_id, position)``) survives; every token
+    covered by a later occurrence is deleted from its document. Returns
+    ``(doc_id, n_tokens, n_removed, clean_fingerprint)`` where the
+    fingerprint is md5 of the cleaned, space-joined token stream — the
+    cleaned text itself never needs to leave the executors.
+
+    Shape: gram occurrences are (id, pos, 8-byte hash) rows; the
+    first-vs-later split is one window keyed by the gram hash (a single
+    shuffle of hash-sized rows); removal indices expand by the bounded
+    factor n and aggregate back to one per-doc index array; the final
+    reconstruction is a per-document array filter — no token-level
+    shuffle, document text never leaves its partition.
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    base = documents.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__nt")
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.col("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__pos", "__g"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    later = (
+        grams.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)  # rank > 1 implies the gram repeats
+        .select(id_col, F.explode(F.sequence("__pos", F.col("__pos") + (n - 1))).alias("__ridx"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__ridx").alias("__rm"))
+    )
+    joined = base.join(later, id_col, "left").select(
+        id_col,
+        "__toks",
+        "__nt",
+        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
+    )
+    kept = F.filter("__toks", lambda t, i: ~F.array_contains("__rm", i))
+    return joined.select(
+        id_col,
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        F.size("__rm").cast("bigint").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_fingerprint"),
+    )

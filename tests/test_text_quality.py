@@ -287,3 +287,47 @@ def test_mixture_rates_normalized(spark):
     assert out["C"]["rate"] == 0.0
     assert out["A"]["n_tokens"] == 4 and out["B"]["n_tokens"] == 6
     assert out["B"]["token_share"] == pytest.approx(0.5)
+
+
+def test_co_occurrence_edges_cap_and_dedup(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),      # group 1 -> ab ac bc
+        (2, "b"), (2, "c"),                # group 2 -> bc (dedup with g1)
+        (2, "b"),                          # duplicate membership row
+        (3, "x"), (3, "y"), (3, "z"), (3, "w"),  # size 4 -> capped out
+    ]
+    df = spark.createDataFrame(rows, "grp bigint, item string")
+    got = {
+        (r["src"], r["dst"])
+        for r in ops_dedup.co_occurrence_edges(df, "grp", "item", max_group_size=3).collect()
+    }
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    uncapped = ops_dedup.co_occurrence_edges(df, "grp", "item", max_group_size=None)
+    assert uncapped.count() == 3 + 6
+
+
+def test_remove_dup_ngram_spans_keep_first(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    rows = [
+        (0, "a b c d e x y"),        # first occurrence of "a b c d e" -> kept whole
+        (1, "z a b c d e"),          # later occurrence -> tokens 1..5 removed -> "z"
+        (2, "p q r s t p q r s t"),  # self-repeat: first span kept, second removed
+        (3, "u v"),                  # shorter than n -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_dedup.remove_dup_ngram_spans(df, n=5).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["n_removed"], out[0]["clean_fingerprint"]) == (0, md5("a b c d e x y"))
+    assert (out[1]["n_removed"], out[1]["clean_fingerprint"]) == (5, md5("z"))
+    # doc2 grams: pos0 "p q r s t" (first), pos5 (later) -> idx 5..9 removed;
+    # pos1-4 grams unique -> kept "p q r s t"
+    assert (out[2]["n_removed"], out[2]["clean_fingerprint"]) == (5, md5("p q r s t"))
+    assert (out[3]["n_removed"], out[3]["clean_fingerprint"]) == (0, md5("u v"))
