@@ -384,6 +384,12 @@ def _q_docs_mixture(spark, sf_dir):
     return ops_text.mixture_rates(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
 
 
+def _q_docs_apply_mixture(spark, sf_dir):
+    """Materialized training mix: per-source md5-threshold sampling at
+    the mixture_rates rates — end-to-end plan-then-sample, oracle-exact."""
+    return ops_text.apply_mixture(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
+
+
 def _q_docs_pack(spark, sf_dir):
     """Concat-then-chunk sequence packing map (budget 128, 8 shards) —
     integer window math over id order, oracle-exact."""
@@ -703,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack": _q_docs_pack,
         "docs_vocab": _q_docs_vocab,
         "docs_mixture": _q_docs_mixture,
+        "docs_apply_mixture": _q_docs_apply_mixture,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
@@ -1149,6 +1156,23 @@ def oracle_sql() -> dict[str, str]:
             "/ (CAST(n_tokens AS DOUBLE) / tot) AS raw FROM s CROSS JOIN t) "
             "SELECT source, n_tokens, token_share, "
             "round(raw / max(raw) OVER (), 6) AS rate FROM r"
+        ),
+        # Rates replayed from docs_mixture (6-digit-rounded doubles agree
+        # across engines), then the stratified_sample md5-threshold rule:
+        # floor(rate*2^32) as fixed-width lowercase hex.
+        "docs_apply_mixture": (
+            "WITH s AS (SELECT source, CAST(sum(len(regexp_extract_all(text, "
+            "'\\S+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+            "t AS (SELECT sum(n_tokens) AS tot FROM s), "
+            "r AS (SELECT source, "
+            "(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 "
+            "WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END) "
+            "/ (CAST(n_tokens AS DOUBLE) / tot) AS raw FROM s CROSS JOIN t), "
+            "rates AS (SELECT source, round(raw / max(raw) OVER (), 6) AS rate FROM r) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source) "
+            "WHERE rate >= 1.0 OR "
+            "substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) < "
+            "lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0'))"
         ),
         "docs_pack": (
             "WITH b AS (SELECT doc_id, doc_id % 8 AS shard, "

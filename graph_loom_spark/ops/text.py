@@ -633,3 +633,44 @@ def mixture_rates(
         "token_share",
         F.round(F.col("__raw") / max_raw, 6).alias("rate"),
     )
+
+
+def apply_mixture(
+    documents: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the training mix: compute :func:`mixture_rates` for
+    ``weights`` and keep each document with its source's rate via the
+    same deterministic md5-threshold rule as :func:`stratified_sample`
+    (first 8 hex digits of ``md5(source:id)`` under ``rate`` of the
+    32-bit space). Returns the kept ``(doc_id, source)`` rows — the
+    end-to-end "build the mix" step after the planning step.
+
+    Engine-exact: the rate is a 6-digit-rounded double identical in both
+    engines, the integer threshold is ``floor(rate·2³²)``, and
+    fixed-width lowercase hex compares like the integer it encodes.
+    Shape: the per-source rate frame is tiny → broadcast join; the keep
+    test is a narrow filter — one scan, no data-sized shuffle.
+    """
+    rates = mixture_rates(documents, weights, text_col, source_col).select(
+        F.col("source").alias(source_col), "rate"
+    )
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * F.lit(float(1 << 32))).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    return (
+        documents.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .filter((F.col("rate") >= 1.0) | (bucket < thr))
+        .select(id_col, source_col)
+    )

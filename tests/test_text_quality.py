@@ -331,3 +331,25 @@ def test_remove_dup_ngram_spans_keep_first(spark):
     # pos1-4 grams unique -> kept "p q r s t"
     assert (out[2]["n_removed"], out[2]["clean_fingerprint"]) == (5, md5("p q r s t"))
     assert (out[3]["n_removed"], out[3]["clean_fingerprint"]) == (0, md5("u v"))
+
+
+def test_apply_mixture_deterministic_and_rate_scaled(spark):
+    rows = []
+    for s, n in (("A", 40), ("B", 40), ("C", 20)):
+        for i in range(n):
+            rows.append((len(rows), "w w w", s))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = ops_text.apply_mixture(df, {"A": 0.5, "B": 0.25}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # A has the max raw rate -> kept in full; C has weight 0 -> dropped
+    assert len(by_src.get("A", set())) == 40
+    assert "C" not in by_src
+    # B's rate is 0.5: roughly half kept, md5-deterministic across runs
+    kept2 = {
+        (r["doc_id"], r["source"])
+        for r in ops_text.apply_mixture(df, {"A": 0.5, "B": 0.25}).collect()
+    }
+    assert kept2 == {(r["doc_id"], r["source"]) for r in kept}
+    assert 8 <= len(by_src.get("B", set())) <= 32
