@@ -414,6 +414,13 @@ def _q_docs_span_removal(spark, sf_dir):
     return ops_dedup.remove_dup_ngram_spans(_t(spark, sf_dir, "documents"), n=5)
 
 
+def _q_docs_trigram_lp(spark, sf_dir):
+    """Corpus-trained char-trigram LM mean log-likelihood per document
+    (CCNet-style perplexity filter, self-trained) — integer counts, one
+    rounded mean, oracle-exact."""
+    return ops_text.trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_gopher(spark, sf_dir):
     """Gopher quality rules, token-level subset (Rae et al. 2021 A1.1):
     integer counts + single IEEE divisions — oracle-exact."""
@@ -704,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": _q_emb_pca,
         "docs_pii": _q_docs_pii,
         "docs_gopher": _q_docs_gopher,
+        "docs_trigram_lp": _q_docs_trigram_lp,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_span_removal": _q_docs_span_removal,
         "docs_pack": _q_docs_pack,
@@ -1207,6 +1215,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(cnt.covered, 0) AS BIGINT) AS covered_tokens, "
             "CAST(coalesce(cnt.covered, 0) AS DOUBLE) / b.nt AS dup_coverage "
             "FROM b LEFT JOIN cnt USING (doc_id)"
+        ),
+        # Model counts are exact integers; only the final mean is float,
+        # rounded to 6 (sum-order noise ~1e-12). V = distinct chars of the
+        # normalized corpus, identical in both engines.
+        "docs_trigram_lp": (
+            "WITH b3 AS (SELECT doc_id, n FROM ("
+            "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n "
+            "FROM documents) WHERE length(n) >= 3), "
+            "tri AS (SELECT doc_id, unnest([substr(n, i, 3) "
+            "for i in generate_series(1, length(n) - 2)]) AS t FROM b3), "
+            "tri2 AS (SELECT doc_id, t, substr(t, 1, 2) AS bi FROM tri), "
+            "tc AS (SELECT t, count(*) AS ct FROM tri GROUP BY t), "
+            "bc AS (SELECT bi, count(*) AS cb FROM tri2 GROUP BY bi), "
+            "v AS (SELECT count(DISTINCT c) AS nv FROM ("
+            "SELECT unnest([n[i:i] for i in generate_series(1, length(n))]) AS c "
+            "FROM b3) WHERE c <> '') "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+            "round(avg(ln((CAST(ct AS DOUBLE) + 1.0) / "
+            "(CAST(cb AS DOUBLE) + 1.0 * v.nv))), 6) AS avg_logprob "
+            "FROM tri2 JOIN tc USING (t) JOIN bc USING (bi) CROSS JOIN v "
+            "GROUP BY doc_id"
         ),
         # Keep-first-occurrence replay over gram STRINGS (Spark windows
         # over the xxhash64 — identical barring collisions); 1-based vs

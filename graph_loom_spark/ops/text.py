@@ -674,3 +674,63 @@ def apply_mixture(
         .filter((F.col("rate") >= 1.0) | (bucket < thr))
         .select(id_col, source_col)
     )
+
+
+def trigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style learned quality score without an external model:
+    train a character-trigram language model on the corpus itself
+    (counts of 3-char windows and their 2-char contexts over the
+    normalized text), then score every document by its mean add-k
+    log-likelihood ``mean ln((c(tri)+k)/(c(bi)+k·V))`` — documents whose
+    character statistics deviate from the corpus (boilerplate, noise,
+    wrong language) score low. Returns
+    ``(doc_id, n_trigrams, avg_logprob)`` with the score rounded to 6
+    digits (float sums agree across engines far below 1e-6).
+
+    Shape: two partial-aggregable groupBys build the model ((tri, count)
+    and (bi, count) — the model shuffle carries 3-byte keys + counts);
+    scoring re-explodes the corpus once and equi-joins the model frames
+    (broadcastable: |model| ≤ alphabet³); one final per-doc aggregate.
+    Everything is codegen'd expressions — the "perplexity filter" pass
+    of a 100 TB pipeline at one scan + small joins.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = documents.select(F.col(id_col), norm.alias("__n")).filter(
+        F.length("__n") >= 3
+    )
+    tri = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__n") - 2),
+                lambda i: F.substring(F.col("__n"), i, 3),
+            )
+        ).alias("__t"),
+    ).select(id_col, F.col("__t"), F.substring("__t", 1, 2).alias("__b"))
+    tri_counts = tri.groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
+    bi_counts = tri.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    # vocabulary = distinct characters of the normalized corpus
+    v = (
+        base.select(F.explode(F.split("__n", "")).alias("__c"))
+        .filter(F.col("__c") != "")
+        .agg(F.count_distinct("__c").alias("__v"))
+        .collect()[0]["__v"]
+    )
+    lp = F.log(
+        (F.col("__ct").cast("double") + add_k)
+        / (F.col("__cb").cast("double") + add_k * float(v))
+    )
+    return (
+        tri.join(F.broadcast(tri_counts), "__t")
+        .join(F.broadcast(bi_counts), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )

@@ -353,3 +353,22 @@ def test_apply_mixture_deterministic_and_rate_scaled(spark):
     }
     assert kept2 == {(r["doc_id"], r["source"]) for r in kept}
     assert 8 <= len(by_src.get("B", set())) <= 32
+
+
+def test_trigram_logprob_exact_tiny(spark):
+    import math
+
+    rows = [(0, "ababa"), (1, "abxyz")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.trigram_logprob(df).collect()}
+    # corpus trigrams: doc0: aba, bab, aba; doc1: abx, bxy, xyz
+    # tri counts: aba=2 bab=1 abx=1 bxy=1 xyz=1
+    # bi(context) counts over trigram prefixes: ab=3(aba,aba,abx) ba=1 bx=1 xy=1
+    # V = distinct chars of "ababa"+"abxyz" = {a,b,x,y,z} = 5
+    V = 5.0
+    lp = lambda ct, cb: math.log((ct + 1.0) / (cb + V))
+    exp0 = round((lp(2, 3) + lp(1, 1) + lp(2, 3)) / 3, 6)
+    exp1 = round((lp(1, 3) + lp(1, 1) + lp(1, 1)) / 3, 6)
+    assert out[0]["n_trigrams"] == 3 and out[1]["n_trigrams"] == 3
+    assert out[0]["avg_logprob"] == exp0
+    assert out[1]["avg_logprob"] == exp1
