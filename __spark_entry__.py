@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from graph_loom_spark import analytics
 from graph_loom_spark.interface import CypherSession
 from graph_loom_spark.io.tpch_graph import build_graph
+from graph_loom_spark.ops import bpe as ops_bpe
 from graph_loom_spark.ops import dedup as ops_dedup
 from graph_loom_spark.ops import events as ops_events
 from graph_loom_spark.ops import multimodal as ops_mm
@@ -421,6 +422,20 @@ def _q_docs_trigram_lp(spark, sf_dir):
     return ops_text.trigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training, 20 merges. Iterative argmax
+    loop → no SQL oracle; the pytest replays the identical algorithm in
+    pure Python and matches the merge list exactly."""
+    return ops_bpe.bpe_train(_t(spark, sf_dir, "documents"), num_merges=20)
+
+
+def _q_docs_compression(spark, sf_dir):
+    """zlib compression-ratio entropy proxy (RefinedWeb-style quality
+    signal). zlib is not available to the SQL oracle → no_oracle; the
+    pytest recomputes the exact bytes with Python zlib."""
+    return ops_text.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_gopher(spark, sf_dir):
     """Gopher quality rules, token-level subset (Rae et al. 2021 A1.1):
     integer counts + single IEEE divisions — oracle-exact."""
@@ -712,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii": _q_docs_pii,
         "docs_gopher": _q_docs_gopher,
         "docs_trigram_lp": _q_docs_trigram_lp,
+        "docs_compression": _q_docs_compression,
+        "docs_bpe_train": _q_docs_bpe_train,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_span_removal": _q_docs_span_removal,
         "docs_pack": _q_docs_pack,

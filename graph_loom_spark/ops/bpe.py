@@ -1,0 +1,164 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+"train the real tokenizer" step of a pre-training pipeline, as opposed
+to the regex token-count estimator in :mod:`.text`.
+
+Word-level BPE: the corpus collapses to a (word, freq) table once (THE
+data-sized aggregate — at 100 TB this is one shuffle keyed by word and
+everything after runs on the distinct-word table, which is millions of
+rows, not billions); each merge round then
+- counts adjacent symbol pairs weighted by word frequency (one
+  partial-aggregable groupBy over the word table),
+- picks the most frequent pair (count desc, then lexicographic — a
+  deterministic tie-break where the original uses dict order),
+- rewrites every word's symbol sequence with the merged token (an
+  Arrow-batched ``mapInPandas`` pass: the rewrite is an inherently
+  sequential per-word scan, the same byte-level-seam shape as the media
+  codecs).
+
+The word table is localCheckpointed every round so round r does not
+re-apply merges 1..r-1 through a growing plan; blocks are freed on
+completion. Words carry an end-of-word sentinel symbol ``</w>`` so
+merges distinguish word-final contexts, as in the original algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _py_apply_merge(sym: list[str], left: str, right: str, merged: str) -> list[str]:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    documents: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    merge table ``(rank, left, right, merged)`` in learned order.
+
+    Deterministic end-to-end: pair counts are exact integers and the
+    argmax tie-breaks lexicographically, so the pytest oracle replays
+    the identical algorithm in pure Python and matches the merge list
+    exactly. Stops early when no pair occurs twice.
+    """
+    import pandas as pd
+
+    from graph_loom_spark.graph import _free_intermediates, _tracked_checkpoint
+
+    spark = documents.sparkSession
+    tracked: list = []
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    words = (
+        documents.select(F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .select(
+            F.concat(F.split("__w", ""), F.array(F.lit(EOW))).alias("__sym"),
+            "__f",
+        )
+    )
+    words = _tracked_checkpoint(words, tracked)
+
+    merges: list[tuple[str, str]] = []
+    for rank in range(num_merges):
+        # guard fully-merged single-symbol words: sequence(0, -1) would
+        # DESCEND and element_at(-1) would read from the array end
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size("__sym") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__sym") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__sym", i + 1).alias("l"),
+                            F.element_at("__sym", i + 2).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("__p"),
+            "__f",
+        )
+        best = (
+            pairs.groupBy("__p")
+            .agg(F.sum("__f").alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__p.l").asc(), F.col("__p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["__c"] < 2:
+            break
+        left, right = best[0]["__p"]["l"], best[0]["__p"]["r"]
+        merges.append((left, right))
+
+        def _apply(batches, _l=left, _r=right, _m=left + right):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["__sym"] = [
+                    _py_apply_merge(list(s), _l, _r, _m) for s in pdf["__sym"]
+                ]
+                yield pdf
+
+        words = _tracked_checkpoint(
+            words.mapInPandas(_apply, "__sym array<string>, __f long"), tracked
+        )
+
+    result = spark.createDataFrame(
+        [
+            (i, l, r, l + r)
+            for i, (l, r) in enumerate(merges)
+        ],
+        "rank long, left string, right string, merged string",
+    )
+    _free_intermediates(spark, tracked)
+    return result
+
+
+def bpe_encode_stats(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list and report per-document token counts
+    ``(doc_id, n_bpe_tokens)`` — the before/after compression check that
+    validates a trained tokenizer. Arrow-batched; merges apply in rank
+    order per word (the standard greedy encode)."""
+    import pandas as pd
+
+    def _encode(batches):
+        for pdf in batches:
+            counts = []
+            for t in pdf[text_col]:
+                norm = " ".join((t or "").lower().split())
+                total = 0
+                for w in norm.split(" "):
+                    if not w:
+                        continue
+                    sym = list(w) + [EOW]
+                    for l, r in merges:
+                        sym = _py_apply_merge(sym, l, r, l + r)
+                    total += len(sym)
+                counts.append(total)
+            yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_tokens": counts})
+
+    return documents.select(id_col, text_col).mapInPandas(
+        _encode, f"{id_col} long, n_bpe_tokens long"
+    )

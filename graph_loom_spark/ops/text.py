@@ -734,3 +734,56 @@ def trigram_logprob(
             F.round(F.avg(lp), 6).alias("avg_logprob"),
         )
     )
+
+
+def compression_ratio(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (the entropy proxy used by
+    RefinedWeb/Gopher-class pipelines: highly repetitive or templated
+    text compresses far below natural prose): per document,
+    ``zlib.compress`` at ``level`` over the UTF-8 bytes —
+    ``(doc_id, n_bytes, n_compressed, ratio)`` with
+    ``ratio = n_compressed / n_bytes`` (1.0 for empty docs by
+    convention).
+
+    zlib output is fully deterministic for a given (input, level), so
+    the pytest oracle recomputes it byte-for-byte in Python. Runs as
+    Arrow-batched ``mapInPandas`` (same shape as the media codecs —
+    byte-level work the JVM expression layer cannot express); one scan,
+    no shuffle, and only (id, 3 numbers) leave the executor.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def _ratio(batches):
+        for pdf in batches:
+            n_b = []
+            n_c = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                n_b.append(len(raw))
+                n_c.append(len(zlib.compress(raw, level)) if raw else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(n_b, dtype="int64"),
+                    "n_compressed": pd.Series(n_c, dtype="int64"),
+                }
+            )
+
+    out = documents.select(id_col, text_col).mapInPandas(
+        _ratio, f"{id_col} long, n_bytes long, n_compressed long"
+    )
+    return out.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.col("n_compressed").cast("double") / F.col("n_bytes"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("ratio"),
+    )

@@ -372,3 +372,24 @@ def test_trigram_logprob_exact_tiny(spark):
     assert out[0]["n_trigrams"] == 3 and out[1]["n_trigrams"] == 3
     assert out[0]["avg_logprob"] == exp0
     assert out[1]["avg_logprob"] == exp1
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    rows = [
+        (0, "abab" * 200),            # highly repetitive -> tiny ratio
+        (1, "The quick brown fox jumps over the lazy dog."),
+        (2, ""),                      # empty -> ratio 1.0 by convention
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.compression_ratio(df).collect()}
+    for i, t in rows:
+        raw = t.encode()
+        assert out[i]["n_bytes"] == len(raw)
+        if raw:
+            assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+            assert out[i]["ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+        else:
+            assert (out[i]["n_compressed"], out[i]["ratio"]) == (0, 1.0)
+    assert out[0]["ratio"] < 0.1 < out[1]["ratio"]
