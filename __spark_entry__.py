@@ -423,10 +423,14 @@ def _q_docs_trigram_lp(spark, sf_dir):
 
 
 def _q_docs_bpe_train(spark, sf_dir):
-    """Distributed BPE tokenizer training, 20 merges. Iterative argmax
-    loop → no SQL oracle; the pytest replays the identical algorithm in
-    pure Python and matches the merge list exactly."""
-    return ops_bpe.bpe_train(_t(spark, sf_dir, "documents"), num_merges=20)
+    """Distributed BPE tokenizer training, 20 merges in batches of 8
+    symbol-disjoint merges per count round (the production batching —
+    3 aggregate rounds instead of 20). Iterative argmax loop → no SQL
+    oracle; pytest replays the identical batched algorithm in pure
+    Python and matches the merge list exactly."""
+    return ops_bpe.bpe_train(
+        _t(spark, sf_dir, "documents"), num_merges=20, batch_size=8
+    )
 
 
 def _q_docs_compression(spark, sf_dir):

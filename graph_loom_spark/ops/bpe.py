@@ -47,6 +47,7 @@ def bpe_train(
     num_merges: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     merge table ``(rank, left, right, merged)`` in learned order.
@@ -55,6 +56,19 @@ def bpe_train(
     argmax tie-breaks lexicographically, so the pytest oracle replays
     the identical algorithm in pure Python and matches the merge list
     exactly. Stops early when no pair occurs twice.
+
+    ``batch_size=1`` is the exact Sennrich algorithm (one merge per
+    count round). ``batch_size>1`` is the standard production speedup
+    for a distributed trainer where every count round is a full
+    aggregate job: from the top ``8*batch_size`` candidate pairs
+    (count desc, then lexicographic) greedily select up to
+    ``batch_size`` mutually SYMBOL-DISJOINT pairs (a pair sharing a
+    symbol with an already-selected one is skipped) and apply them in
+    one rewrite — disjointness makes the batch's rewrites
+    order-independent, but a merge that WOULD have created a new
+    dominant pair mid-batch is deliberately deferred to the next round,
+    so the result can differ from batch_size=1; both variants are exact
+    vs their Python replays in the pytest.
     """
     import pandas as pd
 
@@ -76,9 +90,27 @@ def bpe_train(
         )
     )
     words = _tracked_checkpoint(words, tracked)
+    # Per-round shuffles operate on the distinct-word table, which is
+    # tiny relative to the session default partitioning on small corpora
+    # — size them from the data (same lever as kmeans; ~50 symbols/word
+    # upper bound on the pair explode). Restored before returning.
+    n_words = words.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = int(max(4, (n_words * 50) // 1_000_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # ALSO shrink the word table's own partitioning: it inherits the
+    # session layout from the setup aggregate, and every per-round Arrow
+    # rewrite stage otherwise schedules one task per (mostly empty)
+    # partition — the dominant cost on small vocabularies.
+    words = _tracked_checkpoint(words.repartition(parts), tracked)
 
     merges: list[tuple[str, str]] = []
-    for rank in range(num_merges):
+    # Checkpoint the word table every 4th rewrite, not every rewrite:
+    # the in-between rounds re-run at most 3 Arrow rewrite stages over
+    # the (tiny relative to the corpus) word table, far cheaper than a
+    # materialization job per round.
+    rounds_since_ckpt = 0
+    while len(merges) < num_merges:
         # guard fully-merged single-symbol words: sequence(0, -1) would
         # DESCEND and element_at(-1) would read from the array end
         pairs = words.select(
@@ -96,29 +128,46 @@ def bpe_train(
             ).alias("__p"),
             "__f",
         )
-        best = (
+        top = (
             pairs.groupBy("__p")
             .agg(F.sum("__f").alias("__c"))
             .orderBy(F.col("__c").desc(), F.col("__p.l").asc(), F.col("__p.r").asc())
-            .limit(1)
+            .limit(max(1, 8 * batch_size))
             .collect()
         )
-        if not best or best[0]["__c"] < 2:
+        used: set = set()
+        batch: list[tuple[str, str]] = []
+        for row in top:
+            if row["__c"] < 2 or len(batch) >= batch_size:
+                break
+            if len(merges) + len(batch) >= num_merges:
+                break
+            l, r = row["__p"]["l"], row["__p"]["r"]
+            if l in used or r in used:
+                continue
+            batch.append((l, r))
+            used.update((l, r))
+        if not batch:
             break
-        left, right = best[0]["__p"]["l"], best[0]["__p"]["r"]
-        merges.append((left, right))
+        merges.extend(batch)
 
-        def _apply(batches, _l=left, _r=right, _m=left + right):
+        def _apply(batches, _b=tuple(batch)):
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf["__sym"] = [
-                    _py_apply_merge(list(s), _l, _r, _m) for s in pdf["__sym"]
-                ]
+                out = []
+                for s_ in pdf["__sym"]:
+                    sym = list(s_)
+                    for _l, _r in _b:
+                        sym = _py_apply_merge(sym, _l, _r, _l + _r)
+                    out.append(sym)
+                pdf["__sym"] = out
                 yield pdf
 
-        words = _tracked_checkpoint(
-            words.mapInPandas(_apply, "__sym array<string>, __f long"), tracked
-        )
+        words = words.mapInPandas(_apply, "__sym array<string>, __f long")
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= 4:
+            words = _tracked_checkpoint(words, tracked)
+            rounds_since_ckpt = 0
 
     result = spark.createDataFrame(
         [
@@ -127,6 +176,7 @@ def bpe_train(
         ],
         "rank long, left string, right string, merged string",
     )
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _free_intermediates(spark, tracked)
     return result
 

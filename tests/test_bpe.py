@@ -11,7 +11,7 @@ from graph_loom_spark.ops import bpe as ops_bpe
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _ref_bpe(texts: list[str], num_merges: int):
+def _ref_bpe(texts: list[str], num_merges: int, batch_size: int = 1):
     wc: Counter = Counter()
     for t in texts:
         for w in " ".join((t or "").lower().split()).split(" "):
@@ -19,22 +19,30 @@ def _ref_bpe(texts: list[str], num_merges: int):
                 wc[w] += 1
     words = {w: list(w) + [ops_bpe.EOW] for w in wc}
     merges = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
         pc: Counter = Counter()
         for w, sym in words.items():
             f = wc[w]
             for a, b in zip(sym, sym[1:]):
                 pc[(a, b)] += f
-        if not pc:
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: 8 * batch_size]
+        used: set = set()
+        batch = []
+        for (l, r), c in cand:
+            if c < 2 or len(batch) >= batch_size:
+                break
+            if len(merges) + len(batch) >= num_merges:
+                break
+            if l in used or r in used:
+                continue
+            batch.append((l, r))
+            used.update((l, r))
+        if not batch:
             break
-        top = max(pc.values())
-        if top < 2:
-            break
-        best = min(p for p, c in pc.items() if c == top)
-        merges.append(best)
-        l, r = best
-        for w in words:
-            words[w] = ops_bpe._py_apply_merge(words[w], l, r, l + r)
+        merges.extend(batch)
+        for l, r in batch:
+            for w in words:
+                words[w] = ops_bpe._py_apply_merge(words[w], l, r, l + r)
     return merges
 
 
@@ -90,3 +98,17 @@ def test_bpe_encode_stats_matches_reference_encode(spark):
         return total
 
     assert out == {0: enc_len(rows[0][1]), 1: enc_len(rows[1][1])}
+
+
+def test_bpe_train_batched_matches_batched_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _ref_bpe(texts, 16, batch_size=8)
+    got = [
+        (r["left"], r["right"])
+        for r in ops_bpe.bpe_train(docs, num_merges=16, batch_size=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == 16
