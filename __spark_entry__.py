@@ -671,6 +671,16 @@ def _q_graph_components(spark, sf_dir):  # G4 — oracle-checked (see oracle_sql
     return analytics.connected_components(_graph(spark, sf_dir))
 
 
+def _q_graph_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph (same sparse association
+    graph as graph_triangles) by iterative peeling on hash surrogates.
+    Iterative fixpoint → no SQL oracle; exact vs a pure-Python peeling
+    in tests/test_no_oracle_checks.py."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = ops_dedup.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return analytics.kcore(edges, k=3)
+
+
 def _q_graph_pagerank(spark, sf_dir):
     """Directed PageRank, 5 power iterations over the tpch projection.
     Iterative float fixpoint → no SQL oracle; exact vs a numpy replay in
@@ -761,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
+        "graph_kcore": _q_graph_kcore,
         "graph_pagerank": _q_graph_pagerank,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,

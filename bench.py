@@ -65,6 +65,7 @@ def _drop_persisted_blocks(spark) -> None:
 _BENCH_LAST = [
     "graph_triangles",
     "graph_degrees",
+    "graph_kcore",
     "graph_pagerank",
     "graph_components",
     "graph_lpa",

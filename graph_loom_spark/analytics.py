@@ -823,3 +823,86 @@ def pagerank(
     )
     _free_intermediates(spark, tracked)
     return result
+
+
+def kcore(
+    edges_df: DataFrame, k: int = 2, max_iter: int = 100,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by iterative peeling over a plain ``(src, dst)``
+    edge list (composable with
+    :func:`~graph_loom_spark.ops.dedup.co_occurrence_edges` — pass
+    ``graph.edges`` for a property graph): repeatedly delete nodes of
+    degree < ``k`` (in the simple undirected graph — parallel edges
+    collapsed, self-loops dropped) until none remain; returns the
+    surviving ``(id, core_degree)`` rows, where ``core_degree`` is the
+    node's degree inside the k-core.
+
+    The peeling loop runs on 8-byte xxhash64 surrogates of the string
+    form of the ids (same lever as :func:`connected_components`); each
+    round is one degree aggregate + one semi-join of the shrinking edge
+    set against surviving nodes, checkpointed so lineage stays flat, and
+    the edge set only ever shrinks — total work is a small multiple of
+    the input. Convergence is detected by the survivor count reaching a
+    fixpoint (the count is needed to size the next round's shuffles
+    anyway). Deterministic: peeling is order-independent (the k-core is
+    unique).
+    """
+    spark = edges_df.sparkSession
+    tracked: list = []
+    sc = F.col(src).cast("string")
+    dc = F.col(dst).cast("string")
+    # surrogates hash the STRING form so int and string id columns get
+    # the same treatment; the output keeps the original id type
+    idmap0 = _tracked_checkpoint(
+        edges_df.select(F.col(src).alias("id"))
+        .unionAll(edges_df.select(F.col(dst).alias("id")))
+        .distinct()
+        .select("id", F.xxhash64(F.col("id").cast("string")).alias("n")),
+        tracked,
+    )
+    e = (
+        edges_df.select(
+            F.xxhash64(sc).alias("a"), F.xxhash64(dc).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    edges = _tracked_checkpoint(e, tracked)
+    n_prev = -1
+    for _ in range(max_iter):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            break
+        n_prev = n_keep
+        if n_keep == 0:
+            edges = edges.limit(0)
+            break
+        edges = _tracked_checkpoint(
+            edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi").join(
+                keep.select(F.col("n").alias("v")), "v", "left_semi"
+            ),
+            tracked,
+        )
+    core_deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+    result = (
+        core_deg.join(idmap0, "n")
+        .select("id", F.col("core_degree").cast("bigint").alias("core_degree"))
+        .localCheckpoint(eager=True)
+    )
+    _free_intermediates(spark, tracked)
+    return result

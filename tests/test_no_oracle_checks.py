@@ -410,3 +410,45 @@ def test_pagerank_matches_numpy_reference(spark):
 
     got = {row["id"]: row["rank"] for row in analytics.pagerank(g).collect()}
     assert got == expected
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Distributed k-core ≡ pure-Python peeling on the sf0.001 graph."""
+    g = _graph(spark)
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in g.edges.select("src", "dst").collect()
+        if r["src"] != r["dst"]
+    }
+    k = 2
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    expected = {n: len(ns) for n, ns in adj.items() if len(ns) >= k}
+
+    got = {
+        r["id"]: r["core_degree"]
+        for r in analytics.kcore(g.edges.select("src", "dst"), k=k).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the projection has cycles -> non-empty 2-core
+
+
+def test_kcore_toy_triangle_with_tail(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "x")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["core_degree"] for r in analytics.kcore(edges, k=2).collect()}
+    # the triangle a-b-c is the 2-core; d and x peel away
+    assert got == {"a": 2, "b": 2, "c": 2}
