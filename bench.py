@@ -151,6 +151,25 @@ def main() -> None:
             old.stop()
         except Exception as e:
             print(f"bench session restart warning: {e}", file=sys.stderr, flush=True)
+        # Shut the py4j gateway down too so the NEXT session launches a
+        # brand-new JVM: a same-JVM context restart keeps ~60 queries of
+        # old-gen garbage and JIT/codegen caches, and the multi-round
+        # graph queries then stall in G1 mixed collections (observed:
+        # LPA 176 s in an aged JVM vs 25-45 s fresh; cores idle at load
+        # ~8/32 while GC threads churn). A fresh JVM pays ~10 s startup
+        # once — far cheaper than 3-7x on every iterative query.
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession
+
+            if SparkContext._gateway is not None:
+                SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+        except Exception as e:
+            print(f"bench gateway shutdown warning: {e}", file=sys.stderr, flush=True)
         fresh = get_spark(
             app_name="graph-loom-bench-graph",
             master=f"local[{cpus}]",
