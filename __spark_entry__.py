@@ -610,6 +610,34 @@ def _q_events_asof_join(spark, sf_dir):
     )
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Interval-containment join via the bucketed equi-join operator
+    (``ops.events.interval_join`` — no range theta-join, no cartesian):
+    every purchase event falling inside a VIP user's session window.
+    VIPs = top-3 users by purchase value; intervals = their gap-1800s
+    sessions (``session_intervals``). DuckDB oracle is the plain
+    BETWEEN join over the same SQL-derived session windows."""
+    ev = _events(spark, sf_dir)
+    vips = ops_events.top_users_by_value(ev, k=3).select("user_id")
+    iv = ops_events.session_intervals(ev.join(F.broadcast(vips), "user_id")).select(
+        F.col("user_id").alias("vip_user"),
+        "session_start",
+        "session_end",
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = ops_events.interval_join(
+        pts, iv, ts_col="ts", start_col="session_start", end_col="session_end"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "vip_user",
+        F.col("session_start").cast("string").alias("session_start"),
+    )
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     """IVF-partitioned approximate top-k — approximate, rows-only check."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -661,6 +689,16 @@ def _q_graph_triangles(spark, sf_dir):
     # operator and the cap-free oracle SQL build the identical edge set
     edges = ops_dedup.co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return analytics.triangle_counts(edges)
+
+
+def _q_graph_bfs(spark, sf_dir):
+    """Single-source BFS shortest-path distances on the part co-purchase
+    graph, from its smallest part id (deterministic). Level-synchronous
+    frontier BFS on hash surrogates; shortest distance is unique, so a
+    bounded-depth recursive-CTE DuckDB oracle checks it exactly."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = ops_dedup.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return analytics.bfs_distances(edges, max_depth=12)
 
 
 def _q_graph_degrees(spark, sf_dir):  # A2/G3
@@ -726,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_events_anomaly,
         "events_top_users": _q_events_top_users,
         "events_asof_join": _q_events_asof_join,
+        "events_interval_join": _q_events_interval_join,
         "agg_percentiles": _q_agg_percentiles,
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
@@ -769,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
         "graph_triangles": _q_graph_triangles,
+        "graph_bfs": _q_graph_bfs,
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
         "graph_kcore": _q_graph_kcore,
@@ -952,6 +992,29 @@ def oracle_sql() -> dict[str, str]:
             "c.click_id, CAST(c.ts AS VARCHAR) AS click_ts "
             "FROM purchases p ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND c.ts <= p.ts"
+        ),
+        # Session windows derived with the same lag+cumsum SQL the
+        # sessionize oracle uses; the containment join itself is the
+        # plain BETWEEN predicate (DuckDB plans it as an IEJoin) — the
+        # Spark side's bucketed equi-join must produce identical pairs.
+        "events_interval_join": (
+            "WITH vips AS (SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id "
+            "ORDER BY CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC, user_id "
+            "LIMIT 3), "
+            "se AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM ("
+            "SELECT e.user_id, e.ts, lag(e.ts) OVER (PARTITION BY e.user_id ORDER BY e.ts) AS prev_ts "
+            "FROM events e JOIN vips USING (user_id))), "
+            "sid AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM se), "
+            "iv AS (SELECT user_id AS vip_user, min(ts) AS session_start, max(ts) AS session_end "
+            "FROM sid GROUP BY user_id, sid) "
+            "SELECT e.event_id, e.user_id, iv.vip_user, "
+            "CAST(iv.session_start AS VARCHAR) AS session_start "
+            "FROM events e JOIN iv ON e.ts BETWEEN iv.session_start AND iv.session_end "
+            "WHERE e.event_type = 'purchase'"
         ),
         "agg_percentiles": (
             "SELECT l_returnflag, "
@@ -1447,6 +1510,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT lid FROM li) "
             "SELECT n.id AS id, CAST(count(e.id) AS BIGINT) AS degree "
             "FROM all_nodes n LEFT JOIN ends e ON n.id = e.id GROUP BY n.id"
+        ),
+        # Bounded-depth BFS as a recursive CTE: the working set carries
+        # (node, walk-length) pairs; min(d) per node = shortest distance
+        # for everything whose true distance is <= the cap, and nothing
+        # deeper is reachable by ANY walk <= cap — exactly the operator's
+        # max_depth semantics. Depth cap keeps the recursion finite.
+        "graph_bfs": (
+            "WITH RECURSIVE ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e0 AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), "
+            "s AS (SELECT min(u) AS s FROM e), "
+            "bfs AS (SELECT s AS id, 0 AS d FROM s "
+            "UNION SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.id "
+            "WHERE bfs.d < 12) "
+            "SELECT id, CAST(min(d) AS BIGINT) AS distance FROM bfs GROUP BY id"
         ),
         "graph_components": (
             "WITH RECURSIVE "

@@ -64,6 +64,7 @@ def _drop_persisted_blocks(spark) -> None:
 # graph queries last so their block churn can't inflate earlier rows.
 _BENCH_LAST = [
     "graph_triangles",
+    "graph_bfs",
     "graph_degrees",
     "graph_kcore",
     "graph_pagerank",

@@ -734,6 +734,98 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def bfs_distances(
+    edges_df: DataFrame,
+    source=None,
+    max_depth: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_frontier_max: int = 5_000_000,
+) -> DataFrame:
+    """Single-source BFS shortest-path distances over an undirected
+    simple graph given as a plain ``(src, dst)`` edge list: returns
+    ``(id, distance)`` for every node within ``max_depth`` hops of
+    ``source`` (the source itself at distance 0). ``source=None`` picks
+    the smallest node id — a deterministic default for demo/oracle use.
+
+    This is the level-synchronous frontier BFS every distributed graph
+    engine runs (Pregel's canonical example): per level, one equi-join
+    of the (pre-partitioned, checkpointed) symmetric adjacency with the
+    current frontier, a distinct, and an anti-join against the visited
+    set. Total work is O(|E| · levels-touched) worst case but each edge
+    is effectively expanded once per endpoint; the frontier is
+    broadcast-hinted while it fits (``broadcast_frontier_max``) so the
+    big adjacency side never re-shuffles — at 100 TB the adjacency is
+    partitioned once and every level is a broadcast probe into it.
+    The per-level ``count()`` doubles as the termination check and the
+    loop driver; lineage is checkpointed per level (visited/frontier
+    are data-sized, never driver-side).
+
+    Semantics: shortest distance is unique, so the result is
+    deterministic and (bounded-depth) expressible as a recursive-CTE
+    SQL oracle. Walks vs paths make no difference to min-distance.
+    """
+    spark = edges_df.sparkSession
+    tracked: list = []
+    sc_ = F.col(src).cast("string")
+    dc_ = F.col(dst).cast("string")
+    idmap = _tracked_checkpoint(
+        edges_df.select(F.col(src).alias("id"))
+        .unionAll(edges_df.select(F.col(dst).alias("id")))
+        .distinct()
+        .select("id", F.xxhash64(F.col("id").cast("string")).alias("n")),
+        tracked,
+    )
+    e0 = edges_df.select(F.xxhash64(sc_).alias("a"), F.xxhash64(dc_).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    adj = _tracked_checkpoint(
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .repartition("u"),
+        tracked,
+    )
+    if source is None:
+        source = edges_df.select(
+            F.least(F.col(src), F.col(dst)).alias("i")
+        ).agg(F.min("i")).collect()[0][0]
+    src_h = (
+        idmap.filter(F.col("id") == source).select("n").limit(1)
+    )
+    visited = _tracked_checkpoint(
+        src_h.select("n", F.lit(0).cast("int").alias("d")), tracked
+    )
+    frontier = visited.select("n")
+    n_frontier = frontier.count()
+    depth = 0
+    while n_frontier > 0 and depth < max_depth:
+        depth += 1
+        bcast = (
+            F.broadcast if n_frontier <= broadcast_frontier_max else (lambda df: df)
+        )
+        new = _tracked_checkpoint(
+            adj.join(bcast(frontier.select(F.col("n").alias("u"))), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .select("n", F.lit(depth).cast("int").alias("d")),
+            tracked,
+        )
+        n_frontier = new.count()
+        if n_frontier == 0:
+            break
+        visited = _tracked_checkpoint(visited.unionAll(new), tracked)
+        frontier = new.select("n")
+    result = (
+        visited.join(idmap, "n")
+        .select("id", F.col("d").cast("bigint").alias("distance"))
+        .localCheckpoint(eager=True)
+    )
+    _free_intermediates(spark, tracked)
+    return result
+
+
 def pagerank(
     graph: PropertyGraph,
     iters: int = 5,

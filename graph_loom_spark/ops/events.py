@@ -223,6 +223,77 @@ def retention_cohorts(
     )
 
 
+def session_intervals(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Gap-based sessions as intervals: ``(user_id, session_start,
+    session_end, n_events)``, one row per session. Same lag+cumulative-sum
+    pattern as :func:`sessionize` (which only counts sessions per user);
+    this materializes each session's time span so downstream interval
+    operators (:func:`interval_join`) can consume sessions as ranges.
+    One keyed window shuffle + one aggregate — nothing global."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn("__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .drop("__sid")
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    ``start <= ts <= end`` (inclusive both ends), optionally also
+    matching equi-keys ``on``. Output: point columns + interval columns
+    (which must not collide outside ``on`` — rename beforehand).
+
+    Spark has no native range join; the naive formulation is a
+    theta-join the planner can only run as
+    broadcast-nested-loop/cartesian — O(|points|·|intervals|) at scale.
+    The scalable form used here is the classic bucketed equi-join:
+
+    - each interval is exploded to the coarse time buckets
+      (``bucket_seconds`` wide) it overlaps;
+    - each point maps to its single bucket;
+    - equi-join on (keys + bucket) — a plain shuffled/broadcast hash
+      join Catalyst can plan, prune, and AQE-skew-split;
+    - refine with the exact ``BETWEEN`` predicate.
+
+    Each qualifying pair matches in exactly one bucket (the point's
+    own), so no post-dedup is needed. Explosion factor is
+    ``interval_length / bucket_seconds``; pick the bucket near the
+    median interval length — too coarse re-creates per-bucket
+    mini-cartesians, too fine multiplies the interval side. Hot buckets
+    (everything in one hour) are AQE skew-split like any keyed join.
+    """
+    on = list(on or [])
+    b = lambda c: F.floor(F.col(c).cast("long") / F.lit(int(bucket_seconds)))  # noqa: E731
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(b(start_col), b(end_col)))
+    )
+    pt = points.withColumn("__b", b(ts_col))
+    return (
+        pt.join(iv, on + ["__b"])
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__b")
+    )
+
+
 def user_extreme_events(events: DataFrame, k: int = 1) -> DataFrame:
     """Per-user anomaly pick: the ``k`` events with the largest absolute
     z-score of ``value`` against that user's own mean/stddev —
