@@ -558,15 +558,23 @@ def _q_emb_cosine_topk(spark, sf_dir):
 
 
 def _q_docs_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs — engine-hash based, rows-only check."""
-    sigs = ops_dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
-    return ops_dedup.minhash_lsh_pairs(sigs, threshold=0.3)
+    """MinHash+LSH near-dup pairs in the engine-independent md5 mode:
+    slot i = min(md5(i || ':' || shingle)), md5 band hashes — the DuckDB
+    oracle replays signatures, banding, and estimates EXACTLY (was
+    rows-only when the signatures used engine xxhash64; that
+    affine-permutation scale path keeps its recall pytest)."""
+    sigs = ops_dedup.minhash_signatures_md5(_t(spark, sf_dir, "documents"))
+    return ops_dedup.minhash_lsh_pairs(sigs, threshold=0.3, band_hash="md5")
 
 
 def _q_docs_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — engine-hash based, rows-only check."""
-    sim = ops_dedup.simhash(_t(spark, sf_dir, "documents"))
-    return ops_dedup.simhash_near_pairs(sim, max_hamming=3)
+    """SimHash near-dup pairs in the engine-independent md5 mode (60-bit
+    fingerprints from md5 hex): the DuckDB oracle replays fingerprints,
+    pigeonhole banding, and Hamming distances bit-for-bit (was rows-only
+    when token hashes used engine xxhash64; that scale path keeps its
+    exact-vs-brute-force pytest)."""
+    sim = ops_dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+    return ops_dedup.simhash_near_pairs(sim, max_hamming=3, bits=60)
 
 
 def _q_emb_ann_lsh(spark, sf_dir):
@@ -819,6 +827,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _ID_N = "'N:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0')"
+
+
+def _minhash_md5_oracle(
+    num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    """SQL replay of the md5-mode MinHash pipeline (signatures → md5
+    banding → candidate self-join → slot-equality estimate), generated
+    for the same (num_perm, bands, shingle_n, threshold) the entry query
+    uses. md5 hex strings min/compare identically in every engine, so
+    candidates AND estimates match Spark bit-for-bit."""
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || g)) AS s{i}" for i in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"s{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+        "grams AS (SELECT doc_id, unnest(list_distinct("
+        f"[array_to_string(t[i:i+{shingle_n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM toks), "
+        f"sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id), "
+        f"banded AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, est_jaccard FROM ("
+        f"SELECT c.id_a, c.id_b, CAST(({eq_sum}) AS DOUBLE) / {num_perm} AS est_jaccard "
+        "FROM cand c JOIN sig sa ON c.id_a = sa.doc_id "
+        "JOIN sig sb ON c.id_b = sb.doc_id) "
+        f"WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _simhash_md5_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
+    """SQL replay of the md5-mode SimHash pipeline. Bit b of a token's
+    60-bit hash lives in hex char ``15 - b//4`` (1-indexed, MSB first)
+    of md5's 15-char prefix at in-char position ``b%4`` — extracted with
+    strpos/substr integer math, no hex-parse builtin needed. Votes,
+    fingerprint packing, pigeonhole chunks, and popcount Hamming then
+    mirror ``simhash_md5`` + ``simhash_near_pairs(bits=60)`` exactly."""
+    width = n_bits // 4
+
+    def bit(b):
+        k = 15 - b // 4  # 1-indexed hex char, MSB first
+        return (
+            f"((strpos('0123456789abcdef', substr(h, {k}, 1)) - 1) "
+            f"// {1 << (b % 4)}) % 2"
+        )
+
+    sums = ", ".join(f"sum({bit(b)}) AS c{b}" for b in range(n_bits))
+    fp = " + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS chunk, "
+        f"(simhash // CAST({1 << (i * width)} AS BIGINT)) % {1 << width} AS cv FROM fp"
+        for i in range(4)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS t FROM documents), "
+        "hv AS (SELECT doc_id, md5(t) AS h FROM toks), "
+        f"cnt AS (SELECT doc_id, count(*) AS n, {sums} FROM hv GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {fp} AS simhash FROM cnt), "
+        f"banded AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.cv = b.cv "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, hamming FROM ("
+        "SELECT c.id_a, c.id_b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming "
+        "FROM cand c JOIN fp fa ON c.id_a = fa.doc_id "
+        "JOIN fp fb ON c.id_b = fb.doc_id) "
+        f"WHERE hamming <= {max_hamming}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1438,7 +1531,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
             "WHERE cosine >= 0.4"
         ),
-        # docs_minhash_pairs / docs_simhash_pairs / emb_ann_lsh: engine-hash
+        # docs_minhash_pairs / docs_simhash_pairs: md5 modes → full SQL
+        # replays (generated).
+        "docs_minhash_pairs": _minhash_md5_oracle(),
+        "docs_simhash_pairs": _simhash_md5_oracle(),
+        # emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
         # emb_kmeans: iterative fixpoint → no oracle; exact vs a numpy
         # reference run of the identical algorithm in pytest.

@@ -95,12 +95,61 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_md5(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Engine-independent MinHash signatures: slot ``i`` is the
+    lexicographic minimum of ``md5(i || ':' || shingle)`` over the
+    document's distinct word-``shingle_n``-grams — md5 hex strings order
+    identically in every engine, so the whole near-dup pipeline becomes
+    reproducible in ANSI SQL (the DuckDB oracle replays it exactly).
+    Statistically this is the textbook k-hash-functions MinHash (each
+    slot an independent uniform hash), the same estimator as the
+    affine-permutation form.
+
+    Trade vs :func:`minhash_signatures` (the scale default): signatures
+    are 32-char strings instead of 8-byte longs (~4× the state/shuffle
+    width) and each shingle pays ``num_perm`` md5s instead of one
+    xxhash64 + cheap affine math. Use this form when cross-engine
+    reproducibility of the signatures themselves matters (auditable
+    dedup manifests); use the long form when only recall does.
+    Same shape otherwise: explode → ``num_perm`` min-aggregates with
+    map-side partial combine.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+        )
+    )
+    documents = spread(documents)  # md5 fan-out is CPU-bound
+    ex = documents.select(F.col(id_col), F.explode(grams).alias("__g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__g")))).alias(f"__s{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__s{i}") for i in range(num_perm)]).alias("signature"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     threshold: float = 0.5,
     num_perm: int | None = None,
+    band_hash: str = "murmur3",
 ) -> DataFrame:
     """Banded LSH: equal band-hash ⇒ candidate pair; estimated Jaccard =
     fraction of equal signature slots; keep pairs ≥ threshold.
@@ -109,7 +158,13 @@ def minhash_lsh_pairs(
     the DataFrame schema when the signature column came from ``F.array``
     (as minhash_signatures builds it); bands must divide it — slicing past
     the signature end would hash empty arrays (every doc collides in those
-    bands: O(n²) candidates), under-covering misses pairs."""
+    bands: O(n²) candidates), under-covering misses pairs.
+
+    ``band_hash``: "murmur3" (default — 4-byte bucket keys, cheapest
+    shuffle) or "md5" over the '|'-joined slice — engine-independent, so
+    an external SQL engine banding the same signatures derives the
+    IDENTICAL candidate set (the oracle path; collisions 2^-128 instead
+    of 2^-32, and est-filter semantics are unchanged either way)."""
     # materialize signatures once: banding + both estimate joins reuse
     # them, and recomputing shingles×permutations 3x dominates otherwise
     sig = signatures.select(F.col(id_col).alias("id"), "signature").localCheckpoint(eager=True)
@@ -122,16 +177,20 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
+
+    def _bh(bi):
+        sl = F.slice("signature", bi * rows_per_band + 1, rows_per_band)
+        if band_hash == "md5":
+            return F.md5(F.concat_ws("|", F.transform(sl, lambda x: x.cast("string"))))
+        return F.hash(sl).cast("string")
+
     banded = sig.select(
         "id",
         "signature",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("signature", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), _bh(bi).alias("bh"))
                     for bi in range(bands)
                 ]
             )
@@ -190,12 +249,41 @@ def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ex = documents.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
     )
+    return _simhash_from_hashed(ex, id_col, n_bits=64)
+
+
+def simhash_md5(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit engine-independent SimHash: the per-token hash is the
+    first 15 hex chars of ``md5(token)`` parsed as an integer (15 hex =
+    60 bits — fits a signed long in every engine without overflow
+    games), then the same lane-packed vote aggregation as
+    :func:`simhash`. Because md5 is identical everywhere, fingerprints,
+    pigeonhole candidates, and Hamming distances are all reproducible in
+    ANSI SQL — the oracle replays the pipeline bit-for-bit. Pair with
+    ``simhash_near_pairs(..., bits=60)``. Same scale shape as the
+    xxhash64 form; md5 costs more CPU per token — use this mode when
+    cross-engine auditability matters."""
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    )
+    documents = spread(documents)
+    ex = documents.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long").alias("__h"),
+    )
+    return _simhash_from_hashed(ex, id_col, n_bits=60)
+
+
+def _simhash_from_hashed(ex: DataFrame, id_col: str, n_bits: int) -> DataFrame:
+    """Lane-packed SimHash vote aggregation over exploded
+    ``(id, token-hash)`` rows — shared by the xxhash64 and md5 forms."""
+    n_groups = (n_bits + 2) // 3
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for j in range(22):
+    for j in range(n_groups):
         expr = None
         for lane in range(3):
             b = 3 * j + lane
-            if b > 63:
+            if b >= n_bits:
                 continue
             term = F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) * F.lit(
                 1 << (21 * lane)
@@ -204,10 +292,10 @@ def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         aggs.append(F.sum(expr).alias(f"__p{j}"))
     packed = ex.groupBy(id_col).agg(*aggs)
     fp = None
-    for j in range(22):
+    for j in range(n_groups):
         for lane in range(3):
             b = 3 * j + lane
-            if b > 63:
+            if b >= n_bits:
                 continue
             c1 = F.shiftrightunsigned(F.col(f"__p{j}"), 21 * lane).bitwiseAND(
                 F.lit(0x1FFFFF)
@@ -226,11 +314,18 @@ def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return packed.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs with equal 16-bit chunk (pigeonhole for Hamming≤3
-    over 4 chunks), verified by exact popcount distance."""
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Candidate pairs with an equal ``bits/4``-wide chunk (pigeonhole
+    for Hamming≤3 over 4 chunks), verified by exact popcount distance.
+    ``bits`` is the fingerprint width (64 for :func:`simhash`, 60 for
+    :func:`simhash_md5`; must be divisible by 4)."""
+    width = bits // 4
+    mask = (1 << width) - 1
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(4)
     ]
     banded = sim.select(
         F.col(id_col).alias("id"),

@@ -206,6 +206,41 @@ def test_simhash_pairs_match_bruteforce(spark):
     assert got == expected  # banding may only prune provably-far pairs
 
 
+def test_simhash_md5_pairs_match_bruteforce(spark):
+    """The 60-bit md5 mode: fingerprints match a pure-Python replay
+    (md5 hex → bits → majority votes) and banding loses no pair."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    fp = {r["doc_id"]: r["simhash"] for r in ops_dedup.simhash_md5(docs).collect()}
+    # pure-Python fingerprint replay on a few docs
+    for r in docs.limit(10).collect():
+        toks = set(re.sub(r"\s+", " ", r["text"].strip().lower()).split(" "))
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += (h >> b) & 1
+        ref = sum(1 << b for b in range(60) if 2 * votes[b] > len(toks))
+        assert fp[r["doc_id"]] == ref
+    ids = sorted(fp)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fp[a] ^ fp[b]).count("1")
+            if ham <= 3:
+                expected.add((a, b, ham))
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in fp.items()], "doc_id bigint, simhash bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ops_dedup.simhash_near_pairs(sdf, bits=60).collect()
+    }
+    assert got == expected
+
+
 # ----------------------------------------------------------------- minhash
 
 
@@ -241,6 +276,25 @@ def test_minhash_lsh_recall_on_similar_pairs(spark):
     # every strongly-similar pair must be surfaced (est error ~1/sqrt(32))
     assert strong <= got
     # and nothing outright dissimilar sneaks past the estimate filter
+    for p in got:
+        assert true_j[p] >= 0.05
+
+
+def test_minhash_md5_recall_on_similar_pairs(spark):
+    """The md5 mode keeps the same recall property as the xxhash64
+    scale path (its correctness is otherwise pinned by the SQL oracle)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    true_j = _true_jaccard_pairs(docs.select("doc_id", "text").collect())
+    sigs = ops_dedup.minhash_signatures_md5(docs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops_dedup.minhash_lsh_pairs(
+            sigs, threshold=0.3, band_hash="md5"
+        ).collect()
+    }
+    strong = {p for p, j in true_j.items() if j >= 0.6}
+    assert strong, "corpus should contain planted near-duplicates"
+    assert strong <= got
     for p in got:
         assert true_j[p] >= 0.05
 
