@@ -112,6 +112,28 @@ def stream_sessionize(
     )
 
 
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (bounded) dimension table
+    to every event as it arrives — the standard lookup-join stage of an
+    ingestion pipeline (user profile, geo table, experiment assignment).
+
+    Structured Streaming supports static-side joins natively; the static
+    frame is broadcast-hinted since a dimension a stream enriches
+    against should never force a per-micro-batch shuffle of the stream
+    side — on a cluster the dim ships once per executor and each
+    micro-batch is a map-side hash probe. Stateless: no watermark, no
+    state store, and re-planned per trigger so a refreshed dim path
+    would be picked up by a restarted query. Stream ≡ batch row-for-row
+    (pinned in tests/test_streaming.py).
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 def stream_sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:

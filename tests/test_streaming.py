@@ -55,6 +55,36 @@ def test_stateful_sessionize_closed_sessions(spark, events_path):
     assert all(r["n_events"] >= 1 and r["session_end"] >= r["session_start"] for r in got)
 
 
+def test_stream_enrich_matches_batch_join(spark, events_path):
+    """Stream-static enrichment ≡ the same broadcast join run as batch,
+    row-for-row, including left-join nulls for users missing from the
+    dim table."""
+    from pyspark.sql import functions as F
+
+    dim = (
+        batch_events.load_events(spark, events_path)
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have a profile
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = se.read_events_stream(spark, events_path)
+    # stateless projection stream → append mode (complete is only for aggs)
+    se.run_available_now(se.stream_enrich(stream, dim), "enriched_t", output_mode="append")
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT event_id, tier FROM enriched_t").collect()
+    }
+    batch = {
+        (r["event_id"], r["tier"])
+        for r in se.stream_enrich(
+            batch_events.load_events(spark, events_path), dim
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+    assert any(t is None for _, t in got)  # left-join semantics kept
+
+
 def test_stream_sessionize_matches_batch_counts(spark, events_path):
     stream = se.read_events_stream(spark, events_path)
     se.run_available_now(se.stream_sessionize(stream), "sessions_t")
