@@ -728,9 +728,11 @@ def _q_graph_kcore(spark, sf_dir):
 
 
 def _q_graph_pagerank(spark, sf_dir):
-    """Directed PageRank, 5 power iterations over the tpch projection.
-    Iterative float fixpoint → no SQL oracle; exact vs a numpy replay in
-    tests/test_no_oracle_checks.py."""
+    """Directed PageRank, 5 power iterations over the tpch projection,
+    in fixed-point integer arithmetic (1e-12 units) — order-independent
+    sums make it bit-deterministic, so the DuckDB oracle replays all 5
+    iterations exactly (was rows-only in the float form); also exact vs
+    a pure-Python integer replay in tests/test_no_oracle_checks.py."""
     return analytics.pagerank(_graph(spark, sf_dir), iters=5)
 
 
@@ -911,6 +913,74 @@ def _simhash_md5_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
         "FROM cand c JOIN fp fa ON c.id_a = fa.doc_id "
         "JOIN fp fb ON c.id_b = fb.doc_id) "
         f"WHERE hamming <= {max_hamming}"
+    )
+
+
+def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
+    """SQL replay of fixed-point PageRank over the tpch projection:
+    scale-denominated integer ranks, floor-division contributions,
+    rational damping dn/100, uniform dangling redistribution — integer
+    sums are order-independent, so DuckDB reproduces the Spark operator
+    bit-for-bit. One chained CTE block per iteration (contrib join +
+    dangling scalar), unrolled for ``iters``."""
+
+    def pad(c):
+        return f"lpad(CAST({c} AS VARCHAR), 12, '0')"
+
+    li = (
+        "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+        f"'L:' || {pad('l_orderkey')} || ':' || {pad('l_linenumber')} || ':' || "
+        "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+        "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
+        "FROM lineitem)"
+    )
+    edges = (
+        "edges AS ("
+        f"SELECT 'N:' || {pad('n_nationkey')} AS u, 'R:' || {pad('n_regionkey')} AS v FROM nation "
+        f"UNION ALL SELECT 'C:' || {pad('c_custkey')}, 'N:' || {pad('c_nationkey')} FROM customer "
+        f"UNION ALL SELECT 'S:' || {pad('s_suppkey')}, 'N:' || {pad('s_nationkey')} FROM supplier "
+        f"UNION ALL SELECT 'C:' || {pad('o_custkey')}, 'O:' || {pad('o_orderkey')} FROM orders "
+        f"UNION ALL SELECT 'O:' || {pad('l_orderkey')}, lid FROM li "
+        f"UNION ALL SELECT lid, 'P:' || {pad('l_partkey')} FROM li "
+        f"UNION ALL SELECT lid, 'S:' || {pad('l_suppkey')} FROM li)"
+    )
+    nodes = (
+        "nodes AS ("
+        f"SELECT 'R:' || {pad('r_regionkey')} AS id FROM region "
+        f"UNION ALL SELECT 'N:' || {pad('n_nationkey')} FROM nation "
+        f"UNION ALL SELECT 'C:' || {pad('c_custkey')} FROM customer "
+        f"UNION ALL SELECT 'S:' || {pad('s_suppkey')} FROM supplier "
+        f"UNION ALL SELECT 'P:' || {pad('p_partkey')} FROM part "
+        f"UNION ALL SELECT 'O:' || {pad('o_orderkey')} FROM orders "
+        "UNION ALL SELECT lid FROM li)"
+    )
+    parts = [
+        li,
+        edges,
+        nodes,
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
+        f"r0 AS (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.v AS id, sum(r.r // d.od) AS s FROM edges e "
+            f"JOIN od d ON e.u = d.id JOIN r{p} r ON e.u = r.id GROUP BY e.v)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT COALESCE(sum(r.r), 0) AS m FROM r{p} r "
+            "LEFT JOIN od d ON r.id = d.id WHERE d.id IS NULL)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.id, {(100 - dn) * S} // (100 * (SELECT n FROM nn)) + "
+            f"({dn} * (COALESCE(c.s, 0) + (SELECT m FROM m{k}) // (SELECT n FROM nn))) // 100 AS r "
+            f"FROM nodes n LEFT JOIN c{k} c ON n.id = c.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
     )
 
 
@@ -1608,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.id AS id, CAST(count(e.id) AS BIGINT) AS degree "
             "FROM all_nodes n LEFT JOIN ends e ON n.id = e.id GROUP BY n.id"
         ),
+        # Fixed-point integer PageRank → full SQL replay (generated).
+        "graph_pagerank": _pagerank_oracle(),
         # Bounded-depth BFS as a recursive CTE: the working set carries
         # (node, walk-length) pairs; min(d) per node = shortest distance
         # for everything whose true distance is <= the cap, and nothing

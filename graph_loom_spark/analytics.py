@@ -831,17 +831,25 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     broadcast_nodes_max: int = 5_000_000,
+    scale: int = 10**12,
 ) -> DataFrame:
     """Directed PageRank, fixed ``iters`` power iterations: returns
     ``(id, rank)`` with ranks summing to ~1.
 
     r ← (1−d)/N + d·(Σ_{u→v} r_u/outdeg_u + dangling_mass/N), the
-    standard formulation with dangling-node mass redistributed uniformly.
-    Determinism: ranks are rounded to 9 decimals after every iteration,
-    so Spark's partial-aggregation summation order cannot leak into the
-    result (same lever as :func:`~graph_loom_spark.ops.simsearch.kmeans`'s
-    rounded centroids) — the pytest oracle replays the identical
-    algorithm in numpy and matches exactly.
+    standard formulation with dangling-node mass redistributed
+    uniformly — computed in **fixed-point integer arithmetic**: ranks
+    are ``scale``-denominated longs (micro-units of 1/scale, default
+    1e-12), per-edge contributions are integer divisions, and damping
+    is applied as the rational ``round(damping·100)/100``. Integer sums
+    are associative, so the result is bit-identical across engines,
+    partitionings, AQE decisions, and reruns — the determinism a 100 TB
+    nightly job needs for diffable outputs (float PageRank changes in
+    the 15th digit whenever the reduction order moves), and what lets
+    an ANSI-SQL oracle replay the algorithm exactly. Each node drops at
+    most ``outdeg/scale`` of mass per round to floor division —
+    ~1e-12-scale, far below any ranking-relevant difference. The
+    returned ``rank`` is the exact double ``r/scale`` (r < 2^53).
 
     Scale shape: the per-iteration work is one equi-join of the rank
     frame with the (pre-partitioned, checkpointed) out-degree-annotated
@@ -853,6 +861,7 @@ def pagerank(
     """
     spark = graph.nodes.sparkSession
     tracked: list = []
+    dn = int(round(damping * 100))  # damping at 2-decimal precision
     idmap = _tracked_checkpoint(
         graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
     )
@@ -867,7 +876,7 @@ def pagerank(
     ranks = _tracked_checkpoint(
         idmap.select(
             F.col("iid").alias("nid"),
-            F.round(F.lit(1.0 / n_nodes), 9).alias("r"),
+            F.lit(scale // n_nodes).cast("long").alias("r"),
         ),
         tracked,
     )
@@ -884,33 +893,34 @@ def pagerank(
     # convert these eventually but only after paying the exchange
     # stages on the data-sized side every iteration.
     bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+    base = ((100 - dn) * scale) // (100 * n_nodes)
     for _ in range(iters):
         contrib = (
             ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
-            .select(F.col("v").alias("nid"), (F.col("r") / F.col("od")).alias("c"))
+            .select(F.col("v").alias("nid"), F.expr("r div od").alias("c"))
             .groupBy("nid")
             .agg(F.sum("c").alias("__in"))
         )
         dmass_row = (
             dangling.join(bcast(ranks), "nid").agg(F.sum("r").alias("m")).collect()
         )
-        dmass = dmass_row[0]["m"] or 0.0
-        base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
+        dmass = int(dmass_row[0]["m"] or 0)
+        m_per_node = dmass // n_nodes
         ranks = _tracked_checkpoint(
             ranks.select("nid")
             .join(bcast(contrib), "nid", "left")
             .select(
                 "nid",
-                F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0)),
-                    9,
+                F.expr(
+                    f"cast({base} as bigint) + "
+                    f"({dn} * (coalesce(__in, cast(0 as bigint)) + {m_per_node})) div 100"
                 ).alias("r"),
             ),
             tracked,
         )
     result = (
         ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
-        .select("id", F.col("r").alias("rank"))
+        .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
         .localCheckpoint(eager=True)
     )
     _free_intermediates(spark, tracked)

@@ -432,12 +432,11 @@ def test_semdedup_matches_numpy_reference(spark):
     assert any(v[1] for v in expected.values())
 
 
-def test_pagerank_matches_numpy_reference(spark):
-    """Distributed PageRank ≡ a numpy replay of the identical algorithm
-    (same dangling handling, same per-iteration 9-decimal rounding) on
-    the sf0.001 projection."""
-    import numpy as np
-
+def test_pagerank_matches_integer_reference(spark):
+    """Distributed fixed-point PageRank ≡ a pure-Python integer replay
+    of the identical algorithm (scale-denominated ranks, floor-division
+    contributions, rational damping, uniform dangling redistribution)
+    on the sf0.001 projection — exact, no float tolerance."""
     g = _graph(spark)
     node_ids = sorted(r["id"] for r in g.nodes.select("id").collect())
     idx = {n: i for i, n in enumerate(node_ids)}
@@ -446,24 +445,27 @@ def test_pagerank_matches_numpy_reference(spark):
         for r in g.edges.select("src", "dst").collect()
     ]
     N = len(node_ids)
-    d = 0.85
+    S = 10**12
+    dn = 85
     iters = 5
-    od = np.zeros(N, dtype=np.int64)
+    od = [0] * N
     for u, _ in edges:
         od[u] += 1
-    r = np.full(N, round(1.0 / N, 9))
-    dangling = od == 0
+    r = [S // N] * N
+    base = ((100 - dn) * S) // (100 * N)
     for _ in range(iters):
-        contrib = np.zeros(N)
+        contrib = [0] * N
         for u, v in edges:
-            contrib[v] += r[u] / od[u]
-        dmass = float(r[dangling].sum())
-        base = (1.0 - d) / N + d * dmass / N
-        r = np.round(base + d * contrib, 9)
-    expected = {n: r[i] for n, i in idx.items()}
+            contrib[v] += r[u] // od[u]
+        dmass = sum(r[i] for i in range(N) if od[i] == 0)
+        m_per_node = dmass // N
+        r = [base + (dn * (contrib[i] + m_per_node)) // 100 for i in range(N)]
+    expected = {n: r[i] / S for n, i in idx.items()}
 
     got = {row["id"]: row["rank"] for row in analytics.pagerank(g).collect()}
     assert got == expected
+    # sanity: total mass stays ~1 (floor losses are 1e-12-scale)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
 def test_kcore_matches_python_peeling(spark):
