@@ -841,7 +841,8 @@ def _minhash_md5_oracle(
     candidates AND estimates match Spark bit-for-bit."""
     rpb = num_perm // bands
     mins = ", ".join(
-        f"min(md5('{i}:' || g)) AS s{i}" for i in range(num_perm)
+        f"min(substr(md5('{i // 4}:' || g), {8 * (i % 4) + 1}, 8)) AS s{i}"
+        for i in range(num_perm)
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(

@@ -767,6 +767,11 @@ def bfs_distances(
     """
     spark = edges_df.sparkSession
     tracked: list = []
+    # materialize the input edge list once: idmap, the symmetric
+    # adjacency, and the default-source min each scan it, and an
+    # upstream edge CONSTRUCTION (e.g. a co-occurrence self-join) would
+    # otherwise re-execute per derivation
+    edges_df = _tracked_checkpoint(edges_df.select(src, dst), tracked)
     sc_ = F.col(src).cast("string")
     dc_ = F.col(dst).cast("string")
     idmap = _tracked_checkpoint(
@@ -815,7 +820,11 @@ def bfs_distances(
         n_frontier = new.count()
         if n_frontier == 0:
             break
-        visited = _tracked_checkpoint(visited.unionAll(new), tracked)
+        # visited stays a plain union of the per-level CHECKPOINTED
+        # frontiers — leaves are materialized, so lineage depth is just
+        # the level count and no extra job is paid per level re-pinning
+        # the union itself
+        visited = visited.unionAll(new)
         frontier = new.select("n")
     result = (
         visited.join(idmap, "n")

@@ -103,22 +103,24 @@ def minhash_signatures_md5(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Engine-independent MinHash signatures: slot ``i`` is the
-    lexicographic minimum of ``md5(i || ':' || shingle)`` over the
-    document's distinct word-``shingle_n``-grams — md5 hex strings order
-    identically in every engine, so the whole near-dup pipeline becomes
-    reproducible in ANSI SQL (the DuckDB oracle replays it exactly).
-    Statistically this is the textbook k-hash-functions MinHash (each
-    slot an independent uniform hash), the same estimator as the
-    affine-permutation form.
+    lexicographic minimum, over the document's distinct
+    word-``shingle_n``-grams, of an 8-hex-char (32-bit) hash carved out
+    of ``md5(i//4 || ':' || shingle)`` — chars ``8·(i%4)+1..+8``, so one
+    md5 feeds four slots. md5 hex strings order identically in every
+    engine, so the whole near-dup pipeline becomes reproducible in ANSI
+    SQL (the DuckDB oracle replays it exactly). Statistically this is
+    the textbook k-hash-functions MinHash: disjoint bit-ranges of md5
+    are independent uniform hashes, and 32-bit slots keep the
+    min-collision term ~|shingles|/2^32 — negligible against the
+    1/sqrt(num_perm) estimator noise.
 
     Trade vs :func:`minhash_signatures` (the scale default): signatures
-    are 32-char strings instead of 8-byte longs (~4× the state/shuffle
-    width) and each shingle pays ``num_perm`` md5s instead of one
-    xxhash64 + cheap affine math. Use this form when cross-engine
-    reproducibility of the signatures themselves matters (auditable
-    dedup manifests); use the long form when only recall does.
-    Same shape otherwise: explode → ``num_perm`` min-aggregates with
-    map-side partial combine.
+    are 8-char strings instead of 8-byte longs and each shingle pays
+    ``num_perm/4`` md5s instead of one xxhash64 + cheap affine math.
+    Use this form when cross-engine reproducibility of the signatures
+    themselves matters (auditable dedup manifests); use the long form
+    when only recall does. Same shape otherwise: explode →
+    ``num_perm`` min-aggregates with map-side partial combine.
     """
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     grams = F.array_distinct(
@@ -129,8 +131,11 @@ def minhash_signatures_md5(
     )
     documents = spread(documents)  # md5 fan-out is CPU-bound
     ex = documents.select(F.col(id_col), F.explode(grams).alias("__g"))
+    # one md5 per 4 slots, computed once per shingle row
+    for j in range((num_perm + 3) // 4):
+        ex = ex.withColumn(f"__h{j}", F.md5(F.concat(F.lit(f"{j}:"), F.col("__g"))))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__g")))).alias(f"__s{i}")
+        F.min(F.substring(F.col(f"__h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"__s{i}")
         for i in range(num_perm)
     ]
     return (
