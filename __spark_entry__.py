@@ -28,6 +28,7 @@ from graph_loom_spark.ops import text as ops_text
 
 _GRAPH_CACHE: dict[str, object] = {}
 _LPA_CACHE: dict[str, DataFrame] = {}
+_COMP_CACHE: dict[str, DataFrame] = {}
 _JACCARD_CACHE: dict[str, DataFrame] = {}
 _WINNOW_CACHE: dict[str, DataFrame] = {}
 
@@ -65,7 +66,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -79,7 +80,7 @@ def reset_caches() -> None:
     jaccard pairs, winnow fingerprints). A harness that restarts the
     SparkSession mid-run MUST call this: the cached DataFrames belong to
     the old context and are unusable in the new one."""
-    for cache in (_GRAPH_CACHE, _LPA_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
+    for cache in (_GRAPH_CACHE, _LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE):
         cache.clear()
 
 
@@ -89,6 +90,7 @@ def reset_memo(name: str) -> None:
     hit). Queries without a memo are a no-op."""
     {
         "graph_lpa": _LPA_CACHE,
+        "graph_components": _COMP_CACHE,
         "docs_ngram_jaccard": _JACCARD_CACHE,
         "docs_winnow": _WINNOW_CACHE,
     }.get(name, {}).clear()
@@ -713,15 +715,39 @@ def _q_graph_degrees(spark, sf_dir):  # A2/G3
     return analytics.degrees(_graph(spark, sf_dir))
 
 
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic (min-id representatives), eagerly checkpointed —
+    # shared by graph_components and graph_density_components (same memo
+    # rule as _lpa_communities)
+    cached = _COMP_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _COMP_CACHE[sf_dir] = analytics.connected_components(_graph(spark, sf_dir))
+    return _COMP_CACHE[sf_dir]
+
+
 def _q_graph_components(spark, sf_dir):  # G4 — oracle-checked (see oracle_sql)
-    return analytics.connected_components(_graph(spark, sf_dir))
+    return _components(spark, sf_dir)
+
+
+def _q_graph_density_components(spark, sf_dir):
+    """The community-density operator over the CONNECTED-COMPONENTS
+    assignment: same operator graph_community_density runs on LPA
+    output, but with the oracle-checkable deterministic community frame
+    — so the whole density pipeline (sizes, internal edges, n(n-1)/2
+    ratio) is hash-green, not just rows-only."""
+    g = _graph(spark, sf_dir)
+    comp = _components(spark, sf_dir).select(
+        "id", F.col("component").alias("community")
+    )
+    return analytics.community_density(g, comp)
 
 
 def _q_graph_kcore(spark, sf_dir):
     """3-core of the part co-purchase graph (same sparse association
     graph as graph_triangles) by iterative peeling on hash surrogates.
-    Iterative fixpoint → no SQL oracle; exact vs a pure-Python peeling
-    in tests/test_no_oracle_checks.py."""
+    The peel fixpoint is reached monotonically, so the DuckDB oracle
+    replays it exactly with unrolled peeling rounds (was rows-only);
+    also exact vs a pure-Python peeling in tests/test_no_oracle_checks.py."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
     edges = ops_dedup.co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return analytics.kcore(edges, k=3)
@@ -822,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "graph_components": _q_graph_components,
         "graph_kcore": _q_graph_kcore,
+        "graph_density_components": _q_graph_density_components,
         "graph_pagerank": _q_graph_pagerank,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
@@ -917,18 +944,15 @@ def _simhash_md5_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
     )
 
 
-def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
-    """SQL replay of fixed-point PageRank over the tpch projection:
-    scale-denominated integer ranks, floor-division contributions,
-    rational damping dn/100, uniform dangling redistribution — integer
-    sums are order-independent, so DuckDB reproduces the Spark operator
-    bit-for-bit. One chained CTE block per iteration (contrib join +
-    dangling scalar), unrolled for ``iters``."""
+def _pad_sql(c: str) -> str:
+    return f"lpad(CAST({c} AS VARCHAR), 12, '0')"
 
-    def pad(c):
-        return f"lpad(CAST({c} AS VARCHAR), 12, '0')"
 
-    li = (
+def _li_sql() -> str:
+    """The lineitem node-id CTE (PK-duplicate disambiguation seq) shared
+    by the degrees / components / pagerank / density oracles."""
+    pad = _pad_sql
+    return (
         "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
         f"'L:' || {pad('l_orderkey')} || ':' || {pad('l_linenumber')} || ':' || "
         "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
@@ -936,7 +960,13 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
         "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
         "FROM lineitem)"
     )
-    edges = (
+
+
+def _tpch_edges_sql() -> str:
+    """Directed (u, v) edge list of the tpch projection (requires the
+    ``li`` CTE in scope)."""
+    pad = _pad_sql
+    return (
         "edges AS ("
         f"SELECT 'N:' || {pad('n_nationkey')} AS u, 'R:' || {pad('n_regionkey')} AS v FROM nation "
         f"UNION ALL SELECT 'C:' || {pad('c_custkey')}, 'N:' || {pad('c_nationkey')} FROM customer "
@@ -946,7 +976,12 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
         f"UNION ALL SELECT lid, 'P:' || {pad('l_partkey')} FROM li "
         f"UNION ALL SELECT lid, 'S:' || {pad('l_suppkey')} FROM li)"
     )
-    nodes = (
+
+
+def _tpch_nodes_sql() -> str:
+    """All node ids of the tpch projection (requires ``li`` in scope)."""
+    pad = _pad_sql
+    return (
         "nodes AS ("
         f"SELECT 'R:' || {pad('r_regionkey')} AS id FROM region "
         f"UNION ALL SELECT 'N:' || {pad('n_nationkey')} FROM nation "
@@ -956,10 +991,19 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
         f"UNION ALL SELECT 'O:' || {pad('o_orderkey')} FROM orders "
         "UNION ALL SELECT lid FROM li)"
     )
+
+
+def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
+    """SQL replay of fixed-point PageRank over the tpch projection:
+    scale-denominated integer ranks, floor-division contributions,
+    rational damping dn/100, uniform dangling redistribution — integer
+    sums are order-independent, so DuckDB reproduces the Spark operator
+    bit-for-bit. One chained CTE block per iteration (contrib join +
+    dangling scalar), unrolled for ``iters``."""
     parts = [
-        li,
-        edges,
-        nodes,
+        _li_sql(),
+        _tpch_edges_sql(),
+        _tpch_nodes_sql(),
         "nn AS (SELECT count(*) AS n FROM nodes)",
         "od AS (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
         f"r0 AS (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
@@ -983,6 +1027,114 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
+    """SQL replay of k-core peeling on the co-purchase graph, unrolled
+    for ``rounds`` rounds (degree aggregate + survivor filter each).
+    Peeling reaches its fixpoint monotonically — the edge set only
+    shrinks and stabilizes — so any unrolled round past convergence is
+    a no-op and the result equals the operator's run-to-fixpoint loop
+    as long as ``rounds`` covers the actual peel depth (checked by the
+    hash gate itself)."""
+    # AS MATERIALIZED: each round references its predecessor 3x; an
+    # inlining planner would otherwise expand the chain exponentially
+    # (observed: thousands of base-table re-opens at 16 rounds)
+    parts = [
+        "ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_orderkey % 4 = 0)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v "
+        "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT id, count(*) AS d FROM ("
+            f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY id)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+            f"JOIN k{r} a ON e.u = a.id JOIN k{r} b ON e.v = b.id)"
+        )
+        prev = f"e{r}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM ("
+        f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}) "
+        f"GROUP BY id HAVING count(*) >= {k}"
+    )
+
+
+def _density_components_oracle() -> str:
+    """Density over the components assignment: composes the components
+    oracle (as a CTE-wrapped subquery) with the projection edge list;
+    internal-edge counts are exact integers and the density ratio is
+    the same IEEE double expression Spark evaluates."""
+    return (
+        "WITH comp AS (SELECT * FROM (" + _components_oracle() + ") c), "
+        + _li_sql() + ", " + _tpch_edges_sql() + ", "
+        "sizes AS (SELECT component AS community, count(*) AS n_nodes "
+        "FROM comp GROUP BY component), "
+        "inner_e AS (SELECT cs.component AS community, count(*) AS internal_edges "
+        "FROM edges e JOIN comp cs ON e.u = cs.id JOIN comp cd ON e.v = cd.id "
+        "WHERE cs.component = cd.component GROUP BY cs.component) "
+        "SELECT s.community, s.n_nodes, "
+        "CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges, "
+        "CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / "
+        "greatest(CAST(s.n_nodes * (s.n_nodes - 1) AS DOUBLE) / 2, 1.0) AS density "
+        "FROM sizes s LEFT JOIN inner_e i ON s.community = i.community"
+    )
+
+
+def _components_oracle() -> str:
+    """Region-quotient connected-components oracle (see the long
+    comment above oracle_sql) — also composed by the density-over-
+    components oracle."""
+    return (
+            "WITH RECURSIVE "
+            "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+            "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
+            "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+            "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
+            "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
+            "FROM lineitem), "
+            "cust_r AS (SELECT c_custkey, n_regionkey AS r FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey), "
+            "supp_r AS (SELECT s_suppkey, n_regionkey AS r FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey), "
+            "ord_r AS (SELECT o_orderkey, r FROM orders JOIN cust_r ON o_custkey = c_custkey), "
+            "lqr AS (SELECT li.lid, li.l_partkey, o.r AS rc, s.r AS rs "
+            "FROM li JOIN ord_r o ON li.l_orderkey = o.o_orderkey "
+            "JOIN supp_r s ON li.l_suppkey = s.s_suppkey), "
+            "pr AS (SELECT DISTINCT l_partkey, rc AS r FROM lqr "
+            "UNION SELECT DISTINCT l_partkey, rs FROM lqr), "
+            "re0 AS (SELECT DISTINCT rc AS u, rs AS v FROM lqr "
+            "UNION SELECT a.r, b.r FROM pr a JOIN pr b ON a.l_partkey = b.l_partkey), "
+            "re AS (SELECT u, v FROM re0 UNION SELECT v, u FROM re0), "
+            "reach AS (SELECT r_regionkey AS a, r_regionkey AS b FROM region "
+            "UNION SELECT r.a, e.v FROM reach r JOIN re e ON e.u = r.b), "
+            "rcomp AS (SELECT a AS r, min(b) AS cr FROM reach GROUP BY a), "
+            "nmap AS ("
+            "SELECT 'R:'||lpad(CAST(r_regionkey AS VARCHAR),12,'0') AS id, r_regionkey AS r FROM region "
+            "UNION ALL SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0'), n_regionkey FROM nation "
+            "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0'), r FROM cust_r "
+            "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0'), r FROM supp_r "
+            "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0'), r FROM ord_r "
+            "UNION ALL SELECT lid, rc FROM lqr), "
+            "labeled AS ("
+            "SELECT n.id, CAST(c.cr AS VARCHAR) AS ck FROM nmap n JOIN rcomp c ON n.r = c.r "
+            "UNION ALL "
+            "SELECT 'P:'||lpad(CAST(p.l_partkey AS VARCHAR),12,'0'), CAST(min(c.cr) AS VARCHAR) "
+            "FROM pr p JOIN rcomp c ON p.r = c.r GROUP BY p.l_partkey "
+            "UNION ALL "
+            "SELECT 'P:'||lpad(CAST(p_partkey AS VARCHAR),12,'0'), "
+            "'ISO:'||lpad(CAST(p_partkey AS VARCHAR),12,'0') "
+            "FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM pr)), "
+            "rep AS (SELECT ck, min(id) AS component FROM labeled GROUP BY ck) "
+            "SELECT l.id AS id, r.component AS component "
+            "FROM labeled l JOIN rep r ON l.ck = r.ck")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1698,49 +1850,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bfs.d < 12) "
             "SELECT id, CAST(min(d) AS BIGINT) AS distance FROM bfs GROUP BY id"
         ),
-        "graph_components": (
-            "WITH RECURSIVE "
-            "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
-            "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
-            "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
-            "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
-            "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
-            "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
-            "FROM lineitem), "
-            "cust_r AS (SELECT c_custkey, n_regionkey AS r FROM customer "
-            "JOIN nation ON c_nationkey = n_nationkey), "
-            "supp_r AS (SELECT s_suppkey, n_regionkey AS r FROM supplier "
-            "JOIN nation ON s_nationkey = n_nationkey), "
-            "ord_r AS (SELECT o_orderkey, r FROM orders JOIN cust_r ON o_custkey = c_custkey), "
-            "lqr AS (SELECT li.lid, li.l_partkey, o.r AS rc, s.r AS rs "
-            "FROM li JOIN ord_r o ON li.l_orderkey = o.o_orderkey "
-            "JOIN supp_r s ON li.l_suppkey = s.s_suppkey), "
-            "pr AS (SELECT DISTINCT l_partkey, rc AS r FROM lqr "
-            "UNION SELECT DISTINCT l_partkey, rs FROM lqr), "
-            "re0 AS (SELECT DISTINCT rc AS u, rs AS v FROM lqr "
-            "UNION SELECT a.r, b.r FROM pr a JOIN pr b ON a.l_partkey = b.l_partkey), "
-            "re AS (SELECT u, v FROM re0 UNION SELECT v, u FROM re0), "
-            "reach AS (SELECT r_regionkey AS a, r_regionkey AS b FROM region "
-            "UNION SELECT r.a, e.v FROM reach r JOIN re e ON e.u = r.b), "
-            "rcomp AS (SELECT a AS r, min(b) AS cr FROM reach GROUP BY a), "
-            "nmap AS ("
-            "SELECT 'R:'||lpad(CAST(r_regionkey AS VARCHAR),12,'0') AS id, r_regionkey AS r FROM region "
-            "UNION ALL SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0'), n_regionkey FROM nation "
-            "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0'), r FROM cust_r "
-            "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0'), r FROM supp_r "
-            "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0'), r FROM ord_r "
-            "UNION ALL SELECT lid, rc FROM lqr), "
-            "labeled AS ("
-            "SELECT n.id, CAST(c.cr AS VARCHAR) AS ck FROM nmap n JOIN rcomp c ON n.r = c.r "
-            "UNION ALL "
-            "SELECT 'P:'||lpad(CAST(p.l_partkey AS VARCHAR),12,'0'), CAST(min(c.cr) AS VARCHAR) "
-            "FROM pr p JOIN rcomp c ON p.r = c.r GROUP BY p.l_partkey "
-            "UNION ALL "
-            "SELECT 'P:'||lpad(CAST(p_partkey AS VARCHAR),12,'0'), "
-            "'ISO:'||lpad(CAST(p_partkey AS VARCHAR),12,'0') "
-            "FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM pr)), "
-            "rep AS (SELECT ck, min(id) AS component FROM labeled GROUP BY ck) "
-            "SELECT l.id AS id, r.component AS component "
-            "FROM labeled l JOIN rep r ON l.ck = r.ck"
-        ),
+        "graph_components": _components_oracle(),
+        # Unrolled peeling rounds → exact fixpoint replay (generated).
+        "graph_kcore": _kcore_oracle(),
+        # Density over the oracle-checkable components assignment.
+        "graph_density_components": _density_components_oracle(),
     }

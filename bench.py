@@ -69,6 +69,7 @@ _BENCH_LAST = [
     "graph_kcore",
     "graph_pagerank",
     "graph_components",
+    "graph_density_components",
     "graph_lpa",
     "graph_community_density",
 ]
