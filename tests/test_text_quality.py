@@ -393,3 +393,49 @@ def test_compression_ratio_matches_zlib(spark):
         else:
             assert (out[i]["n_compressed"], out[i]["ratio"]) == (0, 1.0)
     assert out[0]["ratio"] < 0.1 < out[1]["ratio"]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Start rule (0, stride, ... while < n), full coverage, short tail
+    chunk, and the one-chunk short-document case."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    rows = ops_text.chunk_documents(
+        docs, chunk_tokens=4, stride=3
+    ).collect()
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_tokens_n"], r["chunk_text"])
+        for r in rows
+    }
+    # doc 1: starts 0,3,6,9 -> windows of 4,4,4 and tail of 1
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert got[(1, 3)] == (1, "w9")
+    # doc 2: single short chunk
+    assert got[(2, 0)] == (2, "a b")
+    assert len(got) == 5
+
+
+def test_props_stats_json_extraction(spark):
+    from graph_loom_spark.ops import events as ops_events
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 3}'),
+            ("click", '{"k": 5}'),
+            ("click", '{"other": 1}'),   # field missing -> null
+            ("view", "not json at all"),  # malformed -> null
+        ],
+        "event_type string, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_with_field"], r["sum_field"], r["avg_field"]
+        )
+        for r in ops_events.props_stats(ev).collect()
+    }
+    assert got["click"] == (3, 2, 8, 4.0)
+    assert got["view"] == (1, 0, 0, None)  # no x/0: avg nulls out
