@@ -620,6 +620,20 @@ def _q_events_asof_join(spark, sf_dir):
     )
 
 
+def _q_events_props_stats(spark, sf_dir):
+    """Schema-on-read JSON extraction (get_json_object, JVM codegen —
+    no flattening pass, no UDF) + per-type rollup of the numeric field
+    in the props payload. DuckDB oracle uses its native JSON functions."""
+    return ops_events.props_stats(_events(spark, sf_dir))
+
+
+def _q_docs_chunks(spark, sf_dir):
+    """Sliding-window chunking (64-token windows every 48) — the
+    RAG/pre-training splitter as a pure narrow projection; oracle
+    replays slicing with DuckDB list arithmetic."""
+    return ops_text.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_events_interval_join(spark, sf_dir):
     """Interval-containment join via the bucketed equi-join operator
     (``ops.events.interval_join`` — no range theta-join, no cartesian):
@@ -801,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _q_events_top_users,
         "events_asof_join": _q_events_asof_join,
         "events_interval_join": _q_events_interval_join,
+        "events_props_stats": _q_events_props_stats,
         "agg_percentiles": _q_agg_percentiles,
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
@@ -827,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
+        "docs_chunks": _q_docs_chunks,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -1308,6 +1324,25 @@ def oracle_sql() -> dict[str, str]:
             "c.click_id, CAST(c.ts AS VARCHAR) AS click_ts "
             "FROM purchases p ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND c.ts <= p.ts"
+        ),
+        "events_props_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(v) AS BIGINT) AS n_with_field, "
+            "CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_field, "
+            "CASE WHEN count(v) > 0 "
+            "THEN CAST(COALESCE(sum(v), 0) AS DOUBLE) / count(v) END AS avg_field "
+            "FROM (SELECT event_type, "
+            "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events) "
+            "GROUP BY event_type"
+        ),
+        "docs_chunks": (
+            "WITH t AS (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(generate_series(0, greatest(len(t)-1, 0), 48)) AS st FROM t) "
+            "SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_index, "
+            "CAST(least(64, len(t) - st) AS BIGINT) AS chunk_tokens_n, "
+            "array_to_string(t[st+1:st+64], ' ') AS chunk_text FROM s"
         ),
         # Session windows derived with the same lag+cumsum SQL the
         # sessionize oracle uses; the containment join itself is the

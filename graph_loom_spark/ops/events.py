@@ -294,6 +294,42 @@ def interval_join(
     )
 
 
+def props_stats(
+    events: DataFrame,
+    props_col: str = "props",
+    json_path: str = "$.k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured extraction + rollup: pull a numeric field out of
+    the JSON ``props`` payload and aggregate it per group —
+    ``(group, n_events, n_with_field, sum_field, avg_field)``.
+
+    ``get_json_object`` is a JVM-side expression (whole-stage codegen,
+    no Python), and the JSON parse happens once per row inside the same
+    projection as the aggregate's map side — the schema-on-read scan
+    shape for event payloads at 100 TB (no pre-flattening pass, no
+    UDF). Missing/malformed fields null out and are counted separately.
+    The average is computed as exact-integer sum ÷ count, both engines
+    evaluating the same IEEE division."""
+    v = F.get_json_object(F.col(props_col), json_path).cast("bigint")
+    return (
+        events.select(F.col(group_col), v.alias("__v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__v").alias("n_with_field"),
+            F.coalesce(F.sum("__v"), F.lit(0)).cast("bigint").alias("sum_field"),
+        )
+        .withColumn(
+            "avg_field",
+            F.when(
+                F.col("n_with_field") > 0,
+                F.col("sum_field").cast("double") / F.col("n_with_field"),
+            ),  # else NULL: engines disagree on x/0 for doubles
+        )
+    )
+
+
 def user_extreme_events(events: DataFrame, k: int = 1) -> DataFrame:
     """Per-user anomaly pick: the ``k`` events with the largest absolute
     z-score of ``value`` against that user's own mean/stddev —

@@ -556,6 +556,49 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pre-training splitter:
+    each document's whitespace tokens are cut into windows of
+    ``chunk_tokens`` starting every ``stride`` tokens (overlap =
+    ``chunk_tokens − stride``). Returns one row per chunk:
+    ``(doc_id, chunk_index, chunk_tokens_n, chunk_text)``.
+
+    Window rule: starts are 0, stride, 2·stride, … while start < the
+    token count, so every token is covered, short documents yield one
+    chunk, and the final chunk may be shorter (no silent truncation —
+    the standard LangChain/tokenizer-splitter semantics).
+
+    Shape: a pure narrow projection — tokenize once, generate start
+    offsets with ``sequence``, explode, slice. No shuffle, no UDF;
+    at 100 TB this is a map-only pass that parallelizes with the scan.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = documents.select(F.col(id_col), toks.alias("__t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = base.select(
+        id_col,
+        F.col("__t"),
+        F.posexplode(starts).alias("chunk_index", "__s"),
+    )
+    piece = F.slice("__t", F.col("__s") + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.size(piece).cast("bigint").alias("chunk_tokens_n"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def vocab_topk(documents: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level vocabulary head: top-``k`` terms by total occurrence
     count — ``(term, n_occurrences, rank)``, rank dense in count-desc /
