@@ -458,8 +458,11 @@ def _q_docs_pii(spark, sf_dir):
 
 def _q_emb_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means cluster summary (size + min member id
-    per cluster). Iterative fixpoint → no SQL oracle; exact vs a numpy
-    reference in tests/test_no_oracle_checks.py."""
+    per cluster), in fixed-point integer arithmetic — quantized
+    coordinates, exact int64 distances, floor-division means — so the
+    DuckDB oracle replays every iteration exactly (was rows-only in the
+    float form); also exact vs a pure-integer replay in
+    tests/test_no_oracle_checks.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return ops_sim.kmeans_summary(emb, k=8, iters=10)
 
@@ -1042,6 +1045,60 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20) -> str:
+    """SQL replay of the fixed-point Lloyd's in ops.simsearch.kmeans:
+    quantize coordinates to scale-denominated longs, exact integer
+    distances with (distance, cluster) row_number tie-break, integer
+    sum + floor-division centroid means, empty clusters keep their
+    previous centroid. Unrolled per iteration; AS MATERIALIZED because
+    each round references its predecessor repeatedly. Output is the
+    kmeans_summary shape (cluster, size, min_id)."""
+    qexpr = (
+        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
+        f"for i in generate_series(1, {dim})]"
+    )
+    dist = (
+        "list_sum([(x.v[i]-c.v[i])*(x.v[i]-c.v[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    parts = [
+        f"v AS MATERIALIZED (SELECT vec_id, {qexpr} AS v FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT cluster, v FROM ("
+        "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM v) "
+        f"WHERE cluster < {k})",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            "SELECT x.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY x.vec_id ORDER BY {dist}, c.cluster) AS rk "
+            f"FROM v x CROSS JOIN c{p} c) WHERE rk = 1)"
+        )
+        if r < iters:  # the final assignment is the output; no update after it
+            parts.append(
+                f"u{r} AS MATERIALIZED (SELECT a.cluster, p.i AS pos, "
+                "sum(x.v[p.i]) AS s, count(*) AS n "
+                f"FROM a{r} a JOIN v x USING (vec_id) "
+                f"CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) p "
+                "GROUP BY a.cluster, p.i)"
+            )
+            parts.append(
+                f"cm{r} AS (SELECT cluster, "
+                "list(CAST(floor(s / n) AS BIGINT) ORDER BY pos) AS v "
+                f"FROM u{r} GROUP BY cluster)"
+            )
+            parts.append(
+                f"c{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(m.v, p.v) AS v "
+                f"FROM c{p} p LEFT JOIN cm{r} m USING (cluster))"
+            )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
+        f"FROM a{iters} GROUP BY cluster"
     )
 
 
@@ -1795,8 +1852,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_pairs": _simhash_md5_oracle(),
         # emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
-        # emb_kmeans: iterative fixpoint → no oracle; exact vs a numpy
-        # reference run of the identical algorithm in pytest.
+        # Fixed-point integer Lloyd's → full SQL replay (generated).
+        "emb_kmeans": _kmeans_oracle(),
         # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.
         # graph_lpa / graph_community_density: iterative fixpoint
         # algorithms (not SQL-expressible) → rows-only check; both have

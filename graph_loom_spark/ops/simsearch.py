@@ -439,6 +439,7 @@ def kmeans(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int = 1 << 20,
 ) -> DataFrame:
     """Fully distributed Euclidean k-means (Lloyd's): returns
     ``(vec_id, cluster)`` with deterministic clustering.
@@ -451,24 +452,30 @@ def kmeans(
       (batch×dim)·(dim×k) distance matmul per batch (same shape as
       :func:`ivf_assign`; an expression-per-centroid alternative blows
       up codegen at k≥16);
-    - **update**: ``posexplode(vec) → groupBy(cluster, pos).avg`` — one
-      partial-aggregable shuffle carrying k×dim doubles total, nothing
-      data-sized. (A 1-row-per-cluster agg with dim separate ``avg(vec[d])``
-      columns computes the same thing but pays dim-wide codegen on every
-      iteration's fresh plan — measured 1.6–6.3 s vs 0.6 s per iteration
-      at sf0.1.)
+    - **update**: ``posexplode(vec) → groupBy(cluster, pos)`` sum+count —
+      one partial-aggregable shuffle carrying k×dim values total,
+      nothing data-sized. (A 1-row-per-cluster agg with dim separate
+      per-coordinate columns computes the same thing but pays dim-wide
+      codegen on every iteration's fresh plan — measured 1.6–6.3 s vs
+      0.6 s per iteration at sf0.1.)
+
+    **Fixed-point arithmetic**: coordinates are quantized once to
+    ``scale``-denominated longs (``floor(x·scale + 0.5)``, ~1e-6 grid at
+    the default 2^20 — far below embedding noise), distances are exact
+    int64 dot products, and centroid updates are exact integer sums with
+    floor-division means. Integer sums are associative, so clustering is
+    bit-identical across engines, partitionings, and reruns — same
+    determinism lever as the fixed-point PageRank, and what lets an
+    ANSI-SQL oracle replay every Lloyd iteration exactly. Init is the
+    quantized vectors of the k smallest ids (no RNG); ``argmin`` breaks
+    distance ties toward the lowest cluster index.
 
     Only the k×dim centroid matrix is collected per iteration (it
     parameterizes the next broadcast-side UDF) — the same driver
-    footprint MLlib's KMeans pays per step. Determinism: init is the
-    vectors of the k smallest ids (no RNG); centroids are rounded to 6
-    decimals each update so float summation order (Spark partial aggs
-    vs anything else) cannot leak into assignments; numpy ``argmin``
-    breaks distance ties toward the lowest cluster index.
-
-    The input projection is localCheckpointed once so the k scans read
-    a pinned in-memory table, not the source parquet per iteration; the
-    block is freed before returning.
+    footprint MLlib's KMeans pays per step. The quantized projection is
+    localCheckpointed once so the k scans read a pinned in-memory table,
+    not the source parquet per iteration; the block is freed before
+    returning.
     """
     import numpy as np
     import pandas as pd
@@ -477,16 +484,22 @@ def kmeans(
 
     spark = embeddings.sparkSession
     tracked: list = []
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
     X = _tracked_checkpoint(
-        spread(embeddings.select(id_col, vec_col)), tracked
+        spread(embeddings.select(id_col, q.alias("__q"))), tracked
     )
     init_rows = X.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"k={k} exceeds row count {len(init_rows)}")
-    C = np.round(np.asarray([r[1] for r in init_rows], dtype=np.float64), 6)
+    C = np.asarray([r[1] for r in init_rows], dtype=np.int64)
     dim = C.shape[1]
     # Size the update-aggregate's shuffle from the data: the posexplode
-    # stream is n·dim doubles and the reduce side is k·dim rows, so on
+    # stream is n·dim longs and the reduce side is k·dim rows, so on
     # small inputs the session default (e.g. 32) means iters×32 near-empty
     # reduce tasks whose scheduling dominates the whole fit (measured
     # ~10.8 s → ~5 s at sf0.1, 2k×64). Same save/restore lever as LPA;
@@ -497,13 +510,14 @@ def kmeans(
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     def _assign(centroids: np.ndarray):
-        cn = (centroids**2).sum(axis=1)
+        cn = (centroids.astype(np.int64) ** 2).sum(axis=1)
 
         def _cell(v):
-            M = np.asarray(v.tolist(), dtype=np.float64)
+            M = np.asarray(v.tolist(), dtype=np.int64)
             if M.size == 0:
                 return pd.Series([], dtype="int32")
-            d2 = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ centroids.T) + cn[None, :]
+            # exact int64 distance algebra: |x|^2 - 2 x·c + |c|^2
+            d2 = (M**2).sum(axis=1)[:, None] - 2 * (M @ centroids.T) + cn[None, :]
             return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
         _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
@@ -512,20 +526,21 @@ def kmeans(
     assigned = None
     for _ in range(iters):
         assigned = X.select(
-            F.col(id_col), F.col(vec_col), _assign(C)(F.col(vec_col)).alias("cluster")
+            F.col(id_col), F.col("__q"), _assign(C)(F.col("__q")).alias("cluster")
         )
         upd = (
             assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+                "cluster", F.posexplode(F.col("__q")).alias("pos", "val")
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("c"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         nxt = C.copy()  # empty clusters keep their previous centroid
         for row in upd:
-            nxt[row["cluster"], row["pos"]] = row["c"]
-        nxt = np.round(nxt, 6)
+            # Python floor division — the SQL oracle mirrors it with
+            # floor(s/n) (exact: |s| < 2^53)
+            nxt[row["cluster"], row["pos"]] = int(row["s"]) // int(row["n"])
         if np.array_equal(nxt, C):
             break
         C = nxt

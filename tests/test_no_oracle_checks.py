@@ -318,10 +318,34 @@ def test_ann_lsh_recall(spark):
 # ------------------------------------------------------------- kmeans
 
 
-def test_kmeans_matches_numpy_reference(spark):
-    """Distributed Lloyd's ≡ a single-machine numpy run of the identical
-    algorithm (same deterministic init, same 6-decimal centroid
-    rounding, same lowest-index tie-break) on the sf0.001 embeddings."""
+def _py_kmeans_int(X, k, iters, scale=1 << 20):
+    """Pure integer replay of the fixed-point Lloyd's in sim.kmeans:
+    quantize, exact int64 distances, floor-division centroid means,
+    lowest-index tie-break, early stop at the centroid fixpoint."""
+    import numpy as np
+
+    V = np.floor(X * scale + 0.5).astype(np.int64)
+    C = V[:k].copy()
+    assign = None
+    for _ in range(iters):
+        d2 = (V**2).sum(1)[:, None] - 2 * (V @ C.T) + (C**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        nxt = C.copy()
+        for j in range(k):
+            m = V[assign == j]
+            if len(m):
+                nxt[j] = [int(s) // len(m) for s in m.sum(axis=0)]
+        if np.array_equal(nxt, C):
+            break
+        C = nxt
+    return assign
+
+
+def test_kmeans_matches_integer_reference(spark):
+    """Distributed fixed-point Lloyd's ≡ a single-machine integer replay
+    of the identical algorithm (same quantization, same deterministic
+    init, same floor-division means, same lowest-index tie-break) on
+    the sf0.001 embeddings — exact, no float tolerance."""
     import numpy as np
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -331,20 +355,7 @@ def test_kmeans_matches_numpy_reference(spark):
     ids = np.asarray([t[0] for t in rows])
     X = np.asarray([t[1] for t in rows], dtype=np.float64)
     k, iters = 6, 8
-    C = np.round(X[:k], 6)
-    assign = None
-    for _ in range(iters):
-        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
-        assign = np.argmin(d2, axis=1)
-        nxt = C.copy()
-        for j in range(k):
-            m = X[assign == j]
-            if len(m):
-                nxt[j] = m.mean(axis=0)
-        nxt = np.round(nxt, 6)
-        if np.array_equal(nxt, C):
-            break
-        C = nxt
+    assign = _py_kmeans_int(X, k, iters)
     expected = dict(zip(ids.tolist(), assign.tolist()))
 
     got = {
@@ -387,7 +398,7 @@ def test_pca_matches_numpy_reference(spark):
 
 def test_semdedup_matches_numpy_reference(spark):
     """SemDeDup ≡ numpy: reference k-means (identical deterministic
-    algorithm, see test_kmeans_matches_numpy_reference) + brute-force
+    fixed-point algorithm, see _py_kmeans_int) + brute-force
     intra-cluster cosine dedup keep-min-id."""
     import numpy as np
 
@@ -398,20 +409,7 @@ def test_semdedup_matches_numpy_reference(spark):
     ids = np.asarray([t[0] for t in rows])
     X = np.asarray([t[1] for t in rows], dtype=np.float64)
     k, iters, thr = 6, 8, 0.3
-    C = np.round(X[:k], 6)
-    assign = None
-    for _ in range(iters):
-        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
-        assign = np.argmin(d2, axis=1)
-        nxt = C.copy()
-        for j in range(k):
-            m = X[assign == j]
-            if len(m):
-                nxt[j] = m.mean(axis=0)
-        nxt = np.round(nxt, 6)
-        if np.array_equal(nxt, C):
-            break
-        C = nxt
+    assign = _py_kmeans_int(X, k, iters)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     expected = {}
     for i, vid in enumerate(ids.tolist()):
