@@ -478,8 +478,9 @@ def _q_emb_semdedup(spark, sf_dir):
     """SemDeDup (cluster-then-cosine-dedup, Abbas et al. 2023), k=8,
     threshold 0.3 (the synthetic corpus has no true near-dups — 0.3 sits
     at the cosine 99th percentile so the drop set is non-trivial).
-    Iterative k-means inside → no SQL oracle; exact vs a numpy
-    brute-force in tests/test_simsearch.py."""
+    Fixed-point k-means + round-to-4 cosine thresholding make the whole
+    pipeline reproducible — the DuckDB oracle replays it end to end
+    (was rows-only); also exact vs a numpy brute-force in pytest."""
     return ops_sim.semdedup(
         _t(spark, sf_dir, "embeddings"), k=8, iters=10, threshold=0.3
     )
@@ -779,11 +780,16 @@ def _q_graph_pagerank(spark, sf_dir):
     return analytics.pagerank(_graph(spark, sf_dir), iters=5)
 
 
-def _q_graph_lpa(spark, sf_dir):  # G1 — iterative, rows-only check
+def _q_graph_lpa(spark, sf_dir):
+    """G1 — weighted LPA. With the portable lexicographic tie-break
+    (and weights provably 1.0 on the cross-type-only projection), the
+    DuckDB oracle replays all rounds exactly (was rows-only)."""
     return _lpa_communities(spark, sf_dir)
 
 
-def _q_graph_community_density(spark, sf_dir):  # G2/A3 — rows-only check
+def _q_graph_community_density(spark, sf_dir):
+    """G2/A3 — density over the LPA communities; oracle composes the
+    LPA replay with the density formula (was rows-only)."""
     return analytics.community_density(
         _graph(spark, sf_dir), _lpa_communities(spark, sf_dir)
     )
@@ -1048,14 +1054,13 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20) -> str:
-    """SQL replay of the fixed-point Lloyd's in ops.simsearch.kmeans:
-    quantize coordinates to scale-denominated longs, exact integer
-    distances with (distance, cluster) row_number tie-break, integer
-    sum + floor-division centroid means, empty clusters keep their
-    previous centroid. Unrolled per iteration; AS MATERIALIZED because
-    each round references its predecessor repeatedly. Output is the
-    kmeans_summary shape (cluster, size, min_id)."""
+def _kmeans_sql_parts(
+    k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20
+) -> tuple[list, str]:
+    """CTE parts replaying the fixed-point Lloyd's in
+    ops.simsearch.kmeans (see _kmeans_oracle); returns (parts,
+    final-assignment CTE name) so composing oracles (summary, SemDeDup)
+    can build on the per-vector assignments."""
     qexpr = (
         f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
         f"for i in generate_series(1, {dim})]"
@@ -1095,10 +1100,49 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 <<
                 f"c{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(m.v, p.v) AS v "
                 f"FROM c{p} p LEFT JOIN cm{r} m USING (cluster))"
             )
+    return parts, f"a{iters}"
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20) -> str:
+    """SQL replay of the fixed-point Lloyd's in ops.simsearch.kmeans:
+    quantize coordinates to scale-denominated longs, exact integer
+    distances with (distance, cluster) row_number tie-break, integer
+    sum + floor-division centroid means, empty clusters keep their
+    previous centroid. Unrolled per iteration; AS MATERIALIZED because
+    each round references its predecessor repeatedly. Output is the
+    kmeans_summary shape (cluster, size, min_id)."""
+    parts, assign = _kmeans_sql_parts(k, iters, dim, scale)
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
-        f"FROM a{iters} GROUP BY cluster"
+        f"FROM {assign} GROUP BY cluster"
+    )
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 10, threshold: float = 0.3, dim: int = 64
+) -> str:
+    """SemDeDup replay: fixed-point k-means assignments + intra-cluster
+    cosine dedup keep-min-id, with the operator's round-to-4-decimals
+    threshold rule (same float-cosine determinism lever the hash-green
+    emb_near_dup oracle relies on)."""
+    parts, assign = _kmeans_sql_parts(k, iters, dim)
+    cos = (
+        "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 4)"
+    )
+    parts.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM "
+        f"{assign} a JOIN {assign} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        f"WHERE {cos} >= {threshold})"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep "
+        f"FROM {assign} a LEFT JOIN dropped d ON a.vec_id = d.vec_id"
     )
 
 
@@ -1139,25 +1183,79 @@ def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
     )
 
 
-def _density_components_oracle() -> str:
-    """Density over the components assignment: composes the components
-    oracle (as a CTE-wrapped subquery) with the projection edge list;
+def _density_sql_tail(assign: str, comm_col: str) -> str:
+    """Density CTEs + final select over an ``(id, <comm_col>)``
+    assignment CTE named ``assign`` (requires ``edges`` in scope):
     internal-edge counts are exact integers and the density ratio is
     the same IEEE double expression Spark evaluates."""
     return (
-        "WITH comp AS (SELECT * FROM (" + _components_oracle() + ") c), "
-        + _li_sql() + ", " + _tpch_edges_sql() + ", "
-        "sizes AS (SELECT component AS community, count(*) AS n_nodes "
-        "FROM comp GROUP BY component), "
-        "inner_e AS (SELECT cs.component AS community, count(*) AS internal_edges "
-        "FROM edges e JOIN comp cs ON e.u = cs.id JOIN comp cd ON e.v = cd.id "
-        "WHERE cs.component = cd.component GROUP BY cs.component) "
+        f"sizes AS (SELECT {comm_col} AS community, count(*) AS n_nodes "
+        f"FROM {assign} GROUP BY {comm_col}), "
+        f"inner_e AS (SELECT cs.{comm_col} AS community, count(*) AS internal_edges "
+        f"FROM edges e JOIN {assign} cs ON e.u = cs.id JOIN {assign} cd ON e.v = cd.id "
+        f"WHERE cs.{comm_col} = cd.{comm_col} GROUP BY cs.{comm_col}) "
         "SELECT s.community, s.n_nodes, "
         "CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges, "
         "CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / "
         "greatest(CAST(s.n_nodes * (s.n_nodes - 1) AS DOUBLE) / 2, 1.0) AS density "
         "FROM sizes s LEFT JOIN inner_e i ON s.community = i.community"
     )
+
+
+def _density_components_oracle() -> str:
+    """Density over the components assignment: composes the components
+    oracle (as a CTE-wrapped subquery) with the projection edge list."""
+    return (
+        "WITH comp AS (SELECT * FROM (" + _components_oracle() + ") c), "
+        + _li_sql() + ", " + _tpch_edges_sql() + ", "
+        + _density_sql_tail("comp", "component")
+    )
+
+
+def _lpa_sql_parts(rounds: int = 8) -> tuple[list, str]:
+    """CTE parts replaying weighted_label_propagation over the tpch
+    projection. Every projection edge joins two DIFFERENT node types, so
+    label bonus and property overlap are both zero and every weight is
+    exactly 1.0 (verified against _hashed_weights) — per-round scores
+    are therefore integer neighbor counts, and the argmax with the
+    lexicographic-community tie-break is a plain row_number. Rounds past
+    the operator's early-stop fixpoint are no-ops, so a fixed unroll of
+    ``max_iter`` rounds replays the loop exactly."""
+    parts = [
+        _li_sql(),
+        _tpch_edges_sql(),
+        _tpch_nodes_sql(),
+        "adj AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)",
+        "c0 AS MATERIALIZED (SELECT id, id AS community FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT a.u, c.community AS c, count(*) AS s "
+            f"FROM adj a JOIN c{p} c ON a.v = c.id GROUP BY a.u, c.community)"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT u, c FROM ("
+            f"SELECT u, c, row_number() OVER (PARTITION BY u ORDER BY s DESC, c) AS rk "
+            f"FROM s{r}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT p.id, COALESCE(b.c, p.community) AS community "
+            f"FROM c{p} p LEFT JOIN b{r} b ON p.id = b.u)"
+        )
+    return parts, f"c{rounds}"
+
+
+def _lpa_oracle(rounds: int = 8) -> str:
+    parts, assign = _lpa_sql_parts(rounds)
+    return "WITH " + ", ".join(parts) + f" SELECT id, community FROM {assign}"
+
+
+def _density_lpa_oracle(rounds: int = 8) -> str:
+    """Density over the LPA communities — the graph_community_density
+    reference query (G2/A3), now fully replayable."""
+    parts, assign = _lpa_sql_parts(rounds)
+    return "WITH " + ", ".join(parts) + ", " + _density_sql_tail(assign, "community")
 
 
 def _components_oracle() -> str:
@@ -1854,10 +1952,13 @@ def oracle_sql() -> dict[str, str]:
         # based or approximate → intentionally no oracle (rows-only check).
         # Fixed-point integer Lloyd's → full SQL replay (generated).
         "emb_kmeans": _kmeans_oracle(),
+        # Fixed-point clusters + rounded-cosine dedup → full replay.
+        "emb_semdedup": _semdedup_oracle(),
         # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.
-        # graph_lpa / graph_community_density: iterative fixpoint
-        # algorithms (not SQL-expressible) → rows-only check; both have
-        # exact pytest recomputations (tests/test_no_oracle_checks.py).
+        # LPA with the portable lexicographic tie-break → full unrolled
+        # replay; density composes the same assignment (generated).
+        "graph_lpa": _lpa_oracle(),
+        "graph_community_density": _density_lpa_oracle(),
         # graph_components IS oracle-checked below via the tpch
         # projection's quotient structure: every R/N/C/S/O/L node maps to
         # its region tree through the FK chain (each tree is internally

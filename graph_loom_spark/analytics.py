@@ -149,10 +149,11 @@ def weighted_label_propagation(
     """Weighted LPA (frontend.rs:509-588): returns ``(id, community)``.
 
     Synchronous rounds: each node adopts argmax_c Σ w(u←v) over
-    neighbors v in community c; ties → the community whose xxhash64
-    surrogate is smallest (a fixed deterministic order — the reference's
-    own tie-break is HashMap iteration order, i.e. unspecified);
-    isolated nodes keep their own id. Stops early when no node changes.
+    neighbors v in community c; ties → the community whose ORIGINAL
+    STRING id is lexicographically smallest (a portable deterministic
+    order any engine can reproduce — the reference's own tie-break is
+    HashMap iteration order, i.e. unspecified); isolated nodes keep
+    their own id. Stops early when no node changes.
 
     Scale design: the whole loop runs on 8-byte xxhash64 surrogates —
     node ids AND community labels — so every per-round join/aggregate
@@ -205,6 +206,12 @@ def weighted_label_propagation(
         bcast = (
             F.broadcast if n_nodes_total <= broadcast_nodes_max else (lambda df: df)
         )
+        # surrogate → string map for the tie-break: joins/aggregates stay
+        # keyed on 8-byte surrogates, the string rides along only as the
+        # min-struct's second sort field on the already-aggregated
+        # (u, c, score) frame (one broadcast probe per round, no string
+        # shuffle keys)
+        cdim = idmap.select(F.col("iid").alias("c"), F.col("id").alias("cstr"))
         for it in range(max_iter):
             scores = (
                 weights.join(
@@ -218,16 +225,22 @@ def weighted_label_propagation(
                 .groupBy("u", "c")
                 .agg(F.sum("w").alias("score"))
             )
-            # argmax folded into a hash aggregate: min of (-score, c)
-            # structs is lexicographic, so it picks max score then
-            # smallest community surrogate — one partial-aggregating
+            # argmax folded into a hash aggregate: min of
+            # (-score, cstr, c) structs is lexicographic, so it picks max
+            # score then the lexicographically smallest community's
+            # original id (portable tie-break) — one partial-aggregating
             # hash agg instead of a row_number window (one fewer
             # sort-shuffle in every LPA iteration).
             best = (
-                scores.groupBy("u")
+                scores.join(bcast(cdim), "c")
+                .groupBy("u")
                 .agg(
                     F.min(
-                        F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("cstr").alias("cs"),
+                            F.col("c").alias("c"),
+                        )
                     ).alias("__b")
                 )
                 .select(F.col("u").alias("id"), F.col("__b.c").alias("new_community"))

@@ -684,9 +684,15 @@ def semdedup(
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("__ida") < F.col("__idb"))
+        # round-to-4 before thresholding — the same determinism discipline
+        # as cosine_near_pairs_blocked: sub-1e-4 float-summation noise
+        # cannot flip a keep decision, so the decision is reproducible in
+        # any engine (SQL oracle included)
         .filter(
-            _dot(F.col("__va"), F.col("__vb"))
-            / (F.col("__na") * F.col("__nb"))
+            F.round(
+                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                4,
+            )
             >= threshold
         )
         .select(F.col("__idb").alias("__id"))

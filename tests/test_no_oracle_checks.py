@@ -103,14 +103,12 @@ def test_components_match_union_find_sf001(spark):
 # -------------------------------------------------------------- LPA + density
 
 
-def _python_lpa(nodes, adj_weights, hashes, max_iter=8):
+def _python_lpa(nodes, adj_weights, max_iter=8):
     """The reference algorithm, synchronous variant, pure Python: each
     round every node adopts argmax_c Σ w(u←v); ties → the community with
-    the smallest xxhash64 surrogate (the engine's deterministic stand-in
-    for the reference's unspecified HashMap-order tie-break,
-    frontend.rs:564-588); stop when stable. ``hashes`` maps node id →
-    its xxhash64 surrogate (collected from Spark so both sides use the
-    exact same hash)."""
+    the lexicographically smallest ORIGINAL id (the engine's portable
+    deterministic stand-in for the reference's unspecified HashMap-order
+    tie-break, frontend.rs:564-588); stop when stable."""
     comm = {n: n for n in nodes}
     for _ in range(max_iter):
         nxt = {}
@@ -120,7 +118,7 @@ def _python_lpa(nodes, adj_weights, hashes, max_iter=8):
             for v, w in adj_weights.get(u, []):
                 scores[comm[v]] += w
             if scores:
-                best = min(scores.items(), key=lambda kv: (-kv[1], hashes[kv[0]]))[0]
+                best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
             else:
                 best = comm[u]
             nxt[u] = best
@@ -152,11 +150,7 @@ def test_lpa_and_density_match_python(spark):
         adj_weights[s].append((d, weight(s, d)))
         adj_weights[d].append((s, weight(d, s)))
 
-    hashes = {
-        r["id"]: r["h"]
-        for r in g.nodes.select("id", F.xxhash64("id").alias("h")).collect()
-    }
-    expected = _python_lpa(list(labels), adj_weights, hashes)
+    expected = _python_lpa(list(labels), adj_weights)
     got = {
         r["id"]: r["community"]
         for r in analytics.weighted_label_propagation(g).collect()
@@ -415,7 +409,8 @@ def test_semdedup_matches_numpy_reference(spark):
     for i, vid in enumerate(ids.tolist()):
         keep = True
         for j in np.nonzero(assign == assign[i])[0]:
-            if ids[j] < vid and float(Xn[i] @ Xn[j]) >= thr:
+            # same round-to-4-then-threshold rule as the operator
+            if ids[j] < vid and round(float(Xn[i] @ Xn[j]), 4) >= thr:
                 keep = False
                 break
         expected[vid] = (int(assign[i]), keep)
