@@ -667,11 +667,15 @@ def _q_events_interval_join(spark, sf_dir):
 
 
 def _q_emb_ivf_topk(spark, sf_dir):
-    """IVF-partitioned approximate top-k — approximate, rows-only check."""
+    """IVF-flat ANN over the fixed-point k-means quantizer: integer
+    squared-distance cell ranking + rounded-cosine candidate top-k —
+    fully deterministic, so the DuckDB oracle replays quantizer, cell
+    choice, and ranking exactly (was rows-only with the RNG-sampled
+    float quantizer; that path remains as ivf_centroids/ivf_topk with
+    its recall pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
-    C = ops_sim.ivf_centroids(emb, n_cells=16, sample_size=4096)
-    assigned = ops_sim.ivf_assign(emb, C)
-    return ops_sim.ivf_topk(assigned, C, probe_id=7, k=10, nprobe=4)
+    assigned, C = ops_sim.kmeans_fit(emb, k=16, iters=5)
+    return ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4)
 
 
 def _jaccard_pairs(spark, sf_dir) -> DataFrame:
@@ -1100,7 +1104,7 @@ def _kmeans_sql_parts(
                 f"c{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(m.v, p.v) AS v "
                 f"FROM c{p} p LEFT JOIN cm{r} m USING (cluster))"
             )
-    return parts, f"a{iters}"
+    return parts, f"a{iters}", f"c{iters - 1}"
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20) -> str:
@@ -1111,7 +1115,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 <<
     previous centroid. Unrolled per iteration; AS MATERIALIZED because
     each round references its predecessor repeatedly. Output is the
     kmeans_summary shape (cluster, size, min_id)."""
-    parts, assign = _kmeans_sql_parts(k, iters, dim, scale)
+    parts, assign, _ = _kmeans_sql_parts(k, iters, dim, scale)
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
@@ -1126,7 +1130,7 @@ def _semdedup_oracle(
     cosine dedup keep-min-id, with the operator's round-to-4-decimals
     threshold rule (same float-cosine determinism lever the hash-green
     emb_near_dup oracle relies on)."""
-    parts, assign = _kmeans_sql_parts(k, iters, dim)
+    parts, assign, _ = _kmeans_sql_parts(k, iters, dim)
     cos = (
         "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) / "
         "(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) * "
@@ -1143,6 +1147,46 @@ def _semdedup_oracle(
         "WITH " + ", ".join(parts)
         + f" SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep "
         f"FROM {assign} a LEFT JOIN dropped d ON a.vec_id = d.vec_id"
+    )
+
+
+def _ivf_oracle(
+    n_cells: int = 16,
+    iters: int = 5,
+    probe: int = 7,
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """SQL replay of ivf_flat_topk over the kmeans_fit quantizer:
+    integer squared-distance cell ranking (ties → lower cell), then
+    rounded-cosine candidate top-k (ties → lower id)."""
+    parts, assign, cents = _kmeans_sql_parts(n_cells, iters, dim)
+    celldist = (
+        "list_sum([(c.v[i]-p.v[i])*(c.v[i]-p.v[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))), 4)"
+    )
+    parts += [
+        f"pq AS (SELECT v FROM v WHERE vec_id = {probe})",
+        "cellrank AS (SELECT c.cluster, row_number() OVER ("
+        f"ORDER BY {celldist}, c.cluster) AS rk "
+        f"FROM {cents} c CROSS JOIN pq p)",
+        f"cand AS (SELECT a.vec_id FROM {assign} a "
+        f"JOIN cellrank r ON a.cluster = r.cluster "
+        f"WHERE r.rk <= {nprobe} AND a.vec_id != {probe})",
+        f"pe AS (SELECT embedding FROM embeddings WHERE vec_id = {probe})",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT vec_id, cosine FROM ("
+        f"SELECT c.vec_id, {cos} AS cosine "
+        "FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN pe p) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
     )
 
 
@@ -1952,6 +1996,8 @@ def oracle_sql() -> dict[str, str]:
         # based or approximate → intentionally no oracle (rows-only check).
         # Fixed-point integer Lloyd's → full SQL replay (generated).
         "emb_kmeans": _kmeans_oracle(),
+        # IVF-flat over the same quantizer → full replay (generated).
+        "emb_ivf_topk": _ivf_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),
         # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.

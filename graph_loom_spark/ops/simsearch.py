@@ -294,6 +294,53 @@ def ivf_topk(
     )
 
 
+def ivf_flat_topk(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    centroids_int,
+    probe_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """IVF-flat probe over a :func:`kmeans_fit` quantizer — the fully
+    deterministic sibling of :func:`ivf_topk`: cells are ranked by EXACT
+    integer squared distance between the quantized probe and each
+    centroid (ties → lower cell index), the top ``nprobe`` cells'
+    members are scanned, and candidates are ranked by cosine rounded to
+    4 decimals (ties → lower id) — every step reproducible in any
+    engine, so the whole query is SQL-oracle-checkable. Same scale
+    shape as :func:`ivf_topk`: the scan touches ~nprobe/n_cells of the
+    table (file-level pruning when the table is written partitioned by
+    cell), and the probe vector is a 1-row broadcast.
+    """
+    import numpy as np
+
+    row = embeddings.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    if row is None:
+        raise ValueError(f"probe id {probe_id} not found")
+    q = np.floor(np.asarray(row[0], dtype=np.float64) * scale + 0.5).astype(np.int64)
+    C = np.asarray(centroids_int, dtype=np.int64)
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.lexsort((np.arange(len(C)), d2))[:nprobe]]
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__p")
+    )
+    cand = (
+        assigned.filter(F.col("cluster").isin(cells) & (F.col(id_col) != probe_id))
+        .join(embeddings.select(id_col, vec_col), id_col)
+    )
+    cos = _dot(F.col(vec_col), F.col("__p")) / (_norm(F.col(vec_col)) * _norm(F.col("__p")))
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_pairs_blocked(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -441,8 +488,26 @@ def kmeans(
     vec_col: str = "embedding",
     scale: int = 1 << 20,
 ) -> DataFrame:
+    """``kmeans_fit`` returning just the ``(vec_id, cluster)`` frame —
+    see :func:`kmeans_fit` for the algorithm and determinism story."""
+    assigned, _ = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    return assigned
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+):
     """Fully distributed Euclidean k-means (Lloyd's): returns
-    ``(vec_id, cluster)`` with deterministic clustering.
+    ``(assigned, centroids)`` — the ``(vec_id, cluster)`` frame plus the
+    quantized int64 centroid matrix the returned assignment was computed
+    with (for quantizer composition, e.g. :func:`ivf_flat_topk`).
 
     Unlike :func:`ivf_centroids` (which Lloyd-iterates driver-side on a
     bounded SAMPLE to build a coarse quantizer), both k-means steps here
@@ -524,7 +589,9 @@ def kmeans(
         return F.pandas_udf(_cell, "int")
 
     assigned = None
+    C_assign = C
     for _ in range(iters):
+        C_assign = C  # the centroids the returned assignment was made with
         assigned = X.select(
             F.col(id_col), F.col("__q"), _assign(C)(F.col("__q")).alias("cluster")
         )
@@ -547,7 +614,7 @@ def kmeans(
     result = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _free_intermediates(spark, tracked)
-    return result
+    return result, C_assign
 
 
 def kmeans_summary(

