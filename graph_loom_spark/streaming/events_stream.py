@@ -134,6 +134,41 @@ def stream_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``ops.events.interval_join``: tag each arriving
+    event with every (static) interval containing it — e.g. maintenance
+    windows, VIP sessions, experiment exposure windows.
+
+    The batch operator's bucketed equi-join composes directly with
+    Structured Streaming because it is STATELESS: the static interval
+    side is pre-exploded to its covered buckets, the stream side derives
+    its single bucket in a narrow projection, and the join is a plain
+    stream-static equi-join (broadcast-hinted — each micro-batch is a
+    map-side probe, no state store, no watermark). A range predicate
+    against a static table would otherwise be a per-batch nested-loop.
+    Stream ≡ batch row-for-row (pinned in tests/test_streaming.py).
+    """
+    on = list(on or [])
+    b = lambda c: F.floor(F.col(c).cast("long") / F.lit(int(bucket_seconds)))  # noqa: E731
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(b(start_col), b(end_col)))
+    )
+    pt = events.withColumn("__b", b(ts_col))
+    return (
+        pt.join(F.broadcast(iv), on + ["__b"])
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__b")
+    )
+
+
 def stream_sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -115,6 +115,43 @@ def test_set_defers_after_match(session):
     assert out.rows[0].properties.get("seen") == "1"
 
 
+def test_where_before_set_without_return_becomes_set_items(session):
+    """Reference parse quirk (cypher_spec.rs:401-405): in
+    MATCH .. WHERE .. SET .. with NO RETURN, the no-RETURN branch
+    assigns the WHERE body to deferred_set — the filter text executes as
+    SET items over the UNFILTERED match, and the filter itself is
+    dropped. So `WHERE a.name = "x" SET a.t = "1"` sets BOTH name="x"
+    and t="1" on every matched node. With a RETURN the same statement
+    parses correctly (test_set_defers_after_match). Faithfully
+    mirrored; use the RETURN form for filtered updates."""
+    session.execute('CREATE (a:P {name:"a"})')
+    session.execute('CREATE (b:P {name:"b"})')
+    session.execute('MATCH (p:P) WHERE p.name = "a" SET p.t = "1"')
+    props = sorted(
+        (r.properties.get("name"), r.properties.get("t"))
+        for r in session.execute("MATCH (p:P) RETURN p").rows
+    )
+    # both nodes renamed to "a" and stamped t="1" — the reference's rule
+    assert props == [("a", "1"), ("a", "1")]
+
+
+def test_match_set_without_return_double_applies(session):
+    """Reference parse quirk (cypher_spec.rs:431-441): MATCH .. SET ..
+    with no RETURN records the SET both as deferred items AND leaves the
+    tail starting at SET, so the items execute twice — idempotent for
+    plain assignments, observable only as doubled work. Mirrored: the
+    parse emits two identical SetClause entries."""
+    from graph_loom_spark.cypher import parser
+
+    clauses = parser.parse('MATCH (a:P) SET a.t = "1"')
+    sets = [c for c in clauses if type(c).__name__ == "SetClause"]
+    assert len(sets) == 2 and sets[0].items == sets[1].items == ['a.t = "1"']
+    session.execute('CREATE (a:P {name:"a"})')
+    session.execute('MATCH (a:P) SET a.t = "1"')
+    rows = session.execute("MATCH (a:P) RETURN a").rows
+    assert rows[0].properties.get("t") == "1"
+
+
 def test_undirected_match_both_orientations(session):
     """J2 (cypher_spec.rs:919-940): undirected 1-hop emits a binding per
     matching orientation — a symmetric pattern yields 2 rows."""

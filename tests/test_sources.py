@@ -84,3 +84,34 @@ def test_unsupported_format_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "avro" in str(e)
+
+
+def test_graph_diff_roundtrip(spark, tmp_path):
+    """Snapshot diff: added / removed / changed nodes and edges between
+    a saved version and a mutated successor."""
+    from graph_loom_spark.graph import PropertyGraph
+    from graph_loom_spark.interface import CypherSession
+
+    sess = CypherSession(PropertyGraph.empty(spark))
+    sess.execute('CREATE (a:P {name:"a"})')
+    sess.execute('CREATE (b:P {name:"b"})')
+    sess.execute('MATCH (a:P),(b:P) WHERE id(a) < id(b) MERGE (a)-[:R]->(b)')
+    g = sess.graph
+    g.save(str(tmp_path / "v0"))
+    before = PropertyGraph.load(spark, str(tmp_path / "v0"))
+
+    sess.execute('CREATE (c:P {name:"c"})')          # added node
+    # RETURN form: WHERE..SET without RETURN is the reference's
+    # filter-becomes-SET-items quirk (see test_quirks)
+    sess.execute('MATCH (a:P) WHERE a.name = "a" SET a.touched = "1" RETURN a')
+
+    d = g.diff(before)
+    added = {r["properties"]["name"] for r in d["nodes_added"].collect()}
+    changed = {r["properties"]["name"] for r in d["nodes_changed"].collect()}
+    assert added == {"c"}
+    assert changed == {"a"}
+    assert d["nodes_removed"].count() == 0
+    assert d["edges_added"].count() == 0 and d["edges_removed"].count() == 0
+    # reverse direction: the old snapshot sees "c" as removed
+    rd = before.diff(g)
+    assert {r["properties"]["name"] for r in rd["nodes_removed"].collect()} == {"c"}

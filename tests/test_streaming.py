@@ -85,6 +85,41 @@ def test_stream_enrich_matches_batch_join(spark, events_path):
     assert any(t is None for _, t in got)  # left-join semantics kept
 
 
+def test_stream_interval_join_matches_batch(spark, events_path):
+    """Streaming bucketed interval join ≡ the batch operator on the same
+    files and the same static interval set."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops.events import interval_join, session_intervals
+
+    ev = batch_events.load_events(spark, events_path)
+    iv = (
+        session_intervals(ev.filter(F.col("user_id") % 7 == 0))
+        .select(
+            F.col("user_id").alias("iv_user"),
+            F.col("session_start").alias("start"),
+            F.col("session_end").alias("end"),
+        )
+    )
+    stream = se.read_events_stream(spark, events_path)
+    se.run_available_now(
+        se.stream_interval_join(stream, iv).select("event_id", "iv_user", "start"),
+        "iv_join_t",
+        output_mode="append",
+    )
+    got = {
+        (r["event_id"], r["iv_user"], r["start"])
+        for r in spark.sql("SELECT * FROM iv_join_t").collect()
+    }
+    batch = {
+        (r["event_id"], r["iv_user"], r["start"])
+        for r in interval_join(ev, iv, ts_col="ts", start_col="start", end_col="end")
+        .select("event_id", "iv_user", "start")
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_stream_sessionize_matches_batch_counts(spark, events_path):
     stream = se.read_events_stream(spark, events_path)
     se.run_available_now(se.stream_sessionize(stream), "sessions_t")
