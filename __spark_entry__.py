@@ -631,6 +631,50 @@ def _q_events_props_stats(spark, sf_dir):
     return ops_events.props_stats(_events(spark, sf_dir))
 
 
+def _q_docs_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (90/5/5)."""
+    return ops_text.train_split(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: md5-keyed (shard, pos) training
+    order, reproducible in any engine from the seed + id alone."""
+    return ops_text.epoch_shuffle(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_pipeline_funnel(spark, sf_dir):
+    """The flagship END-TO-END pre-training data pipeline, composed from
+    the engine's own operators and hash-checked as one query: input →
+    quality gate (score ≥ 2) → exact dedup (first-seen per text) →
+    MinHash-LSH near-dedup (md5 mode, est ≥ 0.5, drop the larger id of
+    each pair). Returns the stage funnel ``(stage, stage_name, n_docs)``
+    — every stage count reproduced exactly by the DuckDB oracle, proving
+    the composition (not just each operator) is engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    q = ops_text.quality_score(docs).filter(F.col("quality_score") >= 2).select("doc_id")
+    qd = docs.join(q, "doc_id", "left_semi")
+    ex = ops_dedup.exact_dedup(qd, ["text"]).select("doc_id")
+    exd = docs.join(ex, "doc_id", "left_semi")
+    sigs = ops_dedup.minhash_signatures_md5(exd)
+    pairs = ops_dedup.minhash_lsh_pairs(sigs, threshold=0.5, band_hash="md5")
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = ex.join(dropped, "doc_id", "left_anti")
+
+    def stage(i, name, df):
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "input", docs)
+        .unionAll(stage(2, "quality", q))
+        .unionAll(stage(3, "exact_dedup", ex))
+        .unionAll(stage(4, "near_dedup", final))
+    )
+
+
 def _q_docs_chunks(spark, sf_dir):
     """Sliding-window chunking (64-token windows every 48) — the
     RAG/pre-training splitter as a pure narrow projection; oracle
@@ -855,6 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
+        "docs_split": _q_docs_split,
+        "docs_shuffle": _q_docs_shuffle,
+        "docs_pipeline_funnel": _q_docs_pipeline_funnel,
         "docs_chunks": _q_docs_chunks,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
@@ -887,14 +934,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ID_N = "'N:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0')"
 
 
-def _minhash_md5_oracle(
-    num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
-) -> str:
-    """SQL replay of the md5-mode MinHash pipeline (signatures → md5
-    banding → candidate self-join → slot-equality estimate), generated
-    for the same (num_perm, bands, shingle_n, threshold) the entry query
-    uses. md5 hex strings min/compare identically in every engine, so
-    candidates AND estimates match Spark bit-for-bit."""
+def _minhash_md5_parts(
+    src: str = "documents",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> tuple[list, str]:
+    """CTE parts replaying the md5-mode MinHash pipeline (signatures →
+    md5 banding → candidate self-join → slot-equality estimate) over an
+    arbitrary documents-shaped source CTE/table ``src``; returns
+    (parts, pairs-CTE name). md5 hex strings min/compare identically in
+    every engine, so candidates AND estimates match Spark bit-for-bit."""
     rpb = num_perm // bands
     mins = ", ".join(
         f"min(substr(md5('{i // 4}:' || g), {8 * (i % 4) + 1}, 8)) AS s{i}"
@@ -910,23 +961,31 @@ def _minhash_md5_oracle(
     eq_sum = " + ".join(
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_perm)
     )
-    return (
-        "WITH toks AS (SELECT doc_id, string_split("
-        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+    parts = [
+        "toks AS (SELECT doc_id, string_split("
+        f"regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM {src})",
         "grams AS (SELECT doc_id, unnest(list_distinct("
         f"[array_to_string(t[i:i+{shingle_n - 1}], ' ') "
-        f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM toks), "
-        f"sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id), "
-        f"banded AS ({band_rows}), "
+        f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM toks)",
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM grams GROUP BY doc_id)",
+        f"banded AS ({band_rows})",
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
         "FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh "
-        "AND a.doc_id < b.doc_id) "
-        "SELECT id_a, id_b, est_jaccard FROM ("
+        "AND a.doc_id < b.doc_id)",
+        "mh_pairs AS (SELECT id_a, id_b, est_jaccard FROM ("
         f"SELECT c.id_a, c.id_b, CAST(({eq_sum}) AS DOUBLE) / {num_perm} AS est_jaccard "
         "FROM cand c JOIN sig sa ON c.id_a = sa.doc_id "
         "JOIN sig sb ON c.id_b = sb.doc_id) "
-        f"WHERE est_jaccard >= {threshold}"
-    )
+        f"WHERE est_jaccard >= {threshold})",
+    ]
+    return parts, "mh_pairs"
+
+
+def _minhash_md5_oracle(
+    num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    parts, pairs = _minhash_md5_parts("documents", num_perm, bands, shingle_n, threshold)
+    return "WITH " + ", ".join(parts) + f" SELECT * FROM {pairs}"
 
 
 def _simhash_md5_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
@@ -1187,6 +1246,65 @@ def _ivf_oracle(
         f"SELECT c.vec_id, {cos} AS cosine "
         "FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN pe p) "
         f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+_QUALITY_SCORE_SQL = (
+    "(CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1 ELSE 0 END + "
+    "CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 "
+    "AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) <= 12.0 "
+    "THEN 1 ELSE 0 END + "
+    "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+    "/ length(text) >= 0.5 THEN 1 ELSE 0 END)"
+)
+
+
+def _funnel_oracle() -> str:
+    """End-to-end pipeline replay: quality gate → exact dedup → md5
+    MinHash near-dedup, stage counts as a funnel."""
+    mh_parts, pairs = _minhash_md5_parts("exd", threshold=0.5)
+    parts = [
+        f"q AS MATERIALIZED (SELECT d.* FROM documents d WHERE {_QUALITY_SCORE_SQL} >= 2)",
+        "ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)",
+        "exd AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id))",
+        *mh_parts,
+        f"dropped AS (SELECT DISTINCT id_b FROM {pairs})",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT stage, stage_name, n_docs FROM ("
+        "SELECT 1 AS stage, 'input' AS stage_name, "
+        "CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs "
+        "UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM q) "
+        "UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM ex) "
+        "UNION ALL SELECT 4, 'near_dedup', "
+        "(SELECT count(*) FROM ex) - (SELECT count(*) FROM dropped))"
+    )
+
+
+def _split_oracle(fractions=None, seed: str = "split") -> str:
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = f"substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    names = list(fractions)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(f"WHEN {bucket} < '{int(cum * float(1 << 32)):08x}' THEN '{name}'")
+    return (
+        "SELECT doc_id, CASE "
+        + " ".join(cases)
+        + f" ELSE '{names[-1]}' END AS split FROM documents"
+    )
+
+
+def _shuffle_oracle(seed: str = "epoch0") -> str:
+    return (
+        f"WITH k AS (SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS k "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "CAST(strpos('0123456789abcdef', substr(k, 32, 1)) - 1 AS BIGINT) AS shard, "
+        "CAST(row_number() OVER (PARTITION BY substr(k, 32, 1) ORDER BY k) - 1 AS BIGINT) AS pos "
+        "FROM k"
     )
 
 
@@ -1534,6 +1652,9 @@ def oracle_sql() -> dict[str, str]:
             "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events) "
             "GROUP BY event_type"
         ),
+        "docs_split": _split_oracle(),
+        "docs_shuffle": _shuffle_oracle(),
+        "docs_pipeline_funnel": _funnel_oracle(),
         "docs_chunks": (
             "WITH t AS (SELECT doc_id, string_split("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "

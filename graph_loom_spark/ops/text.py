@@ -599,6 +599,73 @@ def chunk_documents(
     )
 
 
+def train_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 hex chars of
+    ``md5(seed || ':' || id)`` fall into cumulative-fraction buckets of
+    the 32-bit space (compared as fixed-width hex strings — the
+    :func:`stratified_sample` lever). Engine-independent, stable under
+    re-runs/partitioning, no RNG state; a pure narrow projection, so at
+    100 TB the split is decided at scan speed and is re-derivable from
+    the id alone (no membership tables to ship). Returns
+    ``(id, split)``."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        hexlim = f"{int(cum * float(1 << 32)):08x}"
+        cond = bucket < hexlim
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return documents.select(F.col(id_col), expr.alias("split"))
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    shards: int = 16,
+) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible random-looking
+    training order as ``(id, shard, pos)`` — shard from the last hex
+    char of ``md5(seed || ':' || id)`` (``shards`` must divide 16... or
+    be 16; the md5 hex alphabet gives 16 uniform buckets without any
+    engine-specific hex→int parsing), position by the full hex key
+    within the shard. Changing ``seed`` reshuffles every epoch; same
+    seed reproduces the exact order anywhere.
+
+    Scale shape: one hash projection + one window partitioned by shard
+    — at cluster scale ``shards`` (or a two-level shard key) bounds
+    each window partition; no global sort, no RNG state."""
+    if shards != 16:
+        raise ValueError("shards must be 16 (one md5 hex char); layer keys for more")
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    base = documents.select(
+        F.col(id_col),
+        key.alias("__k"),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(key, 32, 1)) - 1)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__k")
+    return base.select(
+        id_col, "shard", (F.row_number().over(w) - 1).cast("bigint").alias("pos")
+    )
+
+
 def vocab_topk(documents: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level vocabulary head: top-``k`` terms by total occurrence
     count — ``(term, n_occurrences, rank)``, rank dense in count-desc /

@@ -439,3 +439,38 @@ def test_props_stats_json_extraction(spark):
     }
     assert got["click"] == (3, 2, 8, 4.0)
     assert got["view"] == (1, 0, 0, None)  # no x/0: avg nulls out
+
+
+def test_train_split_fractions_and_determinism(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"] for r in ops_text.train_split(docs).collect()}
+    again = {r["doc_id"]: r["split"] for r in ops_text.train_split(docs).collect()}
+    assert got == again  # re-run stable
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 < c["train"] / 2000 < 0.95  # ~90%
+    assert 0.02 < c["val"] / 2000 < 0.09 and 0.02 < c["test"] / 2000 < 0.09
+    # a different seed produces a different assignment
+    other = {r["doc_id"]: r["split"] for r in ops_text.train_split(docs, seed="s2").collect()}
+    assert other != got
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    rows = ops_text.epoch_shuffle(docs).collect()
+    assert len(rows) == 500
+    # (shard, pos) is a proper dense order per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(16))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    order1 = sorted((r["shard"], r["pos"], r["doc_id"]) for r in rows)
+    order2 = sorted(
+        (r["shard"], r["pos"], r["doc_id"])
+        for r in ops_text.epoch_shuffle(docs, seed="epoch1").collect()
+    )
+    assert [t[2] for t in order1] != [t[2] for t in order2]  # reshuffled
