@@ -651,9 +651,20 @@ def _q_docs_pipeline_funnel(spark, sf_dir):
     — every stage count reproduced exactly by the DuckDB oracle, proving
     the composition (not just each operator) is engine-independent."""
     docs = _t(spark, sf_dir, "documents")
-    q = ops_text.quality_score(docs).filter(F.col("quality_score") >= 2).select("doc_id")
+    # pin the small id frames each stage feeds forward: the four funnel
+    # branches would otherwise re-execute the shared upstream (quality
+    # scan ×3, dedup ×2) once per branch — ids-only checkpoints are a
+    # few KB and cut the query ~2×
+    q = (
+        ops_text.quality_score(docs)
+        .filter(F.col("quality_score") >= 2)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     qd = docs.join(q, "doc_id", "left_semi")
-    ex = ops_dedup.exact_dedup(qd, ["text"]).select("doc_id")
+    ex = (
+        ops_dedup.exact_dedup(qd, ["text"]).select("doc_id").localCheckpoint(eager=False)
+    )
     exd = docs.join(ex, "doc_id", "left_semi")
     sigs = ops_dedup.minhash_signatures_md5(exd)
     pairs = ops_dedup.minhash_lsh_pairs(sigs, threshold=0.5, band_hash="md5")

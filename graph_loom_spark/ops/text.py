@@ -638,27 +638,35 @@ def epoch_shuffle(
     shards: int = 16,
 ) -> DataFrame:
     """Deterministic epoch shuffle: a reproducible random-looking
-    training order as ``(id, shard, pos)`` — shard from the last hex
-    char of ``md5(seed || ':' || id)`` (``shards`` must divide 16... or
-    be 16; the md5 hex alphabet gives 16 uniform buckets without any
-    engine-specific hex→int parsing), position by the full hex key
-    within the shard. Changing ``seed`` reshuffles every epoch; same
-    seed reproduces the exact order anywhere.
+    training order as ``(id, shard, pos)`` — shard from the last 1-3
+    hex chars of ``md5(seed || ':' || id)`` (``shards`` ∈ {16, 256,
+    4096}; positional strpos arithmetic, so no engine-specific hex→int
+    builtin is needed), position by the full hex key within the shard.
+    Changing ``seed`` reshuffles every epoch; same seed reproduces the
+    exact order anywhere.
 
-    Scale shape: one hash projection + one window partitioned by shard
-    — at cluster scale ``shards`` (or a two-level shard key) bounds
-    each window partition; no global sort, no RNG state."""
-    if shards != 16:
-        raise ValueError("shards must be 16 (one md5 hex char); layer keys for more")
+    Scale shape: one hash projection + one window partitioned by shard.
+    Scale ``shards`` with the corpus so each window partition's sort
+    stays task-sized (4096 shards ⇒ ~25 GB/shard at 100 TB); a consumer
+    that doesn't need DENSE positions can skip the window entirely and
+    ``ORDER BY (shard, key)`` — a distributed range sort."""
+    import math
+
+    h = round(math.log(shards, 16))
+    if 16**h != shards or not 1 <= h <= 3:
+        raise ValueError("shards must be 16, 256, or 4096 (1-3 md5 hex chars)")
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     from pyspark.sql.window import Window
 
+    shard = None
+    for j in range(h):
+        digit = F.instr(
+            F.lit("0123456789abcdef"), F.substring(key, 32 - j, 1)
+        ) - 1
+        term = digit * F.lit(16**j)
+        shard = term if shard is None else shard + term
     base = documents.select(
-        F.col(id_col),
-        key.alias("__k"),
-        (F.instr(F.lit("0123456789abcdef"), F.substring(key, 32, 1)) - 1)
-        .cast("bigint")
-        .alias("shard"),
+        F.col(id_col), key.alias("__k"), shard.cast("bigint").alias("shard")
     )
     w = Window.partitionBy("shard").orderBy("__k")
     return base.select(

@@ -474,3 +474,15 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
         for r in ops_text.epoch_shuffle(docs, seed="epoch1").collect()
     )
     assert [t[2] for t in order1] != [t[2] for t in order2]  # reshuffled
+
+
+def test_epoch_shuffle_multi_char_shards(spark):
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    rows = ops_text.epoch_shuffle(docs, shards=256).collect()
+    assert len(rows) == 400
+    assert all(0 <= r["shard"] < 256 for r in rows)
+    assert len({r["shard"] for r in rows}) > 100  # well spread
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops_text.epoch_shuffle(docs, shards=10)
