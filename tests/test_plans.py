@@ -202,3 +202,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_split_and_chunks_are_pure_narrow_scans(spark):
+    """train_split and chunk_documents claim scan-speed narrow plans —
+    any Exchange would contradict the 100 TB story in their docstrings."""
+    for name in ("docs_split", "docs_chunks"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_props_stats_parses_json_in_partial_agg(spark):
+    """Schema-on-read rollup: the JSON parse feeds a partial (map-side)
+    aggregate — one exchange on the group key, no pre-flattening pass."""
+    plan = _plan(spark, "events_props_stats")
+    assert plan.count("Exchange") == 1
+    assert "get_json_object" in plan or "GetJsonObject" in plan
+
+
+def test_interval_join_entry_is_hash_join(spark):
+    plan = _plan(spark, "events_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
