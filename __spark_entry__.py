@@ -631,6 +631,18 @@ def _q_events_props_stats(spark, sf_dir):
     return ops_events.props_stats(_events(spark, sf_dir))
 
 
+def _q_docs_dedup_incremental(spark, sf_dir):
+    """Batch incremental near-dedup — the crawl-ingest pattern: flag
+    each incoming doc (odd ids) that near-duplicates the existing corpus
+    (even ids), with its best corpus match. md5-mode MinHash end to end,
+    so the DuckDB oracle replays candidates, estimates, and the
+    best-match tie-break exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return ops_dedup.minhash_dedup_against(corpus, incoming, threshold=0.5)
+
+
 def _q_docs_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment (90/5/5)."""
     return ops_text.train_split(_t(spark, sf_dir, "documents"))
@@ -910,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_winnow": _q_docs_winnow,
         "docs_winnow_pairs": _q_docs_winnow_pairs,
+        "docs_dedup_incremental": _q_docs_dedup_incremental,
         "docs_split": _q_docs_split,
         "docs_shuffle": _q_docs_shuffle,
         "docs_pipeline_funnel": _q_docs_pipeline_funnel,
@@ -1268,6 +1281,63 @@ _QUALITY_SCORE_SQL = (
     "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
     "/ length(text) >= 0.5 THEN 1 ELSE 0 END)"
 )
+
+
+def _dedup_against_oracle(
+    threshold: float = 0.5, num_perm: int = 32, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """SQL replay of minhash_dedup_against (corpus = even ids, incoming
+    = odd): md5 signatures per side, md5 band join, slot-equality
+    estimate, best match by (est DESC, corpus id ASC)."""
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"min(substr(md5('{i // 4}:' || g), {8 * (i % 4) + 1}, 8)) AS s{i}"
+        for i in range(num_perm)
+    )
+
+    def side(name: str, pred: str) -> list:
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sg{n}".format(
+                b=b,
+                n=name,
+                expr=" || '|' || ".join(f"s{b * rpb + j}" for j in range(rpb)),
+            )
+            for b in range(bands)
+        )
+        return [
+            f"d{name} AS (SELECT * FROM documents WHERE {pred})",
+            f"t{name} AS (SELECT doc_id, string_split("
+            f"regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM d{name})",
+            f"g{name} AS (SELECT doc_id, unnest(list_distinct("
+            f"[array_to_string(t[i:i+{shingle_n - 1}], ' ') "
+            f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM t{name})",
+            f"sg{name} AS MATERIALIZED (SELECT doc_id, {mins} FROM g{name} GROUP BY doc_id)",
+            f"bd{name} AS ({band_rows})",
+        ]
+
+    eq_sum = " + ".join(
+        f"CASE WHEN sn.s{i} = sc.s{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    parts = (
+        side("c", "doc_id % 2 = 0")
+        + side("n", "doc_id % 2 = 1")
+        + [
+            "candp AS (SELECT DISTINCT i.doc_id AS iid, c.doc_id AS cid "
+            "FROM bdn i JOIN bdc c ON i.band = c.band AND i.bh = c.bh)",
+            f"est AS (SELECT p.iid, p.cid, CAST(({eq_sum}) AS DOUBLE) / {num_perm} AS e "
+            "FROM candp p JOIN sgn sn ON p.iid = sn.doc_id "
+            f"JOIN sgc sc ON p.cid = sc.doc_id)",
+            f"best AS (SELECT iid, cid, e FROM (SELECT iid, cid, e, "
+            "row_number() OVER (PARTITION BY iid ORDER BY e DESC, cid) AS rk "
+            f"FROM est WHERE e >= {threshold}) WHERE rk = 1)",
+        ]
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT dn.doc_id, (b.iid IS NULL) AS keep, b.cid AS match_id, "
+        "b.e AS est_jaccard "
+        "FROM dn LEFT JOIN best b ON dn.doc_id = b.iid"
+    )
 
 
 def _funnel_oracle() -> str:
@@ -1663,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
             "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events) "
             "GROUP BY event_type"
         ),
+        "docs_dedup_incremental": _dedup_against_oracle(),
         "docs_split": _split_oracle(),
         "docs_shuffle": _shuffle_oracle(),
         "docs_pipeline_funnel": _funnel_oracle(),

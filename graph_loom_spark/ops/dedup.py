@@ -228,6 +228,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_against(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 8,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch incremental near-dedup: flag each INCOMING document that is
+    a MinHash near-duplicate of anything in the existing CORPUS — the
+    crawl-ingest pattern (dedupe the new snapshot against what you
+    already have) as a batch operator; the streaming twin is
+    ``streaming.docs_stream.stream_minhash_dedup``. Returns one row per
+    incoming doc: ``(id, keep, match_id, est_jaccard)`` with the
+    best-matching corpus doc (highest estimate, ties → smallest corpus
+    id; nulls when no candidate reached ``threshold``).
+
+    md5-mode signatures + md5 band hashes (engine-independent — the
+    whole decision replays in SQL). Shape: signatures on both sides,
+    banded equi-join corpus×incoming (candidates only — never
+    all-pairs), slot-equality estimate, one max-struct aggregate per
+    incoming doc. At 100 TB the corpus signature table is the
+    precomputed index (num_perm × 8-char slots per doc, no text) and
+    the incoming side is the small batch — the join broadcasts it.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
+    sig_c = minhash_signatures_md5(
+        corpus, text_col=text_col, id_col=id_col, num_perm=num_perm
+    ).select(F.col(id_col).alias("__cid"), F.col("signature").alias("__cs"))
+    sig_i = minhash_signatures_md5(
+        incoming, text_col=text_col, id_col=id_col, num_perm=num_perm
+    ).select(F.col(id_col).alias("__iid"), F.col("signature").alias("__is"))
+
+    def _banded(sig, idc, sc):
+        return sig.select(
+            idc,
+            sc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.slice(sc, bi * rows_per_band + 1, rows_per_band),
+                                )
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(idc, sc, "b.band", "b.bh")
+
+    est = (
+        F.size(F.filter(F.zip_with("__is", "__cs", lambda x, y: x == y), lambda v: v))
+        / F.size(F.col("__is"))
+    )
+    best = (
+        _banded(sig_i, "__iid", "__is")
+        .join(_banded(sig_c, "__cid", "__cs"), ["band", "bh"])
+        .select("__iid", "__cid", est.alias("__e"))
+        .filter(F.col("__e") >= threshold)
+        .groupBy("__iid")
+        # best match = min over the (-est, corpus_id) key: highest
+        # estimate first, then the smallest corpus id — one hash agg
+        .agg(
+            F.min_by(
+                F.struct(F.col("__cid").alias("match_id"), F.col("__e").alias("est")),
+                F.struct((-F.col("__e")).alias("ne"), F.col("__cid").alias("i")),
+            ).alias("__m")
+        )
+        .select("__iid", "__m.match_id", "__m.est")
+    )
+    return (
+        incoming.select(F.col(id_col))
+        .join(best.withColumnRenamed("__iid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("match_id").isNull().alias("keep"),
+            "match_id",
+            F.col("est").alias("est_jaccard"),
+        )
+    )
+
+
 def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-bit sign of summed token-hash bit votes.
 

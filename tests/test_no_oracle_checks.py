@@ -517,3 +517,28 @@ def test_kcore_toy_triangle_with_tail(spark):
     got = {r["id"]: r["core_degree"] for r in analytics.kcore(edges, k=2).collect()}
     # the triangle a-b-c is the 2-core; d and x peel away
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_minhash_dedup_against_flags_planted_dup(spark):
+    """Incremental dedup: an incoming doc nearly identical to a corpus
+    doc is dropped with that doc as best match; novel docs keep."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain falls softly on the quiet village roofs tonight"
+    )
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different content about spark plans")],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, base + " extra"), (3, "novel unseen text with no overlap at all whatsoever")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["match_id"])
+        for r in ops_dedup.minhash_dedup_against(
+            corpus, incoming, threshold=0.5
+        ).collect()
+    }
+    assert got[1] == (False, 0)
+    assert got[3][0] is True and got[3][1] is None
