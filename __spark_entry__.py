@@ -698,6 +698,35 @@ def _q_docs_pipeline_funnel(spark, sf_dir):
     )
 
 
+def _q_docs_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup across the corpus: every sliding-window
+    chunk keeps only its first occurrence — first = smallest
+    (doc_id, chunk_index) — the passage-granularity dedup a RAG index
+    or packing stage runs after chunking. One groupBy on the chunk hash
+    (min-struct aggregate) joined back as the keep flag; chunk text
+    never re-shuffles (md5 key). Fully SQL-replayable."""
+    ch = ops_text.chunk_documents(_t(spark, sf_dir, "documents"))
+    keyed = ch.select(
+        "doc_id", "chunk_index", F.md5("chunk_text").alias("__h")
+    )
+    first = keyed.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("chunk_index").alias("c"))
+        ).alias("__f")
+    )
+    return (
+        keyed.join(first, "__h")
+        .select(
+            "doc_id",
+            "chunk_index",
+            (
+                (F.col("doc_id") == F.col("__f.d"))
+                & (F.col("chunk_index") == F.col("__f.c"))
+            ).alias("keep"),
+        )
+    )
+
+
 def _q_docs_chunks(spark, sf_dir):
     """Sliding-window chunking (64-token windows every 48) — the
     RAG/pre-training splitter as a pure narrow projection; oracle
@@ -927,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle": _q_docs_shuffle,
         "docs_pipeline_funnel": _q_docs_pipeline_funnel,
         "docs_chunks": _q_docs_chunks,
+        "docs_chunk_dedup": _q_docs_chunk_dedup,
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "media_image_features": _q_media_image_features,
@@ -1737,6 +1767,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": _split_oracle(),
         "docs_shuffle": _shuffle_oracle(),
         "docs_pipeline_funnel": _funnel_oracle(),
+        # chunking CTE shared shape with docs_chunks; first occurrence =
+        # min (doc_id, chunk_index) row-value per chunk text
+        "docs_chunk_dedup": (
+            "WITH t AS (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(generate_series(0, greatest(len(t)-1, 0), 48)) AS st FROM t), "
+            "ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_index, "
+            "array_to_string(t[st+1:st+64], ' ') AS chunk_text FROM s), "
+            "f AS (SELECT chunk_text, min({'d': doc_id, 'c': chunk_index}) AS fr "
+            "FROM ch GROUP BY chunk_text) "
+            "SELECT c.doc_id, c.chunk_index, "
+            "(c.doc_id = f.fr.d AND c.chunk_index = f.fr.c) AS keep "
+            "FROM ch c JOIN f ON c.chunk_text = f.chunk_text"
+        ),
         "docs_chunks": (
             "WITH t AS (SELECT doc_id, string_split("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
