@@ -1051,17 +1051,20 @@ def _minhash_md5_parts(
     """CTE parts replaying the md5-mode MinHash pipeline (signatures →
     md5 banding → candidate self-join → slot-equality estimate) over an
     arbitrary documents-shaped source CTE/table ``src``; returns
-    (parts, pairs-CTE name). md5 hex strings min/compare identically in
-    every engine, so candidates AND estimates match Spark bit-for-bit."""
+    (parts, pairs-CTE name). One md5 per shingle → two 32-bit lanes
+    h1/h2; slot i = min((h1 + i·h2) mod 2147483647) — exact int64 in
+    both engines (max term < 2³⁷), so signatures, candidates AND
+    estimates match Spark bit-for-bit."""
     rpb = num_perm // bands
     mins = ", ".join(
-        f"min(substr(md5('{i // 4}:' || g), {8 * (i % 4) + 1}, 8)) AS s{i}"
-        for i in range(num_perm)
+        f"min((h1 + {i} * h2) % 2147483647) AS s{i}" for i in range(num_perm)
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"s{b * rpb + j}" for j in range(rpb)),
+            expr=" || '|' || ".join(
+                f"CAST(s{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+            ),
         )
         for b in range(bands)
     )
@@ -1074,7 +1077,10 @@ def _minhash_md5_parts(
         "grams AS (SELECT doc_id, unnest(list_distinct("
         f"[array_to_string(t[i:i+{shingle_n - 1}], ' ') "
         f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM toks)",
-        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM grams GROUP BY doc_id)",
+        "hv AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h1, "
+        "CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) AS h2 FROM grams)",
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)",
         f"banded AS ({band_rows})",
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
         "FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh "
@@ -1374,8 +1380,7 @@ def _dedup_against_oracle(
     estimate, best match by (est DESC, corpus id ASC)."""
     rpb = num_perm // bands
     mins = ", ".join(
-        f"min(substr(md5('{i // 4}:' || g), {8 * (i % 4) + 1}, 8)) AS s{i}"
-        for i in range(num_perm)
+        f"min((h1 + {i} * h2) % 2147483647) AS s{i}" for i in range(num_perm)
     )
 
     def side(name: str, pred: str) -> list:
@@ -1383,7 +1388,9 @@ def _dedup_against_oracle(
             "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sg{n}".format(
                 b=b,
                 n=name,
-                expr=" || '|' || ".join(f"s{b * rpb + j}" for j in range(rpb)),
+                expr=" || '|' || ".join(
+                    f"CAST(s{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+                ),
             )
             for b in range(bands)
         )
@@ -1394,7 +1401,10 @@ def _dedup_against_oracle(
             f"g{name} AS (SELECT doc_id, unnest(list_distinct("
             f"[array_to_string(t[i:i+{shingle_n - 1}], ' ') "
             f"for i in generate_series(1, greatest(len(t)-{shingle_n - 1}, 1))])) AS g FROM t{name})",
-            f"sg{name} AS MATERIALIZED (SELECT doc_id, {mins} FROM g{name} GROUP BY doc_id)",
+            f"h{name} AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h1, "
+            f"CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) AS h2 FROM g{name})",
+            f"sg{name} AS MATERIALIZED (SELECT doc_id, {mins} FROM h{name} GROUP BY doc_id)",
             f"bd{name} AS ({band_rows})",
         ]
 
@@ -1478,8 +1488,11 @@ def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
     Peeling reaches its fixpoint monotonically — the edge set only
     shrinks and stabilizes — so any unrolled round past convergence is
     a no-op and the result equals the operator's run-to-fixpoint loop
-    as long as ``rounds`` covers the actual peel depth (checked by the
-    hash gate itself)."""
+    as long as ``rounds`` covers the actual peel depth. A ``conv``
+    guard asserts the last two rounds' edge counts are equal and raises
+    a DuckDB error() otherwise — so an under-sized unroll fails LOUDLY
+    instead of producing a superset the hash gate would report as an
+    indistinguishable engine mismatch."""
     # AS MATERIALIZED: each round references its predecessor 3x; an
     # inlining planner would otherwise expand the chain exponentially
     # (observed: thousands of base-table re-opens at 16 rounds)
@@ -1501,11 +1514,17 @@ def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
             f"JOIN k{r} a ON e.u = a.id JOIN k{r} b ON e.v = b.id)"
         )
         prev = f"e{r}"
+    parts.append(
+        "conv AS (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM e{rounds - 1}) = (SELECT count(*) FROM e{rounds}) "
+        "THEN 1 ELSE error('kcore oracle: peel depth exceeds the "
+        f"{rounds}-round unroll') END AS ok)"
+    )
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM ("
         f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}) "
-        f"GROUP BY id HAVING count(*) >= {k}"
+        f"GROUP BY id HAVING count(*) >= {k} AND (SELECT ok FROM conv) = 1"
     )
 
 

@@ -808,9 +808,17 @@ def bfs_distances(
         source = edges_df.select(
             F.least(F.col(src), F.col(dst)).alias("i")
         ).agg(F.min("i")).collect()[0][0]
+        if source is None:  # empty edge list — nothing to traverse
+            _free_intermediates(spark, tracked)
+            raise ValueError("bfs_distances: empty edge list, no default source")
     src_h = (
         idmap.filter(F.col("id") == source).select("n").limit(1)
     )
+    if src_h.count() == 0:
+        # an absent source would otherwise return a silently-empty frame
+        # (and diverge from a SQL oracle that seeds the CTE with the id)
+        _free_intermediates(spark, tracked)
+        raise ValueError(f"bfs_distances: source {source!r} not in the edge list")
     visited = _tracked_checkpoint(
         src_h.select("n", F.lit(0).cast("int").alias("d")), tracked
     )
@@ -923,19 +931,24 @@ def pagerank(
             .groupBy("nid")
             .agg(F.sum("c").alias("__in"))
         )
-        dmass_row = (
-            dangling.join(bcast(ranks), "nid").agg(F.sum("r").alias("m")).collect()
+        # dangling mass folded into the plan as a broadcast 1-row
+        # aggregate (same pattern as the layout COM broadcast) — a
+        # driver-side collect here cost an extra action + job per
+        # iteration for a single long
+        dmass_df = (
+            dangling.join(bcast(ranks), "nid")
+            .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("__dm"))
         )
-        dmass = int(dmass_row[0]["m"] or 0)
-        m_per_node = dmass // n_nodes
         ranks = _tracked_checkpoint(
             ranks.select("nid")
             .join(bcast(contrib), "nid", "left")
+            .crossJoin(F.broadcast(dmass_df))
             .select(
                 "nid",
                 F.expr(
                     f"cast({base} as bigint) + "
-                    f"({dn} * (coalesce(__in, cast(0 as bigint)) + {m_per_node})) div 100"
+                    f"({dn} * (coalesce(__in, cast(0 as bigint)) + __dm div {n_nodes}))"
+                    " div 100"
                 ).alias("r"),
             ),
             tracked,

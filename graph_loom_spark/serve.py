@@ -58,15 +58,57 @@ class QueryServer:
         self.log_dir = log_dir
         self._lock = threading.Lock()  # V4 single-writer broker
         self._pool = ThreadPoolExecutor(max_workers=1)
+        self._dirty = False  # unsaved mutations since the last autosave
+        self._autosave_stop: threading.Event | None = None
 
     def _submit(self, query: str, params: dict[str, str], log: bool):
         def run():
             with self._lock:
                 if log:
-                    return self.session.execute_and_log(query, params, log_dir=self.log_dir)
-                return self.session.execute(query, params)
+                    outcome = self.session.execute_and_log(
+                        query, params, log_dir=self.log_dir
+                    )
+                else:
+                    outcome = self.session.execute(query, params)
+                if getattr(outcome, "mutated", False):
+                    self._dirty = True
+                return outcome
 
         return self._pool.submit(run)
+
+    # ----------------------------------------------------------- autosave
+    def start_autosave(self, path: str, interval_s: float = 5.0) -> threading.Thread:
+        """Background autosave (reference main.rs:248-265: the headless
+        server snapshots the graph every 5 s when dirty): a daemon
+        thread that, each tick, writes a versioned snapshot via
+        ``PropertyGraph.save(path, versioned=True)`` IF a mutating query
+        ran since the last save — idle sessions write nothing. The save
+        runs under the single-writer lock, so it never races a mutation;
+        a failed save keeps the dirty flag so the next tick retries."""
+        if self._autosave_stop is not None:
+            raise RuntimeError("autosave already running")
+        stop = threading.Event()
+        self._autosave_stop = stop
+
+        def loop():
+            while not stop.wait(interval_s):
+                if not self._dirty:
+                    continue
+                try:
+                    with self._lock:
+                        self._dirty = False
+                        self.session.graph.save(path, versioned=True)
+                except Exception:
+                    self._dirty = True  # retry on the next tick
+
+        t = threading.Thread(target=loop, daemon=True, name="gls-autosave")
+        t.start()
+        return t
+
+    def stop_autosave(self) -> None:
+        if self._autosave_stop is not None:
+            self._autosave_stop.set()
+            self._autosave_stop = None
 
     # ------------------------------------------------------------- execute
     def handle_query(self, payload: dict) -> tuple[int, dict | str]:

@@ -134,3 +134,19 @@ def test_bfs_depth_cap_and_default_source(spark):
     # default source = min id = "a"; cap at 2 hops
     got = {r["id"]: r["distance"] for r in bfs_distances(e, max_depth=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_missing_source_raises(spark):
+    import pytest
+
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="not in the edge list"):
+        bfs_distances(e, source=99)
+
+
+def test_bfs_empty_edges_raises(spark):
+    import pytest
+
+    e = spark.createDataFrame([], "src int, dst int")
+    with pytest.raises(ValueError, match="empty edge list"):
+        bfs_distances(e)

@@ -75,3 +75,51 @@ def test_bad_request(server):
     except urllib.error.HTTPError as e:
         code_out = e.code
     assert code_out == 400
+
+
+def test_autosave_on_mutation_and_idle(spark, tmp_path):
+    """Reference main.rs:248-265: the headless server snapshots every
+    interval WHEN DIRTY — a mutation triggers exactly one versioned
+    save, an idle server writes nothing further."""
+    import os
+    import time
+
+    from graph_loom_spark.graph import PropertyGraph as PG
+
+    sess = CypherSession(PropertyGraph.empty(spark))
+    qs = QueryServer(sess, timeout_s=120, log_dir=str(tmp_path / "logs"))
+    httpd = qs.serve(port=0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    save_dir = str(tmp_path / "snap")
+    qs.start_autosave(save_dir, interval_s=0.3)
+    try:
+        # read-only query: must NOT trigger a save
+        _post(base, {"query": "MATCH (p:Person) RETURN p"}, key=None)
+        time.sleep(1.0)
+        assert PG.list_versions(save_dir) == []
+
+        _post(base, {"query": 'CREATE (p:Person {name:"Trinity"})'}, key=None)
+        deadline = time.time() + 10
+        while time.time() < deadline and not PG.list_versions(save_dir):
+            time.sleep(0.2)
+        versions = PG.list_versions(save_dir)
+        assert len(versions) >= 1  # the mutation was snapshotted
+
+        # saved snapshot round-trips with the mutation applied (wait for
+        # the edges half — list_versions sees the dir as soon as the
+        # nodes write starts)
+        vdir = os.path.join(save_dir, "versions", sorted(versions)[-1])
+        while time.time() < deadline and not os.path.exists(
+            os.path.join(vdir, "edges", "_SUCCESS")
+        ):
+            time.sleep(0.2)
+        loaded = PG.load(spark, vdir)
+        assert loaded.nodes.count() == 1
+
+        # idle: no further saves accumulate
+        n_before = len(PG.list_versions(save_dir))
+        time.sleep(1.2)
+        assert len(PG.list_versions(save_dir)) == n_before
+    finally:
+        qs.stop_autosave()
+        httpd.shutdown()

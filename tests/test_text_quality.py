@@ -486,3 +486,13 @@ def test_epoch_shuffle_multi_char_shards(spark):
 
     with _pytest.raises(ValueError):
         ops_text.epoch_shuffle(docs, shards=10)
+
+
+def test_train_split_rejects_overflowing_fractions(spark):
+    import pytest
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    # cum fraction of the non-final names hits 1.0: the %08x bucket limit
+    # would be 9 hex chars and silently misroute — must raise instead
+    with pytest.raises(ValueError, match="sum to < 1.0"):
+        ops_text.train_split(docs, fractions={"a": 0.5, "b": 0.5, "c": 0.0})
