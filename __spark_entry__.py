@@ -1200,27 +1200,31 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
     rational damping dn/100, uniform dangling redistribution — integer
     sums are order-independent, so DuckDB reproduces the Spark operator
     bit-for-bit. One chained CTE block per iteration (contrib join +
-    dangling scalar), unrolled for ``iters``."""
+    dangling scalar), unrolled for ``iters``. Every chained CTE is
+    MATERIALIZED: each rank level is referenced by BOTH the next
+    contrib join and the dangling aggregate, so an inlining planner
+    re-derives the whole chain 2^iters times otherwise (measured: the
+    5-iteration oracle fell 60 s → ~2 s at sf0.01 with the hints)."""
     parts = [
         _li_sql(),
-        _tpch_edges_sql(),
-        _tpch_nodes_sql(),
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        "od AS (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
-        f"r0 AS (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
+        _tpch_edges_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        _tpch_nodes_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
+        f"r0 AS MATERIALIZED (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
     ]
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(
-            f"c{k} AS (SELECT e.v AS id, sum(r.r // d.od) AS s FROM edges e "
+            f"c{k} AS MATERIALIZED (SELECT e.v AS id, sum(r.r // d.od) AS s FROM edges e "
             f"JOIN od d ON e.u = d.id JOIN r{p} r ON e.u = r.id GROUP BY e.v)"
         )
         parts.append(
-            f"m{k} AS (SELECT COALESCE(sum(r.r), 0) AS m FROM r{p} r "
+            f"m{k} AS MATERIALIZED (SELECT COALESCE(sum(r.r), 0) AS m FROM r{p} r "
             "LEFT JOIN od d ON r.id = d.id WHERE d.id IS NULL)"
         )
         parts.append(
-            f"r{k} AS (SELECT n.id, {(100 - dn) * S} // (100 * (SELECT n FROM nn)) + "
+            f"r{k} AS MATERIALIZED (SELECT n.id, {(100 - dn) * S} // (100 * (SELECT n FROM nn)) + "
             f"({dn} * (COALESCE(c.s, 0) + (SELECT m FROM m{k}) // (SELECT n FROM nn))) // 100 AS r "
             f"FROM nodes n LEFT JOIN c{k} c ON n.id = c.id)"
         )
@@ -1550,8 +1554,13 @@ def _density_sql_tail(assign: str, comm_col: str) -> str:
 def _density_components_oracle() -> str:
     """Density over the components assignment: composes the components
     oracle (as a CTE-wrapped subquery) with the projection edge list."""
+    # comp MUST be MATERIALIZED: the density tail references the
+    # assignment 3x (sizes, both endpoints of the internal-edge join) and
+    # the embedded components replay is the expensive part — inlined, it
+    # re-executes per reference (and with its own inner CTEs materialized
+    # the planner can no longer collapse the copies: observed runaway)
     return (
-        "WITH comp AS (SELECT * FROM (" + _components_oracle() + ") c), "
+        "WITH comp AS MATERIALIZED (SELECT * FROM (" + _components_oracle() + ") c), "
         + _li_sql() + ", " + _tpch_edges_sql() + ", "
         + _density_sql_tail("comp", "component")
     )
@@ -1609,22 +1618,22 @@ def _components_oracle() -> str:
     components oracle."""
     return (
             "WITH RECURSIVE "
-            "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+            "li AS MATERIALIZED (SELECT l_orderkey, l_partkey, l_suppkey, "
             "'L:' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || ':' || "
             "lpad(CAST(l_linenumber AS VARCHAR), 12, '0') || ':' || "
             "lpad(CAST(row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
             "ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, "
             "l_tax, l_returnflag, l_linestatus, l_shipdate) AS VARCHAR), 4, '0') AS lid "
             "FROM lineitem), "
-            "cust_r AS (SELECT c_custkey, n_regionkey AS r FROM customer "
+            "cust_r AS MATERIALIZED (SELECT c_custkey, n_regionkey AS r FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey), "
-            "supp_r AS (SELECT s_suppkey, n_regionkey AS r FROM supplier "
+            "supp_r AS MATERIALIZED (SELECT s_suppkey, n_regionkey AS r FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey), "
-            "ord_r AS (SELECT o_orderkey, r FROM orders JOIN cust_r ON o_custkey = c_custkey), "
-            "lqr AS (SELECT li.lid, li.l_partkey, o.r AS rc, s.r AS rs "
+            "ord_r AS MATERIALIZED (SELECT o_orderkey, r FROM orders JOIN cust_r ON o_custkey = c_custkey), "
+            "lqr AS MATERIALIZED (SELECT li.lid, li.l_partkey, o.r AS rc, s.r AS rs "
             "FROM li JOIN ord_r o ON li.l_orderkey = o.o_orderkey "
             "JOIN supp_r s ON li.l_suppkey = s.s_suppkey), "
-            "pr AS (SELECT DISTINCT l_partkey, rc AS r FROM lqr "
+            "pr AS MATERIALIZED (SELECT DISTINCT l_partkey, rc AS r FROM lqr "
             "UNION SELECT DISTINCT l_partkey, rs FROM lqr), "
             "re0 AS (SELECT DISTINCT rc AS u, rs AS v FROM lqr "
             "UNION SELECT a.r, b.r FROM pr a JOIN pr b ON a.l_partkey = b.l_partkey), "
@@ -1632,14 +1641,14 @@ def _components_oracle() -> str:
             "reach AS (SELECT r_regionkey AS a, r_regionkey AS b FROM region "
             "UNION SELECT r.a, e.v FROM reach r JOIN re e ON e.u = r.b), "
             "rcomp AS (SELECT a AS r, min(b) AS cr FROM reach GROUP BY a), "
-            "nmap AS ("
+            "nmap AS MATERIALIZED ("
             "SELECT 'R:'||lpad(CAST(r_regionkey AS VARCHAR),12,'0') AS id, r_regionkey AS r FROM region "
             "UNION ALL SELECT 'N:'||lpad(CAST(n_nationkey AS VARCHAR),12,'0'), n_regionkey FROM nation "
             "UNION ALL SELECT 'C:'||lpad(CAST(c_custkey AS VARCHAR),12,'0'), r FROM cust_r "
             "UNION ALL SELECT 'S:'||lpad(CAST(s_suppkey AS VARCHAR),12,'0'), r FROM supp_r "
             "UNION ALL SELECT 'O:'||lpad(CAST(o_orderkey AS VARCHAR),12,'0'), r FROM ord_r "
             "UNION ALL SELECT lid, rc FROM lqr), "
-            "labeled AS ("
+            "labeled AS MATERIALIZED ("
             "SELECT n.id, CAST(c.cr AS VARCHAR) AS ck FROM nmap n JOIN rcomp c ON n.r = c.r "
             "UNION ALL "
             "SELECT 'P:'||lpad(CAST(p.l_partkey AS VARCHAR),12,'0'), CAST(min(c.cr) AS VARCHAR) "
@@ -2052,18 +2061,28 @@ def oracle_sql() -> dict[str, str]:
         # the distinct shingle *strings* (oracle) barring xxhash64 collisions;
         # the oracle brute-forces all pairs, the engine prunes via the
         # inverted index — same result for threshold > 0.
+        # inverted-shingle-index join (the operator's own shape), not the
+        # all-pairs list_intersect scan: candidates = pairs sharing ≥1
+        # shingle (zero-intersection pairs have jaccard 0 < threshold,
+        # so the result set is identical) and |A∪B| = |A|+|B|−|A∩B| on
+        # exact integers, so the double division matches bit-for-bit.
+        # (All-pairs form measured 30 s vs ~1 s at sf0.01.)
         "docs_ngram_jaccard": (
-            "WITH sh AS (SELECT doc_id, list_distinct("
+            "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
             "[array_to_string(toks[i:i+2], ' ') "
             "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
             "FROM (SELECT doc_id, string_split("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
-            "FROM documents)) "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh) "
             "SELECT id_a, id_b, jaccard FROM ("
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-            "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+            "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b) WHERE jaccard >= 0.5"
         ),
         "docs_winnow": (
             "WITH nm AS (SELECT doc_id, "
@@ -2280,18 +2299,25 @@ def oracle_sql() -> dict[str, str]:
         # pairs identical to docs_ngram_jaccard's; the component closure
         # is a recursive CTE (fine at oracle scale — the doc-pair graph
         # is tiny), the engine side is min-contraction.
+        # pairs via the inverted-shingle-index join (see docs_ngram_jaccard
+        # — same integers, same doubles, ~30x cheaper than all-pairs
+        # list_intersect), closed with the recursive reachability CTE
         "docs_dedup_clusters": (
             "WITH RECURSIVE "
-            "sh AS (SELECT doc_id, list_distinct("
+            "sh AS MATERIALIZED (SELECT doc_id, list_distinct("
             "[array_to_string(toks[i:i+2], ' ') "
             "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
             "FROM (SELECT doc_id, string_split("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
             "FROM documents)), "
-            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-            "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh), "
+            "pairs AS MATERIALIZED (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
             "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
             "UNION SELECT id_b, id_a FROM pairs), "
             "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
