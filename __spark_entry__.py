@@ -405,6 +405,14 @@ def _q_docs_vocab(spark, sf_dir):
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
 
+def _q_docs_source_cap(spark, sf_dir):
+    """Per-source frequency cap (domain capping): keep the 3 docs with
+    the smallest md5(seed:source:id) keys per source — two-phase
+    skew-guarded selection, exactly the naive window's rows, so the
+    plain row_number oracle replays it bit-for-bit."""
+    return ops_text.source_cap(_t(spark, sf_dir, "documents"), max_per_source=3)
+
+
 def _q_docs_mixture(spark, sf_dir):
     """Data-mixture sampling rates per source toward a target token
     share — exact integer counts, single-division doubles rounded to 6,
@@ -977,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _q_docs_contamination,
         "docs_sample": _q_docs_sample,
         "docs_apply_mixture": _q_docs_apply_mixture,
+        "docs_source_cap": _q_docs_source_cap,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_split": _q_docs_split,
         "docs_shuffle": _q_docs_shuffle,
@@ -2165,6 +2174,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rate >= 1.0 OR "
             "substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) < "
             "lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0'))"
+        ),
+        # the two-phase skew-guarded operator selects EXACTLY the naive
+        # window's rows, so the oracle is the plain row_number form
+        "docs_source_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "md5('cap' || ':' || source || ':' || CAST(doc_id AS VARCHAR)), doc_id"
+            ") AS r FROM documents) WHERE r <= 3"
         ),
         "docs_pack": (
             "WITH b AS (SELECT doc_id, doc_id % 8 AS shard, "

@@ -913,3 +913,78 @@ def compression_ratio(
         .otherwise(F.lit(1.0))
         .alias("ratio"),
     )
+
+
+def source_cap(
+    documents: DataFrame,
+    max_per_source: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "cap",
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """Per-source frequency capping — the domain-capping stage of
+    web-crawl pipelines (cap how many documents any one domain/source
+    contributes before training): keep the ``max_per_source`` docs with
+    the SMALLEST ``md5(seed:source:id)`` keys per source (ties → lower
+    id). Deterministic, engine-portable, re-derivable from the id alone;
+    changing ``seed`` re-draws the kept set. Returns ``(id, source)``.
+
+    Shape (the 100 TB story): the naive form is one ``row_number``
+    window partitioned by source — but domain frequency is zipfian (a
+    hot domain can hold 1-10% of a crawl) and a window partition is one
+    task, so the hot key serializes. Two-phase instead:
+
+    1. per-source counts (partial-agg shuffle; the per-source frame is
+       tiny and broadcast back);
+    2. keys are uniform in the 32-bit space, so pre-filter to keys under
+       ``prefilter_factor·N/count`` of the keyspace — expected
+       ``prefilter_factor·N`` survivors per source — and run the exact
+       window on survivors only. The hot domain now contributes ~8N
+       rows to its window partition, not its full row count.
+
+    A uniform-tail shortfall (a source ending with fewer than
+    ``min(N, count)`` survivors) is astronomically unlikely at factor 8
+    but NOT impossible, so a rescue path detects affected sources by
+    comparing survivor counts against the requirement (all DataFrame
+    ops — nothing driver-side) and routes their full row sets into the
+    window. The output is therefore EXACTLY the naive window's output.
+    """
+    from pyspark.sql.window import Window
+
+    if max_per_source < 1:
+        raise ValueError("max_per_source must be >= 1")
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(source_col), F.col(id_col).cast("string"))
+    )
+    base = documents.select(F.col(id_col), F.col(source_col), key.alias("__k"))
+    counts = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    budget = prefilter_factor * max_per_source
+    # fixed-width lowercase hex compares like the 32-bit integer it
+    # encodes (same lever as stratified_sample); only evaluated when
+    # frac < 1, so the 8-char pad never overflows
+    frac = F.lit(float(budget)) / F.col("__n")
+    thr = F.lower(
+        F.lpad(F.hex(F.ceil(frac * F.lit(float(1 << 32))).cast("bigint")), 8, "0")
+    )
+    surv = base.join(F.broadcast(counts), source_col).filter(
+        (F.col("__n") <= F.lit(budget)) | (F.col("__k") < thr)
+    )
+    sc = surv.groupBy(source_col).agg(F.count(F.lit(1)).alias("__s"))
+    bad = (
+        counts.join(sc, source_col, "left")
+        .filter(
+            F.coalesce(F.col("__s"), F.lit(0))
+            < F.least(F.lit(max_per_source), F.col("__n"))
+        )
+        .select(source_col)
+    )
+    window_in = surv.select(id_col, source_col, "__k").join(
+        F.broadcast(bad), source_col, "left_anti"
+    ).unionByName(base.join(F.broadcast(bad), source_col, "left_semi"))
+    w = Window.partitionBy(source_col).orderBy(F.col("__k"), F.col(id_col))
+    return (
+        window_in.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_per_source)
+        .select(id_col, source_col)
+    )

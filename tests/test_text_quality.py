@@ -496,3 +496,38 @@ def test_train_split_rejects_overflowing_fractions(spark):
     # would be 9 hex chars and silently misroute — must raise instead
     with pytest.raises(ValueError, match="sum to < 1.0"):
         ops_text.train_split(docs, fractions={"a": 0.5, "b": 0.5, "c": 0.0})
+
+
+def test_source_cap_exact_and_rescue_path(spark):
+    import hashlib
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["source"]) for r in docs.select("doc_id", "source").collect()]
+
+    def brute(n):
+        by_src = {}
+        for did, src in rows:
+            k = hashlib.md5(f"cap:{src}:{did}".encode()).hexdigest()
+            by_src.setdefault(src, []).append((k, did))
+        keep = set()
+        for src, lst in by_src.items():
+            for _k, did in sorted(lst)[:n]:
+                keep.add((did, src))
+        return keep
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in ops_text.source_cap(docs, max_per_source=3).collect()
+    }
+    assert got == brute(3)
+
+    # prefilter_factor=1 makes per-source shortfalls near-certain — the
+    # rescue path must still reproduce the exact naive-window selection
+    got1 = {
+        (r["doc_id"], r["source"])
+        for r in ops_text.source_cap(docs, max_per_source=5, prefilter_factor=1).collect()
+    }
+    assert got1 == brute(5)
+
+    with pytest.raises(ValueError):
+        ops_text.source_cap(docs, max_per_source=0)
