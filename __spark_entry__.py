@@ -413,6 +413,32 @@ def _q_docs_vocab(spark, sf_dir):
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
 
+def _q_docs_merge_upsert(spark, sf_dir):
+    """CDC merge of a deterministic change batch into the corpus
+    (incremental crawl refresh): ids ≡1 (mod 10) deleted, ≡2/3 upserted
+    with revised text, ≡4 re-keyed +1e6 as inserts; result projected to
+    (doc_id, source, fp=md5(text)) so the text change is hash-visible.
+    One anti-join + union — the oracle replays it with NOT IN + UNION."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    dels = docs.filter(mod == 1).withColumn("op", F.lit("delete"))
+    revs = (
+        docs.filter(mod.isin(2, 3))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    ins = (
+        docs.filter(mod == 4)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("text", F.concat(F.lit("new "), F.col("doc_id").cast("string")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    merged = ops_rel.merge_upsert(
+        docs, dels.unionByName(revs).unionByName(ins), key_cols=["doc_id"]
+    )
+    return merged.select("doc_id", "source", F.md5("text").alias("fp"))
+
+
 def _q_docs_source_cap(spark, sf_dir):
     """Per-source frequency cap (domain capping): keep the 3 docs with
     the smallest md5(seed:source:id) keys per source — two-phase
@@ -1001,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": _q_docs_sample,
         "docs_apply_mixture": _q_docs_apply_mixture,
         "docs_source_cap": _q_docs_source_cap,
+        "docs_merge_upsert": _q_docs_merge_upsert,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_split": _q_docs_split,
         "docs_shuffle": _q_docs_shuffle,
@@ -2198,6 +2225,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY "
             "md5('cap' || ':' || source || ':' || CAST(doc_id AS VARCHAR)), doc_id"
             ") AS r FROM documents) WHERE r <= 3"
+        ),
+        "docs_merge_upsert": (
+            "WITH ch AS ("
+            "SELECT doc_id, text, 'delete' AS op FROM documents WHERE doc_id % 10 = 1 "
+            "UNION ALL SELECT doc_id, text || ' [rev2]', 'upsert' "
+            "FROM documents WHERE doc_id % 10 IN (2, 3) "
+            "UNION ALL SELECT doc_id + 1000000, "
+            "'new ' || CAST(doc_id + 1000000 AS VARCHAR), 'upsert' "
+            "FROM documents WHERE doc_id % 10 = 4), "
+            "chs AS (SELECT c.doc_id, c.text, c.op, d.source FROM ch c "
+            "LEFT JOIN documents d ON c.doc_id % 1000000 = d.doc_id), "
+            "kept AS (SELECT doc_id, source, text FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM ch)) "
+            "SELECT doc_id, source, md5(text) AS fp FROM ("
+            "SELECT * FROM kept UNION ALL "
+            "SELECT doc_id, source, text FROM chs WHERE op = 'upsert')"
         ),
         "docs_pack": (
             "WITH b AS (SELECT doc_id, doc_id % 8 AS shard, "

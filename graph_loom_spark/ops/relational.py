@@ -126,3 +126,38 @@ def price_percentiles(lineitem: DataFrame) -> DataFrame:
             F.round(F.col("__p")[2], 4).alias("p75"),
         )
     )
+
+
+def merge_upsert(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Keyed CDC merge — the MERGE INTO / incremental-corpus-refresh
+    step (apply a crawl delta to the standing corpus): ``changes``
+    carries the ``current`` schema plus an ``op`` column of ``'upsert'``
+    or ``'delete'``. Keys marked delete are removed; upsert rows replace
+    matching keys and insert new ones; everything else passes through.
+    Duplicate keys inside one change batch are rejected (a batch must be
+    pre-deduplicated — silently picking a winner hides upstream bugs).
+
+    Shape: one left-anti join of the corpus against the change keys plus
+    a union with the upsert rows — the change batch is the small side of
+    the anti-join (broadcast when it fits; at 100 TB the corpus is never
+    shuffled, only scanned), and the validation aggregate runs on the
+    tiny batch. No window, no global order.
+    """
+    ops = {"upsert", "delete"}
+    bad = changes.filter(~F.col(op_col).isin(*ops))
+    if not bad.isEmpty():
+        val = bad.select(op_col).first()[0]
+        raise ValueError(f"merge_upsert: unknown op {val!r} (use 'upsert'/'delete')")
+    dup = changes.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        k = dup.select(*key_cols).first()
+        raise ValueError(f"merge_upsert: duplicate change key {tuple(k)!r}")
+    keys = changes.select(*key_cols)
+    kept = current.join(F.broadcast(keys), key_cols, "left_anti")
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    return kept.unionByName(ups)
