@@ -39,6 +39,9 @@ _IVF_CACHE: dict[str, tuple] = {}
 # identically by graph_triangles, graph_bfs and graph_kcore; the
 # construction is a distinct + self-join over lineitem, worth sharing
 _COOC_CACHE: dict[str, DataFrame] = {}
+# (codes frame, codebook list) per sf_dir — the PQ index fit is
+# deterministic (m fixed-point subspace k-means), same memo rule as IVF
+_PQ_CACHE: dict[str, tuple] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -80,11 +83,12 @@ def pinned_rdd_ids() -> set:
                 ids.add(_ckpt_rdd(df).id())
             except Exception:
                 pass
-    for assigned, _C in _IVF_CACHE.values():
-        try:
-            ids.add(_ckpt_rdd(assigned).id())
-        except Exception:
-            pass
+    for cache in (_IVF_CACHE, _PQ_CACHE):
+        for frame, _aux in cache.values():
+            try:
+                ids.add(_ckpt_rdd(frame).id())
+            except Exception:
+                pass
     return ids
 
 
@@ -101,6 +105,7 @@ def reset_caches() -> None:
         _WINNOW_CACHE,
         _IVF_CACHE,
         _COOC_CACHE,
+        _PQ_CACHE,
     ):
         cache.clear()
 
@@ -123,6 +128,7 @@ def reset_memo(name: str) -> None:
         "docs_winnow": _WINNOW_CACHE,
         "docs_winnow_pairs": _WINNOW_CACHE,
         "emb_ivf_topk": _IVF_CACHE,
+        "emb_pq_topk": _PQ_CACHE,
         "graph_triangles": _COOC_CACHE,
         "graph_bfs": _COOC_CACHE,
         "graph_kcore": _COOC_CACHE,
@@ -853,6 +859,21 @@ def _q_emb_ivf_topk(spark, sf_dir):
     return ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4)
 
 
+def _q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (m=4 subspaces × 16 centroids, 4
+    fixed-point Lloyd iterations each): the memory-bounded ANN path —
+    search scans 4 small ints per vector, never the vectors. Fully
+    integer (quantized probe, exact int64 distance tables, (adc, id)
+    tie-break), so the DuckDB oracle replays the m subspace fits and the
+    ranking exactly. The deterministic index is memoized per sf_dir."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached[0]):
+        _PQ_CACHE[sf_dir] = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
+    codes, books = _PQ_CACHE[sf_dir]
+    return ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+
+
 def _jaccard_pairs(spark, sf_dir) -> DataFrame:
     # deterministic (exact Jaccard, no engine hashes in the OUTPUT) and
     # reused by docs_dedup_clusters — same memo rule as _lpa_communities
@@ -1000,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_pq_topk": _q_emb_pq_topk,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -1286,52 +1308,60 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
 
 
 def _kmeans_sql_parts(
-    k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20
+    k: int = 8,
+    iters: int = 10,
+    dim: int = 64,
+    scale: int = 1 << 20,
+    prefix: str = "",
+    off: int = 0,
 ) -> tuple[list, str]:
     """CTE parts replaying the fixed-point Lloyd's in
     ops.simsearch.kmeans (see _kmeans_oracle); returns (parts,
-    final-assignment CTE name) so composing oracles (summary, SemDeDup)
-    can build on the per-vector assignments."""
+    final-assignment CTE name) so composing oracles (summary, SemDeDup,
+    PQ) can build on the per-vector assignments. ``prefix`` namespaces
+    every CTE (PQ composes m independent fits in one query); ``off``
+    slices the fit to coordinates off+1..off+dim (a PQ subspace)."""
     qexpr = (
         f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
-        f"for i in generate_series(1, {dim})]"
+        f"for i in generate_series({off + 1}, {off + dim})]"
     )
     dist = (
         "list_sum([(x.v[i]-c.v[i])*(x.v[i]-c.v[i]) "
         f"for i in generate_series(1, {dim})])"
     )
+    x = prefix
     parts = [
-        f"v AS MATERIALIZED (SELECT vec_id, {qexpr} AS v FROM embeddings)",
-        "c0 AS MATERIALIZED (SELECT cluster, v FROM ("
-        "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM v) "
+        f"{x}v AS MATERIALIZED (SELECT vec_id, {qexpr} AS v FROM embeddings)",
+        f"{x}c0 AS MATERIALIZED (SELECT cluster, v FROM ("
+        f"SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM {x}v) "
         f"WHERE cluster < {k})",
     ]
     for r in range(1, iters + 1):
         p = r - 1
         parts.append(
-            f"a{r} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            f"{x}a{r} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
             "SELECT x.vec_id, c.cluster, row_number() OVER ("
             f"PARTITION BY x.vec_id ORDER BY {dist}, c.cluster) AS rk "
-            f"FROM v x CROSS JOIN c{p} c) WHERE rk = 1)"
+            f"FROM {x}v x CROSS JOIN {x}c{p} c) WHERE rk = 1)"
         )
         if r < iters:  # the final assignment is the output; no update after it
             parts.append(
-                f"u{r} AS MATERIALIZED (SELECT a.cluster, p.i AS pos, "
+                f"{x}u{r} AS MATERIALIZED (SELECT a.cluster, p.i AS pos, "
                 "sum(x.v[p.i]) AS s, count(*) AS n "
-                f"FROM a{r} a JOIN v x USING (vec_id) "
+                f"FROM {x}a{r} a JOIN {x}v x USING (vec_id) "
                 f"CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) p "
                 "GROUP BY a.cluster, p.i)"
             )
             parts.append(
-                f"cm{r} AS (SELECT cluster, "
+                f"{x}cm{r} AS (SELECT cluster, "
                 "list(CAST(floor(s / n) AS BIGINT) ORDER BY pos) AS v "
-                f"FROM u{r} GROUP BY cluster)"
+                f"FROM {x}u{r} GROUP BY cluster)"
             )
             parts.append(
-                f"c{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(m.v, p.v) AS v "
-                f"FROM c{p} p LEFT JOIN cm{r} m USING (cluster))"
+                f"{x}c{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(m.v, p.v) AS v "
+                f"FROM {x}c{p} p LEFT JOIN {x}cm{r} m USING (cluster))"
             )
-    return parts, f"a{iters}", f"c{iters - 1}"
+    return parts, f"{x}a{iters}", f"{x}c{iters - 1}"
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 << 20) -> str:
@@ -1345,8 +1375,64 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 <<
     parts, assign, _ = _kmeans_sql_parts(k, iters, dim, scale)
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
+        + " SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
         f"FROM {assign} GROUP BY cluster"
+    )
+
+
+def _pq_oracle(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    probe: int = 7,
+    topk: int = 10,
+    scale: int = 1 << 20,
+) -> str:
+    """SQL replay of PQ/ADC search: m prefixed fixed-point subspace
+    k-means fits (same generator as the kmeans oracle, sliced via
+    ``off``), the probe's quantized subvectors, per-subspace integer
+    distance tables against the FINAL-ASSIGNMENT codebooks, and the
+    summed-table ranking with the (adc, vec_id) tie-break — everything
+    exact int64, matching ops.simsearch.pq_fit/pq_topk bit-for-bit."""
+    sub = dim // m
+    parts: list = []
+    assigns, cents = [], []
+    for j in range(m):
+        p, a, c = _kmeans_sql_parts(
+            k, iters, sub, scale, prefix=f"s{j}", off=j * sub
+        )
+        parts += p
+        assigns.append(a)
+        cents.append(c)
+    for j in range(m):
+        qsub = (
+            f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
+            f"for i in generate_series({j * sub + 1}, {(j + 1) * sub})]"
+        )
+        parts.append(
+            f"pq{j} AS (SELECT {qsub} AS v FROM embeddings WHERE vec_id = {probe})"
+        )
+        parts.append(
+            f"dt{j} AS MATERIALIZED (SELECT c.cluster, "
+            "list_sum([(p.v[i]-c.v[i])*(p.v[i]-c.v[i]) "
+            f"for i in generate_series(1, {sub})]) AS d "
+            f"FROM {cents[j]} c CROSS JOIN pq{j} p)"
+        )
+    code_joins = " ".join(
+        f"JOIN {assigns[j]} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{j} ON dt{j}.cluster = a{j}.cluster" for j in range(m)
+    )
+    adc = " + ".join(f"dt{j}.d" for j in range(m))
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vec_id, adc FROM ("
+        f"SELECT a0.vec_id, {adc} AS adc "
+        f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
+        f"WHERE a0.vec_id != {probe}) "
+        f"ORDER BY adc, vec_id LIMIT {topk}"
     )
 
 
@@ -2420,6 +2506,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_oracle(),
         # IVF-flat over the same quantizer → full replay (generated).
         "emb_ivf_topk": _ivf_oracle(),
+        # PQ/ADC over m fixed-point subspace fits → full replay (generated).
+        "emb_pq_topk": _pq_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),
         # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.

@@ -783,3 +783,96 @@ def semdedup(
             (~F.coalesce(F.col("__dup"), F.lit(False))).alias("keep"),
         )
     )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+):
+    """Product quantization (Jégou et al. 2011): split the vector into
+    ``m`` contiguous subspaces and run the fixed-point :func:`kmeans_fit`
+    independently on each — returns ``(codes, codebooks)`` where codes is
+    the ``(vec_id, code_0..code_{m-1})`` frame (each code ∈ [0, k)) and
+    codebooks is the list of ``m`` int64 ``k × dim/m`` matrices the codes
+    were assigned with.
+
+    This is the memory side of ANN at corpus scale: the PQ index stores
+    ``m`` small ints per vector (m·log2(k) bits — 4 bytes here vs 256
+    bytes of float64), and search scans codes, not vectors. All the
+    fixed-point determinism of :func:`kmeans_fit` carries over, so a SQL
+    oracle replays every subspace fit exactly.
+
+    Shape: ``m`` independent kmeans fits over column-sliced projections
+    (each a narrow scan — the slice prunes to the subvector) and an
+    ``m``-way equi-join of the slim (vec_id, code) frames.
+    """
+    head = embeddings.select(vec_col).head()
+    if head is None:
+        raise ValueError("pq_fit: empty embeddings")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: m={m} must divide dim={dim}")
+    sub = dim // m
+    codes = None
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        assigned, C = kmeans_fit(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+        )
+        assigned = assigned.select(
+            F.col(id_col), F.col("cluster").alias(f"code_{j}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, id_col)
+        books.append(C)
+    return codes.localCheckpoint(eager=True), books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """ADC (asymmetric-distance) PQ search over a :func:`pq_fit` index:
+    quantize the probe once, precompute the ``m × n_centroids`` exact
+    int64 distance tables driver-side (m·k·dim/m integer ops — tiny),
+    then score every row as ``Σ_j dt_j[code_j]`` — one narrow scan over
+    the CODES table (no vector data touched), TakeOrdered top-k. Fully
+    integer, ties → lower id, so a SQL oracle replays probe quantization,
+    tables, and ranking exactly. Returns ``(vec_id, adc)``.
+    """
+    import numpy as np
+
+    rows = embeddings.filter(F.col(id_col) == probe_id).select(vec_col).collect()
+    if not rows:
+        raise ValueError(f"pq_topk: probe {probe_id!r} not in embeddings")
+    qp = np.asarray(
+        [int(np.floor(float(x) * scale + 0.5)) for x in rows[0][0]], dtype=np.int64
+    )
+    m = len(codebooks)
+    sub = len(qp) // m
+    score = None
+    for j, C in enumerate(codebooks):
+        Cj = np.asarray(C, dtype=np.int64)
+        d = ((qp[j * sub : (j + 1) * sub][None, :] - Cj) ** 2).sum(axis=1)
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in d])
+        term = F.element_at(lut, F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    return (
+        codes.filter(F.col(id_col) != probe_id)
+        .select(F.col(id_col), score.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

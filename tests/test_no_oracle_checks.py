@@ -542,3 +542,68 @@ def test_minhash_dedup_against_flags_planted_dup(spark):
     }
     assert got[1] == (False, 0)
     assert got[3][0] is True and got[3][1] is None
+
+
+def test_pq_adc_matches_integer_reference(spark):
+    """PQ fit + ADC search vs a pure-numpy fixed-point replay: same
+    subspace Lloyd's (k smallest ids init, argmin with low-index
+    tie-break, floor-division means, early stop), same integer ADC
+    tables, same (adc, id) ranking — bit-exact."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+    )
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    X = np.floor(np.asarray([r[1] for r in rows], dtype=np.float64) * (1 << 20) + 0.5).astype(np.int64)
+    m, k, iters, probe_id, topk = 4, 16, 4, 7, 10
+    sub = X.shape[1] // m
+
+    def fit(Xs):
+        # mirrors kmeans_fit: the RETURNED assignment is the one made
+        # with the centroids BEFORE the final update (C_assign), and the
+        # update computed in the last pass is discarded
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            Cu = C
+            d2 = (Xs**2).sum(1)[:, None] - 2 * (Xs @ C.T) + (C**2).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            nxt = C.copy()
+            for c in range(k):
+                mem = Xs[a == c]
+                if len(mem):
+                    nxt[c] = mem.sum(0) // len(mem)
+            if np.array_equal(nxt, C):
+                break
+            C = nxt
+        return a, Cu
+
+    codes_ref, books_ref = [], []
+    for j in range(m):
+        a, C = fit(X[:, j * sub : (j + 1) * sub])
+        codes_ref.append(a)
+        books_ref.append(C)
+    pi = int(np.where(ids == probe_id)[0][0])
+    adc = np.zeros(len(ids), dtype=np.int64)
+    for j in range(m):
+        dt = ((X[pi, j * sub : (j + 1) * sub][None, :] - books_ref[j]) ** 2).sum(1)
+        adc += dt[codes_ref[j]]
+    order = sorted((int(adc[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != probe_id)
+    want = [(v, a) for a, v in order[:topk]]
+
+    codes, books = sim.pq_fit(emb, m=m, k=k, iters=iters)
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in sim.pq_topk(emb, codes, books, probe_id=probe_id, k=topk).collect()
+    ]
+    assert got == want
+    for j in range(m):
+        assert np.array_equal(np.asarray(books[j]), books_ref[j])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in embeddings"):
+        sim.pq_topk(emb, codes, books, probe_id=10**9)
+    with pytest.raises(ValueError, match="must divide"):
+        sim.pq_fit(emb, m=7)
