@@ -225,3 +225,25 @@ def test_interval_join_entry_is_hash_join(spark):
     plan = _plan(spark, "events_interval_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pq_search_scans_codes_only(spark):
+    """PQ/ADC search must be a narrow scan over the CODES frame (small
+    ints), never the embedding vectors: the executed plan is a
+    TakeOrdered over the checkpointed codes with no join/cartesian at
+    all, and no embedding column in the scan."""
+    plan = _plan(spark, "emb_pq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # the score is a pure per-row lookup expression
+    assert "embedding" not in plan
+
+
+def test_source_cap_prefilters_before_window(spark):
+    """The capping window must consume the keyspace-prefiltered survivor
+    union, not the raw table: the executed plan keeps the md5-threshold
+    filter below the window and broadcasts the tiny count/rescue sides."""
+    plan = _plan(spark, "docs_source_cap")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # counts + rescue joins broadcast
