@@ -458,21 +458,57 @@ def ngram_jaccard_pairs(
     candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs. With no explicit
-    ``candidate_pairs``, candidates come from an inverted shingle index
-    (explode → self-equi-join on shingle hash): any pair with Jaccard
-    ≥ threshold > 0 shares at least one shingle, so this prunes without
-    changing the result — and unlike a cross join it scales (shuffle on
-    shingle hash; AQE skew-join splits hot shingles)."""
+    ``candidate_pairs``, candidates come from a PREFIX-FILTERED inverted
+    shingle index (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al.
+    WWW'08): order each document's shingles rarest-first by global
+    document frequency and index only the first
+    ``|sh| - ceil(t*|sh|) + 1`` of them — any pair with Jaccard ≥ t must
+    collide inside both prefixes, so the pruning is LOSSLESS while the
+    frequent shingles (the quadratic blowup of a plain inverted index)
+    are never joined. A symmetric length filter (``t*|b| ≤ |a|``) prunes
+    candidates whose size ratio already caps Jaccard below t. Shuffles:
+    one df-count agg, one df join, one per-doc sort agg, then the
+    prefix-only self-equi-join (AQE skew-join splits any residual hot
+    shingle)."""
     sh = spread(documents).select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
     )
     if candidate_pairs is None:
         sh = sh.localCheckpoint(eager=True)  # reused by index + both sig joins
         ex = sh.select("id", F.explode("sh").alias("g"))
+        dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        # rarest-first global order (df, g) — deterministic total order;
+        # prefix length |sh| - ceil(t*|sh|) + 1 per the prefix-filtering
+        # lemma (overlap ≥ ceil(t*|x|) forces a collision in the prefix)
+        plen = F.greatest(
+            F.lit(1),
+            (F.size("sg") - F.ceil(F.lit(float(threshold)) * F.size("sg")) + 1).cast(
+                "int"
+            ),
+        )
+        prefix = (
+            ex.join(dfreq, "g")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
+            .select(
+                "id",
+                F.size("sg").alias("nsh"),
+                F.transform(F.slice("sg", 1, plen), lambda s: s["g"]).alias("pg"),
+            )
+            .select("id", "nsh", F.explode("pg").alias("g"))
+        )
+        t = F.lit(float(threshold))
         cand = (
-            ex.select(F.col("id").alias("id_a"), "g")
-            .join(ex.select(F.col("id").alias("id_b"), "g"), "g")
-            .filter(F.col("id_a") < F.col("id_b"))
+            prefix.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"), "g")
+            .join(
+                prefix.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"), "g"),
+                "g",
+            )
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("na") >= t * F.col("nb"))
+                & (F.col("nb") >= t * F.col("na"))
+            )
             .select("id_a", "id_b")
             .distinct()
         )
