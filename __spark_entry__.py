@@ -644,6 +644,16 @@ def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
 
+def _q_emb_sq_topk(spark, sf_dir):
+    """Symmetric int8 scalar-quantization top-k by dot product: one
+    global max-abs scale, components quantized floor(x·127/s + 0.5),
+    scores exact int64 dot products — deterministic (no float summation
+    order), so the oracle replays scale, quantization, and (qdot, id)
+    ranking bit-for-bit. The memory-bound ANN lane next to IVF
+    (cell-pruned) and PQ (code-scan)."""
+    return ops_sim.sq_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
+
+
 def _q_docs_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs in the engine-independent md5 mode:
     slot i = min(md5(i || ':' || shingle)), md5 band hashes — the DuckDB
@@ -1022,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_pq_topk": _q_emb_pq_topk,
+        "emb_sq_topk": _q_emb_sq_topk,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2193,6 +2204,20 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # Symmetric int8 scalar quantization: global scale s = max|x_ij|,
+        # q = floor(x*127/s + 0.5) (identical IEEE double ops in both
+        # engines), score = exact integer dot product (<= 127^2*64 ~ 1e6,
+        # exactly representable in the double list_dot_product returns).
+        "emb_sq_topk": (
+            "WITH s AS (SELECT max(list_max(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS s FROM embeddings), "
+            "q AS (SELECT vec_id, [floor(x * 127 / s.s + 0.5) "
+            "for x in CAST(embedding AS DOUBLE[])] AS qv FROM embeddings, s), "
+            "probe AS (SELECT qv AS pv FROM q WHERE vec_id = 7) "
+            "SELECT q.vec_id, CAST(list_dot_product(q.qv, probe.pv) AS BIGINT) AS qdot "
+            "FROM q, probe WHERE q.vec_id <> 7 "
+            "ORDER BY qdot DESC, q.vec_id ASC LIMIT 10"
         ),
         # Jaccard over distinct shingle *hashes* (Spark) equals Jaccard over
         # the distinct shingle *strings* (oracle) barring xxhash64 collisions;

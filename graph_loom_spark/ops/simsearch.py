@@ -785,6 +785,62 @@ def semdedup(
     )
 
 
+def sq_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar-quantized (symmetric int8) top-k by dot product — the
+    memory-bound ANN path: one GLOBAL scale ``s = max|x_ij|`` over the
+    corpus, every component quantized to ``q = floor(x·qmax/s + 0.5)``
+    with ``qmax = 2^(bits-1)-1``, scores are EXACT int64 dot products of
+    the quantized vectors. At corpus scale the index is dim bytes/vector
+    (4× smaller than float32, 8× than float64) and the scan is pure
+    integer SIMD; scores are deterministic (no float summation order),
+    so a SQL oracle replays scale, quantization, and ranking
+    bit-for-bit. Ties → lower id. Returns ``(vec_id, qdot)``.
+
+    Shape: one scalar max-abs aggregate (driver gets 8 bytes), then a
+    single narrow scan scoring against the broadcast quantized probe —
+    no shuffle beyond TakeOrdered's.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    s_row = embeddings.select(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        ).alias("s")
+    ).head()
+    if s_row is None or s_row[0] is None or s_row[0] == 0.0:
+        raise ValueError("sq_topk: empty embeddings or all-zero corpus")
+    s = float(s_row[0])
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(vec_col).collect()
+    if not probe:
+        raise ValueError(f"sq_topk: probe {probe_id!r} not in embeddings")
+    qp = [int(math.floor(float(x) * qmax / s + 0.5)) for x in probe[0][0]]
+    qrow = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(qmax)) / F.lit(s) + 0.5),
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            qrow,
+            F.array(*[F.lit(v).cast("long") for v in qp]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        spread(embeddings.filter(F.col(id_col) != probe_id))
+        .select(F.col(id_col), qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_fit(
     embeddings: DataFrame,
     m: int = 4,

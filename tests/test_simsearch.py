@@ -52,3 +52,33 @@ def test_blocked_near_pairs_no_cartesian(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = sim.cosine_near_pairs_blocked(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_sq_topk_matches_numpy_reference(spark):
+    """int8 scalar quantization: Spark's quantized dot-product ranking
+    must equal an independent numpy replay (same floor(x*127/s + 0.5))."""
+    import math
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = [(r["vec_id"], r["qdot"]) for r in sim.sq_topk(emb, probe_id=7, k=10).collect()]
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    s = max(float(np.abs(v).max()) for v in rows.values())
+    q = {
+        i: np.asarray([math.floor(float(x) * 127 / s + 0.5) for x in v], dtype=np.int64)
+        for i, v in rows.items()
+    }
+    scored = sorted(
+        ((i, int(q[i] @ q[7])) for i in q if i != 7), key=lambda t: (-t[1], t[0])
+    )
+    assert got == scored[:10]
+
+
+def test_sq_topk_missing_probe_raises(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="probe"):
+        sim.sq_topk(emb, probe_id=10**9)
