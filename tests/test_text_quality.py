@@ -531,3 +531,43 @@ def test_source_cap_exact_and_rescue_path(spark):
 
     with pytest.raises(ValueError):
         ops_text.source_cap(docs, max_per_source=0)
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """The AllPairs/PPJoin prefix-filtered candidate join must return
+    EXACTLY the brute-force all-pairs Jaccard result — on a randomized
+    corpus engineered with hot shared shingles (the case prefix
+    filtering prunes) and varied thresholds."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n_tok = rng.randint(3, 25)
+        # bias towards a hot prefix so many docs share frequent shingles
+        toks = ["the", "of", "the"] + [rng.choice(vocab) for _ in range(n_tok)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    all_pairs = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    for threshold in (0.2, 0.5, 0.8):
+        brute = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ops_dedup.ngram_jaccard_pairs(
+                docs, threshold=threshold, candidate_pairs=all_pairs
+            ).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ops_dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        assert pruned == brute, f"threshold={threshold}"
