@@ -348,6 +348,7 @@ def cosine_near_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    salt: int = 8,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (cosine ≥ threshold) with no cross
     join: centroid-blocked join + angular triangle-inequality pruning.
@@ -372,6 +373,11 @@ def cosine_near_pairs_blocked(
     block-nested-loop — never worse than the cross join; on clustered
     data most of the O(n²) work is pruned. n_cells ~ √n keeps both the
     per-block fan-out and the driver-side pair table bounded at scale.
+    A workload-computed skew guard salts the verify join (a-side
+    hash(id) mod s, b-side ×s replication, identical output) when any
+    single cell's candidate work exceeds ~2× the per-core average —
+    dense duplicate clusters otherwise serialize into one straggler
+    task that AQE's byte-based skew split cannot see; ``salt`` caps s.
     Zero-norm vectors can never pass the threshold (NaN cosine) and are
     excluded up front so radii stay finite.
     """
@@ -402,13 +408,14 @@ def cosine_near_pairs_blocked(
     # member→centroid angle; centroids are unit-norm so cos = dot/|v|
     memcos = _dot(F.col(vec_col), F.col("__c")) / _norm(F.col(vec_col))
     clamped = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), memcos))
-    radii = {
-        int(r["cell"]): float(r["r"])
-        for r in assigned.join(F.broadcast(cent_df), "cell")
+    stats = (
+        assigned.join(F.broadcast(cent_df), "cell")
         .groupBy("cell")
-        .agg(F.max(F.acos(clamped)).alias("r"))
+        .agg(F.max(F.acos(clamped)).alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
-    }
+    )
+    radii = {int(r["cell"]): float(r["r"]) for r in stats}
+    sizes = {int(r["cell"]): int(r["n"]) for r in stats}
     max_angle = math.acos(max(-1.0, min(1.0, threshold)))
     ang = np.arccos(np.clip(np.asarray(C) @ np.asarray(C).T, -1.0, 1.0))
     # ordered pairs both ways (+ diagonal): with id_a < id_b applied after
@@ -439,11 +446,35 @@ def cosine_near_pairs_blocked(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"),
         F.col("__n").alias("__nb"), F.col("cell").alias("cell_b"),
     )
-    cand = (
-        a.join(F.broadcast(pair_df), "cell_a")
-        .join(b, "cell_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    # SKEW GUARD on the verify join: its key (cell_b) has only n_cells
+    # distinct values and the per-row work (interpreted dot product) is
+    # CPU, not bytes — a dense hot cell serializes into one straggler
+    # task that AQE's byte-based skew split never sees (observed DNF at
+    # a 10× probe corpus with replica clusters). The per-cell candidate
+    # workload is exactly computable from the already-collected cell
+    # sizes, so salt ONLY when some cell's verify work exceeds ~2× the
+    # per-core average (uniform data pays nothing). a-side salt =
+    # hash(id_a) mod s, b-side replicated ×s: identical join output,
+    # hot-cell verification spread over s tasks, extra cost = (s−1)
+    # copies of the b-side shuffle (vectors are dim floats — bounded).
+    partners: dict[int, int] = {}
+    for i, j in admissible:
+        partners[j] = partners.get(j, 0) + sizes[i]
+    work = {j: sizes[j] * p for j, p in partners.items()}
+    total_work = sum(work.values()) or 1
+    parts = spark.sparkContext.defaultParallelism
+    per_core = total_work / parts
+    s = min(int(salt), max(1, math.ceil(max(work.values(), default=0) / (2 * per_core))))
+    joined = a.join(F.broadcast(pair_df), "cell_a")
+    if s > 1:
+        salt_df = spark.range(s).select(F.col("id").cast("int").alias("__s"))
+        a2 = joined.withColumn(
+            "__s", F.pmod(F.xxhash64("id_a"), F.lit(s)).cast("int")
+        )
+        b2 = b.crossJoin(F.broadcast(salt_df))
+        cand = a2.join(b2, ["cell_b", "__s"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = joined.join(b, "cell_b").filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("__a"), F.col("__b")) / (F.col("__na") * F.col("__nb"))
     return cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= threshold

@@ -81,14 +81,23 @@ def main() -> None:
 
     OPS = {
         "exact_dedup": lambda d, e: ops_dedup.exact_dedup(d, ["text"]).count(),
-        "minhash_pairs": lambda d, e: ops_dedup.minhash_lsh_pairs(d).count(),
-        "simhash_pairs": lambda d, e: ops_dedup.simhash_near_pairs(d).count(),
+        "minhash_pairs": lambda d, e: ops_dedup.minhash_lsh_pairs(
+            ops_dedup.minhash_signatures(d)
+        ).count(),
+        "simhash_pairs": lambda d, e: ops_dedup.simhash_near_pairs(
+            ops_dedup.simhash(d)
+        ).count(),
         "winnow": lambda d, e: ops_text.winnow_fingerprints(d).count(),
         "repetition": lambda d, e: ops_text.repetition_stats(d).count(),
         "tfidf": lambda d, e: ops_text.tfidf_topk_terms(d).count(),
         "dedup_clusters": lambda d, e: ops_dedup.dedup_clusters(d).count(),
         "kmeans": lambda d, e: ops_sim.kmeans(e, k=8, iters=5).count(),
         "pca": lambda d, e: ops_sim.pca(e).count(),
+        "ngram_jaccard": lambda d, e: ops_dedup.ngram_jaccard_pairs(d).count(),
+        "near_dup_blocked": lambda d, e: ops_sim.cosine_near_pairs_blocked(
+            e, threshold=0.4
+        ).count(),
+        "sq_topk": lambda d, e: ops_sim.sq_topk(e, probe_id=7).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]

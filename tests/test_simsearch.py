@@ -82,3 +82,22 @@ def test_sq_topk_missing_probe_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="probe"):
         sim.sq_topk(emb, probe_id=10**9)
+
+
+def test_blocked_near_pairs_skewed_cluster_parity(spark):
+    """A dense near-duplicate cluster (the skew-guard / salted-join
+    path) must still produce exactly the brute-force pair set."""
+    import random
+
+    rng = random.Random(99)
+    base = [rng.gauss(0.0, 1.0) for _ in range(16)]
+    rows = []
+    # 120 near-copies of one vector (one dense cell) + 80 scattered
+    for i in range(120):
+        rows.append((i, [x + rng.gauss(0.0, 0.01) for x in base]))
+    for i in range(120, 200):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = _pairs(sim.cosine_near_pairs(emb, threshold=0.95, exact=True))
+    blocked = _pairs(sim.cosine_near_pairs_blocked(emb, threshold=0.95, salt=4))
+    assert blocked == exact and len(exact) > 5000
