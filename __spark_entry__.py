@@ -644,6 +644,12 @@ def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
 
+def _q_docs_corpus_report(spark, sf_dir):
+    """Per-source corpus summary (docs, tokens, mean quality, exact-dup
+    count) — one two-phase hash aggregate, all-integer determinism."""
+    return ops_text.corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_emb_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar-quantization top-k by dot product: one
     global max-abs scale, components quantized floor(x·127/s + 0.5),
@@ -1033,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_sq_topk": _q_emb_sq_topk,
+        "docs_corpus_report": _q_docs_corpus_report,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2204,6 +2211,20 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # All-integer per-source rollup; the one double division runs on
+        # exact integers in both engines.
+        "docs_corpus_report": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens, "
+            "CAST(sum("
+            "CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1 ELSE 0 END + "
+            "CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 "
+            "AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
+            "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5 THEN 1 ELSE 0 END"
+            ") AS DOUBLE) / count(*) AS avg_quality, "
+            "CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups "
+            "FROM documents GROUP BY source"
         ),
         # Symmetric int8 scalar quantization: global scale s = max|x_ij|,
         # q = floor(x*127/s + 0.5) (identical IEEE double ops in both

@@ -988,3 +988,45 @@ def source_cap(
         .filter(F.col("__r") <= max_per_source)
         .select(id_col, source_col)
     )
+
+
+def corpus_report(
+    documents: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus summary — the daily-driver report a pipeline
+    operator runs over a crawl batch: document count, total tokens,
+    mean quality score (same rubric as :func:`quality_score`), and
+    exact-duplicate count (docs whose md5(text) collides within the
+    source).
+
+    Determinism: every aggregate is integer (counts, int-token sums,
+    int-quality sums, md5-distinct counts); the one double division
+    happens on exact integers — so a SQL oracle matches bit-for-bit.
+    Scale shape: one two-phase hash aggregate keyed on source; the
+    distinct-md5 term adds Spark's expand+regroup (keyed on
+    (source, hash) — 16-byte shuffle rows, partial-aggregated
+    map-side). No windows, no joins, no driver data.
+    """
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    len_ok = (chars >= 50) & (chars <= 20000)
+    tok_ok = (toks >= 10) & ((chars.cast("double") / toks) <= 12.0)
+    q = (
+        len_ok.cast("int")
+        + tok_ok.cast("int")
+        + ((alpha.cast("double") / chars) >= 0.5).cast("int")
+    )
+    per_doc = documents.select(
+        source_col,
+        toks.alias("__t"),
+        q.alias("__q"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy(source_col).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        (F.sum("__q").cast("double") / n).alias("avg_quality"),
+        (n - F.count_distinct(F.col("__h"))).cast("bigint").alias("n_exact_dups"),
+    )

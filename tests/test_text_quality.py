@@ -571,3 +571,19 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
             for r in ops_dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
         }
         assert pruned == brute, f"threshold={threshold}"
+
+
+def test_corpus_report_counts_and_dups(spark):
+    rows = [
+        (0, "good doc with several tokens " + "alpha " * 20, "a"),
+        (1, "good doc with several tokens " + "alpha " * 20, "a"),  # exact dup of 0
+        (2, "x", "a"),
+        (3, "different text entirely here", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in ops_text.corpus_report(docs).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_exact_dups"] == 1
+    assert out["b"]["n_docs"] == 1 and out["b"]["n_exact_dups"] == 0
+    # token sums are exact: doc0/doc1 have 25 tokens each, doc2 has 1
+    assert out["a"]["n_tokens"] == 25 + 25 + 1
+    assert 0.0 <= out["a"]["avg_quality"] <= 3.0
