@@ -650,6 +650,15 @@ def _q_docs_corpus_report(spark, sf_dir):
     return ops_text.corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed 3-term query — retrieval surface for
+    benchmark decontamination / targeted mining. Inverted index built
+    only for the queried terms; score rounded to 6 digits."""
+    return ops_text.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["vector", "join", "scan"], k=20
+    )
+
+
 def _q_emb_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar-quantization top-k by dot product: one
     global max-abs scale, components quantized floor(x·127/s + 0.5),
@@ -1040,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_sq_topk": _q_emb_sq_topk,
         "docs_corpus_report": _q_docs_corpus_report,
+        "docs_bm25": _q_docs_bm25,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2211,6 +2221,29 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # BM25 with Robertson-Sparck Jones positive idf; constant
+        # arithmetic mirrored expression-for-expression ((1.2 + 1.0),
+        # (1.0 - 0.75 + ...)) so both engines fold identical doubles;
+        # round(,6) absorbs ulp drift in ln and the <=3-term sum order.
+        "docs_bm25": (
+            "WITH toks AS MATERIALIZED (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks), "
+            "hits AS MATERIALIZED (SELECT * FROM base "
+            "WHERE tok IN ('vector', 'join', 'scan')), "
+            "stats AS (SELECT count(*) AS n, sum(len(t)) AS tot FROM toks), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf, first(dl) AS dl "
+            "FROM hits GROUP BY doc_id, tok), "
+            "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok) "
+            "SELECT doc_id, round(sum("
+            "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * "
+            "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + "
+            "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / "
+            "(CAST(tot AS DOUBLE) / n)))), 6) AS bm25 "
+            "FROM tf JOIN dft USING (tok), stats "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20"
         ),
         # All-integer per-source rollup; the one double division runs on
         # exact integers in both engines.

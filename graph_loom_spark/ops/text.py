@@ -1030,3 +1030,64 @@ def corpus_report(
         (F.sum("__q").cast("double") / n).alias("avg_quality"),
         (n - F.count_distinct(F.col("__h"))).cast("bigint").alias("n_exact_dups"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over whitespace tokens (Robertson-Sparck Jones
+    idf, the ``ln(1 + (N-df+0.5)/(df+0.5))`` always-positive form) —
+    the retrieval pass a training-data pipeline runs for benchmark
+    decontamination and targeted quality mining. Returns the top ``k``
+    ``(doc_id, bm25)`` with score rounded to 6 digits (ties → lower
+    id); float term-sums agree across engines far below 1e-6 (same
+    argument as :func:`trigram_logprob`).
+
+    Shape: tokens are exploded ONCE and immediately filtered to the
+    (tiny, broadcast-literal) query term set — the inverted index is
+    built only for queried terms, never the whole vocabulary. One
+    scalar (N, avgdl) aggregate, one per-term df aggregate, one
+    per-(doc, term) tf aggregate, a broadcast join of the ≤|q|-row df
+    frame, and TakeOrdered — no full-vocab shuffle anywhere.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query_terms")
+    qlit = [t.lower() for t in dict.fromkeys(query_terms)]
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = documents.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, F.size("__toks").alias("__dl"), F.explode("__toks").alias("__t")
+    )
+    hits = base.filter(F.col("__t").isin(qlit))
+    stats = documents.select(
+        F.count(F.lit(1)).alias("__n"), F.sum(F.size(toks)).alias("__tok")
+    )
+    tf = hits.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    df_t = hits.groupBy("__t").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    n_col = F.col("__n").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (n_col - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    avgdl = F.col("__tok").cast("double") / F.col("__n")
+    tfv = F.col("__tf").cast("double")
+    # association mirrors the SQL oracle exactly: ((idf * num) / denom)
+    term_score = (
+        idf * (tfv * (k1 + 1.0))
+    ) / (tfv + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl))
+    return (
+        tf.join(F.broadcast(df_t), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

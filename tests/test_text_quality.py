@@ -587,3 +587,47 @@ def test_corpus_report_counts_and_dups(spark):
     # token sums are exact: doc0/doc1 have 25 tokens each, doc2 has 1
     assert out["a"]["n_tokens"] == 25 + 25 + 1
     assert 0.0 <= out["a"]["avg_quality"] <= 3.0
+
+
+def test_bm25_topk_exact_small(spark):
+    import math
+
+    rows = [
+        (0, "join join join scan other words here", "s"),
+        (1, "join scan", "s"),
+        (2, "nothing relevant at all", "s"),
+        (3, "scan scan scan scan", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = [(r["doc_id"], r["bm25"]) for r in ops_text.bm25_topk(docs, ["join", "scan"], k=10).collect()]
+
+    # independent replay, same associativity as the operator
+    k1, b = 1.2, 0.75
+    texts = {i: t.split(" ") for i, t, _ in rows}
+    N, tot = len(texts), sum(len(t) for t in texts.values())
+    avgdl = float(tot) / N
+    def idf(term):
+        df = sum(1 for t in texts.values() if term in t)
+        return math.log(1.0 + (float(N) - df + 0.5) / (df + 0.5))
+    exp = {}
+    for i, t in texts.items():
+        s = 0.0
+        for term in ("join", "scan"):
+            tf = t.count(term)
+            if tf:
+                s += (idf(term) * (float(tf) * (k1 + 1.0))) / (
+                    float(tf) + k1 * (1.0 - b + b * float(len(t)) / avgdl)
+                )
+        if s:
+            exp[i] = round(s, 6)
+    expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expected
+    # doc 2 has no query term — never retrieved; doc 1 (both terms,
+    # shortest) wins on BM25 length normalization
+    assert 2 not in dict(got) and got[0][0] == 1
+
+
+def test_bm25_empty_query_raises(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="query_terms"):
+        ops_text.bm25_topk(docs, [])
