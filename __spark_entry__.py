@@ -77,7 +77,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -106,6 +106,7 @@ def reset_caches() -> None:
         _IVF_CACHE,
         _COOC_CACHE,
         _PQ_CACHE,
+        _MINHASH_CACHE,
     ):
         cache.clear()
 
@@ -123,6 +124,8 @@ def reset_memo(name: str) -> None:
         "graph_community_density": _LPA_CACHE,
         "graph_components": _COMP_CACHE,
         "graph_density_components": _COMP_CACHE,
+        "docs_minhash_pairs": _MINHASH_CACHE,
+        "docs_minhash_clusters": _MINHASH_CACHE,
         "docs_ngram_jaccard": _JACCARD_CACHE,
         "docs_dedup_clusters": _JACCARD_CACHE,
         "docs_winnow": _WINNOW_CACHE,
@@ -669,14 +672,39 @@ def _q_emb_sq_topk(spark, sf_dir):
     return ops_sim.sq_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
 
+_MINHASH_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs(spark, sf_dir) -> DataFrame:
+    # deterministic (md5 mode) and reused by docs_minhash_clusters —
+    # same memo rule as _jaccard_pairs
+    cached = _MINHASH_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        sigs = ops_dedup.minhash_signatures_md5(_t(spark, sf_dir, "documents"))
+        _MINHASH_CACHE[sf_dir] = ops_dedup.minhash_lsh_pairs(
+            sigs, threshold=0.3, band_hash="md5"
+        ).localCheckpoint(eager=True)
+    return _MINHASH_CACHE[sf_dir]
+
+
 def _q_docs_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs in the engine-independent md5 mode:
     slot i = min(md5(i || ':' || shingle)), md5 band hashes — the DuckDB
     oracle replays signatures, banding, and estimates EXACTLY (was
     rows-only when the signatures used engine xxhash64; that
     affine-permutation scale path keeps its recall pytest)."""
-    sigs = ops_dedup.minhash_signatures_md5(_t(spark, sf_dir, "documents"))
-    return ops_dedup.minhash_lsh_pairs(sigs, threshold=0.3, band_hash="md5")
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _q_docs_minhash_clusters(spark, sf_dir):
+    """The documented SCALE composition end-to-end: approximate
+    MinHash-LSH pairs (md5 mode, memoized with docs_minhash_pairs)
+    feeding dedup_clusters' min-contraction components — proves the
+    ``pairs=minhash_lsh_pairs(...)`` path stays oracle-exact, not just
+    the default exact-Jaccard one."""
+    return ops_dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), pairs=_minhash_pairs(spark, sf_dir)
+    )
 
 
 def _q_docs_simhash_pairs(spark, sf_dir):
@@ -1043,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (r5 budget cutoff), worst history first
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        # immediately after docs_minhash_pairs: reuses its memoized pairs
+        "docs_minhash_clusters": _q_docs_minhash_clusters,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1200,6 +1230,28 @@ def _minhash_md5_oracle(
 ) -> str:
     parts, pairs = _minhash_md5_parts("documents", num_perm, bands, shingle_n, threshold)
     return "WITH " + ", ".join(parts) + f" SELECT * FROM {pairs}"
+
+
+def _minhash_clusters_oracle(
+    num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    """MinHash-md5 pairs (full replay) + transitive-closure components +
+    min-id canonical pick — the composed docs_minhash_clusters query.
+    The pairs CTE is re-wrapped MATERIALIZED because the closure
+    references it twice (both edge directions) — see the chained-CTE
+    blow-up note on the other recursive oracles."""
+    parts, pairs = _minhash_md5_parts("documents", num_perm, bands, shingle_n, threshold)
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(parts)
+        + f", mhp AS MATERIALIZED (SELECT id_a, id_b FROM {pairs}), "
+        "e AS (SELECT id_a AS u, id_b AS v FROM mhp "
+        "UNION SELECT id_b, id_a FROM mhp), "
+        "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
+        "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+        "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
+        "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
+    )
 
 
 def _simhash_md5_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
@@ -2578,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         # docs_minhash_pairs / docs_simhash_pairs: md5 modes → full SQL
         # replays (generated).
         "docs_minhash_pairs": _minhash_md5_oracle(),
+        "docs_minhash_clusters": _minhash_clusters_oracle(),
         "docs_simhash_pairs": _simhash_md5_oracle(),
         # emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
