@@ -126,6 +126,7 @@ def reset_memo(name: str) -> None:
         "graph_density_components": _COMP_CACHE,
         "docs_minhash_pairs": _MINHASH_CACHE,
         "docs_minhash_clusters": _MINHASH_CACHE,
+        "docs_minhash_rescored": _MINHASH_CACHE,
         "docs_ngram_jaccard": _JACCARD_CACHE,
         "docs_dedup_clusters": _JACCARD_CACHE,
         "docs_winnow": _WINNOW_CACHE,
@@ -696,6 +697,20 @@ def _q_docs_minhash_pairs(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir)
 
 
+def _q_docs_minhash_rescored(spark, sf_dir):
+    """Two-stage near-dup — the production recall/precision split:
+    cheap MinHash-LSH candidates (md5 mode, memoized with
+    docs_minhash_pairs) exactly RE-SCORED with true n-gram Jaccard
+    (candidate_pairs path of ngram_jaccard_pairs), keeping pairs with
+    exact Jaccard ≥ 0.5. Candidates bound the work; the exact verify
+    removes LSH false positives."""
+    return ops_dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        candidate_pairs=_minhash_pairs(spark, sf_dir),
+    )
+
+
 def _q_docs_minhash_clusters(spark, sf_dir):
     """The documented SCALE composition end-to-end: approximate
     MinHash-LSH pairs (md5 mode, memoized with docs_minhash_pairs)
@@ -1073,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         # immediately after docs_minhash_pairs: reuses its memoized pairs
         "docs_minhash_clusters": _q_docs_minhash_clusters,
+        # immediately after: also reuses the memoized minhash pairs
+        "docs_minhash_rescored": _q_docs_minhash_rescored,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1251,6 +1268,39 @@ def _minhash_clusters_oracle(
         "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
         "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
         "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
+    )
+
+
+def _minhash_rescored_oracle(
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    exact_threshold: float = 0.5,
+) -> str:
+    """MinHash-md5 candidates exactly re-scored with true n-gram
+    Jaccard — replays the two-stage docs_minhash_rescored query. The
+    ``grams`` CTE from the MinHash parts already holds each doc's
+    distinct shingle strings, so the exact verify is one
+    candidate-restricted self-join plus size lookups; Jaccard over
+    shingle strings equals Spark's over xxhash64 shingle hashes barring
+    collisions, and |A∪B| = |A|+|B|−|A∩B| on exact integers keeps the
+    double division bit-identical."""
+    parts, pairs = _minhash_md5_parts("documents", num_perm, bands, shingle_n, threshold)
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", mhp AS MATERIALIZED (SELECT id_a, id_b FROM {pairs}), "
+        "gsz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "jint AS (SELECT p.id_a, p.id_b, count(*) AS i FROM mhp p "
+        "JOIN grams a ON a.doc_id = p.id_a "
+        "JOIN grams b ON b.doc_id = p.id_b AND a.g = b.g "
+        "GROUP BY p.id_a, p.id_b) "
+        "SELECT id_a, id_b, jaccard FROM ("
+        "SELECT j.id_a, j.id_b, CAST(j.i AS DOUBLE) / (sa.n + sb.n - j.i) AS jaccard "
+        "FROM jint j JOIN gsz sa ON sa.doc_id = j.id_a "
+        "JOIN gsz sb ON sb.doc_id = j.id_b) "
+        f"WHERE jaccard >= {exact_threshold}"
     )
 
 
@@ -2631,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         # replays (generated).
         "docs_minhash_pairs": _minhash_md5_oracle(),
         "docs_minhash_clusters": _minhash_clusters_oracle(),
+        "docs_minhash_rescored": _minhash_rescored_oracle(),
         "docs_simhash_pairs": _simhash_md5_oracle(),
         # emb_ann_lsh: engine-hash
         # based or approximate → intentionally no oracle (rows-only check).
