@@ -228,7 +228,7 @@ def main() -> None:
             # change — the A/B min distinguishes plan cost from session /
             # cold-JVM noise (r5 verdict items 4 and 10)
             "cypher_var_length,graph_community_density,graph_lpa,"
-            "graph_components,docs_tfidf",
+            "graph_components,docs_tfidf,graph_pagerank,emb_near_dup",
         ).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]
@@ -249,6 +249,13 @@ def main() -> None:
                 break
         variance[name] = {"n": len(runs), "min": min(runs), "max": max(runs)}
         print(f"bench A/B {name}: {variance[name]}", file=sys.stderr, flush=True)
+        # For A/B-tracked queries the RECORDED number is the min of the
+        # n same-session runs: the first run of a 30 s iterative query
+        # lands anywhere in a 2× band (GC/JIT/block-churn noise — r6:
+        # graph_lpa first-run 51.6 s vs min 22.7 s with identical code),
+        # so min-of-n is the estimate that tracks plan cost rather than
+        # session state. The full spread stays in the variance dict.
+        timings[name] = min(runs)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # n_queries records the denominator: the timed set grew 26 → 45 in
