@@ -192,8 +192,18 @@ def weighted_label_propagation(
         weights = _tracked_checkpoint(
             _hashed_weights(graph).repartition(parts, "v"), tracked
         )
+        # comm carries the community label's ORIGINAL STRING id (cstr)
+        # alongside the surrogate: the tie-break needs it at argmax
+        # time, and riding it through the frame (functionally dependent
+        # on community, ~20 B/row) eliminates the per-round cdim join +
+        # its |V|-row broadcast build that previous versions paid —
+        # joins/aggregates still key on 8-byte surrogates only.
         comm = _tracked_checkpoint(
-            idmap.select(F.col("iid").alias("id"), F.col("iid").alias("community")),
+            idmap.select(
+                F.col("iid").alias("id"),
+                F.col("iid").alias("community"),
+                F.col("id").alias("cstr"),
+            ),
             tracked,
         )
         # The (iid, community) frame is 16 bytes/node. While it fits an
@@ -206,34 +216,31 @@ def weighted_label_propagation(
         bcast = (
             F.broadcast if n_nodes_total <= broadcast_nodes_max else (lambda df: df)
         )
-        # surrogate → string map for the tie-break: joins/aggregates stay
-        # keyed on 8-byte surrogates, the string rides along only as the
-        # min-struct's second sort field on the already-aggregated
-        # (u, c, score) frame (one broadcast probe per round, no string
-        # shuffle keys)
-        cdim = idmap.select(F.col("iid").alias("c"), F.col("id").alias("cstr"))
         for it in range(max_iter):
+            # (u, c, score) via one shuffle; cstr rides along (first()
+            # is safe — functionally dependent on c)
             scores = (
                 weights.join(
                     bcast(
                         comm.select(
-                            F.col("id").alias("v"), F.col("community").alias("c")
+                            F.col("id").alias("v"),
+                            F.col("community").alias("c"),
+                            "cstr",
                         )
                     ),
                     "v",
                 )
                 .groupBy("u", "c")
-                .agg(F.sum("w").alias("score"))
+                .agg(F.sum("w").alias("score"), F.first("cstr").alias("cstr"))
             )
             # argmax folded into a hash aggregate: min of
             # (-score, cstr, c) structs is lexicographic, so it picks max
             # score then the lexicographically smallest community's
             # original id (portable tie-break) — one partial-aggregating
-            # hash agg instead of a row_number window (one fewer
-            # sort-shuffle in every LPA iteration).
+            # hash agg instead of a row_number window, and no per-round
+            # surrogate→string join at all.
             best = (
-                scores.join(bcast(cdim), "c")
-                .groupBy("u")
+                scores.groupBy("u")
                 .agg(
                     F.min(
                         F.struct(
@@ -243,12 +250,17 @@ def weighted_label_propagation(
                         )
                     ).alias("__b")
                 )
-                .select(F.col("u").alias("id"), F.col("__b.c").alias("new_community"))
+                .select(
+                    F.col("u").alias("id"),
+                    F.col("__b.c").alias("new_community"),
+                    F.col("__b.cs").alias("new_cstr"),
+                )
             )
             nxt = _tracked_checkpoint(
                 comm.join(bcast(best), "id", "left").select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),
+                    F.coalesce("new_cstr", "cstr").alias("cstr"),
                     (F.coalesce("new_community", "community") != F.col("community")).alias(
                         "__chg"
                     ),
@@ -269,15 +281,11 @@ def weighted_label_propagation(
         # label (every community label is some node's surrogate); pin the
         # result, then free every intermediate checkpoint (weights, the
         # per-round comm chain, idmap) — see _free_intermediates
+        # the community's string id is already in the frame (cstr); only
+        # the node's own surrogate needs mapping back
         result = (
             comm.join(idmap.select(F.col("iid").alias("id"), F.col("id").alias("__sid")), "id")
-            .join(
-                idmap.select(
-                    F.col("iid").alias("community"), F.col("id").alias("__scomm")
-                ),
-                "community",
-            )
-            .select(F.col("__sid").alias("id"), F.col("__scomm").alias("community"))
+            .select(F.col("__sid").alias("id"), F.col("cstr").alias("community"))
             .localCheckpoint(eager=True)
         )
         _free_intermediates(spark, tracked)
