@@ -247,3 +247,36 @@ def test_source_cap_prefilters_before_window(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # counts + rescue joins broadcast
+
+
+def test_bm25_has_no_full_vocab_shuffle_or_smj(spark):
+    """BM25 must build the inverted index only for the queried terms:
+    the term-df and stats frames broadcast (no sort-merge join), and
+    the exploded token stream is filtered to the query set before any
+    exchange."""
+    plan = _plan(spark, "docs_bm25")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only exchanges are the tf/df aggregations over already
+    # query-filtered hits + the final TakeOrdered — a full-vocabulary
+    # shuffle would add hashpartitioning on the raw token column of the
+    # unfiltered explode
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_sq_topk_is_scan_plus_takeordered(spark):
+    """int8 SQ search: one narrow scan scoring against the broadcast
+    quantized probe — no join, no shuffle beyond TakeOrdered's."""
+    plan = _plan(spark, "emb_sq_topk")
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_corpus_report_is_single_aggregate_tree(spark):
+    """Per-source corpus report: expand + two-phase hash aggregate, no
+    joins or windows anywhere."""
+    plan = _plan(spark, "docs_corpus_report")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan, bad
