@@ -292,3 +292,40 @@ def stream_quality_filter(
         (F.col("quality_score") >= min_quality)
         & (F.col("dup_token_frac") <= max_dup_token_frac)
     )
+
+
+def stream_corpus_report(docs: DataFrame) -> DataFrame:
+    """Running per-source ingestion totals — the live dashboard version
+    of :func:`graph_loom_spark.ops.text.corpus_report`: document count,
+    token total, and quality-score sum per source, maintained as an
+    UPDATE-mode streaming aggregation (one state row per source).
+
+    The batch report's exact-duplicate term (count DISTINCT md5) is
+    deliberately absent: distinct-counting needs either a second
+    aggregation (unsupported in a streaming query) or unbounded
+    per-source state; the streaming dedup operators cover that concern
+    incrementally. The remaining aggregates are all incrementally
+    mergeable integers, so stream-after-drain equals batch exactly
+    (pinned by the stream≡batch pytest).
+    """
+    from graph_loom_spark.ops.text import _TOKEN_RE
+
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    len_ok = (chars >= 50) & (chars <= 20000)
+    tok_ok = (toks >= 10) & ((chars.cast("double") / toks) <= 12.0)
+    score = (
+        len_ok.cast("int")
+        + tok_ok.cast("int")
+        + ((alpha.cast("double") / chars) >= 0.5).cast("int")
+    )
+    return (
+        docs.select(F.col("source"), toks.alias("__t"), score.alias("__q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+            F.sum("__q").cast("bigint").alias("quality_sum"),
+        )
+    )

@@ -410,3 +410,30 @@ def test_stream_anomaly_flags_synthetic_spike(spark, tmp_path):
     assert len(got) == 1
     assert (got[0]["user_id"], got[0]["event_id"]) == (1, 8)
     assert got[0]["z"] > 3.0
+
+
+def test_stream_corpus_report_matches_batch(spark, docs_path):
+    """Running per-source totals drained over the full source must equal
+    the batch corpus_report's incremental columns exactly."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import text as ops_text
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_corpus_report(stream), "docs_report_t", output_mode="complete"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["quality_sum"])
+        for r in spark.sql("SELECT * FROM docs_report_t").collect()
+    }
+    batch = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            int(round(r["avg_quality"] * r["n_docs"])),
+        )
+        for r in ops_text.corpus_report(spark.read.parquet(docs_path)).collect()
+    }
+    assert got == batch
