@@ -227,14 +227,20 @@ def main() -> None:
             # graph_components + docs_tfidf: r5 regressed with no impl
             # change — the A/B min distinguishes plan cost from session /
             # cold-JVM noise (r5 verdict items 4 and 10)
-            "cypher_var_length,graph_community_density,graph_lpa,"
+            # graph_community_density is deliberately NOT tracked: its
+            # reset_memo drops the LPA memo, so each rerun times a FULL
+            # LPA (~30-70 s) that graph_lpa's own A/B already measures —
+            # the density aggregation itself is the 0.7 s warm number.
+            "cypher_var_length,graph_lpa,"
             "graph_components,docs_tfidf,graph_pagerank,emb_near_dup",
         ).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]
     for name in ab_names:
         runs = [timings[name]]
-        for _ in range(2):
+        # bound the A/B wall cost: a >20 s iterative query gets one
+        # rerun (n=2), cheap ones two (n=3)
+        for _ in range(1 if timings[name] > 20 else 2):
             _drop_persisted_blocks(spark)
             try:  # a memoized rerun would time a cache hit, not the query
                 entry.reset_memo(name)
