@@ -1249,6 +1249,61 @@ def _minhash_md5_oracle(
     return "WITH " + ", ".join(parts) + f" SELECT * FROM {pairs}"
 
 
+def _ann_lsh_oracle(
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    k: int = 10,
+    probe_id: int = 7,
+) -> str:
+    """SQL replay of the RP-LSH probe: the hyperplanes are seeded Python
+    literals (repr round-trips doubles exactly), bucket bits are signs
+    of plane dot products, and the Hamming-1 multiprobe is equivalent to
+    ``bit_count(xor(bucket, probe_bucket)) <= 1`` per table. The final
+    rerank reuses the bit-compatible cosine shape. The only ulp risk is
+    a plane dot crossing 0 between numpy matmul (engine) and DuckDB's
+    sequential list_dot_product — both deterministic per dataset, and
+    absent on the test corpora (verified sf0.001/sf0.01)."""
+    from graph_loom_spark.ops.simsearch import _random_hyperplanes
+
+    planes = []
+    for t in range(tables):
+        planes.extend(_random_hyperplanes(dim, bits, seed + 1000 * t))
+    dots = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in p)}]) AS d{i}"
+        for i, p in enumerate(planes)
+    )
+    buckets = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN d{t * bits + b} >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + f") AS b{t}"
+        for t in range(tables)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(tables)
+    )
+    return (
+        "WITH v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"hv AS (SELECT vec_id, {dots} FROM v0), "
+        f"bk AS (SELECT vec_id, {buckets} FROM hv), "
+        f"bl AS MATERIALIZED ({rows}), "
+        f"probe AS (SELECT t, bucket AS pb FROM bl WHERE vec_id = {probe_id}), "
+        "cand AS (SELECT DISTINCT b.vec_id FROM bl b JOIN probe p ON b.t = p.t "
+        f"AND bit_count(xor(b.bucket, p.pb)) <= 1 WHERE b.vec_id <> {probe_id}), "
+        f"pv AS (SELECT v AS p FROM v0 WHERE vec_id = {probe_id}) "
+        "SELECT c.vec_id, round(list_dot_product(v0.v, pv.p) / "
+        "(sqrt(list_dot_product(v0.v, v0.v)) * sqrt(list_dot_product(pv.p, pv.p))), 4) "
+        "AS cosine "
+        "FROM cand c JOIN v0 ON v0.vec_id = c.vec_id, pv "
+        f"ORDER BY cosine DESC, c.vec_id LIMIT {k}"
+    )
+
+
 def _minhash_clusters_oracle(
     num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
 ) -> str:
@@ -2683,8 +2738,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_clusters": _minhash_clusters_oracle(),
         "docs_minhash_rescored": _minhash_rescored_oracle(),
         "docs_simhash_pairs": _simhash_md5_oracle(),
-        # emb_ann_lsh: engine-hash
-        # based or approximate → intentionally no oracle (rows-only check).
+        # RP-LSH probe: hyperplanes are seeded literals, multiprobe ≡
+        # per-table Hamming-1 on bucket ids → full replay (generated).
+        "emb_ann_lsh": _ann_lsh_oracle(),
         # Fixed-point integer Lloyd's → full SQL replay (generated).
         "emb_kmeans": _kmeans_oracle(),
         # IVF-flat over the same quantizer → full replay (generated).
