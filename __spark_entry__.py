@@ -654,6 +654,16 @@ def _q_docs_corpus_report(spark, sf_dir):
     return ops_text.corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_hll_distinct(spark, sf_dir):
+    """Engine-independent HyperLogLog distinct-text estimate per source
+    (md5 registers, p=10): the mergeable cardinality sketch for 100 TB
+    corpora, bit-reproducible in any md5-bearing engine — the DuckDB
+    oracle replays registers AND estimate."""
+    return ops_rel.hll_distinct(
+        _t(spark, sf_dir, "documents"), ["source"], "text", p=10
+    )
+
+
 def _q_docs_bm25(spark, sf_dir):
     """BM25 top-20 for a fixed 3-term query — retrieval surface for
     benchmark decontamination / targeted mining. Inverted index built
@@ -1097,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq_topk": _q_emb_sq_topk,
         "docs_corpus_report": _q_docs_corpus_report,
         "docs_bm25": _q_docs_bm25,
+        "docs_hll_distinct": _q_docs_hll_distinct,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2378,6 +2389,25 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # Engine-independent HLL (md5 registers, p=10): registers are
+        # exact integers; the estimate's float ops are mirrored
+        # expression-for-expression, round(,2) absorbs sum-order ulps.
+        "docs_hll_distinct": (
+            "WITH h AS (SELECT source, "
+            "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents), "
+            "r AS (SELECT source, h & 1023 AS i, "
+            "(51 - length(regexp_replace(bin(h >> 10), '^0+', ''))) AS rho FROM h), "
+            "regs AS (SELECT source, i, max(rho) AS m FROM r GROUP BY source, i), "
+            "g AS (SELECT source, sum(power(0.5, m)) AS s, count(*) AS hit "
+            "FROM regs GROUP BY source) "
+            "SELECT source, round(CASE WHEN "
+            "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 / "
+            "(CAST(1024 - hit AS DOUBLE) + s) <= 2560.0 AND (1024 - hit) > 0 "
+            "THEN 1024.0 * ln(1024.0 / CAST(1024 - hit AS DOUBLE)) "
+            "ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 / "
+            "(CAST(1024 - hit AS DOUBLE) + s) END, 2) AS est_distinct, "
+            "CAST(1024 - hit AS BIGINT) AS zero_registers FROM g"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

@@ -161,3 +161,60 @@ def merge_upsert(
     kept = current.join(F.broadcast(keys), key_cols, "left_anti")
     ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     return kept.unionByName(ups)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Engine-independent HyperLogLog distinct estimate per group — the
+    cardinality sketch a 100 TB pipeline uses where exact
+    count(DISTINCT) would shuffle every value: state is 2^p registers
+    (one byte each) per group, built in ONE partial-aggregable two-level
+    hash aggregate, mergeable across partitions/days by construction
+    (register max is associative + commutative).
+
+    Unlike the engines' built-in approx sketches (whose hash choices
+    differ, so their estimates can never be compared across systems),
+    the hash here is md5 — both the registers AND the estimate are
+    bit-reproducible anywhere md5 exists, so a DuckDB oracle replays
+    the sketch exactly and nightly estimates diff cleanly.
+
+    Construction (Flajolet et al. 2007): h = first 60 bits of
+    md5(value); register index = low p bits; rho = leading-zero count
+    of the remaining (60-p)-bit window + 1 (portable as
+    ``(60-p+1) - length(ltrim(bin(w), '0'))``); estimate =
+    alpha_m * m^2 / (V + sum(2^-M)) with the small-range correction
+    ``m * ln(m/V)`` when E <= 2.5m and V > 0. Returns
+    ``(group_cols..., est_distinct, zero_registers)``; est rounded to
+    2 digits (ln/division ulps sit far below that).
+    """
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    width = 60 - p
+    rho = F.lit(width + 1) - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+    regs = (
+        df.select(*group_cols, idx.alias("__i"), rho.alias("__r"))
+        .groupBy(*group_cols, "__i")
+        .agg(F.max("__r").alias("__m"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("__m"))).alias("__s"),
+        F.count(F.lit(1)).alias("__hit"),
+    )
+    v = (F.lit(m) - F.col("__hit")).cast("double")
+    e_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / (v + F.col("__s"))
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0.0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols,
+        F.round(est, 2).alias("est_distinct"),
+        v.cast("bigint").alias("zero_registers"),
+    )

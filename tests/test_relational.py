@@ -29,3 +29,30 @@ def test_merge_upsert_semantics_and_validation(spark):
             ),
             ["id"],
         )
+
+
+def test_hll_distinct_accuracy_and_dup_invariance(spark):
+    from graph_loom_spark.ops import relational as ops_rel
+
+    df = spark.range(3000).selectExpr("'g' AS grp", "CAST(id AS STRING) AS v")
+    out = ops_rel.hll_distinct(df, ["grp"], "v", p=10).collect()[0]
+    # HLL with m=1024 registers: ~1.04/sqrt(1024) = 3.25% std error
+    assert abs(out["est_distinct"] - 3000) / 3000 < 0.15
+    # the sketch is a function of the SET: duplicating every row
+    # changes nothing (register max is idempotent)
+    df2 = df.unionAll(df)
+    out2 = ops_rel.hll_distinct(df2, ["grp"], "v", p=10).collect()[0]
+    assert out2["est_distinct"] == out["est_distinct"]
+    assert out2["zero_registers"] == out["zero_registers"]
+
+
+def test_hll_distinct_small_range_correction(spark):
+    from graph_loom_spark.ops import relational as ops_rel
+
+    # 5 distinct values -> linear-counting branch (E <= 2.5m, V > 0)
+    df = spark.createDataFrame(
+        [("g", str(i % 5)) for i in range(50)], "grp string, v string"
+    )
+    out = ops_rel.hll_distinct(df, ["grp"], "v", p=10).collect()[0]
+    assert 3 <= out["est_distinct"] <= 7
+    assert out["zero_registers"] >= 1019
