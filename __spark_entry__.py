@@ -654,6 +654,19 @@ def _q_docs_corpus_report(spark, sf_dir):
     return ops_text.corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def _q_agg_sampled_percentiles(spark, sf_dir):
+    """Deterministic hash-sampled grouped percentiles (1/16 md5 sample
+    of lineitem per returnflag, exact quantiles of the sample) — the
+    bit-reproducible alternative to t-digest at 100 TB."""
+    return ops_rel.hash_sampled_percentiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        rate_denom=16,
+    )
+
+
 def _q_docs_hll_distinct(spark, sf_dir):
     """Engine-independent HyperLogLog distinct-text estimate per source
     (md5 registers, p=10): the mergeable cardinality sketch for 100 TB
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_report": _q_docs_corpus_report,
         "docs_bm25": _q_docs_bm25,
         "docs_hll_distinct": _q_docs_hll_distinct,
+        "agg_sampled_percentiles": _q_agg_sampled_percentiles,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2389,6 +2403,19 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
             "FROM embeddings e, probe WHERE e.vec_id <> 7 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # md5 hash-sample (first 8 hex < 2^32/16) + exact quantile_cont
+        # of the sample — mirrors F.percentile's linear interpolation.
+        "agg_sampled_percentiles": (
+            "WITH s AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v "
+            "FROM lineitem WHERE CAST(('0x' || substr(md5("
+            "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+            "), 1, 8)) AS BIGINT) < 268435456) "
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sample, "
+            "round(quantile_cont(v, 0.25), 4) AS p25, "
+            "round(quantile_cont(v, 0.5), 4) AS p50, "
+            "round(quantile_cont(v, 0.75), 4) AS p75 "
+            "FROM s GROUP BY l_returnflag"
         ),
         # Engine-independent HLL (md5 registers, p=10): registers are
         # exact integers; the estimate's float ops are mirrored

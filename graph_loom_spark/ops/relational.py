@@ -218,3 +218,37 @@ def hll_distinct(
         F.round(est, 2).alias("est_distinct"),
         v.cast("bigint").alias("zero_registers"),
     )
+
+
+def hash_sampled_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_cols: list[str],
+    rate_denom: int = 16,
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Deterministic hash-sampled grouped percentiles — the scale path
+    :func:`price_percentiles` points at, made engine-reproducible: keep
+    the rows whose md5(row key) falls in the first 1/``rate_denom`` of
+    the hash space (ONE narrow filter — no window, no per-group sort of
+    the full data), then take EXACT percentiles of the sample. The
+    sample is a fixed pseudo-random 1/rate_denom of every group —
+    identical in any md5-bearing engine, so unlike t-digest /
+    approx_percentile sketches the estimate is bit-reproducible and a
+    SQL oracle replays it (filter + quantile_cont). Returns
+    ``(group_cols..., n_sample, p25, p50, p75)`` rounded to 4 digits.
+    """
+    threshold = (1 << 32) // int(rate_denom)
+    key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    sample = df.filter(h < F.lit(threshold))
+    pcts = F.percentile(F.col(value_col).cast("double"), F.lit(list(qs)))
+    out = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"), pcts.alias("__p")
+    )
+    cols = [out[c] for c in group_cols] + [out["n_sample"]] + [
+        F.round(F.col("__p")[i], 4).alias(f"p{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return out.select(*cols)

@@ -56,3 +56,22 @@ def test_hll_distinct_small_range_correction(spark):
     out = ops_rel.hll_distinct(df, ["grp"], "v", p=10).collect()[0]
     assert 3 <= out["est_distinct"] <= 7
     assert out["zero_registers"] >= 1019
+
+
+def test_hash_sampled_percentiles_close_to_exact(spark):
+    from graph_loom_spark.ops import relational as ops_rel
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = {r["l_returnflag"]: r["p50"] for r in ops_rel.price_percentiles(li).collect()}
+    sampled = {
+        r["l_returnflag"]: (r["n_sample"], r["p50"])
+        for r in ops_rel.hash_sampled_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", ["l_orderkey", "l_linenumber"]
+        ).collect()
+    }
+    n_total = li.count()
+    for flag, (n, p50) in sampled.items():
+        # ~1/16 sample rate
+        assert n < n_total / 8
+        # median of a >1k uniform sample lands within ~10% of exact
+        assert abs(p50 - exact[flag]) / exact[flag] < 0.10
