@@ -677,6 +677,40 @@ def _q_docs_hll_distinct(spark, sf_dir):
     )
 
 
+def _q_docs_cms_topk(spark, sf_dir):
+    """Engine-independent count-min sketch token frequencies (4 md5
+    rows x 1024 buckets): the bounded-state heavy-hitter companion to
+    the HLL sketch — counters AND estimates replayed bit-for-bit by the
+    DuckDB oracle; the exact count rides along to show the one-sided
+    (est >= actual) error."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    est = ops_rel.count_min_estimate(toks, "tok", d=4, w=1024)
+    actual = toks.groupBy(F.col("tok").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual")
+    )
+    return est.join(actual, "value").select("value", "est", "actual")
+
+
+def _q_docs_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (fastText-shaped): md5-hashed
+    unigram+bigram features x fixed md5-derived integer weights — a
+    narrow, shuffle-free, all-integer projection, bit-reproducible in
+    any md5-bearing engine."""
+    return ops_text.hashed_linear_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_feats", "weight_sum", F.col("keep").cast("int").alias("keep")
+    )
+
+
+def _q_docs_source_overlap(spark, sf_dir):
+    """Cross-source shingle-set overlap matrix on the deterministic md5
+    1/4 sample of 3-gram shingle space — the corpus-level contamination
+    analytic; all-integer (inter, sizes), Jaccard left to the reader."""
+    return ops_dedup.source_shingle_overlap(
+        _t(spark, sf_dir, "documents"), shingle_n=3, sample_mod=4
+    )
+
+
 def _q_docs_bm25(spark, sf_dir):
     """BM25 top-20 for a fixed 3-term query — retrieval surface for
     benchmark decontamination / targeted mining. Inverted index built
@@ -1122,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": _q_docs_bm25,
         "docs_hll_distinct": _q_docs_hll_distinct,
         "agg_sampled_percentiles": _q_agg_sampled_percentiles,
+        "docs_cms_topk": _q_docs_cms_topk,
+        "docs_classifier": _q_docs_classifier,
+        "docs_source_overlap": _q_docs_source_overlap,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2435,6 +2472,57 @@ def oracle_sql() -> dict[str, str]:
             "ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 / "
             "(CAST(1024 - hit AS DOUBLE) + s) END, 2) AS est_distinct, "
             "CAST(1024 - hit AS BIGINT) AS zero_registers FROM g"
+        ),
+        # Count-min sketch: 4 md5 rows x 1024 buckets, all-integer
+        # counters; estimate = min over rows — replayed cell-for-cell.
+        "docs_cms_topk": (
+            "WITH tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS v "
+            "FROM documents), "
+            "js AS (SELECT unnest([0, 1, 2, 3]) AS j), "
+            "cells AS (SELECT j, CAST(('0x' || substr(md5("
+            "CAST(j AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT) % 1024 AS b, "
+            "count(*) AS cnt FROM tok, js GROUP BY 1, 2), "
+            "probe AS (SELECT DISTINCT v FROM tok), "
+            "pb AS (SELECT v, j, CAST(('0x' || substr(md5("
+            "CAST(j AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT) % 1024 AS b "
+            "FROM probe, js), "
+            "est AS (SELECT v AS value, CAST(min(cnt) AS BIGINT) AS est "
+            "FROM pb JOIN cells USING (j, b) GROUP BY 1), "
+            "act AS (SELECT v AS value, CAST(count(*) AS BIGINT) AS actual "
+            "FROM tok GROUP BY 1) "
+            "SELECT value, est, actual FROM est JOIN act USING (value)"
+        ),
+        # Hashed linear classifier: md5-derived integer weights over
+        # unigram+bigram features; pure integer arithmetic both engines.
+        "docs_classifier": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "f AS (SELECT doc_id, list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) "
+            "ELSE [] END) AS feats FROM t) "
+            "SELECT doc_id, CAST(len(feats) AS INTEGER) AS n_feats, "
+            "CAST(list_sum(list_transform(feats, x -> "
+            "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
+            ")) AS BIGINT) AS weight_sum, "
+            "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
+            "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
+            ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Source-pair shingle-set overlap on the md5 1/4 shingle sample;
+        # all-integer (inter, size_a, size_b).
+        "docs_source_overlap": (
+            "WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents), "
+            "g0 AS (SELECT source AS src, unnest(CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(range(0, len(toks) - 2), i -> "
+            "array_to_string(list_slice(toks, i + 1, i + 3), ' ')) "
+            "ELSE [array_to_string(toks, ' ')] END) AS g FROM t), "
+            "s AS MATERIALIZED (SELECT DISTINCT src, g FROM g0 "
+            "WHERE CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4 = 0), "
+            "sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM s GROUP BY 1), "
+            "p AS (SELECT a.src AS src_a, b.src AS src_b, "
+            "CAST(count(*) AS BIGINT) AS inter FROM s a JOIN s b "
+            "ON a.g = b.g AND a.src < b.src GROUP BY 1, 2) "
+            "SELECT src_a, src_b, inter, x.sz AS size_a, y.sz AS size_b "
+            "FROM p JOIN sz x ON p.src_a = x.src JOIN sz y ON p.src_b = y.src"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

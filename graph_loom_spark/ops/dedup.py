@@ -816,3 +816,61 @@ def remove_dup_ngram_spans(
         F.size("__rm").cast("bigint").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_fingerprint"),
     )
+
+
+def source_shingle_overlap(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the overlap of their n-gram shingle SETS — the corpus-level
+    analytic that tells a pipeline which ingest feeds are near-copies
+    of each other before any doc-level dedup runs.
+
+    Scale shape: one explode -> distinct gives the (source, shingle)
+    set; the pair counts come from a shingle-keyed self-join whose
+    per-shingle fanout is bounded by the SOURCE cardinality (dozens,
+    not rows) squared — never an all-pairs doc join. At 100 TB the
+    shingle universe itself is the cost, so ``sample_mod`` keeps only
+    the deterministic md5 1/mod sample of shingle space (an unbiased
+    MinHash-style estimate of the same Jaccard, reproducible in any
+    md5-bearing engine — the oracle replays it bit-for-bit).
+
+    Returns ``(src_a, src_b, inter, size_a, size_b)`` — all integers
+    (exact Jaccard = inter / (size_a + size_b - inter) left to the
+    caller so the frame stays hash-exact).
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"case when size({toks}) >= {shingle_n} then "
+        f"transform(sequence(0, size({toks}) - {shingle_n}), "
+        f"i -> array_join(slice({toks}, i + 1, {shingle_n}), ' ')) "
+        f"else array(array_join({toks}, ' ')) end"
+    )
+    sets = (
+        documents.select(F.col(group_col).alias("src"), F.explode(F.expr(grams)).alias("g"))
+        .distinct()
+    )
+    if sample_mod > 1:
+        keep = (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+            % sample_mod
+        ) == 0
+        sets = sets.filter(keep)
+    sizes = sets.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    pairs = (
+        sets.alias("a")
+        .join(sets.alias("b"), "g")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    # source-count-sized frames -> broadcast both size joins
+    return (
+        pairs.join(F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("sz").alias("size_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("sz").alias("size_b"))), "src_b")
+        .select("src_a", "src_b", "inter", "size_a", "size_b")
+    )

@@ -252,3 +252,103 @@ def hash_sampled_percentiles(
         for i, q in enumerate(qs)
     ]
     return out.select(*cols)
+
+
+def count_min_estimate(
+    df: DataFrame,
+    value_col: str,
+    probe: DataFrame | None = None,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Engine-independent count-min sketch frequency estimate — the
+    heavy-hitter companion to :func:`hll_distinct`: a 100 TB pipeline
+    tracks per-token / per-domain frequencies in a fixed d*w counter
+    grid instead of a count per distinct value (unbounded state). The
+    sketch is built in ONE pass as a partial-aggregable hash aggregate
+    over at most d*w cells (map-side combine collapses each partition
+    to <= d*w rows before the shuffle), and the grid is mergeable
+    across partitions / days by construction (cell-wise sum is
+    associative + commutative).
+
+    Hashes are md5-derived (row j buckets value v at
+    ``int(md5('j:'||v)[:8]) mod w``), so the counters AND the
+    estimates are bit-reproducible in any md5-bearing engine — a
+    DuckDB oracle replays the grid exactly, unlike engine-native
+    sketch types whose hash choices differ.
+
+    ``probe`` supplies the candidate values to estimate (defaults to
+    the distinct values of ``df`` — fine for demos/tests; at scale you
+    probe a bounded candidate list, e.g. last hour's top tokens). Each
+    estimate is min over the d rows (Cormode & Muthukrishnan 2005),
+    always >= the true count. Returns ``(value, est)``.
+    """
+    val = F.col(value_col).cast("string")
+    cells = (
+        df.select(val.alias("__v"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(F.concat(F.lit(f"{j}:"), F.col("__v"))),
+                                        1,
+                                        8,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % w
+                            ).alias("b"),
+                        )
+                        for j in range(d)
+                    ]
+                )
+            ).alias("__c")
+        )
+        .select("__c.j", "__c.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if probe is None:
+        probe = df.select(val.alias("value")).distinct()
+    else:
+        probe = probe.select(F.col(value_col).cast("string").alias("value")).distinct()
+    probed = probe.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}:"), F.col("value"))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % w
+                        ).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("__c"),
+    ).select("value", "__c.j", "__c.b")
+    # the grid is <= d*w rows regardless of input size -> broadcast
+    # side; LEFT join because a never-touched cell means count 0 (a
+    # probe value absent from df must estimate 0, not disappear)
+    est = (
+        probed.join(F.broadcast(cells), ["j", "b"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )
+    return est

@@ -1091,3 +1091,49 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hashed_linear_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    weight_span: int = 2001,
+) -> DataFrame:
+    """Hashed linear quality classifier — the fastText-shaped
+    model-based filter stage (score = w . phi(doc) over hashed
+    unigram+bigram features) that sits between heuristic rules
+    (:func:`gopher_quality`) and an external model in a training-data
+    pipeline. The feature hashing trick (Weinberger et al. 2009) keys
+    weights by a hash of the feature string, so no vocabulary table
+    ships with the job at all.
+
+    Weights here are md5-derived integers in
+    ``[-(span//2), span//2]`` (a fixed pseudo-random projection —
+    standing in for trained weights, which would use the same lookup
+    shape), so the whole scorer is a narrow per-row projection: no
+    shuffle, no join, no UDF — split/transform/aggregate all inside
+    whole-stage codegen, and integer arithmetic end to end makes the
+    result bit-reproducible in any md5-bearing engine.
+
+    Returns ``(doc_id-ish passthrough cols.., n_feats, weight_sum,
+    keep)`` where ``keep = weight_sum > 0``.
+    """
+    half = weight_span // 2
+    toks = f"split({text_col}, ' ')"
+    # guard: Spark's sequence(0, -1) DESCENDS (returns [0, -1]), so a
+    # 1-token doc must short-circuit to an empty bigram list
+    bigrams = (
+        f"case when size({toks}) >= 2 then transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i + 1), '_', element_at({toks}, i + 2))) "
+        f"else cast(array() as array<string>) end"
+    )
+    feats = f"concat({toks}, {bigrams})"
+    wsum = (
+        f"aggregate({feats}, 0L, (acc, x) -> acc + "
+        f"(cast(conv(substr(md5(concat('w:', x)), 1, 8), 16, 10) as bigint) "
+        f"% {weight_span}) - {half})"
+    )
+    return documents.select(
+        "*",
+        F.expr(f"size({feats})").cast("int").alias("n_feats"),
+        F.expr(wsum).alias("weight_sum"),
+    ).withColumn("keep", F.col("weight_sum") > 0)

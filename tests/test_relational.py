@@ -75,3 +75,34 @@ def test_hash_sampled_percentiles_close_to_exact(spark):
         assert n < n_total / 8
         # median of a >1k uniform sample lands within ~10% of exact
         assert abs(p50 - exact[flag]) / exact[flag] < 0.10
+
+
+def test_count_min_estimate_one_sided_and_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops.relational import count_min_estimate
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    actual = {"a": 7, "b": 3, "c": 1, "d": 5}
+
+    # wide grid: 4 values cannot collide across all 4 rows -> exact
+    wide = {r["value"]: r["est"] for r in count_min_estimate(df, "v", w=1024).collect()}
+    assert wide == actual
+
+    # tiny grid (w=2) forces collisions: est >= actual for every value,
+    # and total mass per hash row is conserved (sum of cells == n rows)
+    tight = {r["value"]: r["est"] for r in count_min_estimate(df, "v", w=2).collect()}
+    assert set(tight) == set(actual)
+    assert all(tight[v] >= actual[v] for v in actual)
+
+    # explicit probe frame restricts the output
+    probe = spark.createDataFrame([("a",), ("zz",)], "v string")
+    probed = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(df, "v", probe=probe, w=1024).collect()
+    }
+    # 'zz' was never inserted: estimate is whatever its cells hold (>= 0
+    # one-sided), 'a' is exact at this width
+    assert probed["a"] == 7 and probed["zz"] >= 0
+    assert set(probed) == {"a", "zz"}

@@ -631,3 +631,82 @@ def test_bm25_empty_query_raises(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="query_terms"):
         ops_text.bm25_topk(docs, [])
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    import hashlib
+
+    from graph_loom_spark.ops.text import hashed_linear_score
+
+    def w(f):
+        return int(hashlib.md5(f"w:{f}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    def ref(text):
+        toks = text.split(" ")
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        return len(feats), sum(w(f) for f in feats)
+
+    rows = [(0, "alpha beta gamma beta"), (1, "solo"), (2, "x y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_sum"], r["keep"])
+        for r in hashed_linear_score(df).collect()
+    }
+    for did, text in rows:
+        n, s = ref(text)
+        assert got[did] == (n, s, s > 0), (did, got[did], (n, s))
+    # 1-token doc: unigram only, no descending-sequence bigram artifact
+    assert got[1][0] == 1
+
+
+def test_source_shingle_overlap_matches_brute_force(spark):
+    import hashlib
+
+    from graph_loom_spark.ops.dedup import source_shingle_overlap
+
+    rows = [
+        ("s1", "a b c d e"),
+        ("s1", "c d e f"),
+        ("s2", "a b c x y"),
+        ("s3", "q"),  # shorter than shingle_n -> whole-text shingle
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    def shingles(text, n=3):
+        t = text.split(" ")
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {}
+    for src, text in rows:
+        sets.setdefault(src, set()).update(shingles(text))
+
+    got = {
+        (r["src_a"], r["src_b"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in source_shingle_overlap(df).collect()
+    }
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                exp[(a, b)] = (len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+    assert got == exp
+
+    # sampled mode keeps only shingles whose md5 bucket % mod == 0 and
+    # still reports set-consistent integers
+    mod = 2
+    kept = {
+        src: {g for g in s if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % mod == 0}
+        for src, s in sets.items()
+    }
+    got2 = {
+        (r["src_a"], r["src_b"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in source_shingle_overlap(df, sample_mod=mod).collect()
+    }
+    exp2 = {}
+    for a in kept:
+        for b in kept:
+            if a < b and kept[a] & kept[b]:
+                exp2[(a, b)] = (len(kept[a] & kept[b]), len(kept[a]), len(kept[b]))
+    assert got2 == exp2
