@@ -360,6 +360,16 @@ def _q_docs_contamination(spark, sf_dir):
     return ops_text.contamination_flags(docs, bench, n=8)
 
 
+def _q_docs_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination probe (16384 bits, 3 md5 salts) on
+    the same benchmark as docs_contamination: the filter ships as a
+    literal packed-int64 array in the plan (no probe-side join at all);
+    one-sided hits, positions replayed by the oracle as set membership."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return ops_text.bloom_contamination(docs, bench, n=8, m_bits=16384, k=3)
+
+
 def _q_docs_sample(spark, sf_dir):
     """Deterministic md5-threshold stratified sample (50% per lang)."""
     return ops_text.stratified_sample(
@@ -1159,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cms_topk": _q_docs_cms_topk,
         "docs_classifier": _q_docs_classifier,
         "docs_source_overlap": _q_docs_source_overlap,
+        "docs_bloom_contamination": _q_docs_bloom_contamination,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2523,6 +2534,29 @@ def oracle_sql() -> dict[str, str]:
             "ON a.g = b.g AND a.src < b.src GROUP BY 1, 2) "
             "SELECT src_a, src_b, inter, x.sz AS size_a, y.sz AS size_b "
             "FROM p JOIN sz x ON p.src_a = x.src JOIN sz y ON p.src_b = y.src"
+        ),
+        # Bloom probe replayed as md5 position-set membership (packing
+        # into int64 words is an execution detail, not semantics).
+        "docs_bloom_contamination": (
+            "WITH nt AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), "
+            "gr AS MATERIALIZED (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(toks) >= 8 THEN list_transform(range(0, len(toks) - 7), "
+            "i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')) "
+            "ELSE [array_to_string(toks, ' ')] END)) AS g FROM nt), "
+            "salts AS (SELECT unnest([0, 1, 2]) AS j), "
+            "bits AS MATERIALIZED (SELECT DISTINCT "
+            "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT) "
+            "% 16384 AS p FROM gr, salts WHERE doc_id < 5), "
+            "pp AS (SELECT doc_id, g, "
+            "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT) "
+            "% 16384 AS p FROM gr, salts), "
+            "hg AS (SELECT doc_id, g FROM pp JOIN bits USING (p) "
+            "GROUP BY doc_id, g HAVING count(*) = 3), "
+            "hits AS (SELECT doc_id, count(*) AS nh FROM hg GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.nh, 0) AS INTEGER) AS n_gram_hits, "
+            "CAST(CASE WHEN COALESCE(h.nh, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

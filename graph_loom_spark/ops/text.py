@@ -1137,3 +1137,92 @@ def hashed_linear_score(
         F.expr(f"size({feats})").cast("int").alias("n_feats"),
         F.expr(wsum).alias("weight_sum"),
     ).withColumn("keep", F.col("weight_sum") > 0)
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination probe — the broadcast-bitset form
+    of :func:`contamination_flags` for when even the benchmark's gram
+    SET is too big to ship as join rows: the filter is ``m_bits`` bits
+    (k md5-salted positions per gram, Bloom 1970), packed into
+    ``m_bits/64`` int64 words and inlined into the plan as a LITERAL
+    array — the probe is a pure narrow projection (no join, no
+    shuffle, no broadcast exchange), ~2 KB of plan for the default
+    16384 bits regardless of benchmark size.
+
+    One-sided like every Bloom filter: a gram that IS in the benchmark
+    always hits (no false negatives); false positives bounded by
+    (set_bits/m)^k. All positions are md5-derived, so the DuckDB
+    oracle replays the bit set and every probe exactly (as position-set
+    membership — packing is an execution detail).
+
+    Returns ``(id_col, n_gram_hits, contaminated)`` for EVERY document
+    (n_gram_hits counts the doc's DISTINCT n-grams whose k bits are
+    all set).
+    """
+    words_n = m_bits // 64
+
+    def _norm_toks(col: str) -> str:
+        return f"split(regexp_replace(lower(trim({col})), '\\\\s+', ' '), ' ')"
+
+    def _grams(col: str) -> str:
+        toks = _norm_toks(col)
+        return (
+            f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+            f"i -> array_join(slice({toks}, i + 1, {n}), ' ')))"
+        )
+
+    def _pos(j: int, g: str) -> str:
+        return (
+            f"(cast(conv(substr(md5(concat('{j}:', {g})), 1, 8), 16, 10) as bigint)"
+            f" % {m_bits})"
+        )
+
+    # build: benchmark grams -> distinct bit positions (bounded by
+    # k * |bench grams| <= m_bits distinct values -> driver-safe)
+    bg = benchmark.select(F.explode(F.expr(_grams(text_col))).alias("g"))
+    pos_rows = (
+        bg.select(
+            F.explode(F.array(*[F.expr(_pos(j, "g")) for j in range(k)])).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * words_n
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # int64 two's complement for the literal (bit 63 -> negative long)
+    lit_words = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words]
+    )
+
+    # probe: per doc, count distinct grams with all k bits set — a
+    # single whole-stage-codegen projection over the literal words
+    def _bit(j: int) -> str:
+        return (
+            f"((shiftright(element_at(__w, cast({_pos(j, 'g')} / 64 as int) + 1), "
+            f"cast({_pos(j, 'g')} % 64 as int)) & 1) = 1)"
+        )
+
+    hit = " and ".join(_bit(j) for j in range(k))
+    return (
+        documents.withColumn("__w", lit_words)
+        .select(
+            id_col,
+            F.expr(
+                f"aggregate({_grams(text_col)}, 0, "
+                f"(acc, g) -> acc + (case when {hit} then 1 else 0 end))"
+            )
+            .cast("int")
+            .alias("n_gram_hits"),
+        )
+        .withColumn("contaminated", (F.col("n_gram_hits") > 0).cast("int"))
+    )

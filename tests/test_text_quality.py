@@ -710,3 +710,50 @@ def test_source_shingle_overlap_matches_brute_force(spark):
             if a < b and kept[a] & kept[b]:
                 exp2[(a, b)] = (len(kept[a] & kept[b]), len(kept[a]), len(kept[b]))
     assert got2 == exp2
+
+
+def test_bloom_contamination_matches_python_replay(spark):
+    import hashlib
+
+    from graph_loom_spark.ops.text import bloom_contamination, contamination_flags
+
+    rows = [
+        (0, "one two three four five six seven eight tail"),
+        (1, "one two three four five six seven eight other words here"),
+        (2, "completely different text with no shared grams at all ok"),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = df.filter("doc_id = 0")
+    m, k, n = 16384, 3, 8
+
+    def grams(text):
+        toks = text.lower().strip().split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks[:n])}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def positions(g):
+        return [
+            int(hashlib.md5(f"{j}:{g}".encode()).hexdigest()[:8], 16) % m
+            for j in range(k)
+        ]
+
+    bits = {p for g in grams(rows[0][1]) for p in positions(g)}
+
+    exp = {}
+    for did, text in rows:
+        nh = sum(1 for g in grams(text) if all(p in bits for p in positions(g)))
+        exp[did] = (nh, 1 if nh > 0 else 0)
+
+    got = {
+        r["doc_id"]: (r["n_gram_hits"], r["contaminated"])
+        for r in bloom_contamination(df, bench, n=n, m_bits=m, k=k).collect()
+    }
+    assert got == exp
+    # no false negatives vs the exact semi-join scan
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(df, bench, n=n).collect()
+    }
+    assert all(got[d][1] == 1 for d, c in exact.items() if c)
