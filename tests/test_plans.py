@@ -280,3 +280,40 @@ def test_corpus_report_is_single_aggregate_tree(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
     for bad in ("Join", "Window", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_classifier_is_pure_narrow_scan(spark):
+    # hashed linear classifier: no exchange, no join — one codegen'd
+    # projection over the parquet scan
+    plan = _plan(spark, "docs_classifier")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_has_no_join_or_broadcast_exchange(spark):
+    # the Bloom filter ships as a literal array in the projection: the
+    # probe side must not join, broadcast, or shuffle document data
+    plan = _plan(spark, "docs_bloom_contamination")
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cms_probe_joins_broadcast_grid_with_partial_agg(spark):
+    # the d*w counter grid is the broadcast side; counters are built in
+    # a partial-aggregable groupBy (map-side combine before the tiny
+    # shuffle)
+    plan = _plan(spark, "docs_cms_topk")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_shuffles_shingles_broadcasts_sizes(spark):
+    # pair counts come from the shingle-keyed equi-join; the per-source
+    # size frames are broadcast, and nothing degenerates to cartesian
+    plan = _plan(spark, "docs_source_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
