@@ -329,3 +329,44 @@ def stream_corpus_report(docs: DataFrame) -> DataFrame:
             F.sum("__q").cast("bigint").alias("quality_sum"),
         )
     )
+
+
+def stream_cms_cells(docs: DataFrame, d: int = 4, w: int = 1024) -> DataFrame:
+    """Streaming count-min sketch maintenance — the live form of
+    :func:`graph_loom_spark.ops.relational.count_min_estimate`: the
+    d x w md5 counter grid maintained as an UPDATE-mode streaming
+    aggregation with at most ``d * w`` state rows TOTAL, regardless of
+    stream volume (the whole point of sketching a stream: bounded
+    state where per-token counting grows with the vocabulary).
+
+    Cell-wise counts are incrementally mergeable integers, so
+    stream-after-drain equals the batch grid exactly (stream≡batch
+    pytest), and the drained grid can be probed/merged with any batch
+    grid built by the same (d, w, md5) construction.
+    """
+    tok = docs.select(F.explode(F.split("text", " ")).alias("__v"))
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}:"), F.col("__v"))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % w
+                        ).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("__c")
+    ).select("__c.j", "__c.b")
+    return cells.groupBy("j", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

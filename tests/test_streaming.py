@@ -437,3 +437,39 @@ def test_stream_corpus_report_matches_batch(spark, docs_path):
         for r in ops_text.corpus_report(spark.read.parquet(docs_path)).collect()
     }
     assert got == batch
+
+
+def test_stream_cms_cells_match_batch_grid(spark, docs_path):
+    """The streamed count-min grid (bounded d*w state rows) drained over
+    the full source must equal the batch operator's counter cells
+    exactly — cell-wise counts are incrementally mergeable."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_cms_cells(stream, d=4, w=64), "cms_cells_t", output_mode="complete"
+    )
+    got = {
+        (r["j"], r["b"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_cells_t").collect()
+    }
+    assert len(got) <= 4 * 64
+
+    # batch twin: same construction inline
+    tok = (
+        spark.read.parquet(docs_path)
+        .select(F.explode(F.split("text", " ")).alias("v"))
+    )
+    want = {}
+    for j in range(4):
+        b = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("v"))), 1, 8), 16, 10
+            ).cast("long")
+            % 64
+        )
+        for r in tok.select(b.alias("b")).groupBy("b").count().collect():
+            want[(j, r["b"])] = r["count"]
+    assert got == want
