@@ -191,16 +191,51 @@ def hll_distinct(
     ``(group_cols..., est_distinct, zero_registers)``; est rounded to
     2 digits (ln/division ulps sit far below that).
     """
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """The persistable/mergeable HLL state behind :func:`hll_distinct`:
+    ``(group_cols..., reg_idx, reg_max)`` — one row per non-zero
+    register. This is what a nightly pipeline WRITES (2^p small ints
+    per group, not the values), so tomorrow's run can
+    :func:`hll_merge` yesterday's registers with today's instead of
+    rescanning history."""
     m = 1 << p
     h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
     idx = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftright(h, p)
     width = 60 - p
     rho = F.lit(width + 1) - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
-    regs = (
-        df.select(*group_cols, idx.alias("__i"), rho.alias("__r"))
-        .groupBy(*group_cols, "__i")
-        .agg(F.max("__r").alias("__m"))
+    return (
+        df.select(*group_cols, idx.alias("reg_idx"), rho.alias("__r"))
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("__r").alias("reg_max"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register frames (register max is associative and
+    commutative, so merge-then-estimate equals estimate-of-union
+    EXACTLY — pinned in pytest, not approximately)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 10) -> DataFrame:
+    """Flajolet estimate over a register frame (see
+    :func:`hll_distinct` for the formula and determinism notes)."""
+    m = 1 << p
+    regs = regs.select(
+        *group_cols, F.col("reg_idx").alias("__i"), F.col("reg_max").alias("__m")
     )
     alpha = 0.7213 / (1.0 + 1.079 / float(m))
     per_group = regs.groupBy(*group_cols).agg(
@@ -352,3 +387,14 @@ def count_min_estimate(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
     )
     return est
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min grids of the same (d, w, hash) construction
+    (cell-wise sum — associative/commutative, so a merged grid's
+    estimates equal the single-pass grid's EXACTLY; pinned in pytest).
+    The daily-rollup pattern: persist each day's d*w cells, merge, and
+    probe the union without rescanning history."""
+    return (
+        a.unionByName(b).groupBy("j", "b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

@@ -106,3 +106,77 @@ def test_count_min_estimate_one_sided_and_exact_when_wide(spark):
     # one-sided), 'a' is exact at this width
     assert probed["a"] == 7 and probed["zz"] >= 0
     assert set(probed) == {"a", "zz"}
+
+
+def test_hll_and_cms_merge_equal_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops.relational import (
+        cms_merge,
+        count_min_estimate,
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo, hi = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+
+    # HLL: merge-then-estimate == single-pass estimate, EXACTLY
+    merged = hll_merge(
+        hll_registers(lo, ["source"], "text", p=8),
+        hll_registers(hi, ["source"], "text", p=8),
+        ["source"],
+    )
+    got = {
+        r["source"]: (r["est_distinct"], r["zero_registers"])
+        for r in hll_estimate(merged, ["source"], p=8).collect()
+    }
+    want = {
+        r["source"]: (r["est_distinct"], r["zero_registers"])
+        for r in hll_distinct(docs, ["source"], "text", p=8).collect()
+    }
+    assert got == want and len(want) == 20
+
+    # CMS: merged grids probe identically to the single-pass grid
+    tok = docs.select(F.explode(F.split("text", " ")).alias("v"))
+    tlo = lo.select(F.explode(F.split("text", " ")).alias("v"))
+    thi = hi.select(F.explode(F.split("text", " ")).alias("v"))
+
+    # the two half-grids merged must equal the full-pass grid cell-wise
+    cells_full = {
+        (r["j"], r["b"]): r["cnt"] for r in _cms_cells(spark, tok, 64).collect()
+    }
+    merged_cells = {
+        (r["j"], r["b"]): r["cnt"]
+        for r in cms_merge(_cms_cells(spark, tlo, 64), _cms_cells(spark, thi, 64)).collect()
+    }
+    assert merged_cells == cells_full
+
+
+def _cms_cells(spark, tok, w):
+    # the batch twin of the streaming grid builder (same construction)
+    from pyspark.sql import functions as F
+
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("v"))), 1, 8),
+                                16,
+                                10,
+                            ).cast("long")
+                            % w
+                        ).alias("b"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.b")
+    return cells.groupBy("j", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
