@@ -185,13 +185,30 @@ def weighted_label_propagation(
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     tracked: list = []
+    weights_cached = None
     try:
         idmap = _tracked_checkpoint(
             graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
         )
-        weights = _tracked_checkpoint(
-            _hashed_weights(graph).repartition(parts, "v"), tracked
-        )
+        if n_nodes_total <= broadcast_nodes_max:
+            # broadcast path: comm ships to the join as a broadcast, so
+            # partitioning weights on the join key v buys NOTHING — but
+            # partitioning on u lets BOTH per-round aggregations
+            # (groupBy(u,c) then groupBy(u)) reuse the partitioning:
+            # HashPartitioning(u) satisfies ClusteredDistribution(u,c),
+            # so the whole score→argmax pipeline runs with ZERO
+            # exchanges per round (plan-asserted). persist — NOT
+            # localCheckpoint — because a checkpoint's LogicalRDD drops
+            # outputPartitioning and the aggs would shuffle again.
+            weights = _hashed_weights(graph).repartition(parts, "u").persist()
+            weights.count()  # materialize outside the round loop
+            weights_cached = weights
+        else:
+            # cluster-scale fallback: comm co-shuffles on v, so weights
+            # pre-partitioned on v co-locates the join
+            weights = _tracked_checkpoint(
+                _hashed_weights(graph).repartition(parts, "v"), tracked
+            )
         # comm carries the community label's ORIGINAL STRING id (cstr)
         # alongside the surrogate: the tie-break needs it at argmax
         # time, and riding it through the frame (functionally dependent
@@ -291,6 +308,11 @@ def weighted_label_propagation(
         _free_intermediates(spark, tracked)
         return result
     finally:
+        if weights_cached is not None:
+            try:
+                weights_cached.unpersist()
+            except Exception:
+                pass  # cleanup must never fail the query
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 

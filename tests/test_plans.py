@@ -317,3 +317,36 @@ def test_source_overlap_shuffles_shingles_broadcasts_sizes(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lpa_round_shape_is_exchange_free_over_persisted_weights(spark):
+    # the LPA-round invariant behind analytics.weighted_label_propagation's
+    # broadcast path: weights persisted partitioned by u -> broadcast join
+    # + both aggregations (groupBy(u,c), groupBy(u)) reuse the partitioning,
+    # so a round plans ZERO exchanges outside the cached subtree.
+    # (localCheckpoint would drop outputPartitioning and re-shuffle twice.)
+    from pyspark.sql import functions as F
+
+    w = spark.range(2000).select(
+        (F.col("id") % 100).alias("u"), (F.col("id") % 70).alias("v"), F.lit(1.0).alias("w")
+    )
+    comm = spark.range(70).select(
+        F.col("id").alias("v"), (F.col("id") % 7).alias("c"),
+        F.col("id").cast("string").alias("cstr"),
+    )
+    wp = w.repartition(4, "u").persist()
+    try:
+        wp.count()
+        best = (
+            wp.join(F.broadcast(comm), "v")
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("score"), F.first("cstr").alias("cstr"))
+            .groupBy("u")
+            .agg(F.max("score").alias("m"))
+        )
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        outside_cache = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in outside_cache
+        assert "InMemoryTableScan" in plan
+    finally:
+        wp.unpersist()
