@@ -930,9 +930,15 @@ def pagerank(
         F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
     )
     outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
-    ed = _tracked_checkpoint(
-        edges_h.join(outdeg, "u").repartition("u"), tracked
-    )
+    # persist (NOT localCheckpoint — that drops outputPartitioning)
+    # partitioned by the CONTRIBUTION-AGG key v: the rank side of the
+    # per-iteration join is broadcast, so join-key partitioning buys
+    # nothing, while HashPartitioning(v) lets every iteration's
+    # groupBy(v) reuse the layout — zero exchanges per contrib pass
+    # (same lever as weighted_label_propagation's weights frame).
+    ed_cached = edges_h.join(outdeg, "u").repartition(F.col("v")).persist()
+    ed_cached.count()  # materialize outside the iteration loop
+    ed = ed_cached
     ranks = _tracked_checkpoint(
         idmap.select(
             F.col("iid").alias("nid"),
@@ -988,6 +994,10 @@ def pagerank(
         .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
         .localCheckpoint(eager=True)
     )
+    try:
+        ed_cached.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
     _free_intermediates(spark, tracked)
     return result
 
