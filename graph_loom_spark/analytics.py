@@ -614,14 +614,23 @@ def connected_components(
     parts = int(max(8, (n_nodes + n_edges) // 500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     tracked: list = []
+    adj_cached = None
     try:
         sadj = _directed_adjacency(graph.edges)
-        adj = _tracked_checkpoint(
-            sadj.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v")).repartition(
-                parts, "u"
-            ),
-            tracked,
-        )
+        adj_hashed = sadj.select(
+            F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v")
+        ).repartition(parts, "u")
+        if n_nodes <= broadcast_nodes_max:
+            # persist (NOT localCheckpoint — that drops
+            # outputPartitioning): level 0's groupBy(u) — the single
+            # biggest shuffle of the whole contraction, 2|E| rows —
+            # reuses the u partitioning and plans no exchange (same
+            # lever as the LPA weights frame)
+            adj_cached = adj_hashed.persist()
+            adj_cached.count()  # materialize before the timed levels
+            adj = adj_cached
+        else:
+            adj = _tracked_checkpoint(adj_hashed, tracked)
         idmap = _tracked_checkpoint(
             graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
         )
@@ -641,13 +650,17 @@ def connected_components(
                 tracked,
             )
             levels.append(m)
+            # repartition BEFORE distinct: HashPartitioning(u) satisfies
+            # distinct's ClusteredDistribution(u, v), so the dedup
+            # reuses the exchange instead of adding a second (u,v)
+            # shuffle per level; the materialized blocks stay u-keyed
             contracted = _tracked_checkpoint(
                 cur.join(bcast(m.select("u", F.col("m").alias("__mu"))), "u")
                 .join(bcast(m.select(F.col("u").alias("v"), F.col("m").alias("__mv2"))), "v")
                 .select(F.col("__mu").alias("u"), F.col("__mv2").alias("v"))
                 .filter(F.col("u") != F.col("v"))
-                .distinct()
-                .repartition("u"),
+                .repartition("u")
+                .distinct(),
                 tracked,
             )
             cur = contracted
@@ -691,6 +704,11 @@ def connected_components(
         _free_intermediates(spark, tracked)
         return result
     finally:
+        if adj_cached is not None:
+            try:
+                adj_cached.unpersist()
+            except Exception:
+                pass  # cleanup must never fail the query
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
