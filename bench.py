@@ -238,9 +238,14 @@ def main() -> None:
     ]
     for name in ab_names:
         runs = [timings[name]]
-        # bound the A/B wall cost: a >20 s iterative query gets one
-        # rerun (n=2), cheap ones two (n=3)
-        for _ in range(1 if timings[name] > 20 else 2):
+        # bound the A/B wall cost: two reruns (n=3) for everything up to
+        # 60 s. n=2 proved too few for the iterative graph queries —
+        # their same-session spread is ±60% (GC/broadcast churn; r6
+        # idle-box evidence: LPA 18.0/24.9/29.8 s back-to-back, and the
+        # r6 driver bench recorded LPA min 39.8 from an unlucky pair
+        # while three solo runs floored at 18 s), so min-of-3 is the
+        # cheapest estimate that reliably tracks plan cost.
+        for _ in range(1 if timings[name] > 60 else 2):
             _drop_persisted_blocks(spark)
             try:  # a memoized rerun would time a cache hit, not the query
                 entry.reset_memo(name)
