@@ -225,13 +225,34 @@ def weighted_label_propagation(
         )
         # The (iid, community) frame is 16 bytes/node. While it fits an
         # executor broadcast (≤ broadcast_nodes_max nodes ≈ 80 MB), hint
-        # it explicitly on BOTH per-round joins: AQE does eventually
-        # convert the score join to broadcast, but only after paying the
-        # comm-side exchange stages — measured 7.6-8.7 s vs 2.0-2.8 s
-        # per round at sf0.1. Past the threshold (cluster-scale |V|) the
-        # rounds fall back to the plain co-shuffled joins.
+        # it explicitly on the per-round score join (and the probe
+        # joins): AQE does eventually convert it to broadcast, but only
+        # after paying the comm-side exchange stages — measured
+        # 7.6-8.7 s vs 2.0-2.8 s per round at sf0.1. Past the threshold
+        # (cluster-scale |V|) the rounds fall back to the plain
+        # co-shuffled joins.
         bcast = (
             F.broadcast if n_nodes_total <= broadcast_nodes_max else (lambda df: df)
+        )
+        # Nodes with NO incoming weights rows never appear in a round's
+        # argmax, so they keep their initial self-community forever.
+        # Computing that set ONCE lets each round build the next
+        # assignment as argmax-output ∪ this static frame instead of a
+        # left join of the full previous assignment against a broadcast
+        # of the argmax output — one fewer |V|-row broadcast build
+        # (driver collect + 24 MB serialize) and one fewer |V|-row join
+        # scan per round (measured at sf0.1: 8 rounds 15.0 s → 12.5 s,
+        # bit-identical assignments).
+        # the distinct reuses the persisted weights' u-partitioning
+        # (exchange-free) and its result broadcasts into the anti-join,
+        # so the iso build adds no new shuffle
+        iso = _tracked_checkpoint(
+            comm.join(
+                bcast(weights.select(F.col("u").alias("id")).distinct()),
+                "id",
+                "left_anti",
+            ),
+            tracked,
         )
         for it in range(max_iter):
             # (u, c, score) via one shuffle; cstr rides along (first()
@@ -269,30 +290,29 @@ def weighted_label_propagation(
                 )
                 .select(
                     F.col("u").alias("id"),
-                    F.col("__b.c").alias("new_community"),
-                    F.col("__b.cs").alias("new_cstr"),
+                    F.col("__b.c").alias("community"),
+                    F.col("__b.cs").alias("cstr"),
                 )
             )
-            nxt = _tracked_checkpoint(
-                comm.join(bcast(best), "id", "left").select(
-                    "id",
-                    F.coalesce("new_community", "community").alias("community"),
-                    F.coalesce("new_cstr", "cstr").alias("cstr"),
-                    (F.coalesce("new_community", "community") != F.col("community")).alias(
-                        "__chg"
-                    ),
-                ),
-                tracked,
-            )
-            comm = nxt.drop("__chg")
+            prev = comm
+            comm = _tracked_checkpoint(best.unionByName(iso), tracked)
             # Convergence probe every 2nd round only (and never on the
             # last, where the loop ends anyway): rounds past the fixpoint
-            # are no-ops, so the worst case is one wasted round, and each
-            # probe is a short-circuiting limit-1 scan (isEmpty) over the
-            # pinned blocks instead of the full count this used to pay
-            # every single round — up to 4 fewer jobs per LPA run.
+            # are no-ops, so the worst case is one wasted round. The
+            # probe is an exact new-vs-old comparison (a broadcast join
+            # of the two pinned |V|-row frames, isEmpty short-circuits)
+            # — exact, unlike a fingerprint compare, which could stop
+            # before the fixpoint on a hash collision.
             if it % 2 == 1 and it < max_iter - 1:
-                if nxt.filter(F.col("__chg")).isEmpty():
+                changed = comm.join(
+                    bcast(
+                        prev.select(
+                            "id", F.col("community").alias("__old")
+                        )
+                    ),
+                    "id",
+                ).filter(F.col("community") != F.col("__old"))
+                if changed.isEmpty():
                     break
         # surrogate → string id, for both the node and its community
         # label (every community label is some node's surrogate); pin the
@@ -971,13 +991,33 @@ def pagerank(
         tracked,
     )
     # The rank frame is 16 bytes/node — while it fits an executor
-    # broadcast, hint it on BOTH per-iteration joins (the contrib join
-    # against the big pinned edge frame, and the update join). Same
-    # lever and threshold as weighted_label_propagation: AQE would
-    # convert these eventually but only after paying the exchange
-    # stages on the data-sized side every iteration.
+    # broadcast, hint it on the contrib join against the big pinned
+    # edge frame. Same lever and threshold as
+    # weighted_label_propagation: AQE would convert it eventually but
+    # only after paying the exchange stages on the data-sized side
+    # every iteration.
     bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+    # Nodes with NO in-edges never receive contributions, so their
+    # update is the closed form base + d·(dm/N) every iteration.
+    # Computing that static set ONCE (distinct v reuses the persisted
+    # edge frame's v-partitioning — exchange-free) lets each iteration
+    # build the next rank frame as contrib ∪ noin instead of
+    # left-joining the full previous frame against a |V|-row broadcast
+    # of contrib — one fewer |V|-row broadcast build and one fewer
+    # |V|-row join scan per iteration (same measured lever as the LPA
+    # round restructure: 8 LPA rounds 15.0 s → 12.5 s at sf0.1).
+    noin = _tracked_checkpoint(
+        idmap.select(F.col("iid").alias("nid")).join(
+            bcast(ed.select(F.col("v").alias("nid")).distinct()), "nid", "left_anti"
+        ),
+        tracked,
+    )
     base = ((100 - dn) * scale) // (100 * n_nodes)
+    update_expr = F.expr(
+        f"cast({base} as bigint) + "
+        f"({dn} * (coalesce(__in, cast(0 as bigint)) + __dm div {n_nodes}))"
+        " div 100"
+    ).alias("r")
     for _ in range(iters):
         contrib = (
             ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
@@ -988,22 +1028,19 @@ def pagerank(
         # dangling mass folded into the plan as a broadcast 1-row
         # aggregate (same pattern as the layout COM broadcast) — a
         # driver-side collect here cost an extra action + job per
-        # iteration for a single long
+        # iteration for a single long. The BUILT side is the small
+        # static dangling set, not the |V|-row rank frame.
         dmass_df = (
-            dangling.join(bcast(ranks), "nid")
+            ranks.join(bcast(dangling), "nid")
             .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("__dm"))
         )
         ranks = _tracked_checkpoint(
-            ranks.select("nid")
-            .join(bcast(contrib), "nid", "left")
-            .crossJoin(F.broadcast(dmass_df))
-            .select(
-                "nid",
-                F.expr(
-                    f"cast({base} as bigint) + "
-                    f"({dn} * (coalesce(__in, cast(0 as bigint)) + __dm div {n_nodes}))"
-                    " div 100"
-                ).alias("r"),
+            contrib.crossJoin(F.broadcast(dmass_df))
+            .select("nid", update_expr)
+            .unionByName(
+                noin.withColumn("__in", F.lit(None).cast("long"))
+                .crossJoin(F.broadcast(dmass_df))
+                .select("nid", update_expr)
             ),
             tracked,
         )
