@@ -892,17 +892,27 @@ def bfs_distances(
     )
     frontier = visited.select("n")
     n_frontier = frontier.count()
+    n_visited = n_frontier
     depth = 0
     while n_frontier > 0 and depth < max_depth:
         depth += 1
         bcast = (
             F.broadcast if n_frontier <= broadcast_frontier_max else (lambda df: df)
         )
+        # the visited set is bounded by |V|; while it fits the same
+        # broadcast budget, hint it so the dedup anti-join is map-side
+        # too — otherwise every level pays an O(|visited|) shuffle that
+        # grows toward O(|V|) at the deep levels (AQE can't see the
+        # size of a union of checkpoints). Past the budget both sides
+        # fall back to the co-shuffled anti-join.
+        vcast = (
+            F.broadcast if n_visited <= broadcast_frontier_max else (lambda df: df)
+        )
         new = _tracked_checkpoint(
             adj.join(bcast(frontier.select(F.col("n").alias("u"))), "u")
             .select(F.col("v").alias("n"))
             .distinct()
-            .join(visited.select("n"), "n", "left_anti")
+            .join(vcast(visited.select("n")), "n", "left_anti")
             .select("n", F.lit(depth).cast("int").alias("d")),
             tracked,
         )
@@ -914,6 +924,7 @@ def bfs_distances(
         # the level count and no extra job is paid per level re-pinning
         # the union itself
         visited = visited.unionAll(new)
+        n_visited += n_frontier
         frontier = new.select("n")
     result = (
         visited.join(idmap, "n")

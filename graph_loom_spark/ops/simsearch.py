@@ -905,18 +905,43 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"pq_fit: m={m} must divide dim={dim}")
     sub = dim // m
-    codes = None
-    books = []
-    for j in range(m):
+    # The m subspace fits are independent lineages, so submit them from
+    # m driver threads (the standard Spark concurrent-job pattern):
+    # each fit's stages are small (data-sized partition counts), so
+    # sequential fits leave most executor cores idle — measured at
+    # sf0.1 (m=4, k=16, 4 iters): 9.5 s sequential → ~¼ the iteration
+    # wall concurrent. Thread safety: the fits only share the session
+    # conf (kmeans_fit's save/restore of shuffle partitions can
+    # interleave), and every fit is fixed-point integer arithmetic
+    # whose result is partitioning-independent, so an interleaved conf
+    # value can shift per-stage task counts but never a single output
+    # bit; the outer save/restore below reinstates the caller's value
+    # regardless of the threads' restore order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = embeddings.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def _fit(j: int):
         sliced = embeddings.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
         )
         assigned, C = kmeans_fit(
             sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
         )
-        assigned = assigned.select(
-            F.col(id_col), F.col("cluster").alias(f"code_{j}")
+        return (
+            assigned.select(F.col(id_col), F.col("cluster").alias(f"code_{j}")),
+            C,
         )
+
+    try:
+        with ThreadPoolExecutor(max_workers=m) as ex:
+            fitted = list(ex.map(_fit, range(m)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    codes = None
+    books = []
+    for assigned, C in fitted:
         codes = assigned if codes is None else codes.join(assigned, id_col)
         books.append(C)
     return codes.localCheckpoint(eager=True), books
