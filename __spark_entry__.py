@@ -77,7 +77,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -107,6 +107,7 @@ def reset_caches() -> None:
         _COOC_CACHE,
         _PQ_CACHE,
         _MINHASH_CACHE,
+        _MINHASH_SIG_CACHE,
     ):
         cache.clear()
 
@@ -115,28 +116,30 @@ def reset_memo(name: str) -> None:
     """Drop the result memo behind one query so a timing harness can
     re-measure its full computation (a memoized rerun times a cache
     hit). Queries without a memo are a no-op."""
-    {
-        "graph_lpa": _LPA_CACHE,
+    for cache in {
+        "graph_lpa": [_LPA_CACHE],
         # community_density consumes the LPA memo, density_components the
         # components memo — resetting the consumer must drop the producer
         # frame too, or a per-query-invalidation harness keeps timing a
         # cache hit
-        "graph_community_density": _LPA_CACHE,
-        "graph_components": _COMP_CACHE,
-        "graph_density_components": _COMP_CACHE,
-        "docs_minhash_pairs": _MINHASH_CACHE,
-        "docs_minhash_clusters": _MINHASH_CACHE,
-        "docs_minhash_rescored": _MINHASH_CACHE,
-        "docs_ngram_jaccard": _JACCARD_CACHE,
-        "docs_dedup_clusters": _JACCARD_CACHE,
-        "docs_winnow": _WINNOW_CACHE,
-        "docs_winnow_pairs": _WINNOW_CACHE,
-        "emb_ivf_topk": _IVF_CACHE,
-        "emb_pq_topk": _PQ_CACHE,
-        "graph_triangles": _COOC_CACHE,
-        "graph_bfs": _COOC_CACHE,
-        "graph_kcore": _COOC_CACHE,
-    }.get(name, {}).clear()
+        "graph_community_density": [_LPA_CACHE],
+        "graph_components": [_COMP_CACHE],
+        "graph_density_components": [_COMP_CACHE],
+        "docs_minhash_pairs": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
+        "docs_minhash_clusters": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
+        "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
+        "docs_pipeline_funnel": [_MINHASH_SIG_CACHE],
+        "docs_ngram_jaccard": [_JACCARD_CACHE],
+        "docs_dedup_clusters": [_JACCARD_CACHE],
+        "docs_winnow": [_WINNOW_CACHE],
+        "docs_winnow_pairs": [_WINNOW_CACHE],
+        "emb_ivf_topk": [_IVF_CACHE],
+        "emb_pq_topk": [_PQ_CACHE],
+        "graph_triangles": [_COOC_CACHE],
+        "graph_bfs": [_COOC_CACHE],
+        "graph_kcore": [_COOC_CACHE],
+    }.get(name, []):
+        cache.clear()
 
 
 def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +744,20 @@ def _q_emb_sq_topk(spark, sf_dir):
 
 
 _MINHASH_CACHE: dict[str, DataFrame] = {}
+# full-corpus md5 MinHash signatures per sf_dir: a doc's signature
+# depends only on its own text, so any subset pipeline (the funnel's
+# post-dedup near-dedup stage) can semi-join these instead of re-paying
+# the md5-per-shingle scan — the dominant minhash cost
+_MINHASH_SIG_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    cached = _MINHASH_SIG_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _MINHASH_SIG_CACHE[sf_dir] = ops_dedup.minhash_signatures_md5(
+            _t(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _MINHASH_SIG_CACHE[sf_dir]
 
 
 def _minhash_pairs(spark, sf_dir) -> DataFrame:
@@ -748,9 +765,8 @@ def _minhash_pairs(spark, sf_dir) -> DataFrame:
     # same memo rule as _jaccard_pairs
     cached = _MINHASH_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached):
-        sigs = ops_dedup.minhash_signatures_md5(_t(spark, sf_dir, "documents"))
         _MINHASH_CACHE[sf_dir] = ops_dedup.minhash_lsh_pairs(
-            sigs, threshold=0.3, band_hash="md5"
+            _minhash_sigs(spark, sf_dir), threshold=0.3, band_hash="md5"
         ).localCheckpoint(eager=True)
     return _MINHASH_CACHE[sf_dir]
 
@@ -893,8 +909,11 @@ def _q_docs_pipeline_funnel(spark, sf_dir):
     ex = (
         ops_dedup.exact_dedup(qd, ["text"]).select("doc_id").localCheckpoint(eager=False)
     )
-    exd = docs.join(ex, "doc_id", "left_semi")
-    sigs = ops_dedup.minhash_signatures_md5(exd)
+    # a doc's MinHash signature is independent of the rest of the
+    # corpus, so the near-dedup stage semi-joins the memoized
+    # full-corpus signatures down to the surviving ids instead of
+    # re-running the md5-per-shingle scan on the subset
+    sigs = _minhash_sigs(spark, sf_dir).join(ex, "doc_id", "left_semi")
     pairs = ops_dedup.minhash_lsh_pairs(sigs, threshold=0.5, band_hash="md5")
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = ex.join(dropped, "doc_id", "left_anti")
