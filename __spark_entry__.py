@@ -42,6 +42,10 @@ _COOC_CACHE: dict[str, DataFrame] = {}
 # (codes frame, codebook list) per sf_dir — the PQ index fit is
 # deterministic (m fixed-point subspace k-means), same memo rule as IVF
 _PQ_CACHE: dict[str, tuple] = {}
+# k=8/iters=10 full-embedding k-means assignment per sf_dir — the
+# identical fit emb_kmeans and emb_semdedup each ran; deterministic
+# (fixed-point integer Lloyd's), so sharing it is bit-exact
+_KM8_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -77,7 +81,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _KM8_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -108,6 +112,7 @@ def reset_caches() -> None:
         _PQ_CACHE,
         _MINHASH_CACHE,
         _MINHASH_SIG_CACHE,
+        _KM8_CACHE,
     ):
         cache.clear()
 
@@ -135,6 +140,8 @@ def reset_memo(name: str) -> None:
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
+        "emb_kmeans": [_KM8_CACHE],
+        "emb_semdedup": [_KM8_CACHE],
         "graph_triangles": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -546,15 +553,26 @@ def _q_docs_pii(spark, sf_dir):
     return ops_text.pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def _km8(spark, sf_dir) -> DataFrame:
+    # shared k=8/iters=10 assignment for emb_kmeans + emb_semdedup
+    cached = _KM8_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _KM8_CACHE[sf_dir] = ops_sim.kmeans(
+            _t(spark, sf_dir, "embeddings"), k=8, iters=10
+        ).localCheckpoint(eager=True)
+    return _KM8_CACHE[sf_dir]
+
+
 def _q_emb_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means cluster summary (size + min member id
     per cluster), in fixed-point integer arithmetic — quantized
     coordinates, exact int64 distances, floor-division means — so the
     DuckDB oracle replays every iteration exactly (was rows-only in the
     float form); also exact vs a pure-integer replay in
-    tests/test_no_oracle_checks.py."""
+    tests/test_no_oracle_checks.py. The fit is memoized per sf_dir and
+    shared with emb_semdedup (identical parameters, deterministic)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ops_sim.kmeans_summary(emb, k=8, iters=10)
+    return ops_sim.kmeans_summary(emb, k=8, iters=10, assigned=_km8(spark, sf_dir))
 
 
 def _q_emb_pca(spark, sf_dir):
@@ -578,9 +596,14 @@ def _q_emb_semdedup(spark, sf_dir):
     at the cosine 99th percentile so the drop set is non-trivial).
     Fixed-point k-means + round-to-4 cosine thresholding make the whole
     pipeline reproducible — the DuckDB oracle replays it end to end
-    (was rows-only); also exact vs a numpy brute-force in pytest."""
+    (was rows-only); also exact vs a numpy brute-force in pytest. The
+    k-means fit is memoized per sf_dir and shared with emb_kmeans."""
     return ops_sim.semdedup(
-        _t(spark, sf_dir, "embeddings"), k=8, iters=10, threshold=0.3
+        _t(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=10,
+        threshold=0.3,
+        assigned=_km8(spark, sf_dir),
     )
 
 

@@ -662,11 +662,16 @@ def kmeans_summary(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster sizes + members' min id per cluster — the stable summary
     shape for the entry query (sizes are exact integers; min id pins the
-    clustering itself, not just its histogram)."""
-    assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    clustering itself, not just its histogram). Pass ``assigned`` (a
+    ``(vec_id, cluster)`` frame from a prior identical-parameter
+    :func:`kmeans`) to skip the fit — it is deterministic, so a caller
+    sharing one fit across operators gets bit-identical results."""
+    if assigned is None:
+        assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("size"), F.min(id_col).alias("min_id")
     )
@@ -754,6 +759,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
@@ -770,9 +776,11 @@ def semdedup(
     distinct projection of the losing ids. Clustering reuses
     :func:`kmeans` (fully distributed, deterministic — no RNG, rounded
     centroids), so the whole operator is exactly reproducible; the pytest
-    oracle recomputes it brute-force in numpy.
+    oracle recomputes it brute-force in numpy. ``assigned`` injects a
+    prior identical-parameter fit (see :func:`kmeans_summary`).
     """
-    assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        assigned = kmeans(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     vecs = embeddings.select(id_col, vec_col).join(assigned, id_col).select(
         F.col(id_col).alias("__id"),
         F.col("cluster"),
