@@ -838,11 +838,20 @@ def trigram_logprob(
             )
         ).alias("__t"),
     ).select(id_col, F.col("__t"), F.substring("__t", 1, 2).alias("__b"))
+    # ONE corpus explosion builds the model: bigram-context counts are
+    # the trigram counts summed by 2-char prefix (every 3-char window's
+    # context is its own prefix), and the vocabulary is the distinct
+    # chars of the distinct trigrams (every char of a length-≥3 doc sits
+    # inside at least one window) — both derived from the tiny
+    # (≤ alphabet³)-row tri_counts frame instead of re-exploding the
+    # normalized corpus. Identical integers, two fewer full scans.
     tri_counts = tri.groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
-    bi_counts = tri.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
-    # vocabulary = distinct characters of the normalized corpus
+    tri_counts = tri_counts.localCheckpoint(eager=False)
+    bi_counts = tri_counts.groupBy(
+        F.substring("__t", 1, 2).alias("__b")
+    ).agg(F.sum("__ct").alias("__cb"))
     v = (
-        base.select(F.explode(F.split("__n", "")).alias("__c"))
+        tri_counts.select(F.explode(F.split("__t", "")).alias("__c"))
         .filter(F.col("__c") != "")
         .agg(F.count_distinct("__c").alias("__v"))
         .collect()[0]["__v"]
