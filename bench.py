@@ -63,14 +63,6 @@ def _drop_persisted_blocks(spark) -> None:
 # never be correctness-green but perf-blind. Keep the heavy iterative
 # graph queries last so their block churn can't inflate earlier rows.
 _BENCH_LAST = [
-    # LPA first inside the fresh graph JVM: it is the most
-    # aging-sensitive query in the suite (8 rounds × per-round broadcast
-    # builds; r6 idle-box spread 27-58 s at the group tail vs an 18 s
-    # solo floor), so it gets the cleanest slot; the wedge/peel/flood
-    # queries tolerate an aged session far better. community_density
-    # follows immediately to consume the LPA memo while it is warm.
-    "graph_lpa",
-    "graph_community_density",
     "graph_triangles",
     "graph_bfs",
     "graph_degrees",
@@ -78,7 +70,18 @@ _BENCH_LAST = [
     "graph_pagerank",
     "graph_components",
     "graph_density_components",
+    "graph_lpa",
+    "graph_community_density",
 ]
+
+# Queries that get a brand-new JVM immediately before them. Both ends
+# of the graph group are aging-sensitive: triangles degrades 9 → 19 s
+# when it follows LPA's rounds, and LPA itself runs 27-58 s at the
+# group tail vs an 18 s solo floor — an A/B of the two orderings showed
+# whichever query runs in the aged slot loses, so the two heaviest
+# each get a clean session (~10 s untimed startup apiece, repaid
+# several times over in the timed numbers).
+_RESTART_BEFORE = {"graph_triangles", "graph_lpa"}
 
 
 def bench_query_names(qs: dict) -> list[str]:
@@ -200,14 +203,14 @@ def main() -> None:
         return fresh
 
     timings: dict[str, float] = {}
-    restarted = False
+    restarts = set(_RESTART_BEFORE)
     for i, name in enumerate(bench_queries):
         fn = qs.get(name)
         if fn is None:
             continue
-        if not restarted and name in _BENCH_LAST:
+        if name in restarts:
             spark = _fresh_session(spark)
-            restarted = True
+            restarts.discard(name)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
