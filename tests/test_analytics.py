@@ -60,6 +60,24 @@ def test_weighted_lpa_two_cliques(spark):
     assert len(b_comms) == 1
 
 
+def test_weighted_lpa_isolated_node_keeps_own_community(spark):
+    # a node with no edges never appears in the per-round argmax; the
+    # union-with-static-iso round shape must still emit it every round
+    # with its own id as the community (regression for the r6 round
+    # restructure that replaced the left-join-keeps-previous path)
+    nodes = [("X", {"name": n}) for n in ["a", "b", "c"]]
+    edges = [("a", "b", "R", {})]
+    g, nid = _graph(spark, nodes, edges)
+    comm = {r["id"]: r["community"] for r in analytics.weighted_label_propagation(g).collect()}
+    assert set(comm) == {nid["a"], nid["b"], nid["c"]}
+    assert comm[nid["c"]] == nid["c"]  # isolated → its own community
+    # (no assertion on a/b's labels: a single-edge pair oscillates under
+    # synchronous LPA — each adopts the other's label every round — so
+    # their final labels depend only on max_iter's parity)
+    assert comm[nid["a"]] in (nid["a"], nid["b"])
+    assert comm[nid["b"]] in (nid["a"], nid["b"])
+
+
 def test_community_density(spark):
     # triangle = density 1.0 (3 internal edges / 3 possible pairs)
     nodes = [("X", {"name": n}) for n in ["a", "b", "c"]]
