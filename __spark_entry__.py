@@ -521,6 +521,16 @@ def _q_docs_trigram_lp(spark, sf_dir):
     return ops_text.trigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy data selection (in-domain 'src0' LM vs
+    rest-of-corpus LM, add-1 char trigrams) — integer model counts, two
+    rounded means, score = difference of the rounded means;
+    oracle-exact."""
+    return ops_text.moore_lewis_score(
+        _t(spark, sf_dir, "documents"), in_domain_source="src0"
+    )
+
+
 def _q_docs_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training, 20 merges in batches of 8
     symbol-disjoint merges per count round (the production batching —
@@ -1212,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_classifier": _q_docs_classifier,
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_bloom_contamination": _q_docs_bloom_contamination,
+        "docs_moore_lewis": _q_docs_moore_lewis,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2599,6 +2610,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.nh, 0) AS INTEGER) AS n_gram_hits, "
             "CAST(CASE WHEN COALESCE(h.nh, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) "
             "AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # Moore-Lewis: both LMs' counts are exact integers (one trigram
+        # frame tagged in/out-of-domain); per-model vocab = distinct
+        # chars of the trigrams that model saw. Two means rounded to 6,
+        # score = difference of the ROUNDED means — identical doubles in
+        # both engines (same argument as docs_trigram_lp).
+        "docs_moore_lewis": (
+            "WITH b3 AS MATERIALIZED (SELECT doc_id, ind, n FROM ("
+            "SELECT doc_id, (source = 'src0') AS ind, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n "
+            "FROM documents) WHERE length(n) >= 3), "
+            "tri AS MATERIALIZED (SELECT doc_id, ind, "
+            "unnest([substr(n, i, 3) for i in generate_series(1, length(n) - 2)]) "
+            "AS t FROM b3), "
+            "tc AS MATERIALIZED (SELECT t, "
+            "sum(CASE WHEN ind THEN 1 ELSE 0 END) AS ci, "
+            "sum(CASE WHEN ind THEN 0 ELSE 1 END) AS co FROM tri GROUP BY t), "
+            "bc AS MATERIALIZED (SELECT substr(t, 1, 2) AS bi, "
+            "sum(ci) AS cbi, sum(co) AS cbo FROM tc GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT CASE WHEN ci > 0 THEN c END) AS vi, "
+            "count(DISTINCT CASE WHEN co > 0 THEN c END) AS vo FROM ("
+            "SELECT ci, co, unnest([t[i:i] for i in generate_series(1, 3)]) AS c "
+            "FROM tc) WHERE c <> ''), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+            "round(avg(ln((CAST(ci AS DOUBLE) + 1.0) / "
+            "(CAST(cbi AS DOUBLE) + 1.0 * v.vi))), 6) AS avg_lp_in, "
+            "round(avg(ln((CAST(co AS DOUBLE) + 1.0) / "
+            "(CAST(cbo AS DOUBLE) + 1.0 * v.vo))), 6) AS avg_lp_out "
+            "FROM (SELECT doc_id, t, substr(t, 1, 2) AS bi FROM tri) tr "
+            "JOIN tc USING (t) JOIN bc USING (bi) CROSS JOIN v "
+            "GROUP BY doc_id, v.vi, v.vo) "
+            "SELECT doc_id, n_trigrams, avg_lp_in, avg_lp_out, "
+            "round(avg_lp_in - avg_lp_out, 6) AS ml_score FROM agg"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

@@ -871,6 +871,104 @@ def trigram_logprob(
     )
 
 
+def moore_lewis_score(
+    documents: DataFrame,
+    in_domain_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy data selection (Moore & Lewis, ACL
+    2010): score every document by ``avg_lp_in - avg_lp_out`` — its mean
+    add-k char-trigram log-likelihood under an LM trained on the
+    in-domain subset (``source == in_domain_source``) minus the same
+    under an LM trained on the rest of the corpus. High scores mark
+    text that looks like the target domain but not like the general
+    crawl — the classic selection signal for domain-matched training
+    subsets. Returns ``(doc_id, n_trigrams, avg_lp_in, avg_lp_out,
+    ml_score)``; means rounded to 6 digits, the score is the difference
+    of the ROUNDED means (so both engines subtract identical doubles).
+
+    Shape: ONE corpus explosion feeds both models — the trigram frame
+    carries an in-domain flag, so a single partial-aggregable groupBy
+    yields per-trigram (in, out) count pairs, and the bigram contexts +
+    per-model vocab sizes are derived from that ≤ alphabet³-row frame
+    rather than re-exploding. Scoring joins the broadcast model frame
+    back to the corpus trigrams once; everything else is codegen'd
+    expressions. Per-model add-k smoothing handles trigrams the other
+    model never saw (count 0 contributes ``ln(k / (cb + k·V))``).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = documents.select(
+        F.col(id_col),
+        (F.col(source_col) == in_domain_source).alias("__in"),
+        norm.alias("__n"),
+    ).filter(F.length("__n") >= 3)
+    tri = base.select(
+        id_col,
+        "__in",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__n") - 2),
+                lambda i: F.substring(F.col("__n"), i, 3),
+            )
+        ).alias("__t"),
+    )
+    tc = (
+        tri.groupBy("__t")
+        .agg(
+            F.sum(F.when(F.col("__in"), 1).otherwise(0)).alias("__ci"),
+            F.sum(F.when(F.col("__in"), 0).otherwise(1)).alias("__co"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bc = tc.groupBy(F.substring("__t", 1, 2).alias("__b")).agg(
+        F.sum("__ci").alias("__cbi"), F.sum("__co").alias("__cbo")
+    )
+    # Per-model vocab = distinct chars of the trigrams that model saw;
+    # two scalar aggregates over the tiny model frame.
+    chars = tc.select(
+        "__ci", "__co", F.explode(F.split("__t", "")).alias("__c")
+    ).filter(F.col("__c") != "")
+    vrow = chars.agg(
+        F.count_distinct(F.when(F.col("__ci") > 0, F.col("__c"))).alias("vi"),
+        F.count_distinct(F.when(F.col("__co") > 0, F.col("__c"))).alias("vo"),
+    ).collect()[0]
+    vi, vo = float(vrow["vi"]), float(vrow["vo"])
+    if vi == 0.0:
+        raise ValueError(
+            f"moore_lewis_score: no in-domain text for source "
+            f"{in_domain_source!r} (in-domain LM is empty)"
+        )
+    if vo == 0.0:
+        raise ValueError(
+            "moore_lewis_score: no out-of-domain text (general LM is empty)"
+        )
+    lp_in = F.log(
+        (F.col("__ci").cast("double") + add_k)
+        / (F.col("__cbi").cast("double") + add_k * vi)
+    )
+    lp_out = F.log(
+        (F.col("__co").cast("double") + add_k)
+        / (F.col("__cbo").cast("double") + add_k * vo)
+    )
+    scored = (
+        tri.withColumn("__b", F.substring("__t", 1, 2))
+        .join(F.broadcast(tc), "__t")
+        .join(F.broadcast(bc), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(lp_in), 6).alias("avg_lp_in"),
+            F.round(F.avg(lp_out), 6).alias("avg_lp_out"),
+        )
+    )
+    return scored.withColumn(
+        "ml_score", F.round(F.col("avg_lp_in") - F.col("avg_lp_out"), 6)
+    )
+
+
 def compression_ratio(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
 ) -> DataFrame:

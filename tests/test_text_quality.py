@@ -374,6 +374,37 @@ def test_trigram_logprob_exact_tiny(spark):
     assert out[1]["avg_logprob"] == exp1
 
 
+def test_moore_lewis_exact_tiny(spark):
+    import math
+
+    import pytest as _pytest
+
+    rows = [(0, "ababa", "A"), (1, "abxyz", "B")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.moore_lewis_score(df, in_domain_source="A").collect()
+    }
+    # in-domain (A) trigrams: aba=2, bab=1 -> contexts ab=2, ba=1, V_in={a,b}=2
+    # out-of-domain (B) trigrams: abx=1, bxy=1, xyz=1 -> contexts ab=1,
+    #   bx=1, xy=1, V_out={a,b,x,y,z}=5
+    lp = lambda c, cb, v: math.log((c + 1.0) / (cb + v))
+    d0_in = round((2 * lp(2, 2, 2.0) + lp(1, 1, 2.0)) / 3, 6)
+    d0_out = round((2 * lp(0, 1, 5.0) + lp(0, 0, 5.0)) / 3, 6)
+    d1_in = round((lp(0, 2, 2.0) + 2 * lp(0, 0, 2.0)) / 3, 6)
+    d1_out = round((2 * lp(1, 1, 5.0) + lp(1, 1, 5.0)) / 3, 6)
+    assert out[0]["n_trigrams"] == 3 and out[1]["n_trigrams"] == 3
+    assert out[0]["avg_lp_in"] == d0_in and out[0]["avg_lp_out"] == d0_out
+    assert out[1]["avg_lp_in"] == d1_in and out[1]["avg_lp_out"] == d1_out
+    # the in-domain doc scores above the out-of-domain doc
+    assert out[0]["ml_score"] == round(d0_in - d0_out, 6)
+    assert out[1]["ml_score"] == round(d1_in - d1_out, 6)
+    assert out[0]["ml_score"] > out[1]["ml_score"]
+    # empty in-domain subset is an error, not a silent empty frame
+    with _pytest.raises(ValueError, match="no in-domain"):
+        ops_text.moore_lewis_score(df, in_domain_source="Z")
+
+
 def test_compression_ratio_matches_zlib(spark):
     import zlib
 
