@@ -531,6 +531,16 @@ def _q_docs_moore_lewis(spark, sf_dir):
     )
 
 
+def _q_docs_dsir(spark, sf_dir):
+    """DSIR importance weights (hashed unigram+bigram buckets, target
+    'src0' distribution vs the whole corpus, add-1 smoothing) —
+    md5-bucketed integer counts, one rounded per-doc sum;
+    oracle-exact."""
+    return ops_text.dsir_log_weight(
+        _t(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
 def _q_docs_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training, 20 merges in batches of 8
     symbol-disjoint merges per count round (the production batching —
@@ -1223,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_bloom_contamination": _q_docs_bloom_contamination,
         "docs_moore_lewis": _q_docs_moore_lewis,
+        "docs_dsir": _q_docs_dsir,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2643,6 +2654,30 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id, v.vi, v.vo) "
             "SELECT doc_id, n_trigrams, avg_lp_in, avg_lp_out, "
             "round(avg_lp_in - avg_lp_out, 6) AS ml_score FROM agg"
+        ),
+        # DSIR: md5-bucketed integer feature counts (target vs whole
+        # corpus), add-1 bucket distributions, per-doc sum of per-bucket
+        # log-ratios rounded to 6 (sum-order noise ~1e-13, same argument
+        # as BM25/trigram). Feature map mirrors docs_classifier.
+        "docs_dsir": (
+            "WITH t AS (SELECT doc_id, (source = 'src0') AS tgt, "
+            "string_split(text, ' ') AS toks FROM documents), "
+            "f AS MATERIALIZED (SELECT doc_id, tgt, "
+            "CAST(('0x' || substr(md5('b:' || f), 1, 8)) AS BIGINT) % 1024 AS b "
+            "FROM (SELECT doc_id, tgt, unnest(list_concat(toks, "
+            "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+            "i -> toks[i] || '_' || toks[i + 1]) ELSE [] END)) AS f FROM t)), "
+            "bc AS MATERIALIZED (SELECT b, "
+            "sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, count(*) AS cr "
+            "FROM f GROUP BY b), "
+            "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc), "
+            "r AS (SELECT b, "
+            "ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1.0 * 1024)) - "
+            "ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1.0 * 1024)) AS lr "
+            "FROM bc CROSS JOIN tot) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+            "round(sum(lr), 6) AS log_weight "
+            "FROM f JOIN r USING (b) GROUP BY doc_id"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

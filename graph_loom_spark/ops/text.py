@@ -1246,6 +1246,85 @@ def hashed_linear_score(
     ).withColumn("keep", F.col("weight_sum") > 0)
 
 
+def dsir_log_weight(
+    documents: DataFrame,
+    target_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document,
+    ``log w(x) = Σ_features [ln p_target(b(f)) - ln p_raw(b(f))]``
+    where features are hashed unigrams+bigrams (the same feature map as
+    :func:`hashed_linear_score`, bucketed to ``n_buckets`` by md5) and
+    the two bucket distributions are add-k estimates from the
+    ``source == target_source`` subset vs the WHOLE corpus. High
+    weights mark documents the target domain over-represents relative
+    to the raw crawl — resampling by them is the DSIR selection step.
+    Returns ``(doc_id, n_feats, log_weight)`` with the weight rounded
+    to 6 digits.
+
+    Shape: one feature explosion builds the ≤ ``n_buckets``-row count
+    frame (target flag aggregated in the same groupBy — integer counts,
+    partial-aggregable), totals collected once (2 scalars) and folded
+    into the per-bucket log-ratio as literals; scoring joins the
+    broadcast bucket frame back to the exploded features and sums per
+    doc. Everything else is codegen'd expressions; the md5 bucketing
+    makes counts AND ratios engine-independent, so the oracle replays
+    the whole pipeline (float noise absorbed by the 1e-6 rounding, same
+    argument as BM25/trigram).
+    """
+    toks = f"split({text_col}, ' ')"
+    bigrams = (
+        f"case when size({toks}) >= 2 then transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i + 1), '_', element_at({toks}, i + 2))) "
+        f"else cast(array() as array<string>) end"
+    )
+    feats = f"concat({toks}, {bigrams})"
+    fb = documents.select(
+        F.col(id_col),
+        (F.col(source_col) == target_source).alias("__t"),
+        F.explode(F.expr(feats)).alias("__f"),
+    ).select(
+        id_col,
+        "__t",
+        F.expr(
+            f"cast(conv(substr(md5(concat('b:', __f)), 1, 8), 16, 10) as bigint) "
+            f"% {n_buckets}"
+        ).alias("__b"),
+    )
+    bc = (
+        fb.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+            F.count(F.lit(1)).alias("__cr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = bc.agg(F.sum("__ct").alias("nt"), F.sum("__cr").alias("nr")).collect()[0]
+    nt, nr = float(tot["nt"] or 0), float(tot["nr"] or 0)
+    if nt == 0.0:
+        raise ValueError(
+            f"dsir_log_weight: no target text for source {target_source!r} "
+            "(target distribution is empty)"
+        )
+    lr = F.log(
+        (F.col("__ct").cast("double") + add_k) / (nt + add_k * n_buckets)
+    ) - F.log((F.col("__cr").cast("double") + add_k) / (nr + add_k * n_buckets))
+    ratios = bc.select("__b", lr.alias("__lr"))
+    return (
+        fb.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.sum("__lr"), 6).alias("log_weight"),
+        )
+    )
+
+
 def bloom_contamination(
     documents: DataFrame,
     benchmark: DataFrame,

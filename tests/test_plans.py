@@ -291,6 +291,27 @@ def test_classifier_is_pure_narrow_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_moore_lewis_broadcasts_models_single_scan(spark):
+    # both trigram LMs must reach the scoring pass as broadcast joins
+    # (the model frames are ≤ alphabet³ rows); the corpus is exploded
+    # from ONE parquet scan and never sort-merge-joined
+    plan = _plan(spark, "docs_moore_lewis")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dsir_broadcasts_bucket_ratios_single_scan(spark):
+    # the ≤ n_buckets-row log-ratio frame must broadcast back onto the
+    # exploded features; no sort-merge join, one corpus scan
+    plan = _plan(spark, "docs_dsir")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_bloom_probe_has_no_join_or_broadcast_exchange(spark):
     # the Bloom filter ships as a literal array in the projection: the
     # probe side must not join, broadcast, or shuffle document data

@@ -405,6 +405,53 @@ def test_moore_lewis_exact_tiny(spark):
         ops_text.moore_lewis_score(df, in_domain_source="Z")
 
 
+def test_dsir_matches_python_md5(spark):
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    rows = [(0, "a b a", "T"), (1, "b c", "U"), (2, "a c c", "U")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.dsir_log_weight(
+            df, target_source="T", n_buckets=64
+        ).collect()
+    }
+
+    def feats(text):
+        t = text.split(" ")
+        return t + [f"{a}_{b}" for a, b in zip(t, t[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f"b:{f}".encode()).hexdigest()[:8], 16) % 64
+
+    ct, cr = {}, {}
+    for doc_id, text, src in rows:
+        for f in feats(text):
+            b = bucket(f)
+            cr[b] = cr.get(b, 0) + 1
+            if src == "T":
+                ct[b] = ct.get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lr = {
+        b: math.log((ct.get(b, 0) + 1.0) / (nt + 64.0))
+        - math.log((cr[b] + 1.0) / (nr + 64.0))
+        for b in cr
+    }
+    for doc_id, text, _src in rows:
+        fs = feats(text)
+        assert out[doc_id]["n_feats"] == len(fs)
+        assert out[doc_id]["log_weight"] == round(
+            sum(lr[bucket(f)] for f in fs), 6
+        )
+    # the target doc carries the largest importance weight
+    assert out[0]["log_weight"] == max(r["log_weight"] for r in out.values())
+    with _pytest.raises(ValueError, match="no target text"):
+        ops_text.dsir_log_weight(df, target_source="Z")
+
+
 def test_compression_ratio_matches_zlib(spark):
     import zlib
 
