@@ -142,6 +142,7 @@ def reset_memo(name: str) -> None:
         "emb_pq_topk": [_PQ_CACHE],
         "emb_kmeans": [_KM8_CACHE],
         "emb_semdedup": [_KM8_CACHE],
+        "emb_cluster_sample": [_KM8_CACHE],
         "graph_triangles": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -624,6 +625,23 @@ def _q_emb_semdedup(spark, sf_dir):
         iters=10,
         threshold=0.3,
         assigned=_km8(spark, sf_dir),
+    )
+
+
+def _q_emb_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample: keep the 20 smallest
+    md5-keyed vectors per k-means cluster (the diversity-preserving
+    pruning step that follows SemDeDup in an embedding-curation
+    pipeline) — ops.text.source_cap reused over the memoized k=8
+    assignment, so the skew-guarded two-phase window applies unchanged
+    to zipfian cluster sizes. Oracle replays the fit + naive window
+    (source_cap selects exactly the naive window's rows)."""
+    return ops_text.source_cap(
+        _km8(spark, sf_dir),
+        max_per_source=20,
+        id_col="vec_id",
+        source_col="cluster",
+        seed="csample",
     )
 
 
@@ -1249,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after docs_ngram_jaccard: reuses its memoized pairs
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_semdedup": _q_emb_semdedup,
+        # immediately after emb_semdedup: reuses the memoized k=8 fit
+        "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_winnow": _q_docs_winnow,
@@ -1699,6 +1719,24 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, dim: int = 64, scale: int = 1 <<
         "WITH " + ", ".join(parts)
         + " SELECT cluster, CAST(count(*) AS BIGINT) AS size, min(vec_id) AS min_id "
         f"FROM {assign} GROUP BY cluster"
+    )
+
+
+def _cluster_sample_oracle(n: int = 20) -> str:
+    """SQL replay of the cluster-balanced sample: the k=8 fixed-point
+    k-means assignment (same generator as the kmeans oracle) followed
+    by the NAIVE per-cluster window — rank by
+    md5('csample:cluster:vec_id') with vec_id tie-break, keep n.
+    source_cap's two-phase skew guard selects exactly these rows."""
+    parts, assign, _ = _kmeans_sql_parts(8, 10, 64, 1 << 20)
+    return (
+        "WITH " + ", ".join(parts)
+        + ", r AS (SELECT vec_id, cluster, row_number() OVER ("
+        "PARTITION BY cluster ORDER BY "
+        "md5('csample:' || CAST(cluster AS VARCHAR) || ':' || "
+        "CAST(vec_id AS VARCHAR)), vec_id) AS rk "
+        f"FROM {assign}) "
+        f"SELECT vec_id, cluster FROM r WHERE rk <= {n}"
     )
 
 
@@ -3049,6 +3087,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": _pq_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),
+        # Cluster-balanced sample = k-means replay + naive window.
+        "emb_cluster_sample": _cluster_sample_oracle(),
         # emb_pca: eigen-solve → no oracle; vs numpy PCA in pytest.
         # LPA with the portable lexicographic tie-break → full unrolled
         # replay; density composes the same assignment (generated).

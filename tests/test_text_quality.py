@@ -611,6 +611,31 @@ def test_source_cap_exact_and_rescue_path(spark):
         ops_text.source_cap(docs, max_per_source=0)
 
 
+def test_source_cap_over_integer_cluster_column(spark):
+    # the cluster-balanced embedding sample reuses source_cap with an
+    # INT group column; concat_ws must render it identically to the
+    # oracle's CAST(cluster AS VARCHAR)
+    import hashlib
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, cluster int")
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in ops_text.source_cap(
+            df, max_per_source=4, id_col="vec_id", source_col="cluster",
+            seed="csample",
+        ).collect()
+    }
+    by_c = {}
+    for vid, c in rows:
+        k = hashlib.md5(f"csample:{c}:{vid}".encode()).hexdigest()
+        by_c.setdefault(c, []).append((k, vid))
+    want = {
+        (vid, c) for c, lst in by_c.items() for _k, vid in sorted(lst)[:4]
+    }
+    assert got == want and len(got) == 12
+
+
 def test_ngram_jaccard_prefix_filter_lossless(spark):
     """The AllPairs/PPJoin prefix-filtered candidate join must return
     EXACTLY the brute-force all-pairs Jaccard result — on a randomized
