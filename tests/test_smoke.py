@@ -38,3 +38,24 @@ def test_one_hop_path(session):
     res2 = session.execute('MATCH (a)-[r:ACTED_IN {role:"John"}]-(b) RETURN b')
     # undirected: both orientations bind
     assert len(res2.rows) == 2
+
+
+def test_entry_registry_oracle_consistency():
+    # every oracle key must name a registered query (an orphan oracle
+    # silently never runs in any harness), and the rows-only set must
+    # stay exactly the three documented SQL-inexpressible queries
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_consistency",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q, o = m.queries(), m.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {"docs_bpe_train", "docs_compression", "emb_pca"}
+    # reset_memo must accept every registered name without KeyError
+    for name in q:
+        m.reset_memo(name)
