@@ -295,21 +295,36 @@ def main() -> None:
     )
     # The r5 driver recorded parsed:null because the 84-query result line
     # (pretty separators + 3-decimal floats + inline variance) outgrew the
-    # driver's stdout TAIL window and lost its head. The LAST stdout line
-    # is therefore a compact variant — minimal separators, 2-decimal
-    # seconds, no variance — ~2 KB for 84 queries, safely inside the
-    # window; the full-detail line and the variance line precede it.
-    compact = json.dumps(
-        {
-            "metric": "total_bench_seconds",
-            "value": total,
-            "unit": "sec",
-            "n_queries": n_ok,
-            "queries": {k: round(v, 2) for k, v in timings.items()},
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    # driver's stdout TAIL window (it keeps only the LAST 2000 chars) and
+    # lost its head. The LAST stdout line is therefore a compact variant
+    # — minimal separators, 2-decimal seconds, no variance — and its
+    # "queries" map is BYTE-BUDGETED: slowest queries first, adding
+    # entries only while the serialized line stays under 1700 bytes (at
+    # 101 registered queries even a minimal full map is ~2.4 KB, which
+    # the 2000-char tail would clip mid-line). "queries_omitted" records
+    # how many cheap queries fell off; the full map is always in the
+    # full-detail line above AND in bench_result.json.
+    budgeted: dict = {}
+    base = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": n_ok,
+        "queries": budgeted,
+        "queries_omitted": n_ok,
+        "sf": sf,
+    }
+    for k in sorted(timings, key=lambda k: -timings[k]):
+        trial = dict(budgeted)
+        trial[k] = round(timings[k], 2)
+        base["queries"] = trial
+        base["queries_omitted"] = n_ok - len(trial)
+        if len(json.dumps(base, separators=(",", ":"))) > 1700:
+            base["queries"] = budgeted
+            base["queries_omitted"] = n_ok - len(budgeted)
+            break
+        budgeted = trial
+    compact = json.dumps(base, separators=(",", ":"))
 
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.
