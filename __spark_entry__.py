@@ -542,6 +542,18 @@ def _q_docs_dsir(spark, sf_dir):
     )
 
 
+def _q_docs_temp_mixture(spark, sf_dir):
+    """Temperature-scaled source sampling (α=0.5 sampling, XLM-R/mT5
+    flattening rule): ~300-doc corpus with per-source caps ∝ sqrt(n_s),
+    selected as the cap_s smallest md5-keyed docs per source via the
+    skew-guarded window. sqrt is IEEE-exact and the normalizer is
+    rounded, so the caps — and therefore the exact kept set — replay in
+    the oracle; a boundary guard fails LOUDLY on non-replayable caps."""
+    return ops_text.temperature_mixture(
+        _t(spark, sf_dir, "documents"), total_docs=300, alpha=0.5
+    )
+
+
 def _q_docs_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training, 20 merges in batches of 8
     symbol-disjoint merges per count round (the production batching —
@@ -1252,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_contamination": _q_docs_bloom_contamination,
         "docs_moore_lewis": _q_docs_moore_lewis,
         "docs_dsir": _q_docs_dsir,
+        "docs_temp_mixture": _q_docs_temp_mixture,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2716,6 +2729,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
             "round(sum(lr), 6) AS log_weight "
             "FROM f JOIN r USING (b) GROUP BY doc_id"
+        ),
+        # Temperature sampling: sqrt(n) is IEEE-exact, the normalizer is
+        # rounded to 6 (absorbs sum-order noise), caps are integer; the
+        # CASE/error() guard makes a rounding-boundary cap fail LOUDLY
+        # instead of silently diverging from the engine (k-core oracle
+        # posture). Selection replayed as the naive per-source window.
+        "docs_temp_mixture": (
+            "WITH c AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source), "
+            "r AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS rt FROM c), "
+            "t AS (SELECT round(sum(rt), 6) AS tot FROM r), "
+            "fr AS (SELECT source, n, 300 * rt / tot AS frac "
+            "FROM r CROSS JOIN t), "
+            "capg AS (SELECT source, n, CASE WHEN "
+            "abs(frac - (floor(frac) + 0.5)) < 1e-9 THEN "
+            "CAST(error('docs_temp_mixture oracle: rounding-boundary cap') "
+            "AS BIGINT) ELSE "
+            "least(n, CAST(floor(frac + 0.5) AS BIGINT)) END AS cap FROM fr), "
+            "k AS (SELECT doc_id, source, md5('temp:' || source || ':' || "
+            "CAST(doc_id AS VARCHAR)) AS kk FROM documents), "
+            "rk AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k) "
+            "SELECT doc_id, source FROM rk JOIN capg USING (source) "
+            "WHERE cap >= 1 AND rn <= cap"
         ),
         # BM25 with Robertson-Sparck Jones positive idf; constant
         # arithmetic mirrored expression-for-expression ((1.2 + 1.0),

@@ -1024,7 +1024,7 @@ def compression_ratio(
 
 def source_cap(
     documents: DataFrame,
-    max_per_source: int = 100,
+    max_per_source: int | dict = 100,
     id_col: str = "doc_id",
     source_col: str = "source",
     seed: str = "cap",
@@ -1036,6 +1036,9 @@ def source_cap(
     the SMALLEST ``md5(seed:source:id)`` keys per source (ties → lower
     id). Deterministic, engine-portable, re-derivable from the id alone;
     changing ``seed`` re-draws the kept set. Returns ``(id, source)``.
+    ``max_per_source`` may also be a ``{source: cap}`` dict (the
+    per-source form :func:`temperature_mixture` builds); sources absent
+    from the dict — or mapped to a cap < 1 — are dropped entirely.
 
     Shape (the 100 TB story): the naive form is one ``row_number``
     window partitioned by source — but domain frequency is zipfian (a
@@ -1045,55 +1048,144 @@ def source_cap(
     1. per-source counts (partial-agg shuffle; the per-source frame is
        tiny and broadcast back);
     2. keys are uniform in the 32-bit space, so pre-filter to keys under
-       ``prefilter_factor·N/count`` of the keyspace — expected
-       ``prefilter_factor·N`` survivors per source — and run the exact
-       window on survivors only. The hot domain now contributes ~8N
+       ``prefilter_factor·cap/count`` of the keyspace — expected
+       ``prefilter_factor·cap`` survivors per source — and run the exact
+       window on survivors only. The hot domain now contributes ~8·cap
        rows to its window partition, not its full row count.
 
     A uniform-tail shortfall (a source ending with fewer than
-    ``min(N, count)`` survivors) is astronomically unlikely at factor 8
-    but NOT impossible, so a rescue path detects affected sources by
+    ``min(cap, count)`` survivors) is astronomically unlikely at factor
+    8 but NOT impossible, so a rescue path detects affected sources by
     comparing survivor counts against the requirement (all DataFrame
     ops — nothing driver-side) and routes their full row sets into the
     window. The output is therefore EXACTLY the naive window's output.
     """
     from pyspark.sql.window import Window
 
-    if max_per_source < 1:
-        raise ValueError("max_per_source must be >= 1")
     key = F.md5(
         F.concat_ws(":", F.lit(seed), F.col(source_col), F.col(id_col).cast("string"))
     )
     base = documents.select(F.col(id_col), F.col(source_col), key.alias("__k"))
     counts = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    budget = prefilter_factor * max_per_source
+    if isinstance(max_per_source, dict):
+        items = [(str(s), int(c)) for s, c in max_per_source.items() if int(c) >= 1]
+        if not items:
+            raise ValueError("source_cap: no source has a cap >= 1")
+        caps_df = documents.sparkSession.createDataFrame(
+            items, f"{source_col} string, __cap int"
+        )
+        # inner join: un-capped sources are dropped before the window
+        capped = counts.join(
+            F.broadcast(caps_df.withColumn(source_col, F.col(source_col).cast(
+                dict(counts.dtypes)[source_col]))),
+            source_col,
+        )
+    else:
+        if max_per_source < 1:
+            raise ValueError("max_per_source must be >= 1")
+        capped = counts.withColumn("__cap", F.lit(int(max_per_source)))
+    budget = F.col("__cap").cast("bigint") * prefilter_factor
     # fixed-width lowercase hex compares like the 32-bit integer it
     # encodes (same lever as stratified_sample); only evaluated when
     # frac < 1, so the 8-char pad never overflows
-    frac = F.lit(float(budget)) / F.col("__n")
+    frac = budget.cast("double") / F.col("__n")
     thr = F.lower(
         F.lpad(F.hex(F.ceil(frac * F.lit(float(1 << 32))).cast("bigint")), 8, "0")
     )
-    surv = base.join(F.broadcast(counts), source_col).filter(
-        (F.col("__n") <= F.lit(budget)) | (F.col("__k") < thr)
+    surv = base.join(F.broadcast(capped), source_col).filter(
+        (F.col("__n") <= budget) | (F.col("__k") < thr)
     )
     sc = surv.groupBy(source_col).agg(F.count(F.lit(1)).alias("__s"))
     bad = (
-        counts.join(sc, source_col, "left")
+        capped.join(sc, source_col, "left")
         .filter(
             F.coalesce(F.col("__s"), F.lit(0))
-            < F.least(F.lit(max_per_source), F.col("__n"))
+            < F.least(F.col("__cap").cast("bigint"), F.col("__n"))
         )
         .select(source_col)
     )
-    window_in = surv.select(id_col, source_col, "__k").join(
+    window_in = surv.select(id_col, source_col, "__k", "__cap").join(
         F.broadcast(bad), source_col, "left_anti"
-    ).unionByName(base.join(F.broadcast(bad), source_col, "left_semi"))
+    ).unionByName(
+        base.join(F.broadcast(bad), source_col, "left_semi").join(
+            F.broadcast(capped.select(source_col, "__cap")), source_col
+        )
+    )
     w = Window.partitionBy(source_col).orderBy(F.col("__k"), F.col(id_col))
     return (
         window_in.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= max_per_source)
+        .filter(F.col("__r") <= F.col("__cap"))
         .select(id_col, source_col)
+    )
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    total_docs: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "temp",
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """Temperature-scaled source sampling — the α-sampling rule
+    multilingual LM pipelines use to up-weight small sources
+    (XLM-R / mT5: sample source ``s`` with probability ∝ ``n_s^α``,
+    α < 1 flattening the natural distribution): materialize a corpus of
+    ~``total_docs`` docs with ``cap_s = min(n_s,
+    floor(total_docs·w_s + 0.5))`` where ``w_s = n_s^α / Σ_t n_t^α``,
+    selecting each source's ``cap_s`` smallest-md5-keyed docs via
+    :func:`source_cap`'s skew-guarded per-source window.
+
+    Determinism story: caps are computed from the tiny per-source count
+    frame (≤ |sources| rows collected driver-side — bounded, never
+    data-sized). At the default ``alpha=0.5`` the power is ``sqrt`` —
+    correctly rounded under IEEE 754, so any engine reproduces each
+    ``r_s`` bit-for-bit; the normalizer is rounded to 6 digits to
+    absorb summation-order noise; and a guard raises if any
+    ``total·w_s`` lands within 1e-9 of a rounding boundary (loud
+    failure instead of a silent off-by-one vs a replaying oracle —
+    same posture as the k-core oracle's convergence guard). Non-0.5
+    alphas use ``pow``, which libms don't round identically — fine for
+    production, not oracle-replayable.
+    """
+    import math
+
+    if total_docs < 1:
+        raise ValueError("total_docs must be >= 1")
+    rows = sorted(
+        (r[0], r[1])
+        for r in documents.groupBy(source_col).count().collect()
+    )
+    if not rows:
+        raise ValueError("temperature_mixture: empty corpus")
+    pw = (
+        (lambda n: math.sqrt(float(n)))
+        if alpha == 0.5
+        else (lambda n: math.pow(float(n), alpha))
+    )
+    r = {s: pw(n) for s, n in rows}
+    # half-away-from-zero at 6 digits (DuckDB round semantics; Python's
+    # built-in round is half-even)
+    tot = math.floor(sum(r[s] for s, _ in rows) * 1e6 + 0.5) / 1e6
+    caps: dict = {}
+    for s, n in rows:
+        frac = total_docs * r[s] / tot
+        if abs(frac - (math.floor(frac) + 0.5)) < 1e-9:
+            raise ValueError(
+                f"temperature_mixture: cap for source {s!r} sits on a "
+                f"rounding boundary ({frac!r}) — not engine-replayable"
+            )
+        cap = min(int(n), int(math.floor(frac + 0.5)))
+        if cap >= 1:
+            caps[s] = cap
+    return source_cap(
+        documents,
+        max_per_source=caps,
+        id_col=id_col,
+        source_col=source_col,
+        seed=seed,
+        prefilter_factor=prefilter_factor,
     )
 
 

@@ -636,6 +636,68 @@ def test_source_cap_over_integer_cluster_column(spark):
     assert got == want and len(got) == 12
 
 
+def test_temperature_mixture_matches_python(spark):
+    import hashlib
+    import math
+
+    rows = (
+        [(i, "w", "A") for i in range(40)]
+        + [(100 + i, "w", "B") for i in range(10)]
+        + [(200, "w", "C")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in ops_text.temperature_mixture(df, total_docs=20).collect()
+    }
+
+    counts = {"A": 40, "B": 10, "C": 1}
+    r = {s: math.sqrt(n) for s, n in counts.items()}
+    tot = math.floor(sum(r[s] for s in sorted(r)) * 1e6 + 0.5) / 1e6
+    caps = {
+        s: min(n, int(math.floor(20 * r[s] / tot + 0.5)))
+        for s, n in counts.items()
+    }
+    assert caps == {"A": 12, "B": 6, "C": 1}
+    by_src = {}
+    for did, _txt, src in rows:
+        k = hashlib.md5(f"temp:{src}:{did}".encode()).hexdigest()
+        by_src.setdefault(src, []).append((k, did))
+    want = {
+        (did, s)
+        for s, lst in by_src.items()
+        for _k, did in sorted(lst)[: caps[s]]
+    }
+    assert got == want
+    # α=0.5 flattens: B keeps 60% of its docs vs A's 30%
+    assert len([1 for _d, s in got if s == "B"]) == 6
+    with pytest.raises(ValueError):
+        ops_text.temperature_mixture(df, total_docs=0)
+
+
+def test_source_cap_dict_caps_drop_unlisted_sources(spark):
+    import hashlib
+
+    rows = [(i, ["A", "B", "C"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in ops_text.source_cap(
+            df, max_per_source={"A": 2, "B": 5, "C": 0}
+        ).collect()
+    }
+    by_src = {}
+    for did, src in rows:
+        k = hashlib.md5(f"cap:{src}:{did}".encode()).hexdigest()
+        by_src.setdefault(src, []).append((k, did))
+    want = {(did, "A") for _k, did in sorted(by_src["A"])[:2]} | {
+        (did, "B") for _k, did in sorted(by_src["B"])[:5]
+    }
+    assert got == want  # C (cap 0) fully dropped
+    with pytest.raises(ValueError):
+        ops_text.source_cap(df, max_per_source={"A": 0})
+
+
 def test_ngram_jaccard_prefix_filter_lossless(spark):
     """The AllPairs/PPJoin prefix-filtered candidate join must return
     EXACTLY the brute-force all-pairs Jaccard result — on a randomized
