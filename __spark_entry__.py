@@ -1117,6 +1117,17 @@ def _q_docs_ngram_jaccard(spark, sf_dir):
     return _jaccard_pairs(spark, sf_dir)
 
 
+def _q_docs_containment(spark, sf_dir):
+    """Asymmetric shingle-containment pairs (|Sa∩Sb|/|Sa| ≥ 0.8, a≠b):
+    the excerpt/quotation detector symmetric Jaccard misses when the
+    container is much longer. Prefix-filtered on the contained side only
+    (lossless per the prefix lemma); exact integer set sizes → the
+    double division replays bit-for-bit in the oracle."""
+    return ops_dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 def _q_emb_near_dup(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (threshold tuned to the
     synthetic corpus). Centroid-blocked join with angular triangle-
@@ -1265,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_moore_lewis": _q_docs_moore_lewis,
         "docs_dsir": _q_docs_dsir,
         "docs_temp_mixture": _q_docs_temp_mixture,
+        "docs_containment": _q_docs_containment,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2831,6 +2843,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
             "FROM inter JOIN sz sa ON sa.doc_id = id_a "
             "JOIN sz sb ON sb.doc_id = id_b) WHERE jaccard >= 0.5"
+        ),
+        # Asymmetric containment over the same distinct-shingle frames as
+        # docs_ngram_jaccard; normalizer is the CONTAINED side's set size
+        # (|Sa∩Sb|/|Sa|, a <> b — directional, so no a<b dedup). The
+        # engine's prefix(a)×full-index(b) pruning is lossless, and the
+        # candidate floor (≥1 shared shingle) drops only containment-0
+        # pairs, so the brute inverted-index replay is exact; integer
+        # sizes make the double division bit-identical.
+        "docs_containment": (
+            "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id <> b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh) "
+            "SELECT id_a, id_b, containment FROM ("
+            "SELECT id_a, id_b, CAST(i AS DOUBLE) / sa.n AS containment "
+            "FROM inter JOIN sz sa ON sa.doc_id = id_a) "
+            "WHERE containment >= 0.8"
         ),
         "docs_winnow": (
             "WITH nm AS (SELECT doc_id, "

@@ -530,6 +530,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle containment ``C(a→b) = |Sa ∩ Sb| / |Sa|``:
+    pairs where document ``a``'s shingle set is ≥ ``threshold`` covered
+    by document ``b``'s (``a ≠ b``) — the excerpt/quotation/superset
+    detector symmetric Jaccard structurally misses (a short doc fully
+    quoted inside a long one has Jaccard ≈ |a|/|b| → 0 but containment
+    1.0). Directional: both (a→b) and (b→a) can qualify.
+
+    Shape (the 100 TB story): the prefix-filter lemma applies to the
+    CONTAINED side only — overlap ≥ ceil(t·|Sa|) forces a collision
+    among ``a``'s ``|Sa| − ceil(t·|Sa|) + 1`` rarest-first shingles — so
+    the candidate join is prefix(a) ⋈ full-index(b): lossless, and the
+    quadratic hot-shingle blowup of a plain inverted index survives on
+    one side only (rarest-first ordering keeps hot shingles out of the
+    prefixes; AQE's skew join splits any residual hot posting list). A
+    size filter ``|Sb| ≥ ceil(t·|Sa|)`` (overlap ≤ |Sb|, on integers)
+    prunes containers that are too small before the verify join. Same
+    shuffles as :func:`ngram_jaccard_pairs`: df-count agg, per-doc sort
+    agg, prefix×index equi-join, two array joins for the exact verify.
+    """
+    sh = spread(documents).select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
+    )
+    sh = sh.localCheckpoint(eager=True)  # reused by index + both verify joins
+    ex = sh.select("id", F.size("sh").alias("nsh"), F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    t = F.lit(float(threshold))
+    plen = F.greatest(F.lit(1), (F.size("sg") - F.ceil(t * F.size("sg")) + 1).cast("int"))
+    prefix = (
+        ex.join(dfreq, "g")
+        .groupBy("id", "nsh")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
+        .select(
+            "id",
+            "nsh",
+            F.explode(F.transform(F.slice("sg", 1, plen), lambda s: s["g"])).alias("g"),
+        )
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"), "g")
+        .join(ex.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"), "g"), "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= F.ceil(t * F.col("na")).cast("bigint"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a")
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def dedup_clusters(
     documents: DataFrame,
     text_col: str = "text",

@@ -738,6 +738,48 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
         assert pruned == brute, f"threshold={threshold}"
 
 
+def test_containment_pairs_matches_brute_force(spark):
+    """Prefix(a)×full-index(b) containment must equal the brute-force
+    all-ordered-pairs result — on a corpus engineered with hot shared
+    shingles AND a true excerpt (short doc inside a long one, where
+    Jaccard is low but containment is 1.0)."""
+    import random
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        toks = ["the", "of", "the"] + [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        rows.append((i, " ".join(toks)))
+    # doc 100 = an excerpt of doc 1 (first 8 tokens); doc 101 = superset of doc 2
+    rows.append((100, " ".join(rows[1][1].split()[:8])))
+    rows.append((101, rows[2][1] + " zz yy xx ww vv uu tt ss rr qq pp oo nn mm"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(text):
+        toks = " ".join(text.lower().strip().split()).split(" ")
+        n = max(len(toks) - 3, 0)
+        return {" ".join(toks[i : i + 3]) for i in range(n + 1)}
+
+    sh = {did: shingles(t) for did, t in rows}
+    for threshold in (0.5, 0.8, 0.95):
+        brute = set()
+        for a, sa in sh.items():
+            for b, sb in sh.items():
+                if a != b and len(sa & sb) / len(sa) >= threshold:
+                    brute.add((a, b, round(len(sa & sb) / len(sa), 9)))
+        got = {
+            (r["id_a"], r["id_b"], round(r["containment"], 9))
+            for r in ops_dedup.containment_pairs(docs, threshold=threshold).collect()
+        }
+        assert got == brute, f"threshold={threshold}"
+    # the excerpt relationship itself is detected at full containment
+    assert any(a == 100 and b == 1 and c == 1.0 for a, b, c in brute)
+    assert any(a == 2 and b == 101 and c == 1.0 for a, b, c in brute)
+
+
 def test_corpus_report_counts_and_dups(spark):
     rows = [
         (0, "good doc with several tokens " + "alpha " * 20, "a"),
