@@ -788,6 +788,22 @@ def _q_docs_classifier(spark, sf_dir):
     )
 
 
+def _q_docs_token_budget(spark, sf_dir):
+    """Token-budget curation: best classifier-scored docs until a
+    15k-token budget (score DESC, id ASC, running total inclusive).
+    Two-phase bucket selection — per-bucket token sums locate the one
+    boundary bucket that pays an exact ordered window; every other
+    bucket is a plain filter. All-integer (md5 classifier score,
+    whitespace token counts), so the oracle's naive global window
+    replays the kept set exactly."""
+    scored = ops_text.hashed_linear_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "weight_sum",
+        F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("bigint").alias("ntok"),
+    )
+    return ops_text.token_budget_select(scored, budget_tokens=15_000)
+
+
 def _q_docs_source_overlap(spark, sf_dir):
     """Cross-source shingle-set overlap matrix on the deterministic md5
     1/4 sample of 3-gram shingle space — the corpus-level contamination
@@ -1277,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir": _q_docs_dsir,
         "docs_temp_mixture": _q_docs_temp_mixture,
         "docs_containment": _q_docs_containment,
+        "docs_token_budget": _q_docs_token_budget,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2644,6 +2661,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Token-budget selection replayed as the NAIVE global ordered
+        # cumsum (the semantics the two-phase bucket plan is proven equal
+        # to); score = the docs_classifier integer expression, counts are
+        # integers, so the prefix is exact. Inclusive running total.
+        "docs_token_budget": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) "
+            "ELSE [] END) AS feats FROM t), "
+            "s AS (SELECT doc_id, CAST(list_sum(list_transform(feats, x -> "
+            "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
+            ")) AS BIGINT) AS weight_sum, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok FROM f), "
+            "c AS (SELECT doc_id, weight_sum, ntok, sum(ntok) OVER ("
+            "ORDER BY weight_sum DESC, doc_id) AS cum FROM s) "
+            "SELECT doc_id, weight_sum, ntok FROM c WHERE cum <= 15000"
         ),
         # Source-pair shingle-set overlap on the md5 1/4 shingle sample;
         # all-integer (inter, size_a, size_b).

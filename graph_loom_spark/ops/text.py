@@ -1338,6 +1338,94 @@ def hashed_linear_score(
     ).withColumn("keep", F.col("weight_sum") > 0)
 
 
+def token_budget_select(
+    scored: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    score_col: str = "weight_sum",
+    ntok_col: str = "ntok",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budget curation: keep documents in ``(score DESC, id ASC)``
+    order while the running token total (inclusive) stays ≤
+    ``budget_tokens`` — the "select the best N tokens" step that turns a
+    scored corpus into a fixed-size training mix. Equivalent to the SQL
+    window ``sum(ntok) OVER (ORDER BY score DESC, id) <= budget`` but
+    never runs that global single-partition cumsum.
+
+    Shape (the 100 TB story): a global ordered cumsum serializes the
+    corpus through one task, so split it two-phase:
+
+    1. integer range-bucket the score domain (``n_buckets`` buckets,
+       equal scores always co-bucket) and take per-bucket token sums —
+       one partial-aggregable shuffle to ≤ ``n_buckets`` rows;
+    2. the tiny bucket frame (driver-side, bounded by ``n_buckets``,
+       never data-sized) locates the single BOUNDARY bucket where the
+       cumulative total crosses the budget: every better bucket is kept
+       whole (plain filter, no sort), every worse bucket is dropped
+       whole, and only the boundary bucket — expected n/n_buckets rows —
+       pays the exact ordered window.
+
+    The kept set is EXACTLY the naive window's (the bucket map is
+    monotone in score and ties never straddle buckets). Upstream should
+    be a cheap projection (the frame is scanned three times: score
+    range, bucket sums, final filters) — callers with expensive lineage
+    should checkpoint first. Scores and counts must be integers
+    (|score span| · n_buckets must fit int64); a score distribution
+    collapsed onto few distinct values degrades the boundary bucket
+    toward its tie class, which the exact window still handles.
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    s = scored.select(
+        F.col(id_col),
+        F.col(score_col).cast("bigint").alias("__s"),
+        F.col(ntok_col).cast("bigint").alias("__n"),
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col("__s").alias(score_col),
+        F.col("__n").alias(ntok_col),
+    ]
+    rng = s.agg(
+        F.min("__s").alias("lo"), F.max("__s").alias("hi"), F.sum("__n").alias("tot")
+    ).first()
+    if rng["tot"] is None:  # empty input
+        return s.select(*out_cols)
+    if rng["tot"] <= budget_tokens:  # everything fits — no window at all
+        return s.select(*out_cols)
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = hi - lo + 1
+    nb = min(int(n_buckets), span)
+    # bucket 0 = best scores; equal scores always share a bucket.
+    # Integer `div`, not double `/`: (hi−s)·nb can pass 2^53, where double
+    # rounding could fold adjacent scores across a bucket edge
+    bexpr = F.expr(f"(({hi}L - __s) * {nb}L) div {span}L")
+    sums = (
+        s.groupBy(bexpr.alias("__b"))
+        .agg(F.sum("__n").alias("__t"))
+        .collect()
+    )
+    cum = 0
+    boundary, offset = None, 0
+    for b, t in sorted((int(r["__b"]), int(r["__t"])) for r in sums):
+        if cum + t > budget_tokens:
+            boundary, offset = b, cum
+            break
+        cum += t
+    kept_whole = s.filter(bexpr < boundary).select(*out_cols)
+    w = Window.orderBy(F.col("__s").desc(), F.col(id_col))  # boundary rows only
+    kept_edge = (
+        s.filter(bexpr == boundary)
+        .withColumn("__cum", F.sum("__n").over(w) + F.lit(offset))
+        .filter(F.col("__cum") <= budget_tokens)
+        .select(*out_cols)
+    )
+    return kept_whole.unionByName(kept_edge)
+
+
 def dsir_log_weight(
     documents: DataFrame,
     target_source: str,

@@ -738,6 +738,43 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
         assert pruned == brute, f"threshold={threshold}"
 
 
+def test_token_budget_select_matches_naive_window(spark):
+    """Two-phase bucket selection must keep EXACTLY the naive global
+    ordered-cumsum prefix — across tie-heavy scores, tiny bucket counts
+    (boundary logic forced), and budgets at/off bucket edges."""
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, rng.randint(-5, 5), rng.randint(1, 20))  # heavy score ties
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, weight_sum bigint, ntok bigint")
+    naive = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for budget in (0, 1, 37, 500, 1000, 10**9):
+        for nb in (1, 3, 4096):
+            cum, want = 0, set()
+            for did, s, n in naive:
+                if cum + n > budget:
+                    break
+                cum += n
+                want.add((did, s, n))
+            got = {
+                (r["doc_id"], r["weight_sum"], r["ntok"])
+                for r in ops_text.token_budget_select(
+                    df, budget_tokens=budget, n_buckets=nb
+                ).collect()
+            }
+            assert got == want, f"budget={budget} n_buckets={nb}"
+    with pytest.raises(ValueError):
+        ops_text.token_budget_select(df, budget_tokens=-1)
+    # empty input short-circuits
+    assert (
+        ops_text.token_budget_select(df.filter("doc_id < 0"), budget_tokens=5).count()
+        == 0
+    )
+
+
 def test_containment_pairs_matches_brute_force(spark):
     """Prefix(a)×full-index(b) containment must equal the brute-force
     all-ordered-pairs result — on a corpus engineered with hot shared
