@@ -45,7 +45,7 @@ _PQ_CACHE: dict[str, tuple] = {}
 # k=8/iters=10 full-embedding k-means assignment per sf_dir — the
 # identical fit emb_kmeans and emb_semdedup each ran; deterministic
 # (fixed-point integer Lloyd's), so sharing it is bit-exact
-_KM8_CACHE: dict[str, DataFrame] = {}
+_KM8_CACHE: dict[str, tuple] = {}  # sf_dir -> (assigned frame, int64 centroid matrix)
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -81,13 +81,13 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _KM8_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
             except Exception:
                 pass
-    for cache in (_IVF_CACHE, _PQ_CACHE):
+    for cache in (_IVF_CACHE, _PQ_CACHE, _KM8_CACHE):
         for frame, _aux in cache.values():
             try:
                 ids.add(_ckpt_rdd(frame).id())
@@ -143,6 +143,7 @@ def reset_memo(name: str) -> None:
         "emb_kmeans": [_KM8_CACHE],
         "emb_semdedup": [_KM8_CACHE],
         "emb_cluster_sample": [_KM8_CACHE],
+        "emb_outliers": [_KM8_CACHE],
         "graph_triangles": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -586,14 +587,21 @@ def _q_docs_pii(spark, sf_dir):
     return ops_text.pii_scrub(_t(spark, sf_dir, "documents"))
 
 
-def _km8(spark, sf_dir) -> DataFrame:
-    # shared k=8/iters=10 assignment for emb_kmeans + emb_semdedup
+def _km8_fit(spark, sf_dir):
+    # shared k=8/iters=10 fit (assignment frame + the quantized int64
+    # centroid matrix it was computed with) for emb_kmeans,
+    # emb_semdedup, emb_cluster_sample and emb_outliers
     cached = _KM8_CACHE.get(sf_dir)
-    if cached is None or not _checkpoint_alive(cached):
-        _KM8_CACHE[sf_dir] = ops_sim.kmeans(
+    if cached is None or not _checkpoint_alive(cached[0]):
+        assigned, cents = ops_sim.kmeans_fit(
             _t(spark, sf_dir, "embeddings"), k=8, iters=10
-        ).localCheckpoint(eager=True)
+        )
+        _KM8_CACHE[sf_dir] = (assigned, cents)  # assigned is checkpointed
     return _KM8_CACHE[sf_dir]
+
+
+def _km8(spark, sf_dir) -> DataFrame:
+    return _km8_fit(spark, sf_dir)[0]
 
 
 def _q_emb_kmeans(spark, sf_dir):
@@ -654,6 +662,19 @@ def _q_emb_cluster_sample(spark, sf_dir):
         id_col="vec_id",
         source_col="cluster",
         seed="csample",
+    )
+
+
+def _q_emb_outliers(spark, sf_dir):
+    """Top-25 embedding outliers: farthest (exact int64 squared
+    distance on the quantized grid) from their assigned k=8 centroid —
+    the post-clustering noise/OOD review step. Shares the memoized
+    kmeans fit; distance is aggregate(zip_with(...)) in whole-stage
+    codegen against a broadcast k-row centroid frame, top-n via
+    TakeOrdered. Oracle replays the fit + distances exactly."""
+    assigned, cents = _km8_fit(spark, sf_dir)
+    return ops_sim.kmeans_outliers(
+        _t(spark, sf_dir, "embeddings"), assigned, cents, top_n=25
     )
 
 
@@ -1334,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": _q_emb_semdedup,
         # immediately after emb_semdedup: reuses the memoized k=8 fit
         "emb_cluster_sample": _q_emb_cluster_sample,
+        "emb_outliers": _q_emb_outliers,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_winnow": _q_docs_winnow,
@@ -1802,6 +1824,27 @@ def _cluster_sample_oracle(n: int = 20) -> str:
         "CAST(vec_id AS VARCHAR)), vec_id) AS rk "
         f"FROM {assign}) "
         f"SELECT vec_id, cluster FROM r WHERE rk <= {n}"
+    )
+
+
+def _outliers_oracle(top_n: int = 25) -> str:
+    """SQL replay of kmeans_outliers: the k=8 fixed-point fit (same
+    generator as the kmeans oracle), exact int64 squared distance of
+    each quantized vector to its FINAL-ASSIGNMENT centroid, top-n by
+    (qdist DESC, vec_id)."""
+    parts, assign, cents = _kmeans_sql_parts(8, 10, 64, 1 << 20)
+    dist = (
+        "list_sum([(x.v[i]-c.v[i])*(x.v[i]-c.v[i]) "
+        "for i in generate_series(1, 64)])"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f", dd AS (SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, "
+        f"CAST({dist} AS BIGINT) AS qdist "
+        f"FROM {assign} a JOIN v x USING (vec_id) "
+        "JOIN " + cents + " c ON c.cluster = a.cluster) "
+        f"SELECT vec_id, cluster, qdist FROM dd "
+        f"ORDER BY qdist DESC, vec_id LIMIT {top_n}"
     )
 
 
@@ -3250,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh": _ann_lsh_oracle(),
         # Fixed-point integer Lloyd's → full SQL replay (generated).
         "emb_kmeans": _kmeans_oracle(),
+        "emb_outliers": _outliers_oracle(),
         # IVF-flat over the same quantizer → full replay (generated).
         "emb_ivf_topk": _ivf_oracle(),
         # PQ/ADC over m fixed-point subspace fits → full replay (generated).

@@ -656,6 +656,56 @@ def kmeans_fit(
     return result, C_assign
 
 
+def kmeans_outliers(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    centroids,
+    top_n: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Embedding outliers: the ``top_n`` vectors FARTHEST from their
+    assigned k-means centroid (exact int64 squared distance on the
+    quantized grid, ties → lower id) — the post-clustering curation
+    step that surfaces noise/mislabeled/out-of-distribution embeddings
+    for review or exclusion. ``assigned``/``centroids`` come from
+    :func:`kmeans_fit` with the same ``scale``.
+
+    Shape: centroids are a k×dim int64 matrix — bounded, shipped as a
+    broadcast k-row frame; the distance is
+    ``aggregate(zip_with(qv, cv, (a,b)→(a−b)²))`` — whole-stage codegen,
+    no UDF, no shuffle beyond the assignment join; the global top-n is a
+    TakeOrdered (never a full sort). Deterministic end to end, so an
+    SQL replay of the fit reproduces the exact flag set.
+    """
+    spark = embeddings.sparkSession
+    k = len(centroids)
+    cent_df = spark.createDataFrame(
+        [(int(i), [int(x) for x in centroids[i]]) for i in range(k)],
+        "cluster int, cv array<bigint>",
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embeddings.select(F.col(id_col), q.alias("qv"))
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cent_df), "cluster")
+        .select(F.col(id_col), F.col("cluster").cast("bigint").alias("cluster"), qdist.alias("qdist"))
+        .orderBy(F.col("qdist").desc(), F.col(id_col))
+        .limit(top_n)
+    )
+
+
 def kmeans_summary(
     embeddings: DataFrame,
     k: int = 8,

@@ -375,6 +375,46 @@ def test_kmeans_matches_integer_reference(spark):
     assert got == expected
 
 
+def test_kmeans_outliers_matches_numpy(spark):
+    """kmeans_outliers ≡ numpy: exact int64 distance of each quantized
+    vector to its final-assignment centroid, top-n by (dist DESC, id) —
+    exact, including the qdist values."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.collect()), key=lambda t: t[0]
+    )
+    ids = np.asarray([t[0] for t in rows])
+    X = np.asarray([t[1] for t in rows], dtype=np.float64)
+    k, iters, scale = 6, 8, 1 << 20
+    V = np.floor(X * scale + 0.5).astype(np.int64)
+    C = V[:k].copy()
+    assign, C_assign = None, C
+    for _ in range(iters):
+        C_assign = C
+        d2 = (V**2).sum(1)[:, None] - 2 * (V @ C.T) + (C**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        nxt = C.copy()
+        for j in range(k):
+            m = V[assign == j]
+            if len(m):
+                nxt[j] = [int(s) // len(m) for s in m.sum(axis=0)]
+        C = nxt
+    dist = ((V - C_assign[assign]) ** 2).sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (-int(dist[i]), int(ids[i])))
+    expected = {
+        (int(ids[i]), int(assign[i]), int(dist[i])) for i in order[:15]
+    }
+
+    assigned, cents = sim.kmeans_fit(emb, k=k, iters=iters)
+    got = {
+        (r["vec_id"], r["cluster"], r["qdist"])
+        for r in sim.kmeans_outliers(emb, assigned, cents, top_n=15).collect()
+    }
+    assert got == expected
+
+
 def test_pca_matches_numpy_reference(spark):
     """Distributed one-pass Gram PCA ≡ single-machine numpy PCA (same
     covariance formula, 1e-9 rounding, sign canonicalization, 6-decimal
