@@ -1288,6 +1288,15 @@ def _q_graph_pagerank(spark, sf_dir):
     return analytics.pagerank(_graph(spark, sf_dir), iters=5)
 
 
+def _q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities, 3 mutual-reinforcement iterations over
+    the tpch projection, fixed-point integer with L-infinity (max)
+    normalization — integer sums + a truncating integer normalizer make
+    it bit-deterministic, so the DuckDB oracle replays every iteration
+    exactly (analytics.hits docstring has the 2^63 bound)."""
+    return analytics.hits(_graph(spark, sf_dir), iters=3)
+
+
 def _q_graph_lpa(spark, sf_dir):
     """G1 — weighted LPA. With the portable lexicographic tie-break
     (and weights provably 1.0 on the cross-type-only projection), the
@@ -1345,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after graph_lpa: reuses its memoized communities
         "graph_community_density": _q_graph_community_density,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_hits": _q_graph_hits,
         "graph_triangles": _q_graph_triangles,
         "graph_bfs": _q_graph_bfs,
         "graph_degrees": _q_graph_degrees,
@@ -1733,6 +1743,49 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+    )
+
+
+def _hits_oracle(iters: int = 3, S: int = 10**9) -> str:
+    """SQL replay of fixed-point HITS over the tpch projection: integer
+    sums, truncating L∞ normalizer ``max(1, max(s) // S)`` — exactly
+    analytics.hits. Unrolled per iteration; chained CTEs MATERIALIZED
+    (each level feeds the next pass AND its normalizer — same
+    exponential-inlining lesson as the pagerank oracle)."""
+    parts = [
+        _li_sql(),
+        _tpch_edges_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        _tpch_nodes_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        f"h0 AS MATERIALIZED (SELECT id, CAST({S} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.v AS id, sum(h.r) AS s "
+            f"FROM edges e JOIN h{p} h ON e.u = h.id GROUP BY e.v)"
+        )
+        parts.append(
+            f"am{k} AS (SELECT greatest(COALESCE(max(s), 0) // {S}, 1) AS m FROM ar{k})"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, s // (SELECT m FROM am{k}) AS r FROM ar{k})"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.u AS id, sum(a.r) AS s "
+            f"FROM edges e JOIN a{k} a ON e.v = a.id GROUP BY e.u)"
+        )
+        parts.append(
+            f"hm{k} AS (SELECT greatest(COALESCE(max(s), 0) // {S}, 1) AS m FROM hr{k})"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT id, s // (SELECT m FROM hm{k}) AS r FROM hr{k})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT n.id, CAST(COALESCE(h.r, 0) AS DOUBLE) / {S} AS hub, "
+        f"CAST(COALESCE(a.r, 0) AS DOUBLE) / {S} AS authority "
+        f"FROM nodes n LEFT JOIN h{iters} h ON n.id = h.id "
+        f"LEFT JOIN a{iters} a ON n.id = a.id"
     )
 
 
@@ -3374,6 +3427,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Fixed-point integer PageRank → full SQL replay (generated).
         "graph_pagerank": _pagerank_oracle(),
+        "graph_hits": _hits_oracle(),
         # Bounded-depth BFS as a recursive CTE: the working set carries
         # (node, walk-length) pairs; min(d) per node = shortest distance
         # for everything whose true distance is <= the cap, and nothing

@@ -1068,6 +1068,104 @@ def pagerank(
     return result
 
 
+def hits(
+    graph: PropertyGraph,
+    iters: int = 3,
+    broadcast_nodes_max: int = 5_000_000,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999), fixed ``iters``
+    mutual-reinforcement iterations: returns ``(id, hub, authority)``.
+
+    Fixed-point integer arithmetic with L∞ (max) normalization — per
+    iteration, from ``h₀ = scale`` everywhere::
+
+        a_raw(v) = Σ_{u→v} h(u);   a = a_raw div max(1, amax div scale)
+        h_raw(u) = Σ_{u→v} a(v);   h = h_raw div max(1, hmax div scale)
+
+    The truncating integer normalizer keeps every score an int64
+    (values stay ≤ ~2·scale, sums need in-degree·2·scale < 2⁶³ — at the
+    default 1e-9 grid that holds to ~10⁹-degree hubs) and, unlike the
+    textbook L2 norm, is exactly replayable by any engine: integer sums
+    are order-independent, so results are bit-identical across
+    partitionings/AQE/reruns and an ANSI-SQL oracle replays every
+    iteration. Normalization choice does not affect the ranking HITS
+    converges to — only the (arbitrary) scale of the scores.
+
+    Scale shape (same levers as :func:`pagerank`): the edge list is
+    hashed to 8-byte surrogates and pinned TWICE — persisted partitioned
+    on ``v`` for the authority pass and on ``u`` for the hub pass — so
+    with the score frames broadcast (size-gated, co-shuffle fallback
+    past ``broadcast_nodes_max``) both per-iteration aggregations reuse
+    their layout: zero exchanges per pass. Each normalizer is a 1-row
+    aggregate broadcast into the update projection (never a driver
+    collect); lineage is checkpointed per iteration; string ids join
+    back once at the end.
+    """
+    spark = graph.nodes.sparkSession
+    tracked: list = []
+    idmap = _tracked_checkpoint(
+        graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
+    )
+    n_nodes = idmap.count()
+    edges_h = graph.edges.select(
+        F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
+    )
+    ed_v = edges_h.repartition(F.col("v")).persist()
+    ed_u = edges_h.repartition(F.col("u")).persist()
+    ed_v.count()  # materialize outside the iteration loop
+    ed_u.count()
+    bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+    h = _tracked_checkpoint(
+        idmap.select(F.col("iid").alias("nid"), F.lit(scale).cast("long").alias("r")),
+        tracked,
+    )
+    a = None
+
+    def _norm_pass(ed, score, join_key, group_key):
+        raw = (
+            ed.join(bcast(score.select(F.col("nid").alias(join_key), "r")), join_key)
+            .groupBy(group_key)
+            .agg(F.sum("r").alias("s"))
+        )
+        # integer `div`, not `/`: past 2^53 the double quotient can
+        # truncate to a different normalizer than the oracle's `//`
+        mx = raw.agg(
+            F.expr(
+                f"greatest(coalesce(max(s), 0L) div {scale}L, 1L)"
+            ).alias("__mx")
+        )
+        return _tracked_checkpoint(
+            raw.crossJoin(F.broadcast(mx)).select(
+                F.col(group_key).alias("nid"), F.expr("s div __mx").alias("r")
+            ),
+            tracked,
+        )
+
+    for _ in range(iters):
+        # authority pass: contributions flow along u→v, grouped on v
+        a = _norm_pass(ed_v, h, "u", "v")
+        # hub pass: contributions flow back v→u, grouped on u
+        h = _norm_pass(ed_u, a, "v", "u")
+    result = (
+        idmap.join(h.select(F.col("nid").alias("iid"), F.col("r").alias("__h")), "iid", "left")
+        .join(a.select(F.col("nid").alias("iid"), F.col("r").alias("__a")), "iid", "left")
+        .select(
+            "id",
+            (F.coalesce("__h", F.lit(0)).cast("double") / F.lit(float(scale))).alias("hub"),
+            (F.coalesce("__a", F.lit(0)).cast("double") / F.lit(float(scale))).alias("authority"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for cached in (ed_v, ed_u):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # cleanup must never fail the query
+    _free_intermediates(spark, tracked)
+    return result
+
+
 def kcore(
     edges_df: DataFrame, k: int = 2, max_iter: int = 100,
     src: str = "src", dst: str = "dst",

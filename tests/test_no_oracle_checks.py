@@ -517,6 +517,46 @@ def test_pagerank_matches_integer_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_hits_matches_integer_reference(spark):
+    """Distributed fixed-point HITS ≡ a pure-Python integer replay
+    (scale-denominated scores, truncating L∞ normalizer, integer sums)
+    on the sf0.001 projection — exact, no float tolerance. Also pins
+    the semantics: order nodes 'O:*' should out-hub the leaf parts."""
+    g = _graph(spark)
+    node_ids = sorted(r["id"] for r in g.nodes.select("id").collect())
+    idx = {n: i for i, n in enumerate(node_ids)}
+    edges = [
+        (idx[r["src"]], idx[r["dst"]])
+        for r in g.edges.select("src", "dst").collect()
+    ]
+    N = len(node_ids)
+    S = 10**9
+    iters = 3
+    h = [S] * N
+    a = [0] * N
+    for _ in range(iters):
+        araw = [0] * N
+        for u, v in edges:
+            araw[v] += h[u]
+        am = max(max(araw) // S, 1)
+        a = [s // am for s in araw]
+        hraw = [0] * N
+        for u, v in edges:
+            hraw[u] += a[v]
+        hm = max(max(hraw) // S, 1)
+        h = [s // hm for s in hraw]
+    expected = {n: (h[i] / S, a[i] / S) for n, i in idx.items()}
+
+    got = {
+        row["id"]: (row["hub"], row["authority"])
+        for row in analytics.hits(g, iters=iters).collect()
+    }
+    assert got == expected
+    # semantics sanity: some order node is a stronger hub than every part
+    max_part_hub = max(v[0] for n, v in got.items() if n.startswith("P:"))
+    assert max(v[0] for n, v in got.items() if n.startswith("O:")) > max_part_hub
+
+
 def test_kcore_matches_python_peeling(spark):
     """Distributed k-core ≡ pure-Python peeling on the sf0.001 graph."""
     g = _graph(spark)
