@@ -371,3 +371,58 @@ def test_lpa_round_shape_is_exchange_free_over_persisted_weights(spark):
         assert "InMemoryTableScan" in plan
     finally:
         wp.unpersist()
+
+
+def test_hits_pass_is_exchange_free_over_persisted_edges(spark):
+    # the HITS-pass invariant behind analytics.hits's broadcast path:
+    # edges persisted partitioned by the pass's GROUP key + the score
+    # frame broadcast -> the contribution aggregate reuses the cached
+    # partitioning, zero exchanges outside the cached subtree.
+    from pyspark.sql import functions as F
+
+    ed = spark.range(2000).select(
+        (F.col("id") % 100).alias("u"), (F.col("id") % 70).alias("v")
+    )
+    h = spark.range(100).select(F.col("id").alias("nid"), F.lit(10**9).alias("r"))
+    ep = ed.repartition(4, "v").persist()
+    try:
+        ep.count()
+        araw = (
+            ep.join(F.broadcast(h.select(F.col("nid").alias("u"), "r")), "u")
+            .groupBy("v")
+            .agg(F.sum("r").alias("s"))
+        )
+        plan = araw._jdf.queryExecution().executedPlan().toString()
+        outside_cache = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in outside_cache
+        assert "InMemoryTableScan" in plan
+    finally:
+        ep.unpersist()
+
+
+def test_token_budget_has_single_boundary_window_no_global_sort(spark):
+    # two-phase selection: whole buckets are plain filters; exactly ONE
+    # window (the boundary bucket) appears in the plan, and the only
+    # sort in the plan is the one feeding that window.
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import text as ops_text
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("weight_sum"),
+        (F.col("id") % 13 + 1).alias("ntok"),
+    )
+    out = ops_text.token_budget_select(df, budget_tokens=1000, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plan.count("Sort ") <= plan.count("Window") + 1  # window's own sort only
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan  # whole-bucket branch unioned with the boundary
+
+
+def test_containment_and_phash_pairs_have_no_cartesian(spark):
+    for name in ("docs_containment", "media_phash_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
