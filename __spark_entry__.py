@@ -831,6 +831,14 @@ def _q_docs_classifier(spark, sf_dir):
     )
 
 
+def _q_docs_profile(spark, sf_dir):
+    """Per-column data-quality profile of the documents table (nulls,
+    exact distincts, native-type min/max rendered as strings) — ONE
+    expand+regroup aggregation, no per-column rescans; unpivoted with
+    stack. The ingest-validation report for every new shard."""
+    return ops_rel.profile_table(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_token_budget(spark, sf_dir):
     """Token-budget curation: best classifier-scored docs until a
     15k-token budget (score DESC, id ASC, running total inclusive).
@@ -1347,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment": _q_docs_containment,
         "docs_token_budget": _q_docs_token_budget,
         "media_phash_pairs": _q_media_phash_pairs,
+        "docs_profile": _q_docs_profile,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2818,6 +2827,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Per-column profile: one UNION ALL branch per column, min/max in
+        # native type cast to VARCHAR (documents has only int/string
+        # columns, so rendering is engine-identical).
+        "docs_profile": (
+            " UNION ALL ".join(
+                "SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+                "CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+                "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                "CAST(min({c}) AS VARCHAR) AS min_str, "
+                "CAST(max({c}) AS VARCHAR) AS max_str FROM documents".format(c=c)
+                for c in ("doc_id", "text", "lang", "source", "n_chars")
+            )
         ),
         # Token-budget selection replayed as the NAIVE global ordered
         # cumsum (the semantics the two-phase bucket plan is proven equal

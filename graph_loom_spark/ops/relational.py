@@ -398,3 +398,45 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         a.unionByName(b).groupBy("j", "b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: one row per column with
+    ``(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)`` — the
+    ingest-validation report a pipeline runs on every new table/shard
+    before it enters the corpus.
+
+    Shape: ONE aggregation over the table. The exact per-column
+    distinct counts make Spark plan a single expand + regroup (the
+    multi-distinct rewrite): the expand streams c rows per input row
+    into a partial-aggregable hash aggregate, so the shuffle carries
+    only the surviving (column, value) groups — no per-column rescans
+    of the table. The wide 1-row aggregate result is then unpivoted
+    driver-free with ``stack``. min/max are computed in each column's
+    NATIVE type (string min of a numeric column would sort "10" < "9")
+    and cast to string only for the report; integer/string/date columns
+    render identically in any engine — float rendering is
+    engine-specific, so keep floats out of oracle-compared profiles (or
+    round upstream). At 100 TB exact distincts are the honest-but-heavy
+    choice; the HLL sketch (:func:`hll_distinct`) is the cheap variant.
+    """
+    cols = columns or df.columns
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

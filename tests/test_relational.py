@@ -180,3 +180,28 @@ def _cms_cells(spark, tok, w):
         ).alias("c")
     ).select("c.j", "c.b")
     return cells.groupBy("j", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def test_profile_table_exact_stats(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import relational as ops_rel
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, None, 10), (4, "a", 9)],
+        "id bigint, s string, v int",
+    )
+    rows = {r["col_name"]: r for r in ops_rel.profile_table(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (1, 2)
+    # min/max computed in NATIVE type then rendered: v max is 10, not "9"
+    assert (rows["v"]["min_str"], rows["v"]["max_str"]) == ("9", "10")
+    assert (rows["id"]["min_str"], rows["id"]["max_str"]) == ("1", "4")
+    # column subset + empty-columns guard
+    sub = ops_rel.profile_table(df, columns=["id"]).collect()
+    assert len(sub) == 1 and sub[0]["col_name"] == "id"
+    with pytest.raises(ValueError):
+        ops_rel.profile_table(df.select())
