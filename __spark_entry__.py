@@ -847,11 +847,21 @@ def _q_docs_token_budget(spark, sf_dir):
     bucket is a plain filter. All-integer (md5 classifier score,
     whitespace token counts), so the oracle's naive global window
     replays the kept set exactly."""
-    scored = ops_text.hashed_linear_score(_t(spark, sf_dir, "documents")).select(
+    from graph_loom_spark.ops import spread
+
+    # spread (the md5 feature chain on a narrow parquet scan would
+    # otherwise run single-task) + checkpoint: token_budget_select scans
+    # its input 3-4×, and re-running the expensive md5 lineage per pass
+    # cost 13.6 s at sf0.1 — the materialized scored frame is 24 B/row
+    # (id, score, ntok), cheap to pin even at corpus scale (measured
+    # 13.6 s → ~1.5 s, identical rows)
+    scored = ops_text.hashed_linear_score(
+        spread(_t(spark, sf_dir, "documents"))
+    ).select(
         "doc_id",
         "weight_sum",
         F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("bigint").alias("ntok"),
-    )
+    ).localCheckpoint(eager=True)
     return ops_text.token_budget_select(scored, budget_tokens=15_000)
 
 
