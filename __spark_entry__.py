@@ -306,6 +306,30 @@ def _q_agg_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_agg_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-flavor: top-10 not-yet-shipped BUILDING-segment orders
+    by open revenue — segment filter pushed to the customer scan, the
+    filtered dimension broadcast, orders-lineitem the one shuffle join;
+    DECIMAL revenue, TakeOrdered top-k with key tie-break."""
+    return ops_rel.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_agg_returned_items(spark, sf_dir):
+    """TPC-H Q10-flavor: top-20 customers by revenue lost to returns in
+    1996Q1 — quarter filter prunes orders before the lineitem join,
+    nation broadcasts; DECIMAL revenue, TakeOrdered top-k."""
+    return ops_rel.returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def _q_window_top_orders(spark, sf_dir):
     return ops_rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
@@ -1366,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _q_docs_token_budget,
         "media_phash_pairs": _q_media_phash_pairs,
         "docs_profile": _q_docs_profile,
+        "agg_shipping_priority": _q_agg_shipping_priority,
+        "agg_returned_items": _q_agg_returned_items,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2837,6 +2863,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Q3/Q10 flavors: DECIMAL(18,2) revenue arithmetic mirrored
+        # expression-for-expression (exact, partition-order-independent),
+        # double cast only at the end; top-k ORDER includes a key
+        # tie-break so the selected set is engine-independent.
+        "agg_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+            "AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "agg_returned_items": (
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+            "AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         # Per-column profile: one UNION ALL branch per column, min/max in
         # native type cast to VARCHAR (documents has only int/string

@@ -242,7 +242,7 @@ def main() -> None:
             # LPA (~30-70 s) that graph_lpa's own A/B already measures —
             # the density aggregation itself is the 0.7 s warm number.
             "cypher_var_length,graph_lpa,"
-            "graph_components,docs_tfidf,graph_pagerank,emb_near_dup",
+            "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup",
         ).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]

@@ -58,6 +58,75 @@ def revenue_by_nation(customer: DataFrame, orders: DataFrame, lineitem: DataFram
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1996-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-flavor shipping priority: top-k not-yet-shipped orders
+    of one market segment by open revenue. The segment filter reaches
+    the customer scan (predicate pushdown), the filtered dimension
+    broadcasts, and orders↔lineitem stays the one real shuffle join —
+    DECIMAL revenue for partition-order-independent exactness; the
+    top-k is a TakeOrdered with an id tie-break, never a full sort."""
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(date))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(date)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(k)
+    )
+
+
+def returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-flavor returned-item report: top-k customers by revenue
+    lost to returns (``l_returnflag = 'R'``) in one quarter. The nation
+    dimension broadcasts; the quarter filter prunes orders before the
+    lineitem join; DECIMAL revenue; TakeOrdered top-k with key
+    tie-break."""
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_lo))
+                & (F.col("o_orderdate") < F.lit(date_hi))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window top-k per group; o_orderkey tiebreak keeps it deterministic."""
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

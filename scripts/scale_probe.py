@@ -68,6 +68,46 @@ def _derive(spark) -> None:
     big_emb.write.mode("overwrite").parquet(f"{DERIVED}/embeddings.parquet")
 
 
+def _token_budget(d) -> int:
+    # the entry composition: classifier score + ws token counts,
+    # checkpointed once (the operator scans its input 3-4x), budget
+    # sized to ~5% of corpus tokens so the boundary always bites
+    from graph_loom_spark.ops import text as ops_text
+
+    scored = (
+        ops_text.hashed_linear_score(d)
+        .select(
+            "doc_id",
+            "weight_sum",
+            F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+            .cast("bigint")
+            .alias("ntok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    budget = int(scored.agg(F.sum("ntok")).first()[0] or 0) // 20
+    return ops_text.token_budget_select(scored, budget_tokens=budget).count()
+
+
+def _phash_pairs(d) -> int:
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.ops import multimodal as ops_mm
+
+    media = ops_mm.media_from_documents(d.select("doc_id"), kind="bmpv")
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("bigint")
+    sig = ops_mm.image_features(media).select(
+        "media_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
+    )
+    return ops_dedup.simhash_near_pairs(sig, id_col="media_id", max_hamming=3).count()
+
+
+def _profile(d) -> int:
+    from graph_loom_spark.ops import relational as ops_rel
+
+    return ops_rel.profile_table(d).count()
+
+
 def main() -> None:
     from graph_loom_spark.ops import dedup as ops_dedup
     from graph_loom_spark.ops import simsearch as ops_sim
@@ -98,6 +138,18 @@ def main() -> None:
             e, threshold=0.4
         ).count(),
         "sq_topk": lambda d, e: ops_sim.sq_topk(e, probe_id=7).count(),
+        "containment": lambda d, e: ops_dedup.containment_pairs(
+            d, threshold=0.8
+        ).count(),
+        "token_budget": lambda d, e: _token_budget(d),
+        "phash_pairs": lambda d, e: _phash_pairs(d),
+        # // 20 + 1: at sf0.1 total=250 puts a cap exactly on the .5
+        # rounding boundary and the operator's loud guard (correctly)
+        # refuses; +1 is boundary-free at all three scales
+        "temp_mixture": lambda d, e: ops_text.temperature_mixture(
+            d, total_docs=max(1, d.count() // 20 + 1)
+        ).count(),
+        "profile": lambda d, e: _profile(d),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]

@@ -81,6 +81,7 @@ def main() -> None:
         "components": lambda g: analytics.connected_components(g).count(),
         "pagerank": lambda g: analytics.pagerank(g).count(),
         "lpa": lambda g: analytics.weighted_label_propagation(g).count(),
+        "hits": lambda g: analytics.hits(g).count(),
         "triangles": lambda g: analytics.triangle_counts(
             g.edges.select("src", "dst")
         ).count(),
