@@ -306,6 +306,34 @@ def _q_agg_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_docs_diff(spark, sf_dir):
+    """Dataset-version diff (added/removed/changed, unchanged omitted)
+    between the corpus and a derived v2 (every 7th doc dropped, every
+    11th≡3 edited, every 13th≡5 re-added under a shifted id). The
+    operator joins 12-byte digests, never document bytes; the oracle
+    compares raw values — equal barring 96-bit collisions."""
+    docs = _t(spark, sf_dir, "documents")
+    edited = F.when(
+        F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn("text", edited)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    return ops_rel.corpus_diff(
+        docs, new, ["doc_id"], ["text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_agg_shipping_priority(spark, sf_dir):
     """TPC-H Q3-flavor: top-10 not-yet-shipped BUILDING-segment orders
     by open revenue — segment filter pushed to the customer scan, the
@@ -1392,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_profile": _q_docs_profile,
         "agg_shipping_priority": _q_agg_shipping_priority,
         "agg_returned_items": _q_agg_returned_items,
+        "docs_diff": _q_docs_diff,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -2863,6 +2892,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Version diff: the oracle compares RAW values null-safely
+        # (IS DISTINCT FROM); the engine compares 96-bit digests of the
+        # same columns — identical output barring hash collisions (the
+        # exact_dedup argument).
+        "docs_diff": (
+            "WITH newv AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3 "
+            "THEN text || ' v2' ELSE text END AS text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 7 <> 0 "
+            "UNION ALL SELECT doc_id + 1000000, 'new ' || text, lang, source, "
+            "n_chars FROM documents WHERE doc_id % 13 = 5) "
+            "SELECT doc_id, status FROM ("
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN (o.text IS DISTINCT FROM n.text) "
+            "OR (o.lang IS DISTINCT FROM n.lang) "
+            "OR (o.source IS DISTINCT FROM n.source) "
+            "OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed' "
+            "ELSE NULL END AS status "
+            "FROM documents o FULL JOIN newv n ON o.doc_id = n.doc_id) "
+            "WHERE status IS NOT NULL"
         ),
         # Q3/Q10 flavors: DECIMAL(18,2) revenue arithmetic mirrored
         # expression-for-expression (exact, partition-order-independent),

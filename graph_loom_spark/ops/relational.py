@@ -232,6 +232,61 @@ def merge_upsert(
     return kept.unionByName(ups)
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff — which keys were ``added``, ``removed`` or
+    ``changed`` between two corpus versions (the audit step before
+    promoting a refreshed crawl; unchanged rows are omitted). ``changed``
+    compares a 96-bit hash of ``compare_cols`` (xxhash64 + 32-bit
+    murmur), never the raw values: document bytes stay out of the join
+    and the shuffle carries 12-byte digests — the same
+    collision-is-negligible argument as :func:`~graph_loom_spark.ops.dedup.exact_dedup`.
+
+    Shape: both sides reduce to (key, digest) projections, then ONE
+    full-outer hash join on the key; status is a null-pattern CASE.
+    Null-safe on compare columns (a value flipping to/from NULL is a
+    change — the digest hashes a null marker, not a dropped column).
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("corpus_diff: key_cols and compare_cols required")
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        # coalesce each compare col into a marked string so NULL and
+        # the literal string 'null' can't collide
+        marked = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c)
+            for c in compare_cols
+        ]
+        d = df.select(*key_cols, *marked)
+        return d.select(
+            *key_cols,
+            F.xxhash64(*compare_cols).alias(f"__h64_{tag}"),
+            F.hash(*compare_cols).alias(f"__h32_{tag}"),
+        )
+    o = digest(old, "o")
+    n = digest(new, "n")
+    status = (
+        F.when(F.col("__h64_o").isNull(), F.lit("added"))
+        .when(F.col("__h64_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("__h64_o") != F.col("__h64_n"))
+            | (F.col("__h32_o") != F.col("__h32_n")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        o.join(n, key_cols, "full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],

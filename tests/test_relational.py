@@ -205,3 +205,30 @@ def test_profile_table_exact_stats(spark):
     assert len(sub) == 1 and sub[0]["col_name"] == "id"
     with pytest.raises(ValueError):
         ops_rel.profile_table(df.select())
+
+
+def test_corpus_diff_statuses_and_null_safety(spark):
+    import pytest
+
+    from graph_loom_spark.ops import relational as ops_rel
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "id bigint, t string, m string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "x"),      # unchanged -> omitted
+            (2, "b", "now"),    # NULL -> value = changed
+            (3, None, "z"),     # value -> NULL = changed
+            (5, "e", "v"),      # added
+        ],                      # 4 missing = removed
+        "id bigint, t string, m string",
+    )
+    got = {
+        (r["id"], r["status"])
+        for r in ops_rel.corpus_diff(old, new, ["id"], ["t", "m"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}
+    with pytest.raises(ValueError):
+        ops_rel.corpus_diff(old, new, [], ["t"])
