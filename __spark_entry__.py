@@ -825,6 +825,26 @@ def _q_media_phash_pairs(spark, sf_dir):
     )
 
 
+def _q_media_audio_pairs(spark, sf_dir):
+    """Audio near-dup pairs by energy fingerprint (the acoustic twin of
+    media_phash_pairs): near-duplicate WAV variant family (groups of 4
+    docs share a base sample stream, members amplitude-shifted), REAL
+    PCM decode + 64-bit windowed-energy signature in Arrow-batched
+    mapInPandas, Hamming≤3 pairs via the pigeonhole-banded join. The
+    signature uses only integer cross-multiplied compares (E_j·n >
+    ΣE·n_j — no division), so the DuckDB oracle replays hash and pair
+    set exactly from doc_id alone."""
+    media = ops_mm.media_from_documents(_t(spark, sf_dir, "documents"), kind="wavv")
+    hi = F.conv(F.substring("fp", 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring("fp", 9, 8), 16, 10).cast("bigint")
+    sig = ops_mm.audio_fingerprint(media).select(
+        "media_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
+    )
+    return ops_dedup.simhash_near_pairs(sig, id_col="media_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -1417,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment": _q_docs_containment,
         "docs_token_budget": _q_docs_token_budget,
         "media_phash_pairs": _q_media_phash_pairs,
+        "media_audio_pairs": _q_media_audio_pairs,
         "docs_profile": _q_docs_profile,
         "agg_shipping_priority": _q_agg_shipping_priority,
         "agg_returned_items": _q_agg_returned_items,
@@ -2770,6 +2791,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN cell >= 32 AND 64 * mval > tot "
             "THEN (CAST(1 AS BIGINT) << (63 - cell)) ELSE 0 END) AS BIGINT) AS lo "
             "FROM mm JOIN t USING (doc_id) GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS da, bb.doc_id AS db, "
+            "bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) AS hamming "
+            "FROM hb a JOIN hb bb ON a.doc_id < bb.doc_id) "
+            "SELECT 'm' || lpad(CAST(da AS VARCHAR), 12, '0') AS id_a, "
+            "'m' || lpad(CAST(db AS VARCHAR), 12, '0') AS id_b, "
+            "CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3"
+        ),
+        # Audio energy fingerprint replay, all-integer: samples are
+        # closed-form in (base, member, i); windowed energy sums compare
+        # via E·n > ΣE·cnt (cross-multiplied, no division); hash as two
+        # 32-bit halves; banding is pigeonhole-lossless at Hamming ≤ 3.
+        "media_audio_pairs": (
+            "WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS m "
+            "FROM documents), "
+            "dd AS (SELECT doc_id, b, m, 400 + (b * 37) % 800 AS n FROM d), "
+            "si AS (SELECT doc_id, b, m, n, "
+            "unnest(generate_series(0, n - 1)) AS i FROM dd), "
+            "e AS (SELECT doc_id, n, (i * 64) // n AS w, "
+            "(((i * (b + 3)) % 97 - 48) * 100 + "
+            "CASE WHEN i % 61 < m THEN 400 ELSE 0 END) AS x FROM si), "
+            "c AS (SELECT doc_id, n, w, sum(x * x) AS s, count(*) AS cnt "
+            "FROM e GROUP BY 1, 2, 3), "
+            "t AS (SELECT doc_id, sum(s) AS tot FROM c GROUP BY 1), "
+            "hb AS (SELECT c.doc_id, "
+            "CAST(sum(CASE WHEN w < 32 AND s * n > tot * cnt "
+            "THEN (CAST(1 AS BIGINT) << (31 - w)) ELSE 0 END) AS BIGINT) AS hi, "
+            "CAST(sum(CASE WHEN w >= 32 AND s * n > tot * cnt "
+            "THEN (CAST(1 AS BIGINT) << (63 - w)) ELSE 0 END) AS BIGINT) AS lo "
+            "FROM c JOIN t USING (doc_id) GROUP BY 1), "
             "p AS (SELECT a.doc_id AS da, bb.doc_id AS db, "
             "bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) AS hamming "
             "FROM hb a JOIN hb bb ON a.doc_id < bb.doc_id) "

@@ -315,12 +315,15 @@ def encode_wav(
     return buf.getvalue()
 
 
-def decode_wav(data: bytes) -> dict:
+def decode_wav(data: bytes, return_samples: bool = False) -> dict:
     """Parse a PCM WAV → header params + RMS amplitude of the samples.
 
     ``{n_channels, sample_rate, sample_width, n_frames, duration_s, rms}``
     — RMS over all channels, computed from the raw frames with
-    ``struct`` (audioop-free, so it survives Python ≥ 3.13 too)."""
+    ``struct`` (audioop-free, so it survives Python ≥ 3.13 too).
+    ``return_samples=True`` adds the decoded ``samples`` tuple (for
+    fingerprinting — off by default so feature extraction doesn't haul
+    sample arrays around)."""
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             n_channels = w.getnchannels()
@@ -337,7 +340,7 @@ def decode_wav(data: bytes) -> dict:
     else:
         raise UnsupportedMediaError(f"WAV sample width {width}")
     rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 if samples else 0.0
-    return {
+    out = {
         "n_channels": n_channels,
         "sample_rate": rate,
         "sample_width": width,
@@ -345,6 +348,9 @@ def decode_wav(data: bytes) -> dict:
         "duration_s": n_frames / rate if rate else 0.0,
         "rms": rms,
     }
+    if return_samples:
+        out["samples"] = samples
+    return out
 
 
 # --------------------------------------------------------------------- video
@@ -529,4 +535,30 @@ def average_hash(width: int, height: int, pixels) -> str:
     bits = 0
     for m in means:
         bits = (bits << 1) | (1 if m > overall else 0)
+    return f"{bits:016x}"
+
+
+def energy_fingerprint(samples) -> str:
+    """64-bit energy-signature of a PCM sample stream, hex-encoded —
+    the acoustic analogue of :func:`average_hash`: split the stream
+    into 64 contiguous windows (``i·64 // n``); bit j = 1 iff window
+    j's MEAN energy exceeds the overall mean. The compare is the
+    cross-multiplied integer form ``E_j·n > ΣE·n_j`` — no division
+    anywhere, so the fingerprint is bit-reproducible in any engine
+    (ties → 0). Robust to windowing drift the raw sample hash is not."""
+    n = len(samples)
+    if n == 0:
+        return f"{0:016x}"
+    E = [0] * 64
+    C = [0] * 64
+    tot = 0
+    for i, s in enumerate(samples):
+        e = int(s) * int(s)
+        j = i * 64 // n
+        E[j] += e
+        C[j] += 1
+        tot += e
+    bits = 0
+    for j in range(64):
+        bits = (bits << 1) | (1 if E[j] * n > tot * C[j] else 0)
     return f"{bits:016x}"

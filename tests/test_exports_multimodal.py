@@ -230,6 +230,51 @@ def test_media_phash_near_dup_pairs_full_stack(spark):
     )
 
 
+def test_media_audio_fingerprint_pairs_full_stack(spark):
+    """wavv variant family → REAL PCM encode/decode → energy
+    fingerprint → Hamming-banded pairs must equal the Python brute
+    force, with real intra-group near-dups found."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    n = 40
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    media = mm.media_from_documents(docs, kind="wavv")
+    hi = F.conv(F.substring("fp", 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring("fp", 9, 8), 16, 10).cast("bigint")
+    sig = mm.audio_fingerprint(media).select(
+        "media_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ops_dedup.simhash_near_pairs(
+            sig, id_col="media_id", max_hamming=3
+        ).collect()
+    }
+
+    def fp(seq):
+        base, member = seq - seq % 4, seq % 4
+        nf = mm._wav_frames(base)
+        samples = [
+            ((i * (base + 3)) % 97 - 48) * 100 + (400 if i % 61 < member else 0)
+            for i in range(nf)
+        ]
+        return int(codecs.energy_fingerprint(samples), 16)
+
+    hs = {s: fp(s) for s in range(n)}
+    want = {
+        (f"m{a:012d}", f"m{b:012d}", bin(hs[a] ^ hs[b]).count("1"))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert got == want
+    assert any(
+        0 < h2 <= 3 and int(a[1:]) // 4 == int(b[1:]) // 4 for a, b, h2 in got
+    )
+
+
 def test_media_audio_features_real_decode(spark):
     media = mm.synthetic_media(spark, n=12)
     rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
