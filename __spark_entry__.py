@@ -1378,6 +1378,17 @@ def _q_graph_pagerank(spark, sf_dir):
     return analytics.pagerank(_graph(spark, sf_dir), iters=5)
 
 
+def _q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank seeded on the Customer nodes, 5 fixed-point
+    integer iterations — teleport AND dangling mass restart into the
+    seed set (the influence-from-customers rank). Bit-deterministic, so
+    the DuckDB oracle replays every iteration exactly."""
+    g = _graph(spark, sf_dir)
+    return analytics.personalized_pagerank(
+        g, g.nodes.filter(F.col("id").startswith("C:")).select("id"), iters=5
+    )
+
+
 def _q_graph_hits(spark, sf_dir):
     """HITS hubs & authorities, 3 mutual-reinforcement iterations over
     the tpch projection, fixed-point integer with L-infinity (max)
@@ -1449,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after graph_lpa: reuses its memoized communities
         "graph_community_density": _q_graph_community_density,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_ppr": _q_graph_ppr,
         "graph_hits": _q_graph_hits,
         "graph_triangles": _q_graph_triangles,
         "graph_bfs": _q_graph_bfs,
@@ -1834,6 +1846,46 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
             f"r{k} AS MATERIALIZED (SELECT n.id, {(100 - dn) * S} // (100 * (SELECT n FROM nn)) + "
             f"({dn} * (COALESCE(c.s, 0) + (SELECT m FROM m{k}) // (SELECT n FROM nn))) // 100 AS r "
             f"FROM nodes n LEFT JOIN c{k} c ON n.id = c.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+    )
+
+
+def _ppr_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
+    """SQL replay of fixed-point personalized PageRank seeded on the
+    Customer nodes: teleport base and dangling redistribution gated by
+    the per-node seed flag, everything else identical to
+    _pagerank_oracle (integer sums, floor divisions, MATERIALIZED
+    chained CTEs)."""
+    parts = [
+        _li_sql(),
+        _tpch_edges_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        _tpch_nodes_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+        "src AS MATERIALIZED (SELECT id FROM nodes WHERE id LIKE 'C:%')",
+        "ns AS MATERIALIZED (SELECT count(*) AS n FROM src)",
+        "od AS MATERIALIZED (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
+        "st AS MATERIALIZED (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END "
+        "AS sf FROM nodes n LEFT JOIN src s ON n.id = s.id)",
+        f"r0 AS MATERIALIZED (SELECT id, sf * ({S} // (SELECT n FROM ns)) AS r FROM st)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.v AS id, sum(r.r // d.od) AS s FROM edges e "
+            f"JOIN od d ON e.u = d.id JOIN r{p} r ON e.u = r.id GROUP BY e.v)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT COALESCE(sum(r.r), 0) AS m FROM r{p} r "
+            "LEFT JOIN od d ON r.id = d.id WHERE d.id IS NULL)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT st.id, "
+            f"st.sf * ({(100 - dn) * S} // (100 * (SELECT n FROM ns))) + "
+            f"({dn} * (COALESCE(c.s, 0) + st.sf * ((SELECT m FROM m{k}) // "
+            "(SELECT n FROM ns)))) // 100 AS r "
+            f"FROM st LEFT JOIN c{k} c ON st.id = c.id)"
         )
     return (
         "WITH " + ", ".join(parts)
@@ -3617,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Fixed-point integer PageRank → full SQL replay (generated).
         "graph_pagerank": _pagerank_oracle(),
+        "graph_ppr": _ppr_oracle(),
         "graph_hits": _hits_oracle(),
         # Bounded-depth BFS as a recursive CTE: the working set carries
         # (node, walk-length) pairs; min(d) per node = shortest distance

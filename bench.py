@@ -68,6 +68,7 @@ _BENCH_LAST = [
     "graph_degrees",
     "graph_kcore",
     "graph_pagerank",
+    "graph_ppr",
     "graph_hits",
     "graph_components",
     "graph_density_components",

@@ -517,6 +517,63 @@ def test_pagerank_matches_integer_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_personalized_pagerank_matches_integer_reference(spark):
+    """Fixed-point PPR ≡ pure-Python integer replay (teleport + dangling
+    mass restricted to the seed set) on the sf0.001 projection — exact.
+    Semantics: seeds hold teleport mass; nodes unreachable from the
+    seed set rank 0."""
+    from pyspark.sql import functions as F
+
+    g = _graph(spark)
+    node_ids = sorted(r["id"] for r in g.nodes.select("id").collect())
+    idx = {n: i for i, n in enumerate(node_ids)}
+    edges = [
+        (idx[r["src"]], idx[r["dst"]])
+        for r in g.edges.select("src", "dst").collect()
+    ]
+    seeds = [i for n, i in idx.items() if n.startswith("C:")]
+    N, nS = len(node_ids), len(seeds)
+    S, dn, iters = 10**12, 85, 5
+    sf = [0] * N
+    for i in seeds:
+        sf[i] = 1
+    od = [0] * N
+    for u, _ in edges:
+        od[u] += 1
+    r = [sf[i] * (S // nS) for i in range(N)]
+    base = ((100 - dn) * S) // (100 * nS)
+    for _ in range(iters):
+        contrib = [0] * N
+        for u, v in edges:
+            contrib[v] += r[u] // od[u]
+        dmass = sum(r[i] for i in range(N) if od[i] == 0)
+        mpn = dmass // nS
+        r = [
+            sf[i] * base + (dn * (contrib[i] + sf[i] * mpn)) // 100
+            for i in range(N)
+        ]
+    expected = {n: r[i] / S for n, i in idx.items()}
+
+    got = {
+        row["id"]: row["rank"]
+        for row in analytics.personalized_pagerank(
+            g, g.nodes.filter(F.col("id").startswith("C:")).select("id")
+        ).collect()
+    }
+    assert got == expected
+    # region nodes are upstream of customers (C->N->R), unreachable
+    # from the seeds... unless some path exists; assert directly from
+    # the python replay instead of hard-coding: zero stays zero
+    zero_nodes = [n for n, i in idx.items() if r[i] == 0]
+    assert all(got[n] == 0.0 for n in zero_nodes)
+    import pytest
+
+    with pytest.raises(ValueError):
+        analytics.personalized_pagerank(
+            g, g.nodes.filter(F.lit(False)).select("id")
+        )
+
+
 def test_hits_matches_integer_reference(spark):
     """Distributed fixed-point HITS ≡ a pure-Python integer replay
     (scale-denominated scores, truncating L∞ normalizer, integer sums)
