@@ -845,6 +845,18 @@ def _q_media_audio_pairs(spark, sf_dir):
     )
 
 
+def _q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: for each probe (vec_id % 50 == 7), the
+    most-similar vector with a DIFFERENT label — exact int64 dots of
+    int8-quantized vectors (sq_topk's construction), per-probe argmax
+    as a partial-aggregable max-struct over a deliberate p-row
+    broadcast nested-loop block; oracle replays scale, quantization and
+    argmax exactly."""
+    return ops_sim.hard_negatives(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 50 == 7
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -1473,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after emb_semdedup: reuses the memoized k=8 fit
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_outliers": _q_emb_outliers,
+        "emb_hard_negatives": _q_emb_hard_negatives,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "docs_winnow": _q_docs_winnow,
@@ -2919,6 +2932,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(top.topc, 0) AS DOUBLE) / (b.n_tokens - 1) "
             "ELSE 0.0 END AS top_bigram_frac "
             "FROM base b LEFT JOIN top USING (doc_id)"
+        ),
+        # Hard negatives: int8 quantization replayed (global max-abs
+        # scale, floor(x*127/s + 0.5)), exact integer dots (products
+        # < 2^24 — exact in the double list_dot_product too), argmax
+        # with (dot DESC, vec_id) tie-break.
+        "emb_hard_negatives": (
+            "WITH s AS (SELECT max(list_max(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS s FROM embeddings), "
+            "q AS MATERIALIZED (SELECT vec_id, label, "
+            "[CAST(floor(x * 127 / s.s + 0.5) AS BIGINT) "
+            "for x in CAST(embedding AS DOUBLE[])] AS qv FROM embeddings, s), "
+            "p AS (SELECT vec_id AS pid, label AS plb, qv AS pv FROM q "
+            "WHERE vec_id % 50 = 7), "
+            "d AS (SELECT p.pid, q.vec_id, "
+            "CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS dot "
+            "FROM q JOIN p ON q.label <> p.plb AND q.vec_id <> p.pid), "
+            "r AS (SELECT pid, vec_id, dot, row_number() OVER ("
+            "PARTITION BY pid ORDER BY dot DESC, vec_id) AS rn FROM d) "
+            "SELECT pid, vec_id AS neg_id, dot AS qdot FROM r WHERE rn = 1"
         ),
         "emb_cosine_topk": (
             "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 7) "

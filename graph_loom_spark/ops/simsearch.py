@@ -656,6 +656,80 @@ def kmeans_fit(
     return result, C_assign
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    probe_filter,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bits: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every probe
+    vector (rows matching ``probe_filter``, a Column predicate), the
+    single most-similar corpus vector with a DIFFERENT label — the
+    highest-value negative pair a metric-learning batch can contain.
+    Returns ``(pid, neg_id, qdot)``.
+
+    Determinism: scores are exact int64 dot products of symmetric-int8
+    quantized vectors (one global max-abs scale — :func:`sq_topk`'s
+    construction), ties → lower id, so an SQL oracle replays scale,
+    quantization and the argmax exactly.
+
+    Shape: the probe block (p quantized vectors + labels, bounded by
+    the filter) ships as ONE broadcast, the corpus streams through the
+    resulting deliberate broadcast nested-loop join (p·n narrow rows —
+    linear in p·n, no shuffle), and the per-probe argmax is a
+    partial-aggregable max-struct — never a window, never a sort.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    s_row = embeddings.select(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        ).alias("s")
+    ).head()
+    if s_row is None or s_row[0] is None or s_row[0] == 0.0:
+        raise ValueError("hard_negatives: empty embeddings or all-zero corpus")
+    s = float(s_row[0])
+    qrow = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(qmax)) / F.lit(s) + 0.5),
+    )
+    q = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("__lb"), qrow.alias("__qv")
+    )
+    probes = q.filter(probe_filter).select(
+        F.col(id_col).alias("__pid"),
+        F.col("__lb").alias("__plb"),
+        F.col("__qv").alias("__pv"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("__qv", "__pv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        spread(q)
+        .crossJoin(F.broadcast(probes))
+        .filter((F.col("__lb") != F.col("__plb")) & (F.col(id_col) != F.col("__pid")))
+        .select("__pid", F.col(id_col), qdot.alias("__d"))
+        .groupBy("__pid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__d").alias("d"),
+                    (-F.col(id_col)).alias("ni"),
+                    F.col(id_col).alias("i"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col("__pid").alias("pid"),
+            F.col("__m.i").alias("neg_id"),
+            F.col("__m.d").alias("qdot"),
+        )
+    )
+
+
 def kmeans_outliers(
     embeddings: DataFrame,
     assigned: DataFrame,

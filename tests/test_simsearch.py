@@ -101,3 +101,40 @@ def test_blocked_near_pairs_skewed_cluster_parity(spark):
     exact = _pairs(sim.cosine_near_pairs(emb, threshold=0.95, exact=True))
     blocked = _pairs(sim.cosine_near_pairs_blocked(emb, threshold=0.95, salt=4))
     assert blocked == exact and len(exact) > 5000
+
+
+def test_hard_negatives_matches_numpy(spark):
+    """hard_negatives ≡ numpy: global-scale int8 quantization, exact
+    integer dots, per-probe argmax over different-label vectors only."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], r["label"], r["embedding"]) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    X = np.asarray([t[2] for t in rows], dtype=np.float64)
+    s = float(np.abs(X).max())
+    Q = np.floor(X * 127 / s + 0.5).astype(np.int64)
+    expected = {}
+    for i, (vid, lb, _) in enumerate(rows):
+        if vid % 17 != 3:
+            continue
+        best = None
+        for j, (vid2, lb2, _) in enumerate(rows):
+            if lb2 == lb or vid2 == vid:
+                continue
+            d = int(Q[i] @ Q[j])
+            key = (d, -vid2)
+            if best is None or key > best[0]:
+                best = (key, vid2, d)
+        expected[vid] = (best[1], best[2])
+
+    got = {
+        r["pid"]: (r["neg_id"], r["qdot"])
+        for r in sim.hard_negatives(emb, F.col("vec_id") % 17 == 3).collect()
+    }
+    assert got == expected and len(got) > 0
