@@ -370,3 +370,44 @@ def stream_cms_cells(docs: DataFrame, d: int = 4, w: int = 1024) -> DataFrame:
         ).alias("__c")
     ).select("__c.j", "__c.b")
     return cells.groupBy("j", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def stream_profile(docs: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Running per-column profile — the live-ingest form of
+    :func:`graph_loom_spark.ops.relational.profile_table`: per column,
+    the running row count, null count and native-type min/max (rendered
+    as strings), maintained as ONE wide global streaming aggregate —
+    a SINGLE state row total regardless of stream volume, unpivoted
+    with ``stack`` after the aggregate. Counts/min/max are all
+    incrementally mergeable, so stream-after-drain equals the batch
+    profiler exactly on these columns (stream≡batch pytest).
+
+    The batch profiler's exact ``n_distinct`` is deliberately absent:
+    exact distinct-counting needs unbounded state or a second
+    aggregation (unsupported in one streaming query); the
+    bounded-state md5-register HLL sketch is the streaming answer to
+    that concern (same trade the streaming corpus report makes with its
+    exact-dup term).
+    """
+    cols = columns or [c for c in docs.columns]
+    if not cols:
+        raise ValueError("stream_profile: no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"__nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return (
+        docs.agg(*aggs)
+        .selectExpr(
+            "__n AS n_rows",
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col_name, n_nulls, min_str, max_str)",
+        )
+        .select("col_name", "n_rows", "n_nulls", "min_str", "max_str")
+    )

@@ -473,3 +473,26 @@ def test_stream_cms_cells_match_batch_grid(spark, docs_path):
         for r in tok.select(b.alias("b")).groupBy("b").count().collect():
             want[(j, r["b"])] = r["count"]
     assert got == want
+
+
+def test_stream_profile_matches_batch(spark, docs_path):
+    """The running per-column profile (ONE state row) drained over the
+    full source must equal the batch profiler exactly on its
+    incremental columns (rows/nulls/min/max; exact distincts are the
+    documented non-streaming term)."""
+    from graph_loom_spark.ops import relational as ops_rel
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_profile(stream), "docs_profile_t", output_mode="complete"
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["min_str"], r["max_str"])
+        for r in spark.sql("SELECT * FROM docs_profile_t").collect()
+    }
+    batch = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["min_str"], r["max_str"])
+        for r in ops_rel.profile_table(spark.read.parquet(docs_path)).collect()
+    }
+    assert got == batch and len(got) >= 4
