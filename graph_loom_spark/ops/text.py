@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graph_loom_spark.ops import spread
+
 _TOKEN_RE = r"\S+"
 
 # tiny per-language stopword profiles (public common words)
@@ -119,6 +121,11 @@ def tfidf_topk_terms(
     dictionary is small, shuffle join at corpus scale); the top-k window
     partitions by doc_id — no global ordering anywhere.
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     from pyspark.sql.window import Window
 
     toks = documents.select(
@@ -693,6 +700,11 @@ def vocab_topk(documents: DataFrame, text_col: str = "text", k: int = 50) -> Dat
     term dictionary — no full sort, driver sees k rows. This is the
     vocabulary/tokenizer-training statistic every corpus build runs.
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     counts = (
         documents.select(
             F.explode(
@@ -825,6 +837,11 @@ def trigram_logprob(
     Everything is codegen'd expressions — the "perplexity filter" pass
     of a 100 TB pipeline at one scan + small joins.
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = documents.select(F.col(id_col), norm.alias("__n")).filter(
         F.length("__n") >= 3
@@ -899,6 +916,11 @@ def moore_lewis_score(
     expressions. Per-model add-k smoothing handles trigrams the other
     model never saw (count 0 contributes ``ln(k / (cb + k·V))``).
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = documents.select(
         F.col(id_col),
@@ -1255,6 +1277,11 @@ def bm25_topk(
     per-(doc, term) tf aggregate, a broadcast join of the ≤|q|-row df
     frame, and TakeOrdered — no full-vocab shuffle anywhere.
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     if not query_terms:
         raise ValueError("bm25_topk: empty query_terms")
     qlit = [t.lower() for t in dict.fromkeys(query_terms)]
@@ -1457,6 +1484,11 @@ def dsir_log_weight(
     the whole pipeline (float noise absorbed by the 1e-6 rounding, same
     argument as BM25/trigram).
     """
+    # spread: explode/feature chains on a narrow parquet scan would
+    # otherwise run single-task (the scan stage owns the whole per-row
+    # expression tree); widen BEFORE the projection so the heavy work
+    # parallelizes. No-op on already-wide inputs.
+    documents = spread(documents)
     toks = f"split({text_col}, ' ')"
     bigrams = (
         f"case when size({toks}) >= 2 then transform(sequence(0, size({toks}) - 2), "
