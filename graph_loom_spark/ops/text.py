@@ -510,7 +510,9 @@ def winnow_fingerprints(
                     fps.append(f"{v:08x}")
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
-    return documents.select("doc_id", norm.alias("__n")).mapInPandas(
+    # spread: the md5-per-gram loop is CPU-bound and a narrow parquet
+    # scan would hand all of it to one Arrow worker
+    return spread(documents.select("doc_id", norm.alias("__n"))).mapInPandas(
         _winnow, "doc_id long, fp string"
     )
 
@@ -1028,7 +1030,8 @@ def compression_ratio(
                 }
             )
 
-    out = documents.select(id_col, text_col).mapInPandas(
+    # spread: zlib per doc is CPU-bound; don't serialize it on one worker
+    out = spread(documents.select(id_col, text_col)).mapInPandas(
         _ratio, f"{id_col} long, n_bytes long, n_compressed long"
     )
     return out.select(
