@@ -306,6 +306,15 @@ def _q_agg_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_docs_length_buckets(spark, sf_dir):
+    """Length-bucketed batching report (padding-efficiency): md5-sampled
+    quantile boundaries folded in as a broadcast 1-row frame, codegen'd
+    bucket assignment, one partial-aggregable groupBy. Boundaries round
+    to 4 digits — the replayable interpolation — so the report is
+    oracle-exact."""
+    return ops_text.length_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_diff(spark, sf_dir):
     """Dataset-version diff (added/removed/changed, unchanged omitted)
     between the corpus and a derived v2 (every 7th doc dropped, every
@@ -1465,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_shipping_priority": _q_agg_shipping_priority,
         "agg_returned_items": _q_agg_returned_items,
         "docs_diff": _q_docs_diff,
+        "docs_length_buckets": _q_docs_length_buckets,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -3026,6 +3036,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Length buckets: md5-sampled quantile_cont boundaries rounded to
+        # 4 (the proven-replayable interpolation), bucket = count of
+        # boundaries strictly below the doc's token length, all-integer
+        # report columns.
+        "docs_length_buckets": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS l "
+            "FROM documents), "
+            "f AS (SELECT l FROM s WHERE CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 268435456), "
+            "b AS (SELECT [round(quantile_cont(CAST(l AS DOUBLE), 0.25), 4), "
+            "round(quantile_cont(CAST(l AS DOUBLE), 0.5), 4), "
+            "round(quantile_cont(CAST(l AS DOUBLE), 0.75), 4)] AS bb FROM f), "
+            "a AS (SELECT CAST(list_sum([CASE WHEN CAST(s.l AS DOUBLE) > x "
+            "THEN 1 ELSE 0 END for x in b.bb]) AS INT) AS bucket, s.l "
+            "FROM s CROSS JOIN b) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+            "max(l) AS max_len, CAST(sum(l) AS BIGINT) AS sum_tokens, "
+            "CAST(count(*) * max(l) - sum(l) AS BIGINT) AS padding_waste "
+            "FROM a GROUP BY bucket"
         ),
         # Version diff: the oracle compares RAW values null-safely
         # (IS DISTINCT FROM); the engine compares 96-bit digests of the

@@ -1627,3 +1627,64 @@ def bloom_contamination(
         )
         .withColumn("contaminated", (F.col("n_gram_hits") > 0).cast("int"))
     )
+
+
+def length_bucket_stats(
+    documents: DataFrame,
+    n_buckets: int = 4,
+    rate_denom: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching report — the padding-efficiency step of
+    a training-data pipeline (HF-style length grouping): bucket
+    boundaries are the deterministic hash-sampled token-length
+    quantiles (``i/n_buckets``), every document lands in the bucket of
+    its length range, and each bucket reports
+    ``padding_waste = n_docs·max_len − sum_tokens`` — the pad tokens a
+    max-length-padded batch of that bucket would burn. Compare the
+    buckets' summed waste against one global bucket to quantify what
+    length grouping saves.
+
+    Shape: boundaries come from the md5-sampled exact quantiles
+    (:func:`~graph_loom_spark.ops.relational.hash_sampled_percentiles`'s
+    construction — ONE narrow filter + a tiny aggregate, never a
+    full-data sort) and fold into the plan as a broadcast 1-row frame
+    (no driver collect); assignment is an ``aggregate`` over the
+    boundary array in codegen; the report is one partial-aggregable
+    groupBy on the bucket index. Quantiles round to 4 digits —
+    the same engine-replayable interpolation as the percentile
+    operator, so the whole report is oracle-exact.
+    """
+    if n_buckets < 2:
+        raise ValueError("length_bucket_stats: n_buckets must be >= 2")
+    ntok = F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("long")
+    base = spread(documents).select(F.col(id_col), ntok.alias("__l"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    threshold = (1 << 32) // int(rate_denom)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bounds = (
+        base.filter(h < F.lit(threshold))
+        .agg(F.percentile(F.col("__l").cast("double"), F.lit(qs)).alias("__p"))
+        .select(F.transform("__p", lambda x: F.round(x, 4)).alias("__b"))
+    )
+    bucket = F.aggregate(
+        F.col("__b"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col("__l").cast("double") > b).cast("int"),
+    )
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "__l")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("__l").alias("max_len"),
+            F.sum("__l").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_waste", F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")
+        )
+    )

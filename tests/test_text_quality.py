@@ -1001,3 +1001,36 @@ def test_bloom_contamination_matches_python_replay(spark):
         for r in contamination_flags(df, bench, n=n).collect()
     }
     assert all(got[d][1] == 1 for d, c in exact.items() if c)
+
+
+def test_length_bucket_stats_matches_python(spark):
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 40))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["bucket"]: (r["n_docs"], r["max_len"], r["sum_tokens"], r["padding_waste"])
+        for r in ops_text.length_bucket_stats(df, rate_denom=2).collect()
+    }
+
+    lens = {i: len(t.split()) for i, t in rows}
+    sample = [
+        lens[i]
+        for i, _ in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < (1 << 32) // 2
+    ]
+    bounds = [round(float(np.percentile(sample, q, method="linear")), 4) for q in (25, 50, 75)]
+    buckets = {}
+    for i, _ in rows:
+        b = sum(1 for x in bounds if lens[i] > x)
+        buckets.setdefault(b, []).append(lens[i])
+    want = {
+        b: (len(v), max(v), sum(v), len(v) * max(v) - sum(v))
+        for b, v in buckets.items()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        ops_text.length_bucket_stats(df, n_buckets=1)
