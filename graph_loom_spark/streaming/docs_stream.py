@@ -411,3 +411,31 @@ def stream_profile(docs: DataFrame, columns: list[str] | None = None) -> DataFra
         )
         .select("col_name", "n_rows", "n_nulls", "min_str", "max_str")
     )
+
+
+def stream_hll_registers(
+    docs: DataFrame, value_col: str = "text", group_col: str = "source", p: int = 10
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance — the live form of
+    :func:`graph_loom_spark.ops.relational.hll_registers`: per group,
+    the md5-register max maintained as an UPDATE-mode streaming
+    aggregation, ≤ groups·2^p state rows TOTAL regardless of stream
+    volume (bounded-state distinct-sketching of an unbounded stream —
+    the answer to the exact-distinct terms the streaming corpus report
+    and profiler deliberately drop). Register max is associative and
+    commutative, so stream-after-drain equals the batch registers
+    EXACTLY (stream≡batch pytest) and the drained frame merges with any
+    batch register frame of the same (p, md5) construction via
+    :func:`graph_loom_spark.ops.relational.hll_merge`.
+    """
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    width = 60 - p
+    rho = F.lit(width + 1) - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+    return (
+        docs.select(F.col(group_col), idx.alias("reg_idx"), rho.alias("__r"))
+        .groupBy(group_col, "reg_idx")
+        .agg(F.max("__r").alias("reg_max"))
+    )

@@ -496,3 +496,27 @@ def test_stream_profile_matches_batch(spark, docs_path):
         for r in ops_rel.profile_table(spark.read.parquet(docs_path)).collect()
     }
     assert got == batch and len(got) >= 4
+
+
+def test_stream_hll_registers_match_batch(spark, docs_path):
+    """Streamed HLL registers (bounded state) drained over the full
+    source must equal the batch register frame exactly — register max
+    is associative/commutative — and therefore the estimates match too."""
+    from graph_loom_spark.ops import relational as ops_rel
+    from graph_loom_spark.streaming import docs_stream as sd
+
+    stream = sd.read_docs_stream(spark, docs_path)
+    se.run_available_now(
+        sd.stream_hll_registers(stream), "hll_regs_t", output_mode="complete"
+    )
+    got = {
+        (r["source"], r["reg_idx"]): r["reg_max"]
+        for r in spark.sql("SELECT * FROM hll_regs_t").collect()
+    }
+    batch_regs = ops_rel.hll_registers(
+        spark.read.parquet(docs_path), ["source"], "text"
+    )
+    batch = {
+        (r["source"], r["reg_idx"]): r["reg_max"] for r in batch_regs.collect()
+    }
+    assert got == batch and len(got) > 0
