@@ -167,3 +167,44 @@ def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad
+
+
+def export_training_shards(
+    docs: DataFrame,
+    path: str,
+    docs_per_shard: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a curated corpus as deterministic JSONL training
+    shards + a manifest — the final "ship the mix" step of the
+    pipeline. Shard assignment is ``id div docs_per_shard`` (pure
+    function of the id — re-running the export after a retry or on
+    another engine produces the SAME shard membership, unlike
+    partition-count-dependent round-robin), written as one
+    ``shard=N/`` directory each via a partitioned distributed write.
+    Returns the manifest: per shard, ``(shard, n_docs, n_tokens,
+    n_chars)`` — what a trainer needs for sampling weights and what an
+    auditor diffs against yesterday's manifest.
+
+    Shape: the write shuffles on the shard key only (executors write
+    shards in parallel); the manifest is one partial-aggregable groupBy
+    over integer columns — deterministic, so it is oracle-replayable
+    even though the write itself is a side effect.
+    """
+    if docs_per_shard < 1:
+        raise ValueError("export_training_shards: docs_per_shard must be >= 1")
+    ntok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    # integer `div` (not `/` + cast): exact at any id magnitude
+    sharded = docs.withColumn("shard", F.expr(f"{id_col} div {int(docs_per_shard)}"))
+    sharded.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).json(path)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ntok.cast("bigint")).alias("n_tokens"),
+            F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+        )
+    )

@@ -115,3 +115,37 @@ def test_graph_diff_roundtrip(spark, tmp_path):
     # reverse direction: the old snapshot sees "c" as removed
     rd = before.diff(g)
     assert {r["properties"]["name"] for r in rd["nodes_removed"].collect()} == {"c"}
+
+
+def test_export_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    import pytest
+
+    rows = [(i, "tok " * (1 + i % 5) + "end", "en", "s", 1) for i in range(25)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in sources.export_training_shards(docs, out, docs_per_shard=10).collect()
+    }
+    # deterministic shard membership: ids 0-9 -> 0, 10-19 -> 1, 20-24 -> 2
+    assert {s: m[0] for s, m in manifest.items()} == {0: 10, 1: 10, 2: 5}
+    exp_tokens = {s: 0 for s in (0, 1, 2)}
+    exp_chars = {s: 0 for s in (0, 1, 2)}
+    for i, t, *_ in rows:
+        exp_tokens[i // 10] += len(t.split())
+        exp_chars[i // 10] += len(t)
+    assert {s: m[1] for s, m in manifest.items()} == exp_tokens
+    assert {s: m[2] for s, m in manifest.items()} == exp_chars
+
+    # round-trip: partitioned JSONL reads back to the exact corpus
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint, shard bigint"
+    ).json(out)
+    got = {
+        (r["doc_id"], r["text"], r["shard"]) for r in back.collect()
+    }
+    assert got == {(i, t, i // 10) for i, t, *_ in rows}
+    with pytest.raises(ValueError):
+        sources.export_training_shards(docs, out, docs_per_shard=0)
