@@ -315,6 +315,15 @@ def _q_docs_length_buckets(spark, sf_dir):
     return ops_text.length_bucket_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_curriculum(spark, sf_dir):
+    """Curriculum order: trigram-LM difficulty quantile buckets (easy =
+    typical = high mean log-likelihood) + md5 within-bucket order keys
+    — consumers read easy-first via ORDER BY bucket DESC, ord_key.
+    Scores round to 6, boundaries to 4 — both replayable, so the whole
+    assignment is oracle-exact."""
+    return ops_text.curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_diff(spark, sf_dir):
     """Dataset-version diff (added/removed/changed, unchanged omitted)
     between the corpus and a derived v2 (every 7th doc dropped, every
@@ -1475,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_returned_items": _q_agg_returned_items,
         "docs_diff": _q_docs_diff,
         "docs_length_buckets": _q_docs_length_buckets,
+        "docs_curriculum": _q_docs_curriculum,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -3036,6 +3046,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Curriculum: trigram-LM score replay (same CTEs as
+        # docs_trigram_lp), md5-sampled quantile boundaries rounded to 4,
+        # bucket = boundaries strictly below the rounded-6 score, md5
+        # order keys.
+        "docs_curriculum": (
+            "WITH b3 AS (SELECT doc_id, n FROM ("
+            "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n "
+            "FROM documents) WHERE length(n) >= 3), "
+            "tri AS (SELECT doc_id, unnest([substr(n, i, 3) "
+            "for i in generate_series(1, length(n) - 2)]) AS t FROM b3), "
+            "tri2 AS (SELECT doc_id, t, substr(t, 1, 2) AS bi FROM tri), "
+            "tc AS (SELECT t, count(*) AS ct FROM tri GROUP BY t), "
+            "bc AS (SELECT bi, count(*) AS cb FROM tri2 GROUP BY bi), "
+            "v AS (SELECT count(DISTINCT c) AS nv FROM ("
+            "SELECT unnest([n[i:i] for i in generate_series(1, length(n))]) AS c "
+            "FROM b3) WHERE c <> ''), "
+            "sc AS MATERIALIZED (SELECT doc_id, "
+            "round(avg(ln((CAST(ct AS DOUBLE) + 1.0) / "
+            "(CAST(cb AS DOUBLE) + 1.0 * v.nv))), 6) AS avg_logprob "
+            "FROM tri2 JOIN tc USING (t) JOIN bc USING (bi) CROSS JOIN v "
+            "GROUP BY doc_id), "
+            "f AS (SELECT avg_logprob FROM sc WHERE CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 268435456), "
+            "bnd AS (SELECT [round(quantile_cont(avg_logprob, 0.25), 4), "
+            "round(quantile_cont(avg_logprob, 0.5), 4), "
+            "round(quantile_cont(avg_logprob, 0.75), 4)] AS bb FROM f) "
+            "SELECT sc.doc_id, CAST(list_sum([CASE WHEN sc.avg_logprob > x "
+            "THEN 1 ELSE 0 END for x in bnd.bb]) AS INT) AS bucket, "
+            "sc.avg_logprob, "
+            "md5('curr:' || CAST(sc.doc_id AS VARCHAR)) AS ord_key "
+            "FROM sc CROSS JOIN bnd"
         ),
         # Length buckets: md5-sampled quantile_cont boundaries rounded to
         # 4 (the proven-replayable interpolation), bucket = count of

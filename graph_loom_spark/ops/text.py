@@ -1688,3 +1688,62 @@ def length_bucket_stats(
             "padding_waste", F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")
         )
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_buckets: int = 4,
+    rate_denom: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "curr",
+) -> DataFrame:
+    """Curriculum-learning data order: bucket documents into difficulty
+    quantiles of the corpus-trained trigram-LM score
+    (:func:`trigram_logprob` — low mean log-likelihood = hard/noisy,
+    high = easy/typical) and give each a deterministic within-bucket
+    order key. An easy-first curriculum reads ``ORDER BY bucket DESC,
+    ord_key`` (bucket = count of boundaries strictly below the score,
+    so the top bucket holds the most-typical documents); the md5 order
+    key re-randomizes within a bucket without any RNG state — the same
+    re-derivable-order lever as :func:`epoch_shuffle` (change ``seed``
+    to re-draw). Documents shorter than one trigram carry no score and
+    are omitted, mirroring the scorer.
+
+    Shape: the trigram score is one scan + small model joins
+    (trigram_logprob's shape); boundaries are md5-sampled exact
+    quantiles folded in as a broadcast 1-row frame (no driver collect,
+    no full sort — :func:`length_bucket_stats`'s construction); the
+    output order key is a projection, never a global sort. Scores round
+    to 6 and boundaries to 4 — both engine-replayable, so the whole
+    assignment is oracle-exact.
+    """
+    if n_buckets < 2:
+        raise ValueError("curriculum_order: n_buckets must be >= 2")
+    scores = trigram_logprob(documents, text_col=text_col, id_col=id_col).select(
+        id_col, "avg_logprob"
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    threshold = (1 << 32) // int(rate_denom)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bounds = (
+        scores.filter(h < F.lit(threshold))
+        .agg(F.percentile(F.col("avg_logprob"), F.lit(qs)).alias("__p"))
+        .select(F.transform("__p", lambda x: F.round(x, 4)).alias("__b"))
+    )
+    bucket = F.aggregate(
+        F.col("__b"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col("avg_logprob") > b).cast("int"),
+    )
+    ord_key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    return scores.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        "avg_logprob",
+        ord_key.alias("ord_key"),
+    )

@@ -1034,3 +1034,29 @@ def test_length_bucket_stats_matches_python(spark):
     assert got == want
     with pytest.raises(ValueError):
         ops_text.length_bucket_stats(df, n_buckets=1)
+
+
+def test_curriculum_order_buckets_and_keys(spark):
+    import hashlib
+
+    rows = [
+        # typical docs: repeated common character patterns
+        (i, "the cat sat on the mat and the dog ran off") for i in range(12)
+    ] + [
+        # atypical/noisy docs: rare character trigrams -> low logprob
+        (100 + i, "zqxj vkwp qzzx jjqv wxkz") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ops_text.curriculum_order(df, rate_denom=1).collect()}
+    assert len(out) == len(rows)
+    # typical docs land in a strictly higher (easier) bucket than noise
+    typ = {out[i]["bucket"] for i in range(12)}
+    noise = {out[100 + i]["bucket"] for i in range(4)}
+    assert min(typ) > max(noise)
+    # order keys are the seeded md5 of the id — re-derivable anywhere
+    for did, r in out.items():
+        assert r["ord_key"] == hashlib.md5(f"curr:{did}".encode()).hexdigest()
+    import pytest
+
+    with pytest.raises(ValueError):
+        ops_text.curriculum_order(df, n_buckets=1)
