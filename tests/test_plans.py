@@ -426,3 +426,16 @@ def test_containment_and_phash_pairs_have_no_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_length_buckets_and_curriculum_have_no_global_sort(spark):
+    # boundary quantiles fold in as a broadcast 1-row frame and bucket
+    # assignment is a codegen'd aggregate over the boundary array —
+    # neither op may plan a Sort or a window anywhere.
+    for name in ("docs_length_buckets", "docs_curriculum"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ").replace(
+            "SortAggregate", "SortAgg"
+        ), name
+        assert "CartesianProduct" not in plan, name
