@@ -135,6 +135,7 @@ def reset_memo(name: str) -> None:
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_pipeline_funnel": [_MINHASH_SIG_CACHE],
         "docs_ngram_jaccard": [_JACCARD_CACHE],
+        "docs_dedup_eval": [_MINHASH_CACHE, _MINHASH_SIG_CACHE, _JACCARD_CACHE],
         "docs_dedup_clusters": [_JACCARD_CACHE],
         "docs_winnow": [_WINNOW_CACHE],
         "docs_winnow_pairs": [_WINNOW_CACHE],
@@ -758,6 +759,20 @@ def _q_docs_dedup_clusters(spark, sf_dir):
         n=3,
         threshold=0.5,
         pairs=_jaccard_pairs(spark, sf_dir),
+    )
+
+
+def _q_docs_dedup_eval(spark, sf_dir):
+    """Dedup quality evaluation — precision/recall of MinHash-LSH
+    (est_jaccard ≥ 0.5 over the memoized md5-mode pairs) against the
+    exact n-gram Jaccard ≥ 0.5 ground truth (memoized): the band/perm
+    tuning metric a production dedup pipeline reports before shipping a
+    config. One full-outer join of two small pair frames + one 1-row
+    aggregate; integer counts and integer-ratio doubles rounded to 6 →
+    oracle replays both pipelines AND the scoreboard exactly."""
+    return ops_dedup.pair_confusion(
+        _minhash_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5),
+        _jaccard_pairs(spark, sf_dir),
     )
 
 
@@ -1501,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         # immediately after docs_ngram_jaccard: reuses its memoized pairs
         "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "docs_dedup_eval": _q_docs_dedup_eval,
         "emb_semdedup": _q_emb_semdedup,
         # immediately after emb_semdedup: reuses the memoized k=8 fit
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -1641,6 +1657,48 @@ def _minhash_md5_oracle(
 ) -> str:
     parts, pairs = _minhash_md5_parts("documents", num_perm, bands, shingle_n, threshold)
     return "WITH " + ", ".join(parts) + f" SELECT * FROM {pairs}"
+
+
+def _dedup_eval_oracle() -> str:
+    """SQL replay of the dedup-eval scoreboard: the md5-mode MinHash
+    pipeline (same generator as docs_minhash_pairs) filtered to
+    est ≥ 0.5 as predictions, the exact 3-gram Jaccard ≥ 0.5 pairs
+    (same CTEs as docs_ngram_jaccard, renamed) as truth, full-outer
+    joined into tp/fp/fn + rounded integer-ratio precision/recall."""
+    parts, mh = _minhash_md5_parts("documents", threshold=0.3)
+    jac = [
+        "shj AS MATERIALIZED (SELECT doc_id, list_distinct("
+        "[array_to_string(tk[i:i+2], ' ') "
+        "for i in generate_series(1, greatest(len(tk)-2, 1))]) AS sh "
+        "FROM (SELECT doc_id, string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk "
+        "FROM documents))",
+        "exj AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM shj)",
+        "interj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS i FROM exj a JOIN exj b ON a.g = b.g "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+        "szj AS (SELECT doc_id, len(sh) AS n FROM shj)",
+        "jp AS (SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jc "
+        "FROM interj JOIN szj sa ON sa.doc_id = id_a "
+        "JOIN szj sb ON sb.doc_id = id_b) WHERE jc >= 0.5)",
+    ]
+    return (
+        "WITH " + ", ".join(parts + jac)
+        + f", p AS (SELECT id_a, id_b FROM {mh} WHERE est_jaccard >= 0.5), "
+        "m AS (SELECT CASE WHEN p.id_a IS NOT NULL AND jp.id_a IS NOT NULL "
+        "THEN 'tp' WHEN p.id_a IS NOT NULL THEN 'fp' ELSE 'fn' END AS c "
+        "FROM p FULL JOIN jp ON p.id_a = jp.id_a AND p.id_b = jp.id_b), "
+        "a AS (SELECT "
+        "CAST(sum(CASE WHEN c = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(sum(CASE WHEN c = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        "CAST(sum(CASE WHEN c = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM m) "
+        "SELECT tp, fp, fn, "
+        "CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) "
+        "END AS precision, "
+        "CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) "
+        "END AS recall FROM a"
+    )
 
 
 def _ann_lsh_oracle(
@@ -3366,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         # so the result set is identical) and |A∪B| = |A|+|B|−|A∩B| on
         # exact integers, so the double division matches bit-for-bit.
         # (All-pairs form measured 30 s vs ~1 s at sf0.01.)
+        "docs_dedup_eval": _dedup_eval_oracle(),
         "docs_ngram_jaccard": (
             "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
             "[array_to_string(toks[i:i+2], ' ') "

@@ -595,6 +595,44 @@ def containment_pairs(
     )
 
 
+def pair_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Pair-level confusion scoreboard for dedup tuning: given predicted
+    and ground-truth ``(id_a, id_b)`` pair frames (canonical order,
+    id_a < id_b), one row ``(tp, fp, fn, precision, recall)`` — the
+    metric a pipeline reports before shipping a band/threshold config.
+    One full-outer join + a 1-row aggregate; null precision/recall when
+    the denominator is empty (no silent 0-division). Integer counts and
+    integer-ratio doubles rounded to 6 → engine-replayable.
+    """
+    p = pred.select("id_a", "id_b", F.lit(1).alias("__p"))
+    t = truth.select("id_a", "id_b", F.lit(1).alias("__t"))
+    j = p.join(t, ["id_a", "id_b"], "full_outer")
+    stats = j.agg(
+        F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("fn"),
+    )
+    return stats.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+    )
+
+
 def dedup_clusters(
     documents: DataFrame,
     text_col: str = "text",

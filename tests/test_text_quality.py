@@ -1060,3 +1060,21 @@ def test_curriculum_order_buckets_and_keys(spark):
 
     with pytest.raises(ValueError):
         ops_text.curriculum_order(df, n_buckets=1)
+
+
+def test_pair_confusion_counts_and_guards(spark):
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    pred = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    r = ops_dedup.pair_confusion(pred, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 2)
+    assert r["precision"] == round(2 / 3, 6) and r["recall"] == 0.5
+    # zero-division guards: empty predictions -> null precision
+    r2 = ops_dedup.pair_confusion(pred.filter("id_a < 0"), truth).collect()[0]
+    assert (r2["tp"], r2["fp"], r2["fn"]) == (0, 0, 4)
+    assert r2["precision"] is None and r2["recall"] == 0.0
