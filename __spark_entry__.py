@@ -1088,6 +1088,25 @@ def _q_emb_ann_lsh(spark, sf_dir):
     return ops_sim.ann_topk(bk, probe_id=7, k=10)
 
 
+def _q_emb_ann_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the RP-LSH probe against the
+    exact cosine top-10 — the index-tuning metric (tables/bits/probes)
+    an ANN deployment reports. One semi-join of two 10-row frames; the
+    oracle replays BOTH rankings (literal hyperplanes + exact cosine)
+    and the integer-ratio recall exactly."""
+    lsh = _q_emb_ann_lsh(spark, sf_dir).select("vec_id")
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        lsh.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "hits",
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("hits") / 10, 6).alias("recall"),
+        )
+    )
+
+
 def _q_agg_percentiles(spark, sf_dir):
     """Exact grouped percentiles (A5 surface) — matches quantile_cont."""
     return ops_rel.price_percentiles(_t(spark, sf_dir, "lineitem"))
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_rescored": _q_docs_minhash_rescored,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ann_eval": _q_emb_ann_eval,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_sq_topk": _q_emb_sq_topk,
@@ -1753,6 +1773,32 @@ def _ann_lsh_oracle(
         "AS cosine "
         "FROM cand c JOIN v0 ON v0.vec_id = c.vec_id, pv "
         f"ORDER BY cosine DESC, c.vec_id LIMIT {k}"
+    )
+
+
+def _ann_eval_oracle(k: int = 10) -> str:
+    """Recall@k scoreboard: both rankings nested as subqueries (the
+    RP-LSH literal-hyperplane replay and the exact-cosine replay),
+    joined on vec_id; integer-ratio recall rounded to 6."""
+    lsh = _ann_lsh_oracle()
+    exact = (
+        "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+        "FROM embeddings WHERE vec_id = 7) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        "FROM embeddings e, probe WHERE e.vec_id <> 7 "
+        "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+    )
+    return (
+        "WITH l AS (SELECT vec_id FROM (" + lsh + ")), "
+        "e AS (SELECT vec_id FROM (" + exact + ")), "
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits "
+        "FROM l JOIN e USING (vec_id)) "
+        f"SELECT hits, CAST({k} AS BIGINT) AS k, "
+        f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
     )
 
 
@@ -3425,6 +3471,7 @@ def oracle_sql() -> dict[str, str]:
         # exact integers, so the double division matches bit-for-bit.
         # (All-pairs form measured 30 s vs ~1 s at sf0.01.)
         "docs_dedup_eval": _dedup_eval_oracle(),
+        "emb_ann_eval": _ann_eval_oracle(),
         "docs_ngram_jaccard": (
             "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
             "[array_to_string(toks[i:i+2], ' ') "
