@@ -325,6 +325,14 @@ def _q_docs_curriculum(spark, sf_dir):
     return ops_text.curriculum_order(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_lexical(spark, sf_dir):
+    """Lexical diversity (TTR + hapax fraction): one hashed-key
+    token-level shuffle, integer ratios rounded to 6 — oracle-exact.
+    xxhash64 grouping equals string grouping barring collisions (the
+    docs_ngram_jaccard argument)."""
+    return ops_text.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_diff(spark, sf_dir):
     """Dataset-version diff (added/removed/changed, unchanged omitted)
     between the corpus and a derived v2 (every 7th doc dropped, every
@@ -1520,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_diff": _q_docs_diff,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_curriculum": _q_docs_curriculum,
+        "docs_lexical": _q_docs_lexical,
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
@@ -3150,6 +3159,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN list_sum(list_transform(feats, x -> "
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
+        ),
+        # Lexical diversity: grouping on token STRINGS (engine) vs the
+        # same strings here — xxhash64 keying changes nothing barring
+        # collisions; integer ratios rounded to 6.
+        "docs_lexical": (
+            "WITH t AS (SELECT doc_id, unnest(string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2), "
+            "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+            "FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, n_types, n_hapax, "
+            "round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr, "
+            "round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac FROM a"
         ),
         # Curriculum: trigram-LM score replay (same CTEs as
         # docs_trigram_lp), md5-sampled quantile boundaries rounded to 4,

@@ -1747,3 +1747,42 @@ def curriculum_order(
         "avg_logprob",
         ord_key.alias("ord_key"),
     )
+
+
+def lexical_diversity(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical-diversity quality signals per document: token count,
+    type count (distinct tokens), type-token ratio, and hapax fraction
+    (share of types occurring exactly once) — low TTR/hapax flags
+    templated or looping text that the repetition heuristics
+    (:func:`repetition_stats`) measure at the bigram level.
+
+    Shape: explode → two partial-aggregable groupBys keyed on
+    (doc, token-hash) then (doc) — ONE token-level shuffle carrying
+    hashed keys, no windows, no per-doc quadratic expressions. Ratios
+    are integer/integer doubles rounded to 6 → oracle-exact.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ex = spread(documents).select(
+        F.col(id_col), F.explode(toks).alias("__t")
+    )
+    per_tok = ex.groupBy(id_col, F.xxhash64("__t").alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        )
+    )

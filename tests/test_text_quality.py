@@ -1078,3 +1078,21 @@ def test_pair_confusion_counts_and_guards(spark):
     r2 = ops_dedup.pair_confusion(pred.filter("id_a < 0"), truth).collect()[0]
     assert (r2["tp"], r2["fp"], r2["fn"]) == (0, 0, 4)
     assert r2["precision"] is None and r2["recall"] == 0.0
+
+
+def test_lexical_diversity_exact(spark):
+    rows = [
+        (0, "a b a b c"),     # 5 tokens, 3 types, hapax = {c}
+        (1, "x x x x"),       # 4 tokens, 1 type, 0 hapax
+        (2, "only"),          # 1 token, 1 type, 1 hapax
+        (3, "  A   a b  "),   # normalization: lower+collapse -> a a b
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ops_text.lexical_diversity(_docs(spark, rows)).collect()
+    }
+    assert (out[0]["n_tokens"], out[0]["n_types"], out[0]["n_hapax"]) == (5, 3, 1)
+    assert out[0]["ttr"] == 0.6 and out[0]["hapax_frac"] == round(1 / 3, 6)
+    assert (out[1]["n_types"], out[1]["n_hapax"], out[1]["hapax_frac"]) == (1, 0, 0.0)
+    assert (out[2]["ttr"], out[2]["hapax_frac"]) == (1.0, 1.0)
+    assert (out[3]["n_tokens"], out[3]["n_types"], out[3]["n_hapax"]) == (3, 2, 1)
