@@ -898,6 +898,12 @@ def _q_emb_hard_negatives(spark, sf_dir):
     )
 
 
+def _q_emb_norm_stats(spark, sf_dir):
+    """Embedding ingest validation: exact int64 quantized-norm stats
+    (zero/min/max/avg) — no float summation order, oracle-exact."""
+    return ops_sim.norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     return ops_sim.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=7, k=10)
 
@@ -1550,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after emb_semdedup: reuses the memoized k=8 fit
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_outliers": _q_emb_outliers,
+        "emb_norm_stats": _q_emb_norm_stats,
         "emb_hard_negatives": _q_emb_hard_negatives,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -3065,6 +3072,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(top.topc, 0) AS DOUBLE) / (b.n_tokens - 1) "
             "ELSE 0.0 END AS top_bigram_frac "
             "FROM base b LEFT JOIN top USING (doc_id)"
+        ),
+        # Quantized-norm stats: same fixed-point grid as the kmeans
+        # oracle; all-integer mins/maxes/sums, integer-ratio avg.
+        "emb_norm_stats": (
+            "WITH q AS (SELECT list_sum([y * y for y in "
+            "[CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) "
+            "for x in CAST(embedding AS DOUBLE[])]]) AS qn FROM embeddings) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_vectors, "
+            "CAST(sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, "
+            "CAST(min(qn) AS BIGINT) AS min_qnorm, "
+            "CAST(max(qn) AS BIGINT) AS max_qnorm, "
+            "round(CAST(sum(qn) AS DOUBLE) / count(*), 6) AS avg_qnorm FROM q"
         ),
         # Hard negatives: int8 quantization replayed (global max-abs
         # scale, floor(x*127/s + 0.5)), exact integer dots (products

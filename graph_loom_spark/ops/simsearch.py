@@ -1120,3 +1120,42 @@ def pq_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def norm_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Embedding ingest validation: corpus-level norm statistics — the
+    check that catches unnormalized / zero / blown-up vectors before
+    they poison a similarity index. One narrow scan + a 1-row
+    aggregate: ``(n_vectors, n_zero, min_qnorm, max_qnorm, avg_qnorm)``
+    where ``qnorm`` is the EXACT int64 squared norm of the
+    ``scale``-quantized vector (the same fixed-point grid as
+    :func:`kmeans`), so min/max/average are bit-reproducible in any
+    engine — no float summation order anywhere (avg is an
+    integer-ratio double rounded to 6).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qnorm = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        embeddings.select(qnorm.alias("__q"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("__q") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.min("__q").alias("min_qnorm"),
+            F.max("__q").alias("max_qnorm"),
+            F.round(F.sum("__q") / F.count(F.lit(1)), 6).alias("avg_qnorm"),
+        )
+    )

@@ -138,3 +138,25 @@ def test_hard_negatives_matches_numpy(spark):
         for r in sim.hard_negatives(emb, F.col("vec_id") % 17 == 3).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_norm_stats_exact(spark):
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [0.5, -0.5], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    r = sim.norm_stats(emb).collect()[0]
+    s = 1 << 20
+    qns = [
+        int(sum(int(np.floor(x * s + 0.5)) ** 2 for x in v))
+        for v in ([0.0, 0.0], [1.0, 0.0], [0.5, -0.5])
+    ]
+    assert r["n_vectors"] == 3 and r["n_zero"] == 1
+    assert (r["min_qnorm"], r["max_qnorm"]) == (min(qns), max(qns))
+    assert r["avg_qnorm"] == round(sum(qns) / 3, 6)
