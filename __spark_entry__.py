@@ -46,6 +46,12 @@ _PQ_CACHE: dict[str, tuple] = {}
 # identical fit emb_kmeans and emb_semdedup each ran; deterministic
 # (fixed-point integer Lloyd's), so sharing it is bit-exact
 _KM8_CACHE: dict[str, tuple] = {}  # sf_dir -> (assigned frame, int64 centroid matrix)
+# checkpointed RP-LSH bucketed index (dim=64, bits=8) per sf_dir —
+# shared by emb_ann_lsh and emb_ann_eval; the hyperplanes are literal
+# constants so the index is deterministic. Without this memo, ann_topk
+# localCheckpoints the FULL index per call and emb_ann_eval rebuilds it
+# a second time (the r6 bench regression: 1.76 s → 5.48 s).
+_LSH_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -81,7 +87,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -113,6 +119,7 @@ def reset_caches() -> None:
         _MINHASH_CACHE,
         _MINHASH_SIG_CACHE,
         _KM8_CACHE,
+        _LSH_CACHE,
     ):
         cache.clear()
 
@@ -141,6 +148,8 @@ def reset_memo(name: str) -> None:
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
+        "emb_ann_lsh": [_LSH_CACHE],
+        "emb_ann_eval": [_LSH_CACHE],
         "emb_kmeans": [_KM8_CACHE],
         "emb_semdedup": [_KM8_CACHE],
         "emb_cluster_sample": [_KM8_CACHE],
@@ -1096,10 +1105,20 @@ def _q_docs_simhash_pairs(spark, sf_dir):
     return ops_dedup.simhash_near_pairs(sim, max_hamming=3, bits=60)
 
 
+def _lsh_index(spark, sf_dir) -> DataFrame:
+    # Deterministic (literal hyperplanes) → safe to share the pinned
+    # bucketed frame across emb_ann_lsh and emb_ann_eval in one session.
+    cached = _LSH_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _LSH_CACHE[sf_dir] = ops_sim.rp_lsh_buckets(
+            _t(spark, sf_dir, "embeddings"), dim=64, bits=8
+        ).localCheckpoint(eager=True)
+    return _LSH_CACHE[sf_dir]
+
+
 def _q_emb_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-k — approximate, rows-only check."""
-    bk = ops_sim.rp_lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, bits=8)
-    return ops_sim.ann_topk(bk, probe_id=7, k=10)
+    return ops_sim.ann_topk(_lsh_index(spark, sf_dir), probe_id=7, k=10, pinned=True)
 
 
 def _q_emb_ann_eval(spark, sf_dir):
@@ -1493,26 +1512,87 @@ def _q_graph_community_density(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness pass checks a bounded
-    # PREFIX of this registry (round 5 stopped at entry 50 of 84), so
-    # entries it has never hash-verified come FIRST — led by the 7
-    # queries that failed rounds 1-4 (minhash/simhash/ann/ivf/
-    # components/lpa/community_density) — and the long-green cypher/agg
-    # block trails. Memo producers stay directly before their consumers
-    # (components→density_components, lpa→community_density,
-    # ngram_jaccard→dedup_clusters) so the shared frame is warm.
+    # 50-entry PREFIX of this registry, so the window must be ROTATED
+    # EVERY ROUND (tests/test_registry_rotation.py enforces it):
+    # entries with no green driver row in the latest CORRECTNESS file
+    # come first, then entries whose code changed this round, then the
+    # expensive blocks worth keeping driver-fresh; the long-green
+    # cypher/agg/events tail stays outside the window. Memo producers
+    # stay directly before their consumers (components →
+    # density_components, lpa → community_density, ngram_jaccard →
+    # dedup_clusters, kmeans → semdedup, ann_lsh → ann_eval) so the
+    # shared frame is warm.
     return {
-        # -- never driver-verified (r5 budget cutoff), worst history first
+        # -- r7 window head: the 16 entries with no green driver row in any
+        # -- round (VERDICT r6 ask #2): emb_pq_topk (r6 hash-red, judge-exact
+        # -- x3), emb_pca (r5 fix never driver-checked), then the 14 entries
+        # -- the 50-entry prefix never reached
+        "emb_pq_topk": _q_emb_pq_topk,
+        "emb_pca": _q_emb_pca,
+        "docs_winnow": _q_docs_winnow,
+        # immediately after docs_winnow: reuses the memoized fingerprints
+        "docs_winnow_pairs": _q_docs_winnow_pairs,
+        "docs_dedup_incremental": _q_docs_dedup_incremental,
+        "docs_pipeline_funnel": _q_docs_pipeline_funnel,
+        "docs_chunks": _q_docs_chunks,
+        # immediately after docs_chunks (same chunking pass)
+        "docs_chunk_dedup": _q_docs_chunk_dedup,
+        "docs_apply_mixture": _q_docs_apply_mixture,
+        "docs_source_cap": _q_docs_source_cap,
+        "docs_merge_upsert": _q_docs_merge_upsert,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "docs_split": _q_docs_split,
+        "docs_shuffle": _q_docs_shuffle,
+        "media_png_features": _q_media_png_features,
+        "media_video_frames": _q_media_video_frames,
+        # -- entries over code paths touched in r7 (kmeans_fit parts hoist,
+        # -- ann_topk pinned-index memo): re-verify under the driver
+        "emb_kmeans": _q_emb_kmeans,
+        # immediately after emb_kmeans: reuses the memoized k=8 fit
+        "emb_semdedup": _q_emb_semdedup,
+        "emb_cluster_sample": _q_emb_cluster_sample,
+        "emb_outliers": _q_emb_outliers,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+        # immediately after emb_ann_lsh: reuses the memoized LSH index
+        "emb_ann_eval": _q_emb_ann_eval,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_sq_topk": _q_emb_sq_topk,
+        "emb_hard_negatives": _q_emb_hard_negatives,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_norm_stats": _q_emb_norm_stats,
+        # -- minhash/jaccard dedup block (md5-lane work landed r6/r7)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         # immediately after docs_minhash_pairs: reuses its memoized pairs
         "docs_minhash_clusters": _q_docs_minhash_clusters,
         # immediately after: also reuses the memoized minhash pairs
         "docs_minhash_rescored": _q_docs_minhash_rescored,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        # immediately after docs_ngram_jaccard: reuses its memoized pairs
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "docs_dedup_eval": _q_docs_dedup_eval,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "emb_ann_lsh": _q_emb_ann_lsh,
-        "emb_ann_eval": _q_emb_ann_eval,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_pq_topk": _q_emb_pq_topk,
-        "emb_sq_topk": _q_emb_sq_topk,
+        # -- iterative graph block: most expensive queries, keep driver-fresh
+        "graph_components": _q_graph_components,
+        # immediately after graph_components: reuses its memoized frame
+        "graph_density_components": _q_graph_density_components,
+        "graph_lpa": _q_graph_lpa,
+        # immediately after graph_lpa: reuses its memoized communities
+        "graph_community_density": _q_graph_community_density,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_ppr": _q_graph_ppr,
+        "graph_hits": _q_graph_hits,
+        "graph_triangles": _q_graph_triangles,
+        "graph_bfs": _q_graph_bfs,
+        "graph_degrees": _q_graph_degrees,
+        "graph_kcore": _q_graph_kcore,
+        # -- window fill to 50
+        "docs_contamination": _q_docs_contamination,
+        "docs_sample": _q_docs_sample,
+        "media_image_features": _q_media_image_features,
+        "media_audio_stats": _q_media_audio_stats,
+        # -- beyond the driver's 50-entry window: all hash-green in r1-r6
+        # -- on code unchanged this round (registry order preserved)
         "docs_corpus_report": _q_docs_corpus_report,
         "docs_bm25": _q_docs_bm25,
         "docs_hll_distinct": _q_docs_hll_distinct,
@@ -1535,50 +1615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_curriculum": _q_docs_curriculum,
         "docs_lexical": _q_docs_lexical,
-        "graph_components": _q_graph_components,
-        # immediately after graph_components: reuses its memoized frame
-        "graph_density_components": _q_graph_density_components,
-        "graph_lpa": _q_graph_lpa,
-        # immediately after graph_lpa: reuses its memoized communities
-        "graph_community_density": _q_graph_community_density,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_ppr": _q_graph_ppr,
-        "graph_hits": _q_graph_hits,
-        "graph_triangles": _q_graph_triangles,
-        "graph_bfs": _q_graph_bfs,
-        "graph_degrees": _q_graph_degrees,
-        "graph_kcore": _q_graph_kcore,
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        # immediately after docs_ngram_jaccard: reuses its memoized pairs
-        "docs_dedup_clusters": _q_docs_dedup_clusters,
-        "docs_dedup_eval": _q_docs_dedup_eval,
-        "emb_semdedup": _q_emb_semdedup,
-        # immediately after emb_semdedup: reuses the memoized k=8 fit
-        "emb_cluster_sample": _q_emb_cluster_sample,
-        "emb_outliers": _q_emb_outliers,
-        "emb_norm_stats": _q_emb_norm_stats,
-        "emb_hard_negatives": _q_emb_hard_negatives,
-        "emb_near_dup": _q_emb_near_dup,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "docs_winnow": _q_docs_winnow,
-        "docs_winnow_pairs": _q_docs_winnow_pairs,
-        "docs_dedup_incremental": _q_docs_dedup_incremental,
-        "docs_pipeline_funnel": _q_docs_pipeline_funnel,
-        "docs_chunks": _q_docs_chunks,
-        "docs_chunk_dedup": _q_docs_chunk_dedup,
-        "docs_contamination": _q_docs_contamination,
-        "docs_sample": _q_docs_sample,
-        "docs_apply_mixture": _q_docs_apply_mixture,
-        "docs_source_cap": _q_docs_source_cap,
-        "docs_merge_upsert": _q_docs_merge_upsert,
-        "docs_bpe_tokens": _q_docs_bpe_tokens,
-        "docs_split": _q_docs_split,
-        "docs_shuffle": _q_docs_shuffle,
-        "media_image_features": _q_media_image_features,
-        "media_png_features": _q_media_png_features,
-        "media_video_frames": _q_media_video_frames,
-        "media_audio_stats": _q_media_audio_stats,
-        # -- driver-verified hash-green in r5 (registry order preserved)
         "cypher_label_scan": _q_cypher_label_scan,
         "cypher_where_coercion": _q_cypher_where_coercion,
         "cypher_where_contains": _q_cypher_where_contains,
@@ -1617,8 +1653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_tfidf": _q_docs_tfidf,
         "docs_repetition": _q_docs_repetition,
-        "emb_kmeans": _q_emb_kmeans,
-        "emb_pca": _q_emb_pca,
         "docs_pii": _q_docs_pii,
         "docs_gopher": _q_docs_gopher,
         "docs_trigram_lp": _q_docs_trigram_lp,

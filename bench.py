@@ -316,17 +316,40 @@ def main() -> None:
         "queries_omitted": n_ok,
         "sf": sf,
     }
+    # Budget 700 bytes (was 1700): the driver's stdout tail keeps the
+    # LAST 2000 chars exactly (measured: every BENCH_r*.json "tail" is
+    # len 2000), so the compact line keeps only the slowest ~25 and the
+    # "qt" chunk lines below use the freed room for the cheap queries.
+    # FULL per-query history lives in BENCH_HISTORY.jsonl (git-tracked,
+    # append-per-run) — the tail can never carry all 120 names (~2.6 KB
+    # of text at minimal encoding).
     for k in sorted(timings, key=lambda k: -timings[k]):
         trial = dict(budgeted)
         trial[k] = round(timings[k], 2)
         base["queries"] = trial
         base["queries_omitted"] = n_ok - len(trial)
-        if len(json.dumps(base, separators=(",", ":"))) > 1700:
+        if len(json.dumps(base, separators=(",", ":"))) > 700:
             base["queries"] = budgeted
             base["queries_omitted"] = n_ok - len(budgeted)
             break
         budgeted = trial
     compact = json.dumps(base, separators=(",", ":"))
+
+    # Per-query lines for the driver's bounded stdout TAIL (last 2000
+    # chars): ALL timings, chunked 12-per-line ({"qt": {...}}), emitted
+    # SLOWEST-FIRST so what the tail clips at the head of the block are
+    # the slow queries the compact line already carries; the cheap
+    # queries (the 53 the r6 compact line omitted — VERDICT ask #6) sit
+    # nearest the end and survive. Complete coverage is in
+    # BENCH_HISTORY.jsonl either way.
+    ordered = sorted((k for k in timings if timings[k] >= 0), key=lambda k: -timings[k])
+    qt_lines = [
+        json.dumps(
+            {"qt": {k: round(timings[k], 2) for k in ordered[i : i + 12]}},
+            separators=(",", ":"),
+        )
+        for i in range(0, len(ordered), 12)
+    ]
 
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.
@@ -336,6 +359,18 @@ def main() -> None:
             f.write(result + "\n")
     except Exception as e:
         print(f"bench result-file write warning: {e}", file=sys.stderr, flush=True)
+
+    # Append-only full-detail history: one line per bench run, so
+    # cross-round per-query comparison never depends on the stdout tail
+    # (the repo snapshot commits this file every round).
+    try:
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        )
+        with open(hist_path, "a") as f:
+            f.write(result + "\n")
+    except Exception as e:
+        print(f"bench history write warning: {e}", file=sys.stderr, flush=True)
 
     # Stop Spark BEFORE emitting the JSON line: a shutdown-time
     # RejectedExecutionException trace (async ContextCleaner work racing
@@ -347,10 +382,13 @@ def main() -> None:
     except Exception as e:
         print(f"bench spark.stop warning: {e}", file=sys.stderr, flush=True)
 
-    # Full detail first (humans / wide capture windows), variance on its
-    # own short line, then the compact summary LAST so a bounded tail
-    # capture always ends on a complete parseable line.
+    # Full detail first (humans / wide capture windows), then the qt
+    # chunk lines (slowest-first), variance on its own short line, and
+    # the compact summary LAST so a bounded tail capture always ends on
+    # a complete parseable line.
     print(result, flush=True)
+    for line in qt_lines:
+        print(line, flush=True)
     print(json.dumps({"variance": variance}, separators=(",", ":")), flush=True)
     print(compact, flush=True)
 

@@ -112,7 +112,12 @@ def test_outcome_mapping_matches_grpc_rs_shapes():
 
 
 def test_grpc_roundtrip_real_channel(spark, tmp_path):
-    pytest.importorskip("grpc")
+    pytest.importorskip(
+        "grpc",
+        reason="grpcio not installed — see README.md 'gRPC service (V3): "
+        "running with a real grpc stack' for how to run this live "
+        "round-trip end-to-end",
+    )
     from graph_loom_spark.graph import PropertyGraph
     from graph_loom_spark.grpc_serve import GraphQueryClient, serve_grpc
     from graph_loom_spark.interface import CypherSession

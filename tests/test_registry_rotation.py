@@ -1,0 +1,67 @@
+"""Rotation invariant for the entry registry (VERDICT r6 ask #2).
+
+The driver's correctness pass hash-checks only a bounded PREFIX of
+``queries()`` (50 entries in every round so far).  The registry has
+outgrown that window twice (r5: 84 entries, r6: 120), each time leaving
+a block of entries with no driver row in any round.  This test makes
+the rotation a scripted invariant instead of a per-round chore: every
+registry key that has never come back green from the driver (union of
+all ``CORRECTNESS_r*.json`` in the repo root) MUST sit inside the
+checked window, so the next driver pass covers exactly the entries that
+need a row.
+
+"Green" for an entry means a driver row with no error and a true value
+hash, OR a clean rows-only row for entries that deliberately publish no
+oracle SQL (``err == 'no_oracle'`` with a non-null spark row count —
+the driver's weaker check for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50  # observed driver prefix size in rounds 5 and 6
+
+
+def _registry_keys() -> list[str]:
+    import __spark_entry__ as entry
+
+    return list(entry.queries().keys())
+
+
+def _driver_green() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("err") is None and row.get("hash_match") is True:
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)
+    return green
+
+
+def test_unverified_entries_inside_driver_window():
+    keys = _registry_keys()
+    green = _driver_green()
+    pending = [k for k in keys if k not in green]
+    assert len(pending) <= WINDOW, (
+        f"{len(pending)} entries lack a green driver row but the checked "
+        f"window is only {WINDOW} — the registry grew faster than driver "
+        f"coverage; split rounds or shrink the pending set: {pending}"
+    )
+    stragglers = [k for k in pending if keys.index(k) >= WINDOW]
+    assert not stragglers, (
+        "registry entries with NO green driver row in any CORRECTNESS file "
+        f"sit outside the driver's {WINDOW}-entry window — rotate them to "
+        f"the front of queries(): {stragglers}"
+    )
+
+
+def test_registry_has_no_duplicate_keys():
+    keys = _registry_keys()
+    assert len(keys) == len(set(keys))
