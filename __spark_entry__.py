@@ -148,6 +148,8 @@ def reset_memo(name: str) -> None:
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
+        "emb_pq_rerank": [_PQ_CACHE],
+        "emb_cluster_quality": [_KM8_CACHE],
         "emb_ann_lsh": [_LSH_CACHE],
         "emb_ann_eval": [_LSH_CACHE],
         "emb_kmeans": [_KM8_CACHE],
@@ -1340,11 +1342,52 @@ def _q_emb_pq_topk(spark, sf_dir):
     tie-break), so the DuckDB oracle replays the m subspace fits and the
     ranking exactly. The deterministic index is memoized per sf_dir."""
     emb = _t(spark, sf_dir, "embeddings")
+    codes, books = _pq_index(spark, sf_dir)
+    return ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+
+
+def _pq_index(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached[0]):
         _PQ_CACHE[sf_dir] = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
-    codes, books = _PQ_CACHE[sf_dir]
-    return ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+    return _PQ_CACHE[sf_dir]
+
+
+def _q_emb_pq_rerank(spark, sf_dir):
+    """X101 — two-stage PQ retrieval (ADC candidates=50 over the
+    4-byte codes, exact rounded-cosine rescore of only those 50): the
+    production serving shape that repairs ADC quantization error while
+    never scanning full vectors corpus-wide. Fully deterministic, so
+    the oracle replays fit, candidate cut, and rescore ranking exactly.
+    Shares the memoized PQ index with emb_pq_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = _pq_index(spark, sf_dir)
+    return ops_sim.pq_rerank_topk(
+        emb, codes, books, probe_id=7, k=10, candidates=50
+    )
+
+
+def _q_emb_knn_label(spark, sf_dir):
+    """X102 — kNN auto-labeling (weak supervision): majority label of
+    the 5 nearest neighbors by rounded cosine for the vec_id%50==7
+    probe set; vote ties → smaller label, rank ties → lower id —
+    oracle-exact."""
+    return ops_sim.knn_label(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 50 == 7, k=5
+    )
+
+
+def _q_emb_cluster_quality(spark, sf_dir):
+    """X103 — cluster-level corpus quality report: the k=8 fixed-point
+    k-means assignment (memoized KM8 fit, shared with emb_kmeans/
+    emb_semdedup) joined to per-doc integer quality scores and n_chars
+    via the shared doc id, rolled up per cluster — the
+    prune-whole-clusters curation view. Integer sums + integer-ratio
+    averages → oracle-exact."""
+    return ops_sim.cluster_quality_report(
+        _t(spark, sf_dir, "documents"), _km8(spark, sf_dir)
+    )
 
 
 def _jaccard_pairs(spark, sf_dir) -> DataFrame:
@@ -1528,6 +1571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- x3), emb_pca (r5 fix never driver-checked), then the 14 entries
         # -- the 50-entry prefix never reached
         "emb_pq_topk": _q_emb_pq_topk,
+        # immediately after emb_pq_topk: reuses the memoized PQ index
+        "emb_pq_rerank": _q_emb_pq_rerank,
+        "emb_knn_label": _q_emb_knn_label,
         "emb_pca": _q_emb_pca,
         "docs_winnow": _q_docs_winnow,
         # immediately after docs_winnow: reuses the memoized fingerprints
@@ -1549,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ann_topk pinned-index memo): re-verify under the driver
         "emb_kmeans": _q_emb_kmeans,
         # immediately after emb_kmeans: reuses the memoized k=8 fit
+        "emb_cluster_quality": _q_emb_cluster_quality,
         "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_outliers": _q_emb_outliers,
@@ -2288,6 +2335,85 @@ def _pq_oracle(
         f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
         f"WHERE a0.vec_id != {probe}) "
         f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _pq_rerank_oracle(
+    candidates: int = 50,
+    topk: int = 10,
+    probe: int = 7,
+) -> str:
+    """SQL replay of two-stage PQ retrieval: the full _pq_oracle ranking
+    (nested as a CTE) cut at ``candidates``, then the exact
+    sequential-double cosine rescore of only those ids with the
+    (cosine DESC, vec_id) tie-break — matching
+    ops.simsearch.pq_rerank_topk bit-for-bit."""
+    return (
+        f"WITH cand AS ({_pq_oracle(topk=candidates, probe=probe)}), "
+        "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings "
+        f"WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        "FROM embeddings e JOIN cand USING (vec_id), probe "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {topk}"
+    )
+
+
+def _knn_label_oracle(k: int = 5, mod: int = 50, rem: int = 7) -> str:
+    """SQL replay of kNN auto-labeling: per probe (vec_id % mod = rem),
+    rank all OTHER vectors by rounded cosine (ties → lower id), majority
+    label of the top-k (vote ties → smaller label) — matching
+    ops.simsearch.knn_label exactly (integer votes, identical rounded
+    doubles from sequential list_dot_product)."""
+    return (
+        "WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv "
+        f"FROM embeddings WHERE vec_id % {mod} = {rem}), "
+        "s AS (SELECT p.pid, e.vec_id AS nid, e.label AS lbl, "
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(p.pv, p.pv))), 4) AS c "
+        "FROM embeddings e JOIN p ON e.vec_id <> p.pid), "
+        "r AS (SELECT pid, lbl, row_number() OVER ("
+        "PARTITION BY pid ORDER BY c DESC, nid) AS rn FROM s), "
+        f"v AS (SELECT pid, lbl, count(*) AS nv FROM r WHERE rn <= {k} "
+        "GROUP BY pid, lbl), "
+        "b AS (SELECT pid, lbl, nv, row_number() OVER ("
+        "PARTITION BY pid ORDER BY nv DESC, lbl) AS brn FROM v) "
+        "SELECT pid AS vec_id, lbl AS pred_label, CAST(nv AS BIGINT) AS votes, "
+        f"CAST({k} AS BIGINT) AS k FROM b WHERE brn = 1"
+    )
+
+
+_QUALITY_SCORE_SQL = (
+    "CAST("
+    "CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1 ELSE 0 END + "
+    "CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 "
+    "AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
+    "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5 THEN 1 ELSE 0 END "
+    "AS BIGINT)"
+)
+
+
+def _cluster_quality_oracle(k: int = 8, iters: int = 10) -> str:
+    """SQL replay of the cluster-level quality report: the k=8
+    fixed-point k-means assignment (same generator as the kmeans
+    oracle) joined to the integer quality score + n_chars on the shared
+    doc id, aggregated per cluster — exact int64 sums, integer-ratio
+    doubles rounded to 6 (matching ops.simsearch.cluster_quality_report)."""
+    parts, assign, _cent = _kmeans_sql_parts(k, iters)
+    parts.append(
+        f"q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS qs, n_chars FROM documents)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(q.qs) AS BIGINT) AS sum_quality, "
+        "round(CAST(sum(q.qs) AS DOUBLE) / count(*), 6) AS avg_quality, "
+        "round(CAST(sum(q.n_chars) AS DOUBLE) / count(*), 6) AS avg_chars "
+        f"FROM {assign} a JOIN q ON q.doc_id = a.vec_id "
+        "GROUP BY a.cluster ORDER BY a.cluster"
     )
 
 
@@ -3882,6 +4008,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": _ivf_oracle(),
         # PQ/ADC over m fixed-point subspace fits → full replay (generated).
         "emb_pq_topk": _pq_oracle(),
+        "emb_pq_rerank": _pq_rerank_oracle(),
+        "emb_knn_label": _knn_label_oracle(),
+        "emb_cluster_quality": _cluster_quality_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),
         # Cluster-balanced sample = k-means replay + naive window.

@@ -1156,6 +1156,167 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    probe_id: int,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage PQ retrieval — the production ANN serving shape (Jégou
+    et al. 2011 §V-C reranking): stage 1 ranks the WHOLE corpus in the
+    compressed domain (:func:`pq_topk` ADC over the 4-small-int codes
+    table, vectors never touched) and keeps ``candidates`` ids; stage 2
+    fetches ONLY those vectors (a broadcast semi-join — point lookups
+    against the vector store at cluster scale) and re-scores them with
+    the exact sequential-double cosine, repairing ADC's quantization
+    error before the final top-``k``.
+
+    Scale shape: stage-1 cost is the memory-bounded code scan; stage-2
+    touches ``candidates`` full vectors regardless of corpus size. Both
+    stages are deterministic (exact int64 ADC ties → lower id; rounded
+    cosine ties → lower id), so an ANSI-SQL oracle replays the fit, the
+    candidate cut, and the rescue ranking exactly. Returns
+    ``(vec_id, cosine)``.
+    """
+    cand = pq_topk(
+        embeddings,
+        codes,
+        codebooks,
+        probe_id,
+        k=candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+    ).select(id_col)
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__p")
+    )
+    cos = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__p"))
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), F.round(cos, round_digits).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_label(
+    embeddings: DataFrame,
+    probe_filter,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """kNN auto-labeling over the embedding store — the weak-supervision
+    pattern a training-data pipeline uses to propagate labels from a
+    seeded subset: for every probe row matched by ``probe_filter``,
+    take the ``k`` nearest OTHER vectors by rounded cosine (ranking
+    ties → lower neighbor id) and emit the majority vote of their
+    labels (vote ties → smaller label). Returns
+    ``(vec_id, pred_label, votes, k)`` — ``votes``/``k`` doubles as a
+    confidence proxy for routing low-agreement rows to review.
+
+    Scale shape: the probe set is small by construction (a filter the
+    caller bounds) and broadcast against one narrow corpus scan; the
+    per-probe top-k is a ``row_number`` window partitioned by probe —
+    no global sort, no all-pairs. At corpus scale the same vote logic
+    composes with LSH/IVF candidate generation instead of the exact
+    scan (pass the candidate join's output here), exactly like
+    ``ngram_jaccard_pairs(candidate_pairs=...)`` re-scoring. Fully
+    deterministic → the SQL oracle replays scoring, ranking, and votes.
+    """
+    p = embeddings.filter(probe_filter).select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__p")
+    )
+    cos = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__p"))
+    )
+    scored = (
+        spread(embeddings)
+        .crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col("__pid"))
+        .select(
+            "__pid",
+            F.col(id_col).alias("__nid"),
+            F.col(label_col).alias("__lbl"),
+            F.round(cos, round_digits).alias("__c"),
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    votes = top.groupBy("__pid", "__lbl").agg(F.count(F.lit(1)).alias("__v"))
+    # argmax folded into a hash aggregate (min of (-votes, label)
+    # structs) — same portable tie-break lever as weighted LPA
+    return (
+        votes.groupBy("__pid")
+        .agg(
+            F.min(
+                F.struct((-F.col("__v")).alias("nv"), F.col("__lbl").alias("l"))
+            ).alias("__b")
+        )
+        .select(
+            F.col("__pid").alias(id_col),
+            F.col("__b.l").alias("pred_label"),
+            (-F.col("__b.nv")).cast("bigint").alias("votes"),
+            F.lit(k).cast("bigint").alias("k"),
+        )
+    )
+
+
+def cluster_quality_report(
+    documents: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "doc_id",
+    assign_id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-level corpus diagnostics — the view behind
+    cluster-filtered data curation (prune/upsample whole semantic
+    clusters by their aggregate quality, as in DataComp-style pipelines
+    and the SemDeDup cluster walk): join a k-means assignment (keyed by
+    the shared document id) with per-document quality signals and roll
+    up per cluster. Returns ``(cluster, n_docs, sum_quality,
+    avg_quality, avg_chars)`` ordered by cluster.
+
+    Exactness: quality_score is an integer 0-3, n_chars is stored —
+    sums are exact int64 and the averages are integer-ratio doubles
+    rounded to 6, so the oracle composes the kmeans replay with the
+    quality expression bit-for-bit. Scale shape: one equi-join of two
+    narrow frames + a k-row hash aggregate; nothing data-sized leaves
+    the executors.
+    """
+    from graph_loom_spark.ops.text import quality_score
+
+    q = quality_score(documents).select(id_col, "quality_score")
+    j = (
+        assigned.select(F.col(assign_id_col).alias(id_col), "cluster")
+        .join(q, id_col)
+        .join(documents.select(id_col, "n_chars"), id_col)
+    )
+    return (
+        j.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("quality_score").cast("bigint").alias("sum_quality"),
+            F.round(F.sum("quality_score") / F.count(F.lit(1)), 6).alias(
+                "avg_quality"
+            ),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def norm_stats(
     embeddings: DataFrame,
     id_col: str = "vec_id",

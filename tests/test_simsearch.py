@@ -160,3 +160,78 @@ def test_norm_stats_exact(spark):
     assert r["n_vectors"] == 3 and r["n_zero"] == 1
     assert (r["min_qnorm"], r["max_qnorm"]) == (min(qns), max(qns))
     assert r["avg_qnorm"] == round(sum(qns) / 3, 6)
+
+
+def test_pq_rerank_subset_of_candidates_and_better_recall(spark):
+    """Two-stage PQ: the reranked top-k must be a subset of the ADC
+    candidate cut, ranked by exact cosine — and its recall of the exact
+    brute-force top-k must be at least the plain ADC top-k's (reranking
+    can only repair quantization error, never add it)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes, books = sim.pq_fit(emb, m=4, k=16, iters=3)
+    cand = {r["vec_id"] for r in sim.pq_topk(emb, codes, books, probe_id=7, k=30).collect()}
+    adc10 = {r["vec_id"] for r in sim.pq_topk(emb, codes, books, probe_id=7, k=10).collect()}
+    rer = sim.pq_rerank_topk(emb, codes, books, probe_id=7, k=10, candidates=30).collect()
+    got = {r["vec_id"] for r in rer}
+    assert len(got) == 10 and got <= cand
+    # exact cosine ordering within the rerank output
+    cosines = [r["cosine"] for r in rer]
+    assert cosines == sorted(cosines, reverse=True)
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, probe_id=7, k=10).collect()}
+    assert len(exact & got) >= len(exact & adc10)
+
+
+def test_knn_label_matches_numpy(spark):
+    """kNN auto-label vs a numpy brute-force replay: same rounded
+    cosine, same (cos desc, id) ranking, same majority/tie rules."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    lbl = {r["vec_id"]: r["label"] for r in rows}
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in sim.knn_label(emb, F.col("vec_id") % 50 == 7, k=5).collect()
+    }
+    probes = [int(i) for i in ids if i % 50 == 7]
+    assert set(got) == set(probes)
+    norms = np.sqrt((X * X).sum(axis=1))
+    for pid in probes:
+        pi = int(np.where(ids == pid)[0][0])
+        cos = np.round((X @ X[pi]) / (norms * norms[pi]), 4)
+        order = sorted(
+            (int(i) for i in ids if int(i) != pid),
+            key=lambda i: (-cos[int(np.where(ids == i)[0][0])], i),
+        )[:5]
+        votes: dict = {}
+        for i in order:
+            votes[lbl[i]] = votes.get(lbl[i], 0) + 1
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[pid] == (best[0], best[1]), pid
+
+
+def test_cluster_quality_report_exact(spark):
+    """Cluster quality rollup vs a driver-side exact recomputation from
+    the same assignment + quality frames."""
+    from graph_loom_spark.ops.text import quality_score
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assigned, _ = sim.kmeans_fit(emb, k=4, iters=3)
+    rep = {r["cluster"]: r for r in sim.cluster_quality_report(docs, assigned).collect()}
+    qs = {r["doc_id"]: r["quality_score"] for r in quality_score(docs).collect()}
+    nc = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    byc: dict = {}
+    for r in assigned.collect():
+        byc.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert set(rep) == set(byc)
+    for c, members in byc.items():
+        members = [m for m in members if m in qs]
+        sq = sum(qs[m] for m in members)
+        assert rep[c]["n_docs"] == len(members)
+        assert rep[c]["sum_quality"] == sq
+        assert rep[c]["avg_quality"] == round(sq / len(members), 6)
+        assert rep[c]["avg_chars"] == round(sum(nc[m] for m in members) / len(members), 6)
