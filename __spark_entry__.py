@@ -149,6 +149,8 @@ def reset_memo(name: str) -> None:
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
         "emb_pq_rerank": [_PQ_CACHE],
+        "emb_pq_eval": [_PQ_CACHE],
+        "docs_minhash_report": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "emb_cluster_quality": [_KM8_CACHE],
         "emb_ann_lsh": [_LSH_CACHE],
         "emb_ann_eval": [_LSH_CACHE],
@@ -1072,6 +1074,26 @@ def _q_docs_minhash_pairs(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir)
 
 
+def _q_docs_minhash_report(spark, sf_dir):
+    """X105 — dedup threshold-tuning report: the memoized MinHash-LSH
+    candidate pairs bucketed by estimated Jaccard decile, with pair
+    counts and the exact sum of estimates per bucket — the S-curve view
+    used to pick a production dedup threshold (how many pairs does each
+    0.1 of threshold admit?). est_jaccard is eq/32 (a dyadic rational —
+    exact in doubles), so bucketing and sums replay bit-for-bit."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("est_jaccard") * 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("est_jaccard"), 6).alias("sum_est"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _q_docs_minhash_rescored(spark, sf_dir):
     """Two-stage near-dup — the production recall/precision split:
     cheap MinHash-LSH candidates (md5 mode, memoized with
@@ -1368,6 +1390,28 @@ def _q_emb_pq_rerank(spark, sf_dir):
     )
 
 
+def _q_emb_pq_eval(spark, sf_dir):
+    """X104 — PQ index quality evaluation: recall@10 of the ADC ranking
+    against the exact cosine top-10, the compression-tuning metric (m,
+    k per subspace) a PQ deployment reports next to its memory budget
+    (mirrors emb_ann_eval for the LSH index). One semi-join of two
+    10-row frames; the oracle nests BOTH ranking replays and the
+    integer-ratio recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = _pq_index(spark, sf_dir)
+    adc = ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10).select("vec_id")
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        adc.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "hits",
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("hits") / 10, 6).alias("recall"),
+        )
+    )
+
+
 def _q_emb_knn_label(spark, sf_dir):
     """X102 — kNN auto-labeling (weak supervision): majority label of
     the 5 nearest neighbors by rounded cosine for the vec_id%50==7
@@ -1571,8 +1615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- x3), emb_pca (r5 fix never driver-checked), then the 14 entries
         # -- the 50-entry prefix never reached
         "emb_pq_topk": _q_emb_pq_topk,
-        # immediately after emb_pq_topk: reuses the memoized PQ index
+        # immediately after emb_pq_topk: reuse the memoized PQ index
         "emb_pq_rerank": _q_emb_pq_rerank,
+        "emb_pq_eval": _q_emb_pq_eval,
         "emb_knn_label": _q_emb_knn_label,
         "emb_pca": _q_emb_pca,
         "docs_winnow": _q_docs_winnow,
@@ -1611,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- minhash/jaccard dedup block (md5-lane work landed r6/r7)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         # immediately after docs_minhash_pairs: reuses its memoized pairs
+        "docs_minhash_report": _q_docs_minhash_report,
         "docs_minhash_clusters": _q_docs_minhash_clusters,
         # immediately after: also reuses the memoized minhash pairs
         "docs_minhash_rescored": _q_docs_minhash_rescored,
@@ -2335,6 +2381,50 @@ def _pq_oracle(
         f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
         f"WHERE a0.vec_id != {probe}) "
         f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _pq_eval_oracle(k: int = 10, probe: int = 7) -> str:
+    """Recall@k scoreboard for the PQ index: the full ADC replay and the
+    exact-cosine replay nested as subqueries, joined on vec_id;
+    integer-ratio recall rounded to 6 (mirrors _ann_eval_oracle)."""
+    adc = _pq_oracle(topk=k, probe=probe)
+    exact = (
+        "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+        f"FROM embeddings WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        f"FROM embeddings e, probe WHERE e.vec_id <> {probe} "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
+    return (
+        "WITH a AS (SELECT vec_id FROM (" + adc + ")), "
+        "e AS (SELECT vec_id FROM (" + exact + ")), "
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits "
+        "FROM a JOIN e USING (vec_id)) "
+        f"SELECT hits, CAST({k} AS BIGINT) AS k, "
+        f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
+    )
+
+
+def _minhash_report_oracle(
+    num_perm: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.3
+) -> str:
+    """SQL replay of the dedup threshold-tuning report: the md5-mode
+    MinHash pairs CTE bucketed by floor(est·10) with exact dyadic-
+    rational sums (matching _q_docs_minhash_report)."""
+    parts, pairs = _minhash_md5_parts(
+        "documents", num_perm, bands, shingle_n, threshold
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(sum(est_jaccard), 6) AS sum_est "
+        f"FROM {pairs} GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -4009,6 +4099,8 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC over m fixed-point subspace fits → full replay (generated).
         "emb_pq_topk": _pq_oracle(),
         "emb_pq_rerank": _pq_rerank_oracle(),
+        "emb_pq_eval": _pq_eval_oracle(),
+        "docs_minhash_report": _minhash_report_oracle(),
         "emb_knn_label": _knn_label_oracle(),
         "emb_cluster_quality": _cluster_quality_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
