@@ -1156,6 +1156,54 @@ def pq_topk(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact nearest-centroid assignment against a FROZEN quantized
+    codebook — the inference half of :func:`kmeans_fit` (fit offline,
+    assign in-flight): quantize each vector to the same ``scale`` int64
+    grid, compute exact integer squared distances to the ``k×dim``
+    codebook in one Arrow-batched matmul per batch, argmin ties → the
+    lowest cluster index. Bit-identical to the assignment
+    :func:`kmeans_fit` would produce for the same centroids (same
+    |x|² − 2x·c + |c|² int64 algebra), so offline and online labels
+    never disagree. Stateless projection — usable on BATCH and
+    STREAMING frames alike (no watermark, no state store).
+
+    Returns ``(id_col, *keep_cols, cluster)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cn = (C**2).sum(axis=1)
+
+    def _cell(v):
+        M = np.asarray(v.tolist(), dtype=np.int64)
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        d2 = (M**2).sum(axis=1)[:, None] - 2 * (M @ C.T) + cn[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.pandas_udf(_cell, "int")(q).alias("cluster"),
+    )
+
+
 def pq_rerank_topk(
     embeddings: DataFrame,
     codes: DataFrame,

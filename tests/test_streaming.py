@@ -520,3 +520,59 @@ def test_stream_hll_registers_match_batch(spark, docs_path):
         (r["source"], r["reg_idx"]): r["reg_max"] for r in batch_regs.collect()
     }
     assert got == batch and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def embs_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("embs_stream")
+    (d / "part-0.parquet").write_bytes(
+        open(f"{SF_DIR}/embeddings.parquet", "rb").read()
+    )
+    return str(d)
+
+
+def test_stream_cluster_assign_matches_batch(spark, embs_path):
+    """Online assignment to a frozen codebook must equal the batch
+    assignment bit-for-bit — offline fit, online inference, same exact
+    int64 algebra (append mode: a stateless projection)."""
+    from graph_loom_spark.ops import simsearch as sim
+    from graph_loom_spark.streaming import embs_stream as sb
+
+    batch = spark.read.parquet(embs_path)
+    fitted, C = sim.kmeans_fit(batch, k=4, iters=3)
+    stream = sb.read_embeddings_stream(spark, embs_path)
+    se.run_available_now(
+        sb.stream_cluster_assign(stream, C), "embs_assign_t", output_mode="append"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.sql("SELECT * FROM embs_assign_t").collect()
+    }
+    want = {r["vec_id"]: r["cluster"] for r in fitted.collect()}
+    assert got == want and len(got) == batch.count()
+
+
+def test_stream_cluster_counts_match_batch(spark, embs_path):
+    """The k-row running cluster totals drained over the full source
+    must equal a batch recomputation exactly (mergeable integers)."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import simsearch as sim
+    from graph_loom_spark.streaming import embs_stream as sb
+
+    batch = spark.read.parquet(embs_path)
+    _, C = sim.kmeans_fit(batch, k=4, iters=3)
+    stream = sb.read_embeddings_stream(spark, embs_path)
+    se.run_available_now(
+        sb.stream_cluster_counts(stream, C), "embs_counts_t"
+    )
+    got = {
+        r["cluster"]: (r["n_vectors"], r["sum_qnorm"])
+        for r in spark.sql("SELECT * FROM embs_counts_t").collect()
+    }
+    want = {
+        r["cluster"]: (r["n_vectors"], r["sum_qnorm"])
+        for r in sb.stream_cluster_counts(batch, C).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == batch.count()
