@@ -15,6 +15,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graph_loom_spark.session import get_spark  # noqa: E402
 
+def _warm_iterative(spark) -> None:
+    """Untimed JIT warm-up of the iterated broadcast-join → two-level
+    hash-aggregate → localCheckpoint shape every multi-round graph
+    query runs (LPA/PageRank/PPR/HITS/components), on TINY synthetic
+    frames — no real data touched. A fresh JVM otherwise pays the
+    compile cost inside the first timed graph query's early rounds
+    (profiled at sf0.1: LPA rounds 0-2 take 3.6-7.6 s vs ~1.0 s
+    steady-state; zombie-free A/B: first LPA 25.8-30.6 s cold vs
+    21.0 s after this ~2 s probe)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    try:
+        e = spark.range(20000).select(
+            (F.col("id") % 970).alias("u"),
+            (F.col("id") % 890).alias("v"),
+            F.lit(1.0).alias("w"),
+        )
+        c = spark.range(1000).select(F.col("id").alias("v"), F.col("id").alias("c"))
+        pinned = []
+        for _ in range(3):
+            s = e.join(F.broadcast(c), "v").groupBy("u", "c").agg(F.sum("w").alias("s"))
+            cb = (
+                s.groupBy("u")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("s")).alias("ns"), F.col("c").alias("c"))
+                    ).alias("b")
+                )
+                .select(F.col("u").alias("v"), F.col("b.c").alias("c"))
+            )
+            c = cb.localCheckpoint(eager=True)
+            pinned.append(c)
+            c.count()
+        for df in pinned:  # free the probe's checkpoint blocks
+            try:
+                df.rdd.unpersist()
+            except Exception:
+                pass
+        gc.collect()
+    except Exception as e:  # warm-up must never kill the bench
+        print(f"bench iterative warm-up warning: {e}", file=sys.stderr, flush=True)
+
+
 def _drop_persisted_blocks(spark) -> None:
     """Free blocks pinned by finished queries (outside the timed window).
 
@@ -164,6 +209,7 @@ def main() -> None:
         build_graph(spark, sf_dir, cache=False).edges.count()
     except Exception as e:
         print(f"bench projection warm-up warning: {e}", file=sys.stderr, flush=True)
+    _warm_iterative(spark)
     _drop_persisted_blocks(spark)
 
     def _fresh_session(old):
@@ -245,6 +291,7 @@ def main() -> None:
             build_graph(fresh, sf_dir, cache=False).edges.count()
         except Exception as e:
             print(f"bench graph warm-up warning: {e}", file=sys.stderr, flush=True)
+        _warm_iterative(fresh)
         return fresh
 
     timings: dict[str, float] = {}

@@ -439,3 +439,31 @@ def test_length_buckets_and_curriculum_have_no_global_sort(spark):
             "SortAggregate", "SortAgg"
         ), name
         assert "CartesianProduct" not in plan, name
+
+
+def test_pq_rerank_broadcasts_candidates_no_cartesian_scan(spark):
+    """Stage 2 must fetch candidates via a broadcast (semi) join — never
+    a shuffled join of the full corpus — and the probe crossJoin must be
+    a broadcast nested loop over ONE row, not a cartesian product."""
+    plan = _plan(spark, "emb_pq_rerank")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_label_broadcasts_probes_single_window(spark):
+    """The probe set must broadcast against one corpus scan; the
+    per-probe top-k is one window, the vote argmax a hash aggregate —
+    no cartesian, no sort-merge join."""
+    plan = _plan(spark, "emb_knn_label")
+    assert "BroadcastNestedLoopJoin" in plan  # bounded probe crossJoin
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final vote agg
+
+
+def test_cluster_quality_joins_stay_hash_or_broadcast(spark):
+    plan = _plan(spark, "emb_cluster_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
