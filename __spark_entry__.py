@@ -1199,6 +1199,43 @@ def _q_events_asof_join(spark, sf_dir):
     )
 
 
+def _q_events_attribution(spark, sf_dir):
+    """X107 — last-touch attribution scoreboard: every purchase as-of
+    joined to the user's latest click, rolled into one row (conversions,
+    attributed count/rate, exact int64 µs lag sum, int64 cents value
+    sum). DuckDB oracle uses its native ASOF JOIN + epoch_us — the lag
+    and value sums are order-independent integers, so the replay is
+    exact."""
+    return ops_events.attribution_summary(
+        ops_events.load_events(spark, f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_docs_bpe_fertility(spark, sf_dir):
+    """X108 — tokenizer fertility per source: BPE-ish-regex token counts
+    rolled up per source with tokens-per-char and BPE-per-whitespace
+    ratios — the tokenizer-efficiency view (which sources cost the most
+    tokens per byte) a pipeline reports before committing a tokenizer.
+    Integer sums + integer-ratio doubles → oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = ops_text.bpe_token_stats(docs)
+    j = stats.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.round(F.sum("n_bpe_tokens") / F.sum("n_chars"), 6).alias(
+                "tokens_per_char"
+            ),
+            F.round(F.sum("n_bpe_tokens") / F.sum("n_ws_tokens"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_events_props_stats(spark, sf_dir):
     """Schema-on-read JSON extraction (get_json_object, JVM codegen —
     no flattening pass, no UDF) + per-type rollup of the numeric field
@@ -1632,8 +1669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_cap": _q_docs_source_cap,
         "docs_merge_upsert": _q_docs_merge_upsert,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        # immediately after docs_bpe_tokens: the per-source rollup view
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
         "docs_split": _q_docs_split,
         "docs_shuffle": _q_docs_shuffle,
+        "events_attribution": _q_events_attribution,
         "media_png_features": _q_media_png_features,
         "media_video_frames": _q_media_video_frames,
         # -- entries over code paths touched in r7 (kmeans_fit parts hoist,
@@ -4100,6 +4140,35 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": _pq_oracle(),
         "emb_pq_rerank": _pq_rerank_oracle(),
         "emb_pq_eval": _pq_eval_oracle(),
+        "events_attribution": (
+            "WITH clicks AS (SELECT user_id, ts, max(event_id) AS touch_id "
+            "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
+            "p AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase'), "
+            "j AS (SELECT p.ts AS pts, c.ts AS cts, c.touch_id, p.cents "
+            "FROM p ASOF LEFT JOIN clicks c "
+            "ON p.user_id = c.user_id AND c.ts <= p.ts) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_conversions, "
+            "CAST(count(touch_id) AS BIGINT) AS n_attributed, "
+            "round(CAST(count(touch_id) AS DOUBLE) / count(*), 6) AS attribution_rate, "
+            "CAST(COALESCE(sum(CASE WHEN touch_id IS NOT NULL THEN "
+            "epoch_us(pts) - epoch_us(cts) END), 0) AS BIGINT) AS sum_lag_us, "
+            "CAST(COALESCE(sum(CASE WHEN touch_id IS NOT NULL THEN cents END), 0) "
+            "AS BIGINT) AS attributed_value_cents FROM j"
+        ),
+        "docs_bpe_fertility": (
+            "WITH s AS (SELECT doc_id, source, n_chars, "
+            "len(regexp_extract_all(text, '\\S+')) AS ws, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe "
+            "FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(bpe) AS BIGINT) AS bpe_tokens, "
+            "round(CAST(sum(bpe) AS DOUBLE) / sum(n_chars), 6) AS tokens_per_char, "
+            "round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility "
+            "FROM s GROUP BY source ORDER BY source"
+        ),
         "docs_minhash_report": _minhash_report_oracle(),
         "emb_knn_label": _knn_label_oracle(),
         "emb_cluster_quality": _cluster_quality_oracle(),

@@ -141,6 +141,58 @@ def purchases_with_last_click(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_summary(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+) -> DataFrame:
+    """Last-touch attribution scoreboard — the conversion-analytics
+    rollup over the as-of join: every ``conversion_type`` event matched
+    to the same user's most recent ``touch_type`` at-or-before it
+    (:func:`asof_join`; equal-ts touches deduped to max event_id), then
+    ONE summary row: conversions, how many were attributed, the
+    attribution rate, the exact total touch→conversion lag, and the
+    attributed conversion value.
+
+    Exactness at any scale: the lag is summed in int64 MICROSECONDS
+    (``unix_micros`` both sides — no float time math), and value in
+    int64 cents (``floor(value·100 + 0.5)``), so both sums are
+    order-independent and an ANSI-SQL oracle (DuckDB native ASOF JOIN +
+    ``epoch_us``) replays the whole scoreboard exactly; the rate and
+    the average lag are integer-ratio doubles rounded to 6.
+
+    Shape: the as-of is ONE keyed shuffle (union-tag + carry-forward
+    window — see :func:`asof_join`), the rollup a 1-row aggregate.
+    """
+    touches = (
+        events.filter(F.col("event_type") == touch_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_id"))
+    )
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__cents"),
+    )
+    j = asof_join(conv, touches, on=["user_id"], ts_col="ts", right_cols=["touch_id"])
+    hit = F.col("touch_id").isNotNull()
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__asof_ts"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_attributed"),
+        F.round(F.sum(hit.cast("int")) / F.count(F.lit(1)), 6).alias(
+            "attribution_rate"
+        ),
+        F.coalesce(F.sum(F.when(hit, lag_us)), F.lit(0)).cast("bigint").alias(
+            "sum_lag_us"
+        ),
+        F.coalesce(F.sum(F.when(hit, F.col("__cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("attributed_value_cents"),
+    )
+
+
 def top_users_by_value(events: DataFrame, event_type: str = "purchase", k: int = 20) -> DataFrame:
     """Filtered top-k aggregation (orderBy+limit → TakeOrdered at scale)."""
     return (

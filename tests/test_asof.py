@@ -92,3 +92,41 @@ def test_user_extreme_events_zscore(spark):
     r = out[0]
     assert (r["user_id"], r["event_id"], r["value"]) == (1, 4, 10.0)
     assert r["z"] == 1.5
+
+
+def test_attribution_summary_matches_python_replay(spark):
+    """The 1-row attribution scoreboard must equal a driver-side exact
+    replay of last-touch semantics (max-event-id dedup at equal ts,
+    at-or-before match, int64 us lag / cents value)."""
+    from graph_loom_spark.ops import events as E
+
+    ev = E.load_events(spark, "/root/testdata/sf0.001/events.parquet")
+    got = E.attribution_summary(ev).collect()[0]
+    rows = ev.select("event_id", "user_id", "ts", "event_type", "value").collect()
+    clicks: dict = {}
+    for r in rows:
+        if r["event_type"] == "click":
+            key = (r["user_id"], r["ts"])
+            clicks[key] = max(clicks.get(key, -1), r["event_id"])
+    by_user: dict = {}
+    for (u, ts), eid in clicks.items():
+        by_user.setdefault(u, []).append((ts, eid))
+    n = n_attr = lag = cents = 0
+    import math
+
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        n += 1
+        cands = [(ts, eid) for ts, eid in by_user.get(r["user_id"], []) if ts <= r["ts"]]
+        if not cands:
+            continue
+        cts, _eid = max(cands)
+        n_attr += 1
+        d = r["ts"] - cts
+        lag += (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+        cents += int(math.floor(r["value"] * 100 + 0.5))
+    assert (got["n_conversions"], got["n_attributed"]) == (n, n_attr)
+    assert got["attribution_rate"] == round(n_attr / n, 6)
+    assert got["sum_lag_us"] == lag
+    assert got["attributed_value_cents"] == cents
