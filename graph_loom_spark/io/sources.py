@@ -148,6 +148,59 @@ def read_embeddings(spark: SparkSession, path: str, fmt: str = "parquet", **kw) 
     )
 
 
+_MEDIA_MIME_BY_EXT = {
+    "bmp": "image/bmp",
+    "ppm": "image/x-portable-pixmap",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "y4m": "video/x-yuv4mpeg",
+    "mjpeg": "video/x-motion-jpeg",
+    "mp4": "video/mp4",
+}
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw-file multimodal ingest: Spark's built-in ``binaryFile``
+    source mapped onto the MEDIA table contract the decoders consume —
+    ``(media_id, mime, data, meta)`` with ``media_id`` = file name,
+    ``mime`` from the extension map, and ``meta`` carrying the full
+    path/size/kind for lineage. This is the production entry point the
+    synthetic media builders stand in for: point it at a directory (or
+    an object-store prefix on a cluster) of image/audio/video files and
+    feed the result straight to ``ops.multimodal.image_features`` /
+    ``phash`` / the WAV and Y4M decoders.
+
+    Scale notes: ``binaryFile`` is a real FileFormat — directory
+    listing, partition planning, and the 4-column projection all happen
+    JVM-side (``pathGlobFilter`` prunes at listing time, no Python in
+    the scan); each file lands in one row of one task, so a 100 TB
+    media lake parallelizes by file count. Spark caps row size via
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GB default) — chunk
+    bigger objects upstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.lit("application/octet-stream")
+    for e, m in _MEDIA_MIME_BY_EXT.items():
+        mime = F.when(ext == e, m).otherwise(mime)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_id"),
+        mime.alias("mime"),
+        F.col("content").alias("data"),
+        F.create_map(
+            F.lit("source"), F.lit("file"),
+            F.lit("path"), F.col("path"),
+            F.lit("bytes"), F.col("length").cast("string"),
+            F.lit("kind"), ext,
+        ).alias("meta"),
+    )
+
+
 def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a PERMISSIVE text read into (clean, corrupt) frames: clean
     rows with the corrupt column dropped, corrupt rows as raw lines.
