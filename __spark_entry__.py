@@ -160,6 +160,7 @@ def reset_memo(name: str) -> None:
         "emb_outliers": [_KM8_CACHE],
         "graph_triangles": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
+        "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
     }.get(name, []):
         cache.clear()
@@ -1550,6 +1551,16 @@ def _q_graph_bfs(spark, sf_dir):
     return analytics.bfs_distances(_cooc_edges(spark, sf_dir), max_depth=12)
 
 
+def _q_graph_sssp(spark, sf_dir):
+    """X109 — bounded-hop weighted SSSP (8 synchronous Bellman-Ford
+    relaxations) on the part co-purchase graph from its smallest part
+    id, md5-derived engine-independent integer edge weights — every
+    relaxation round is exact int64 min-arithmetic, so the unrolled-CTE
+    DuckDB oracle replays all 8 rounds bit-for-bit. Shares the memoized
+    co-occurrence edges with triangles/bfs/kcore."""
+    return analytics.weighted_sssp(_cooc_edges(spark, sf_dir), rounds=8)
+
+
 def _q_graph_degrees(spark, sf_dir):  # A2/G3
     return analytics.degrees(_graph(spark, sf_dir))
 
@@ -1676,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "media_png_features": _q_media_png_features,
         "media_video_frames": _q_media_video_frames,
+        # new in r7 — builds the cooc-edges memo the graph block reuses
+        "graph_sssp": _q_graph_sssp,
         # -- entries over code paths touched in r7 (kmeans_fit parts hoist,
         # -- ann_topk pinned-index memo): re-verify under the driver
         "emb_kmeans": _q_emb_kmeans,
@@ -2421,6 +2434,38 @@ def _pq_oracle(
         f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
         f"WHERE a0.vec_id != {probe}) "
         f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _sssp_oracle(rounds: int = 8, weight_mod: int = 9) -> str:
+    """Unrolled-CTE replay of the bounded-hop weighted SSSP: the same
+    co-occurrence edge build as the BFS oracle, the md5-lane weight on
+    the canonical (min,max) endpoint pair, then ``rounds``
+    min-relaxation rounds d0..dN — all exact int64, matching
+    analytics.weighted_sssp bit-for-bit."""
+    parts = [
+        "ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_orderkey % 4 = 0)",
+        "e0 AS (SELECT DISTINCT a.p AS u, b.p AS v "
+        "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p)",
+        "ew AS (SELECT u, v, 1 + (CAST(('0x' || substr(md5("
+        "CAST(least(u, v) AS VARCHAR) || '|' || CAST(greatest(u, v) AS VARCHAR)"
+        "), 1, 8)) AS BIGINT) % "
+        f"{weight_mod}) AS w FROM e0)",
+        "e AS MATERIALIZED (SELECT u, v, w FROM ew "
+        "UNION ALL SELECT v, u, w FROM ew)",
+        "d0 AS (SELECT min(u) AS n, CAST(0 AS BIGINT) AS d FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, min(d) AS d FROM ("
+            f"SELECT n, d FROM d{i - 1} "
+            f"UNION ALL SELECT e.v AS n, p.d + e.w AS d "
+            f"FROM d{i - 1} p JOIN e ON e.u = p.n) GROUP BY n)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT n AS id, CAST(d AS BIGINT) AS dist FROM d{rounds}"
     )
 
 
@@ -4267,6 +4312,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bfs.d < 12) "
             "SELECT id, CAST(min(d) AS BIGINT) AS distance FROM bfs GROUP BY id"
         ),
+        "graph_sssp": _sssp_oracle(),
         "graph_components": _components_oracle(),
         # Unrolled peeling rounds → exact fixpoint replay (generated).
         "graph_kcore": _kcore_oracle(),

@@ -1281,6 +1281,103 @@ def hits(
     return result
 
 
+def weighted_sssp(
+    edges_df: DataFrame,
+    source=None,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    weight_mod: int = 9,
+    broadcast_dist_max: int = 5_000_000,
+) -> DataFrame:
+    """Bounded-hop weighted single-source shortest paths: ``rounds``
+    synchronous Bellman-Ford relaxations over an undirected ``(src,
+    dst[, weight])`` edge list — returns ``(id, dist)`` for every node
+    whose ≤``rounds``-edge cheapest path from ``source`` exists
+    (``source`` itself at 0; ``source=None`` picks the smallest node
+    id, the same deterministic default as :func:`bfs_distances`).
+
+    ``weight_col=None`` derives a deterministic, engine-independent
+    integer weight ``1 + (md5-lane(u|v) % weight_mod)`` from the
+    canonical (min,max) endpoint pair — both orientations of an edge
+    get the SAME weight, and a SQL oracle re-derives it bit-for-bit
+    (weights are exact int64, min is exact, so every round replays).
+
+    Scale shape (the :func:`pagerank` levers): the symmetric weighted
+    adjacency is built once, persisted partitioned on the join key
+    ``u`` so every relaxation's equi-join probes a stationary layout;
+    the distance frame (≤16 B/node reached) is broadcast while it fits
+    ``broadcast_dist_max`` with the co-shuffled join as the fallback;
+    each round is ONE partial-aggregable ``groupBy(n).min`` over
+    |dist| + |candidates| rows; lineage checkpoints per round and an
+    exact no-change probe every 2nd round exits early. Unlike Dijkstra
+    (a sequential priority queue), synchronous relaxation is the
+    distributed formulation — ``rounds`` caps work exactly like
+    Pregel-style SSSP supersteps.
+    """
+    spark = edges_df.sparkSession
+    tracked: list = []
+    cols = [src, dst] + ([weight_col] if weight_col is not None else [])
+    ed = _tracked_checkpoint(edges_df.select(*cols), tracked)
+    if weight_col is None:
+        lo = F.least(F.col(src), F.col(dst)).cast("string")
+        hi = F.greatest(F.col(src), F.col(dst)).cast("string")
+        lane = F.conv(
+            F.substring(F.md5(F.concat_ws("|", lo, hi)), 1, 8), 16, 10
+        ).cast("long")
+        w = (lane % F.lit(weight_mod)) + F.lit(1)
+    else:
+        w = F.col(weight_col).cast("long")
+    half = ed.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    adj = (
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .repartition(F.col("u"))
+        .persist()
+    )
+    adj.count()  # materialize outside the loop
+    if source is None:
+        source = ed.select(F.least(F.min(src), F.min(dst)).alias("s")).collect()[0][
+            "s"
+        ]
+    n_nodes = adj.select("u").distinct().count()
+    bcast = F.broadcast if n_nodes <= broadcast_dist_max else (lambda df: df)
+    dist = _tracked_checkpoint(
+        adj.sparkSession.createDataFrame(
+            [(source, 0)], f"n {'string' if isinstance(source, str) else 'long'}, d long"
+        ),
+        tracked,
+    )
+    for it in range(rounds):
+        cand = adj.join(bcast(dist.select(F.col("n").alias("u"), "d")), "u").select(
+            F.col("v").alias("n"), (F.col("d") + F.col("w")).alias("d")
+        )
+        nxt = _tracked_checkpoint(
+            dist.unionByName(cand).groupBy("n").agg(F.min("d").alias("d")), tracked
+        )
+        if it % 2 == 1 and it < rounds - 1:
+            changed = nxt.join(
+                bcast(dist.select("n", F.col("d").alias("__old"))), "n", "left"
+            ).filter(
+                F.col("__old").isNull() | (F.col("d") != F.col("__old"))
+            )
+            if changed.isEmpty():
+                dist = nxt
+                break
+        dist = nxt
+    result = dist.select(F.col("n").alias("id"), F.col("d").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    try:
+        adj.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
+    _free_intermediates(spark, tracked)
+    return result
+
+
 def kcore(
     edges_df: DataFrame, k: int = 2, max_iter: int = 100,
     src: str = "src", dst: str = "dst",

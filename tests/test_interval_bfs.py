@@ -150,3 +150,49 @@ def test_bfs_empty_edges_raises(spark):
     e = spark.createDataFrame([], "src int, dst int")
     with pytest.raises(ValueError, match="empty edge list"):
         bfs_distances(e)
+
+
+def test_weighted_sssp_matches_python_bellman_ford(spark):
+    """weighted_sssp vs an exact python replay: same md5-lane weights,
+    same bounded-hop min-relaxation semantics."""
+    import hashlib
+
+    from graph_loom_spark.analytics import weighted_sssp
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["dist"] for r in weighted_sssp(e, rounds=8).collect()}
+
+    def w(u, v):
+        lo, hi = min(u, v), max(u, v)
+        h = int(hashlib.md5(f"{lo}|{hi}".encode()).hexdigest()[:8], 16)
+        return 1 + h % 9
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append((v, w(u, v)))
+        adj.setdefault(v, []).append((u, w(u, v)))
+    dist = {1: 0}
+    for _ in range(8):
+        nxt = dict(dist)
+        for n, d in dist.items():
+            for v, wt in adj.get(n, []):
+                if d + wt < nxt.get(v, 1 << 60):
+                    nxt[v] = d + wt
+        dist = nxt
+    assert got == dist
+    assert 6 not in got and 7 not in got  # disconnected component
+
+
+def test_weighted_sssp_respects_explicit_weights_and_hop_cap(spark):
+    from graph_loom_spark.analytics import weighted_sssp
+
+    # path 1-2-3 with cheap hops vs expensive direct edge 1-3
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5)], "src long, dst long, w long"
+    )
+    got = {r["id"]: r["dist"] for r in weighted_sssp(e, weight_col="w", rounds=8).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # one round only: the 2-hop path is invisible, direct edge wins
+    got1 = {r["id"]: r["dist"] for r in weighted_sssp(e, weight_col="w", rounds=1).collect()}
+    assert got1 == {1: 0, 2: 1, 3: 5}
