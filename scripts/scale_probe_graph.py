@@ -88,6 +88,9 @@ def main() -> None:
         "bfs": lambda g: analytics.bfs_distances(
             g.edges.select("src", "dst")
         ).count(),
+        "sssp": lambda g: analytics.weighted_sssp(
+            g.edges.select("src", "dst")
+        ).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.1", g1), ("sf0.1x10", g10)]
