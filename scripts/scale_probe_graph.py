@@ -91,6 +91,12 @@ def main() -> None:
         "sssp": lambda g: analytics.weighted_sssp(
             g.edges.select("src", "dst")
         ).count(),
+        "kcore": lambda g: analytics.kcore(
+            g.edges.select("src", "dst"), k=3
+        ).count(),
+        "ppr": lambda g: analytics.personalized_pagerank(
+            g, g.nodes.select("id").orderBy("id").limit(16)
+        ).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.1", g1), ("sf0.1x10", g10)]
