@@ -147,6 +147,7 @@ def reset_memo(name: str) -> None:
         "docs_winnow": [_WINNOW_CACHE],
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
+        "emb_ivf_eval": [_IVF_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
         "emb_pq_rerank": [_PQ_CACHE],
         "emb_pq_eval": [_PQ_CACHE],
@@ -1414,6 +1415,43 @@ def _pq_index(spark, sf_dir):
     return _PQ_CACHE[sf_dir]
 
 
+def _q_emb_ivf_eval(spark, sf_dir):
+    """X110 — IVF index quality evaluation: recall@10 of the IVF-flat
+    probe (nprobe=4 of 16 cells, memoized deterministic quantizer) vs
+    the exact cosine top-10, completing the per-index eval triple
+    (X98 LSH, X104 PQ) — what an index-selection bench reports per
+    candidate structure. Oracle nests both ranking replays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = _IVF_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached[0]):
+        assigned, C = ops_sim.kmeans_fit(emb, k=16, iters=5)
+        _IVF_CACHE[sf_dir] = (assigned.localCheckpoint(eager=True), C)
+    assigned, C = _IVF_CACHE[sf_dir]
+    ivf = ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4).select(
+        "vec_id"
+    )
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        ivf.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "hits",
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("hits") / 10, 6).alias("recall"),
+        )
+    )
+
+
+def _q_docs_pack_efficiency(spark, sf_dir):
+    """X111 — packing-efficiency manifest (budget 128, 8 shards — same
+    parameters as docs_pack): per-shard sequence counts and fill rate,
+    the padding-waste report for choosing a sequence budget. Closed-form
+    integer math — oracle-exact."""
+    return ops_text.pack_efficiency(
+        _t(spark, sf_dir, "documents"), budget=128, shards=8
+    )
+
+
 def _q_emb_pq_rerank(spark, sf_dir):
     """X101 — two-stage PQ retrieval (ADC candidates=50 over the
     4-byte codes, exact rounded-cosine rescore of only those 50): the
@@ -1682,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         # immediately after docs_bpe_tokens: the per-source rollup view
         "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "docs_pack_efficiency": _q_docs_pack_efficiency,
         "docs_split": _q_docs_split,
         "docs_shuffle": _q_docs_shuffle,
         "events_attribution": _q_events_attribution,
@@ -1698,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_outliers": _q_emb_outliers,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        # immediately after emb_ivf_topk: reuses the memoized IVF fit
+        "emb_ivf_eval": _q_emb_ivf_eval,
         "emb_ann_lsh": _q_emb_ann_lsh,
         # immediately after emb_ann_lsh: reuses the memoized LSH index
         "emb_ann_eval": _q_emb_ann_eval,
@@ -2466,6 +2507,32 @@ def _sssp_oracle(rounds: int = 8, weight_mod: int = 9) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT n AS id, CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+def _ivf_eval_oracle(k: int = 10, probe: int = 7) -> str:
+    """Recall@k scoreboard for the IVF index: the full IVF replay and
+    the exact-cosine replay nested as subqueries (mirrors
+    _pq_eval_oracle / _ann_eval_oracle)."""
+    ivf = _ivf_oracle(k=k, probe=probe)
+    exact = (
+        "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+        f"FROM embeddings WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        f"FROM embeddings e, probe WHERE e.vec_id <> {probe} "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
+    return (
+        "WITH a AS (SELECT vec_id FROM (" + ivf + ")), "
+        "e AS (SELECT vec_id FROM (" + exact + ")), "
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits "
+        "FROM a JOIN e USING (vec_id)) "
+        f"SELECT hits, CAST({k} AS BIGINT) AS k, "
+        f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
     )
 
 
@@ -4185,6 +4252,18 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": _pq_oracle(),
         "emb_pq_rerank": _pq_rerank_oracle(),
         "emb_pq_eval": _pq_eval_oracle(),
+        "emb_ivf_eval": _ivf_eval_oracle(),
+        "docs_pack_efficiency": (
+            "WITH b AS (SELECT doc_id % 8 AS shard, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n "
+            "FROM documents) "
+            "SELECT CAST(shard AS BIGINT) AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "CAST((sum(n) + 127) // 128 AS BIGINT) AS n_sequences, "
+            "round(CAST(sum(n) AS DOUBLE) / (((sum(n) + 127) // 128) * 128), 6) "
+            "AS fill_rate FROM b GROUP BY shard ORDER BY shard"
+        ),
         "events_attribution": (
             "WITH clicks AS (SELECT user_id, ts, max(event_id) AS touch_id "
             "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "

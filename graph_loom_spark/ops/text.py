@@ -565,6 +565,48 @@ def pack_sequences(
     )
 
 
+def pack_efficiency(
+    documents: DataFrame,
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-efficiency manifest for :func:`pack_sequences` — the
+    padding-waste report a trainer checks before committing a sequence
+    budget: per shard, ``(shard, n_docs, total_tokens, n_sequences,
+    fill_rate)`` where ``n_sequences = ceil(total_tokens / budget)``
+    (concat-then-chunk fills every sequence except the shard's last)
+    and ``fill_rate = total_tokens / (n_sequences · budget)`` — the
+    fraction of the token grid carrying real tokens rather than padding.
+
+    Derived closed-form from the same shard rule and token counts as
+    :func:`pack_sequences` (pinned by a pytest that cross-checks
+    against the packing map itself), so it costs one narrow scan + a
+    ``shards``-row aggregate instead of materializing the packing.
+    Integer ceiling via ``(s + budget-1) div budget`` — exact in any
+    engine; fill_rate is an integer-ratio double rounded to 6.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0))
+    base = documents.select(
+        F.pmod(F.col(id_col), F.lit(shards)).cast("bigint").alias("shard"),
+        n_tok.cast("bigint").alias("n"),
+    )
+    n_seq = F.expr(f"(sum(n) + {budget - 1}) div {budget}")
+    return (
+        base.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            n_seq.cast("bigint").alias("n_sequences"),
+            F.round(
+                F.sum("n") / (n_seq * F.lit(budget)), 6
+            ).alias("fill_rate"),
+        )
+        .orderBy("shard")
+    )
+
+
 def chunk_documents(
     documents: DataFrame,
     text_col: str = "text",

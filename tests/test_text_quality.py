@@ -1096,3 +1096,36 @@ def test_lexical_diversity_exact(spark):
     assert (out[1]["n_types"], out[1]["n_hapax"], out[1]["hapax_frac"]) == (1, 0, 0.0)
     assert (out[2]["ttr"], out[2]["hapax_frac"]) == (1.0, 1.0)
     assert (out[3]["n_tokens"], out[3]["n_types"], out[3]["n_hapax"]) == (3, 2, 1)
+
+
+def test_pack_efficiency_consistent_with_pack_sequences(spark):
+    """The closed-form efficiency manifest must agree with the actual
+    packing map: per shard, n_sequences = max(seq_idx)+1 and
+    total_tokens = sum of per-doc counts."""
+    from graph_loom_spark.ops.text import pack_efficiency, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eff = {r["shard"]: r for r in pack_efficiency(docs, budget=128, shards=8).collect()}
+    packed = pack_sequences(docs, budget=128, shards=8).collect()
+    by_shard: dict = {}
+    for r in packed:
+        s = by_shard.setdefault(r["shard"], {"docs": 0, "tokens": 0, "last_end": 0})
+        s["docs"] += 1
+        s["tokens"] += r["n_tokens"]
+        s["last_end"] = max(s["last_end"], r["seq_idx"] * 128 + r["offset_tokens"] + r["n_tokens"])
+    assert set(eff) == set(by_shard)
+    for sh, s in by_shard.items():
+        assert eff[sh]["n_docs"] == s["docs"]
+        assert eff[sh]["total_tokens"] == s["tokens"]
+        n_seq = (s["tokens"] + 127) // 128
+        assert eff[sh]["n_sequences"] == n_seq
+        # the packing map's furthest token lands inside the predicted grid
+        assert s["last_end"] <= n_seq * 128
+        # HALF_UP like Spark/DuckDB round(), not python's half-even
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(s["tokens"]) / Decimal(n_seq * 128)
+        )
+        want = float(Decimal(repr(want)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert eff[sh]["fill_rate"] == want
