@@ -357,14 +357,17 @@ def main() -> None:
             spark = _fresh_session(spark)
             restarted_for_ab = True
         runs = [timings[name]]
-        # bound the A/B wall cost: two reruns (n=3) for everything up to
-        # 60 s. n=2 proved too few for the iterative graph queries —
+        # bound the A/B wall cost: two reruns (n=3) up to a 120 s first
+        # run. n=2 proved too few for the iterative graph queries —
         # their same-session spread is ±60% (GC/broadcast churn; r6
         # idle-box evidence: LPA 18.0/24.9/29.8 s back-to-back, and the
         # r6 driver bench recorded LPA min 39.8 from an unlucky pair
         # while three solo runs floored at 18 s), so min-of-3 is the
-        # cheapest estimate that reliably tracks plan cost.
-        for _ in range(1 if timings[name] > 60 else 2):
+        # cheapest estimate that reliably tracks plan cost. The old
+        # >60 s single-rerun rule backfired exactly when it mattered:
+        # a bad-GC 73 s first LPA draw got one rerun and recorded
+        # min-of-2 = 40 s for a query whose floor is ~16 s.
+        for _ in range(1 if timings[name] > 120 else 2):
             _drop_persisted_blocks(spark)
             try:  # a memoized rerun would time a cache hit, not the query
                 entry.reset_memo(name)

@@ -1265,6 +1265,7 @@ def knn_label(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_digits: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """kNN auto-labeling over the embedding store — the weak-supervision
     pattern a training-data pipeline uses to propagate labels from a
@@ -1278,26 +1279,49 @@ def knn_label(
     Scale shape: the probe set is small by construction (a filter the
     caller bounds) and broadcast against one narrow corpus scan; the
     per-probe top-k is a ``row_number`` window partitioned by probe —
-    no global sort, no all-pairs. At corpus scale the same vote logic
-    composes with LSH/IVF candidate generation instead of the exact
-    scan (pass the candidate join's output here), exactly like
-    ``ngram_jaccard_pairs(candidate_pairs=...)`` re-scoring. Fully
-    deterministic → the SQL oracle replays scoring, ranking, and votes.
+    no global sort, no all-pairs. At corpus scale pass ``candidates``
+    — a ``(probe_id, nbr_id)`` frame from LSH/IVF candidate generation
+    — and the scan becomes an equi-join that scores ONLY those pairs,
+    exactly like ``ngram_jaccard_pairs(candidate_pairs=...)``
+    re-scoring (identical output when the candidate set covers the true
+    top-k; pinned by pytest). Fully deterministic → the SQL oracle
+    replays scoring, ranking, and votes.
     """
     p = embeddings.filter(probe_filter).select(
         F.col(id_col).alias("__pid"), F.col(vec_col).alias("__p")
     )
-    cos = _dot(F.col(vec_col), F.col("__p")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("__p"))
+    cos = _dot(F.col("__v"), F.col("__p")) / (
+        _norm(F.col("__v")) * _norm(F.col("__p"))
     )
+    if candidates is not None:
+        pid_col, nid_col = candidates.columns[:2]
+        pairs = candidates.select(
+            F.col(pid_col).alias("__pid"), F.col(nid_col).alias("__nid")
+        ).join(
+            embeddings.select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            ),
+            "__nid",
+        )
+    else:
+        pairs = (
+            spread(embeddings)
+            .select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            )
+            .crossJoin(F.broadcast(p.select("__pid")))
+        )
     scored = (
-        spread(embeddings)
-        .crossJoin(F.broadcast(p))
-        .filter(F.col(id_col) != F.col("__pid"))
+        pairs.join(F.broadcast(p), "__pid")
+        .filter(F.col("__nid") != F.col("__pid"))
         .select(
             "__pid",
-            F.col(id_col).alias("__nid"),
-            F.col(label_col).alias("__lbl"),
+            "__nid",
+            "__lbl",
             F.round(cos, round_digits).alias("__c"),
         )
     )

@@ -235,3 +235,25 @@ def test_cluster_quality_report_exact(spark):
         assert rep[c]["sum_quality"] == sq
         assert rep[c]["avg_quality"] == round(sq / len(members), 6)
         assert rep[c]["avg_chars"] == round(sum(nc[m] for m in members) / len(members), 6)
+
+
+def test_knn_label_candidates_path_matches_exact_scan(spark):
+    """knn_label(candidates=...) with a covering candidate set must
+    equal the exact-scan default — the LSH/IVF composition contract."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pf = F.col("vec_id") % 50 == 7
+    want = sorted(tuple(r) for r in sim.knn_label(emb, pf, k=5).collect())
+    # covering candidates: all (probe, other) pairs
+    probes = emb.filter(pf).select(F.col("vec_id").alias("probe_id"))
+    cand = probes.crossJoin(emb.select(F.col("vec_id").alias("nbr_id")))
+    got = sorted(
+        tuple(r) for r in sim.knn_label(emb, pf, k=5, candidates=cand).collect()
+    )
+    assert got == want
+    # a restricted candidate set restricts the vote pool (still k rows
+    # per probe when enough candidates exist)
+    small = cand.filter(F.col("nbr_id") < 50)
+    rows = sim.knn_label(emb, pf, k=5, candidates=small).collect()
+    assert all(r["votes"] <= 5 for r in rows) and len(rows) > 0
