@@ -576,3 +576,32 @@ def test_stream_cluster_counts_match_batch(spark, embs_path):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == batch.count()
+
+
+def test_stream_cluster_counts_incremental_batches(spark, tmp_path):
+    """UPDATE-mode cluster totals drained over MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over two files) must equal the single-batch
+    and batch results — the incrementally-mergeable-integers claim."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import simsearch as sim
+    from graph_loom_spark.streaming import embs_stream as sb
+
+    src = str(tmp_path / "embs2")
+    full = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    full.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    _, C = sim.kmeans_fit(full, k=4, iters=2)
+
+    stream = sb.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    se.run_available_now(sb.stream_cluster_counts(stream, C), "embs_counts_inc_t")
+    got = {
+        r["cluster"]: (r["n_vectors"], r["sum_qnorm"])
+        for r in spark.sql("SELECT * FROM embs_counts_inc_t").collect()
+    }
+    want = {
+        r["cluster"]: (r["n_vectors"], r["sum_qnorm"])
+        for r in sb.stream_cluster_counts(spark.read.parquet(src), C).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == full.count()
