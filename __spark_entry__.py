@@ -1029,6 +1029,24 @@ def _q_docs_bm25(spark, sf_dir):
     )
 
 
+def _q_docs_chunk_bm25(spark, sf_dir):
+    """X112 — chunk-level BM25 retrieval, the RAG shape (sliding-window
+    chunks as the retrieval unit instead of whole documents): top-20
+    chunks for a fixed 3-term query over the 64/48 chunking;
+    ``chunk_id = doc_id·1024 + chunk_index`` (chunk counts are far
+    below 1024 at any document length the quality gate admits). Both
+    stages are registry-verified operators; the oracle composes the
+    chunk replay with the BM25 replay keyed on chunk_id."""
+    chunks = ops_text.chunk_documents(_t(spark, sf_dir, "documents"))
+    cd = chunks.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_index")).cast("long").alias(
+            "chunk_id"
+        ),
+        F.col("chunk_text").alias("text"),
+    )
+    return ops_text.bm25_topk(cd, ["vector", "join", "scan"], k=20, id_col="chunk_id")
+
+
 def _q_emb_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar-quantization top-k by dot product: one
     global max-abs scale, components quantized floor(x·127/s + 0.5),
@@ -1714,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": _q_docs_chunks,
         # immediately after docs_chunks (same chunking pass)
         "docs_chunk_dedup": _q_docs_chunk_dedup,
+        "docs_chunk_bm25": _q_docs_chunk_bm25,
         "docs_apply_mixture": _q_docs_apply_mixture,
         "docs_source_cap": _q_docs_source_cap,
         "docs_merge_upsert": _q_docs_merge_upsert,
@@ -3877,6 +3896,34 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(tot AS DOUBLE) / n)))), 6) AS bm25 "
             "FROM tf JOIN dft USING (tok), stats "
             "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20"
+        ),
+        # Chunk replay (same CTE as docs_chunks) feeding the BM25 replay
+        # keyed on chunk_id — the composed RAG retrieval query.
+        "docs_chunk_bm25": (
+            "WITH t0 AS (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t "
+            "FROM documents), "
+            "sgen AS (SELECT doc_id, t, "
+            "unnest(generate_series(0, greatest(len(t)-1, 0), 48)) AS st FROM t0), "
+            "ch AS (SELECT doc_id * 1024 + st // 48 AS chunk_id, "
+            "array_to_string(t[st+1:st+64], ' ') AS text FROM sgen), "
+            "toks AS MATERIALIZED (SELECT chunk_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t "
+            "FROM ch), "
+            "base AS (SELECT chunk_id, len(t) AS dl, unnest(t) AS tok FROM toks), "
+            "hits AS MATERIALIZED (SELECT * FROM base "
+            "WHERE tok IN ('vector', 'join', 'scan')), "
+            "stats AS (SELECT count(*) AS n, sum(len(t)) AS tot FROM toks), "
+            "tf AS (SELECT chunk_id, tok, count(*) AS tf, first(dl) AS dl "
+            "FROM hits GROUP BY chunk_id, tok), "
+            "dft AS (SELECT tok, count(DISTINCT chunk_id) AS df FROM hits GROUP BY tok) "
+            "SELECT chunk_id, round(sum("
+            "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * "
+            "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + "
+            "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / "
+            "(CAST(tot AS DOUBLE) / n)))), 6) AS bm25 "
+            "FROM tf JOIN dft USING (tok), stats "
+            "GROUP BY chunk_id ORDER BY bm25 DESC, chunk_id ASC LIMIT 20"
         ),
         # All-integer per-source rollup; the one double division runs on
         # exact integers in both engines.
