@@ -148,6 +148,7 @@ def reset_memo(name: str) -> None:
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_ivf_eval": [_IVF_CACHE],
+        "emb_index_eval": [_IVF_CACHE, _PQ_CACHE, _LSH_CACHE],
         "emb_pq_topk": [_PQ_CACHE],
         "emb_pq_rerank": [_PQ_CACHE],
         "emb_pq_eval": [_PQ_CACHE],
@@ -1029,6 +1030,32 @@ def _q_docs_bm25(spark, sf_dir):
     )
 
 
+def _q_emb_index_eval(spark, sf_dir):
+    """X113 — the index-selection scoreboard: recall@10 of all three
+    ANN structures (RP-LSH, IVF-flat, PQ/ADC) against the same exact
+    cosine top-10, one row per index — the table an embedding-platform
+    owner reads to pick a structure for a given memory/recall budget
+    (on this corpus: IVF 0.8 > LSH 0.5 > PQ 0.4, mirroring their
+    memory footprints). All three fits are memoized and shared with
+    their standalone entries; the oracle unions the three eval
+    replays."""
+    frames = [
+        _q_emb_ann_eval(spark, sf_dir).select(
+            F.lit("lsh").alias("index"), "hits", "k", "recall"
+        ),
+        _q_emb_ivf_eval(spark, sf_dir).select(
+            F.lit("ivf").alias("index"), "hits", "k", "recall"
+        ),
+        _q_emb_pq_eval(spark, sf_dir).select(
+            F.lit("pq").alias("index"), "hits", "k", "recall"
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _q_docs_chunk_bm25(spark, sf_dir):
     """X112 — chunk-level BM25 retrieval, the RAG shape (sliding-window
     chunks as the retrieval unit instead of whole documents): top-20
@@ -1759,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after emb_ivf_topk: reuses the memoized IVF fit
         "emb_ivf_eval": _q_emb_ivf_eval,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        # after ivf_eval + ann_lsh: unions the three memoized eval rows
+        "emb_index_eval": _q_emb_index_eval,
         # immediately after emb_ann_lsh: reuses the memoized LSH index
         "emb_ann_eval": _q_emb_ann_eval,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -4300,6 +4329,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_rerank": _pq_rerank_oracle(),
         "emb_pq_eval": _pq_eval_oracle(),
         "emb_ivf_eval": _ivf_eval_oracle(),
+        "emb_index_eval": (
+            "SELECT 'lsh' AS index, * FROM (" + _ann_eval_oracle() + ") "
+            "UNION ALL SELECT 'ivf' AS index, * FROM (" + _ivf_eval_oracle() + ") "
+            "UNION ALL SELECT 'pq' AS index, * FROM (" + _pq_eval_oracle() + ")"
+        ),
         "docs_pack_efficiency": (
             "WITH b AS (SELECT doc_id % 8 AS shard, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n "
