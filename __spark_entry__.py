@@ -1060,13 +1060,15 @@ def _q_docs_chunk_bm25(spark, sf_dir):
     """X112 — chunk-level BM25 retrieval, the RAG shape (sliding-window
     chunks as the retrieval unit instead of whole documents): top-20
     chunks for a fixed 3-term query over the 64/48 chunking;
-    ``chunk_id = doc_id·1024 + chunk_index`` (chunk counts are far
-    below 1024 at any document length the quality gate admits). Both
-    stages are registry-verified operators; the oracle composes the
-    chunk replay with the BM25 replay keyed on chunk_id."""
+    ``chunk_id = doc_id·2^20 + chunk_index`` (2^20 chunks ≈ 50M
+    whitespace tokens per document at stride 48 — far past any real
+    document, and doc_id·2^20 still fits int64 to doc_id ≈ 8.8e12;
+    ADVICE r7 flagged the old ·1024 packing as aliasable at ~49k
+    tokens). Both stages are registry-verified operators; the oracle
+    composes the chunk replay with the BM25 replay keyed on chunk_id."""
     chunks = ops_text.chunk_documents(_t(spark, sf_dir, "documents"))
     cd = chunks.select(
-        (F.col("doc_id") * 1024 + F.col("chunk_index")).cast("long").alias(
+        (F.col("doc_id") * (1 << 20) + F.col("chunk_index")).cast("long").alias(
             "chunk_id"
         ),
         F.col("chunk_text").alias("text"),
@@ -1449,14 +1451,82 @@ def _q_emb_pq_topk(spark, sf_dir):
     ranking exactly. The deterministic index is memoized per sf_dir."""
     emb = _t(spark, sf_dir, "embeddings")
     codes, books = _pq_index(spark, sf_dir)
-    return ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+    out = ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+    _write_pq_diag(sf_dir, books, out)
+    return out
+
+
+def _write_pq_diag(sf_dir, books, out) -> None:
+    """Commit the engine's emb_pq_topk answer to a side file on EVERY
+    run (VERDICT r7 ask #1b): the entry has been driver-hash-red twice
+    while four judge replays were tuple-exact, so a red row must become
+    a value-level diff — {codebook md5, the 10 (vec_id, adc) rows} as
+    seen by THIS process — instead of a boolean. Best-effort: any
+    failure (read-only checkout, etc.) must not affect the query."""
+    import json
+    import os
+
+    try:
+        diag = {
+            "sf_dir": sf_dir,
+            "codebooks_md5": ops_sim.pq_codebooks_md5(books),
+            "expected_md5": _PQ_EXPECTED_MD5.get(
+                os.path.basename(sf_dir.rstrip("/"))
+            ),
+            "rows": [[int(r[0]), int(r[1])] for r in out.collect()],
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "assets", "diag"
+        )
+        os.makedirs(path, exist_ok=True)
+        # one file per sf basename so the sf0.01 correctness run and the
+        # sf0.1 bench run don't clobber each other's evidence
+        base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        with open(os.path.join(path, f"emb_pq_topk_{base}.json"), "w") as f:
+            json.dump(diag, f, indent=1)
+            f.write("\n")
+    except Exception as e:  # pragma: no cover - diagnostic only
+        import sys
+
+        print(f"[pq_diag] write skipped: {e}", file=sys.stderr)
+
+
+# Pinned codebook digests for the deterministic (seed-42 fixture,
+# fixed-point Lloyd's) PQ fit, keyed by sf-dir basename. Computed from
+# clean cold-session fits and judge-confirmed for sf0.01 (VERDICT r7
+# ask #1a). A mismatch at fit time means the FIT diverged in this
+# environment — print both digests and refit ONCE before proceeding.
+_PQ_EXPECTED_MD5 = {
+    "sf0.001": "f11fed5436853fbe08fe51aa2f1824ff",
+    "sf0.01": "3ce9cf8f57671e817f98c0038f176b99",
+    "sf0.1": "13e3f8f0ad89e4217c727dc74d5c9e8a",
+}
 
 
 def _pq_index(spark, sf_dir):
+    import os
+    import sys
+
     emb = _t(spark, sf_dir, "embeddings")
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached[0]):
-        _PQ_CACHE[sf_dir] = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
+        codes, books = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
+        expected = _PQ_EXPECTED_MD5.get(os.path.basename(sf_dir.rstrip("/")))
+        got = ops_sim.pq_codebooks_md5(books)
+        if expected is not None and got != expected:
+            print(
+                f"[pq_index] DIGEST MISMATCH sf={sf_dir} expected={expected} "
+                f"got={got} — refitting once",
+                file=sys.stderr,
+            )
+            codes, books = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
+            got = ops_sim.pq_codebooks_md5(books)
+            print(
+                f"[pq_index] refit digest={got} "
+                f"({'MATCH' if got == expected else 'STILL DIVERGED'})",
+                file=sys.stderr,
+            )
+        _PQ_CACHE[sf_dir] = (codes, books)
     return _PQ_CACHE[sf_dir]
 
 
@@ -3934,7 +4004,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "sgen AS (SELECT doc_id, t, "
             "unnest(generate_series(0, greatest(len(t)-1, 0), 48)) AS st FROM t0), "
-            "ch AS (SELECT doc_id * 1024 + st // 48 AS chunk_id, "
+            "ch AS (SELECT doc_id * 1048576 + st // 48 AS chunk_id, "
             "array_to_string(t[st+1:st+64], ' ') AS text FROM sgen), "
             "toks AS MATERIALIZED (SELECT chunk_id, string_split("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t "

@@ -137,6 +137,106 @@ def bench_query_names(qs: dict) -> list[str]:
     return names
 
 
+#: the driver keeps exactly the LAST N chars of bench stdout (measured:
+#: every BENCH_r*.json "tail" is len 2000)
+TAIL_WINDOW = 2000
+
+
+def build_output_lines(
+    timings: dict[str, float], variance: dict, sf: float, pq_md5: str | None
+) -> tuple[str, list[str], str, str, str]:
+    """Serialize the bench output lines. Returns (result, qt_lines,
+    variance_line, qta, compact) — printed in that order, so the
+    driver's bounded stdout tail (last ``TAIL_WINDOW`` chars) always
+    carries the final three lines whole:
+
+    - ``variance``: A/B n/min/max spreads for the watch-list queries.
+    - ``qta``: ALL per-query timings POSITIONALLY (VERDICT r7 ask #2 —
+      132 names alone are ~2.6 KB, more than the whole tail). Keys are
+      not carried: values align with ``sorted(timings)`` alphabetically,
+      which any parser reconstructs from ``queries()``; ``n``
+      cross-checks the count, -1 marks a failed query, seconds are
+      2-decimal.
+    - ``compact``: the headline total plus a byte-budgeted slowest-first
+      NAMED map (readability; qta is the coverage) sized so the three
+      lines together fit the window.
+
+    The r5 driver recorded parsed:null because the then-single result
+    line outgrew the tail and lost its head — hence last-line-parseable
+    as the invariant, with full detail in ``result`` (line 1),
+    bench_result.json, and BENCH_HISTORY.jsonl.
+    """
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # n_queries records the denominator: the timed set grew 26 → 45 in
+    # round 3 (all entry queries), so cross-round TOTALS are only
+    # comparable per-query or normalized by this count.
+    n_ok = len([t for t in timings.values() if t >= 0])
+    result = json.dumps(
+        {
+            "metric": "total_bench_seconds",
+            "value": total,
+            "unit": "sec",
+            "n_queries": n_ok,
+            "queries": timings,
+            "variance": variance,
+            "pq_md5": pq_md5,
+            "sf": sf,
+        }
+    )
+
+    alpha = sorted(timings)
+    qta = json.dumps(
+        {
+            "qta": {
+                "o": "alpha",
+                "n": len(alpha),
+                "v": [round(timings[k], 2) for k in alpha],
+            }
+        },
+        separators=(",", ":"),
+    )
+    variance_line = json.dumps({"variance": variance}, separators=(",", ":"))
+
+    budgeted: dict = {}
+    base = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": n_ok,
+        "queries": budgeted,
+        "queries_omitted": n_ok,
+        "pq_md5": pq_md5,
+        "sf": sf,
+    }
+    tail_budget = max(300, TAIL_WINDOW - len(qta) - len(variance_line) - 60)
+    for k in sorted(timings, key=lambda k: -timings[k]):
+        trial = dict(budgeted)
+        trial[k] = round(timings[k], 2)
+        base["queries"] = trial
+        base["queries_omitted"] = n_ok - len(trial)
+        if len(json.dumps(base, separators=(",", ":"))) > tail_budget:
+            base["queries"] = budgeted
+            base["queries_omitted"] = n_ok - len(budgeted)
+            break
+        budgeted = trial
+    compact = json.dumps(base, separators=(",", ":"))
+
+    # Named per-query chunk lines for humans / wide capture windows
+    # (slowest-first; the bounded tail may clip any of these — coverage
+    # there comes from the qta line and BENCH_HISTORY.jsonl).
+    ordered = sorted(
+        (k for k in timings if timings[k] >= 0), key=lambda k: -timings[k]
+    )
+    qt_lines = [
+        json.dumps(
+            {"qt": {k: round(timings[k], 2) for k in ordered[i : i + 12]}},
+            separators=(",", ":"),
+        )
+        for i in range(0, len(ordered), 12)
+    ]
+    return result, qt_lines, variance_line, qta, compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -334,8 +434,12 @@ def main() -> None:
             # the density aggregation itself is the 0.7 s warm number.
             # docs_vocab: r6 0.58->0.93 s with no impl change (r6 ask #8)
             # emb_ann_lsh: r6 weak line, fixed r7 via _LSH_CACHE — track
+            # graph_ppr + media_png_features: r7 verdict asks #3/#4 —
+            # unexplained 0.7->1.55 s (png) and 13->15 s (ppr) drift with
+            # unchanged code; min-of-3 separates plan cost from noise
             "cypher_var_length,graph_lpa,docs_vocab,emb_ann_lsh,"
-            "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup",
+            "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup,"
+            "graph_ppr,media_png_features",
         ).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]
@@ -390,78 +494,19 @@ def main() -> None:
         # session state. The full spread stays in the variance dict.
         timings[name] = min(runs)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # n_queries records the denominator: the timed set grew 26 → 45 in
-    # round 3 (all entry queries), so cross-round TOTALS are only
-    # comparable per-query or normalized by this count.
-    n_ok = len([t for t in timings.values() if t >= 0])
-    result = json.dumps(
-        {
-            "metric": "total_bench_seconds",
-            "value": total,
-            "unit": "sec",
-            "n_queries": n_ok,
-            "queries": timings,
-            "variance": variance,
-            "sf": sf,
-        }
+    # PQ codebook digest as fitted in THIS driver-visible run (VERDICT
+    # r7 ask #6): survives in BENCH_HISTORY.jsonl for comparison against
+    # the pinned per-sf constants even when stderr rotates out.
+    try:
+        from graph_loom_spark.ops import simsearch as _sim
+
+        pq_md5 = _sim.LAST_PQ_MD5
+    except Exception:
+        pq_md5 = None
+
+    result, qt_lines, variance_line, qta, compact = build_output_lines(
+        timings, variance, sf, pq_md5
     )
-    # The r5 driver recorded parsed:null because the 84-query result line
-    # (pretty separators + 3-decimal floats + inline variance) outgrew the
-    # driver's stdout TAIL window (it keeps only the LAST 2000 chars) and
-    # lost its head. The LAST stdout line is therefore a compact variant
-    # — minimal separators, 2-decimal seconds, no variance — and its
-    # "queries" map is BYTE-BUDGETED: slowest queries first, adding
-    # entries only while the serialized line stays under 1700 bytes (at
-    # 101 registered queries even a minimal full map is ~2.4 KB, which
-    # the 2000-char tail would clip mid-line). "queries_omitted" records
-    # how many cheap queries fell off; the full map is always in the
-    # full-detail line above AND in bench_result.json.
-    budgeted: dict = {}
-    base = {
-        "metric": "total_bench_seconds",
-        "value": total,
-        "unit": "sec",
-        "n_queries": n_ok,
-        "queries": budgeted,
-        "queries_omitted": n_ok,
-        "sf": sf,
-    }
-    # Budget 700 bytes (was 1700): the driver's stdout tail keeps the
-    # LAST 2000 chars exactly (measured: every BENCH_r*.json "tail" is
-    # len 2000), so the compact line keeps only the slowest ~25 and the
-    # "qt" chunk lines below use the freed room for the cheap queries.
-    # FULL per-query history lives in BENCH_HISTORY.jsonl (git-tracked,
-    # append-per-run) — the tail can never carry all 120 names (~2.6 KB
-    # of text at minimal encoding).
-    for k in sorted(timings, key=lambda k: -timings[k]):
-        trial = dict(budgeted)
-        trial[k] = round(timings[k], 2)
-        base["queries"] = trial
-        base["queries_omitted"] = n_ok - len(trial)
-        if len(json.dumps(base, separators=(",", ":"))) > 700:
-            base["queries"] = budgeted
-            base["queries_omitted"] = n_ok - len(budgeted)
-            break
-        budgeted = trial
-    compact = json.dumps(base, separators=(",", ":"))
-
-    # Per-query lines for the driver's bounded stdout TAIL (last 2000
-    # chars): ALL timings, chunked 12-per-line ({"qt": {...}}), emitted
-    # SLOWEST-FIRST so what the tail clips at the head of the block are
-    # the slow queries the compact line already carries; the cheap
-    # queries (the 53 the r6 compact line omitted — VERDICT ask #6) sit
-    # nearest the end and survive. Complete coverage is in
-    # BENCH_HISTORY.jsonl either way.
-    ordered = sorted((k for k in timings if timings[k] >= 0), key=lambda k: -timings[k])
-    qt_lines = [
-        json.dumps(
-            {"qt": {k: round(timings[k], 2) for k in ordered[i : i + 12]}},
-            separators=(",", ":"),
-        )
-        for i in range(0, len(ordered), 12)
-    ]
-
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.
     try:
@@ -494,13 +539,15 @@ def main() -> None:
         print(f"bench spark.stop warning: {e}", file=sys.stderr, flush=True)
 
     # Full detail first (humans / wide capture windows), then the qt
-    # chunk lines (slowest-first), variance on its own short line, and
+    # chunk lines, then the three tail-sized lines the 2000-char window
+    # must carry whole: variance, the positional qta (ALL timings), and
     # the compact summary LAST so a bounded tail capture always ends on
     # a complete parseable line.
     print(result, flush=True)
     for line in qt_lines:
         print(line, flush=True)
-    print(json.dumps({"variance": variance}, separators=(",", ":")), flush=True)
+    print(variance_line, flush=True)
+    print(qta, flush=True)
     print(compact, flush=True)
 
 

@@ -114,7 +114,9 @@ def main() -> None:
         r["split"]: r["n"]
         for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_seqs = packed.agg(F.max("seq_idx")).collect()[0][0]
+    # seq_idx is a 0-based PER-SHARD index, so the sequence count is the
+    # number of distinct (shard, seq_idx) bins, not max(seq_idx).
+    n_seqs = packed.agg(F.countDistinct("shard", "seq_idx")).collect()[0][0]
     print({**counts, "sequences": n_seqs, "split": by_split})
 
 

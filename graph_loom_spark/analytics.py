@@ -1307,11 +1307,13 @@ def weighted_sssp(
     Scale shape (the :func:`pagerank` levers): the symmetric weighted
     adjacency is built once, persisted partitioned on the join key
     ``u`` so every relaxation's equi-join probes a stationary layout;
-    the distance frame (≤16 B/node reached) is broadcast while it fits
-    ``broadcast_dist_max`` with the co-shuffled join as the fallback;
-    each round is ONE partial-aggregable ``groupBy(n).min`` over
-    |dist| + |candidates| rows; lineage checkpoints per round and an
-    exact no-change probe every 2nd round exits early. Unlike Dijkstra
+    the delta frontier joins broadcast while the symmetric adjacency
+    stays under ``broadcast_dist_max`` rows (2·|E| — an edge-count
+    gate, the same proxy the other iterative ops use), co-shuffled
+    beyond it; each round is ONE partial-aggregable ``groupBy(n).min``
+    over |dist| + |candidates| rows; lineage checkpoints per round and
+    an empty-delta probe EVERY round exits as soon as no distance
+    improves. Unlike Dijkstra
     (a sequential priority queue), synchronous relaxation is the
     distributed formulation — ``rounds`` caps work exactly like
     Pregel-style SSSP supersteps.

@@ -161,11 +161,19 @@ _MEDIA_MIME_BY_EXT = {
 }
 
 
-def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
     """Raw-file multimodal ingest: Spark's built-in ``binaryFile``
     source mapped onto the MEDIA table contract the decoders consume —
-    ``(media_id, mime, data, meta)`` with ``media_id`` = file name,
-    ``mime`` from the extension map, and ``meta`` carrying the full
+    ``(media_id, mime, data, meta)`` with ``media_id`` = the file's
+    path RELATIVE to the load root (same-named files under different
+    subdirectories or object-store prefixes must not collide — ADVICE
+    r7 flagged basename-only ids as corrupting downstream dedup), and
+    ``mime`` from the extension map, ``meta`` carrying the full
     path/size/kind for lineage. This is the production entry point the
     synthetic media builders stand in for: point it at a directory (or
     an object-store prefix on a cluster) of image/audio/video files and
@@ -183,13 +191,32 @@ def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> D
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        # media lakes nest by prefix (date/source/...); binaryFile only
+        # walks plain subdirectories when asked (hive-style key=value
+        # partition dirs are not the layout here)
+        reader = reader.option("recursiveFileLookup", "true")
     df = reader.load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     mime = F.lit("application/octet-stream")
     for e, m in _MEDIA_MIME_BY_EXT.items():
         mime = F.when(ext == e, m).otherwise(mime)
+    # media_id = path relative to the load root. binaryFile reports
+    # local files as file:<abs-path> and object-store files with their
+    # scheme, so anchor on the root's scheme-less path component; fall
+    # back to the full path (still collision-free) if the root string
+    # doesn't appear (exotic URI normalization).
+    import os
+    import re as _re
+
+    root = path.rstrip("/")
+    if "://" not in root and not root.startswith("file:"):
+        root = os.path.abspath(root)
+    root_part = root.split("://", 1)[-1]
+    root_part = root_part.removeprefix("file:")
+    rel = F.get(F.split(F.col("path"), _re.escape(root_part) + "/", 2), 1)
     return df.select(
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_id"),
+        F.coalesce(rel, F.col("path")).alias("media_id"),
         mime.alias("mime"),
         F.col("content").alias("data"),
         F.create_map(

@@ -1101,16 +1101,35 @@ def pq_fit(
     # Observability for driver-vs-judge divergence hunts (VERDICT r6 #1):
     # a stable digest of the fitted codebooks, printed to stderr so any
     # harness that captures logs can compare fits across environments.
-    import hashlib
+    # The latest digest is also kept in LAST_PQ_MD5 so callers that only
+    # retain structured output (bench JSON, diag side files) can record
+    # it without scraping stderr (VERDICT r7 ask #6).
     import sys
+
+    _digest = pq_codebooks_md5(books)
+    global LAST_PQ_MD5
+    LAST_PQ_MD5 = _digest
+    print(f"[pq_fit] codebooks md5={_digest} n={n_rows} m={m} k={k}", file=sys.stderr)
+    return codes.localCheckpoint(eager=True), books
+
+
+#: md5 of the most recently fitted PQ codebooks in this process (None
+#: until the first pq_fit). Read by bench.py / diag writers.
+LAST_PQ_MD5: str | None = None
+
+
+def pq_codebooks_md5(codebooks) -> str:
+    """Stable digest of a PQ codebook list: md5 over the int64 little-
+    endian bytes of each subspace's k×sub centroid matrix, '|'-joined.
+    The fit is fixed-point-deterministic, so two environments that
+    produce different digests have diverged at the FIT, not the scan."""
+    import hashlib
 
     import numpy as np
 
-    _digest = hashlib.md5(
-        b"|".join(np.asarray(C, dtype=np.int64).tobytes() for C in books)
+    return hashlib.md5(
+        b"|".join(np.asarray(C, dtype=np.int64).tobytes() for C in codebooks)
     ).hexdigest()
-    print(f"[pq_fit] codebooks md5={_digest} n={n_rows} m={m} k={k}", file=sys.stderr)
-    return codes.localCheckpoint(eager=True), books
 
 
 def pq_topk(
@@ -1295,9 +1314,15 @@ def knn_label(
     )
     if candidates is not None:
         pid_col, nid_col = candidates.columns[:2]
+        # .distinct(): LSH/IVF candidate generators emit a probe/nbr
+        # pair once per colliding band/cell, and a duplicated pair would
+        # double-count that neighbor's vote AND occupy two row_number
+        # top-k slots (ADVICE r7) — dedup is part of the contract, not
+        # the caller's job. Pair frames are slim (2 ids), so the
+        # distinct is a cheap pre-aggregated shuffle.
         pairs = candidates.select(
             F.col(pid_col).alias("__pid"), F.col(nid_col).alias("__nid")
-        ).join(
+        ).distinct().join(
             embeddings.select(
                 F.col(id_col).alias("__nid"),
                 F.col(label_col).alias("__lbl"),

@@ -257,3 +257,11 @@ def test_knn_label_candidates_path_matches_exact_scan(spark):
     small = cand.filter(F.col("nbr_id") < 50)
     rows = sim.knn_label(emb, pf, k=5, candidates=small).collect()
     assert all(r["votes"] <= 5 for r in rows) and len(rows) > 0
+    # duplicated pairs must not double-count votes or eat top-k slots:
+    # LSH/IVF generators emit a pair once per colliding band/cell
+    # (ADVICE r7) — tripling every candidate row must change nothing
+    dup = cand.unionAll(cand).unionAll(cand)
+    got_dup = sorted(
+        tuple(r) for r in sim.knn_label(emb, pf, k=5, candidates=dup).collect()
+    )
+    assert got_dup == want

@@ -178,3 +178,22 @@ def test_read_media_dir_roundtrips_real_payloads(spark, tmp_path):
     feats = {r["media_id"]: r for r in image_features(media.filter("mime like 'image/%'")).collect()}
     assert len(feats) == 3
     assert all(r["width"] is not None and r["phash"] is not None for r in feats.values())
+
+
+def test_read_media_dir_same_basename_in_subdirs_does_not_collide(spark, tmp_path):
+    """media_id is the load-root-RELATIVE path: identically named files
+    under different subdirectories (the object-store-prefix layout) must
+    get distinct ids (ADVICE r7 — basename-only ids silently corrupted
+    downstream dedup keyed on media_id)."""
+    from graph_loom_spark.io.sources import read_media_dir
+    from graph_loom_spark.ops.multimodal import _payload_for
+
+    d = tmp_path / "lake"
+    for sub, seq in [("batch1", 0), ("batch2", 1)]:
+        (d / sub).mkdir(parents=True)
+        (d / sub / "frame.bmp").write_bytes(_payload_for(seq, "bmp"))
+
+    media = read_media_dir(spark, str(d), glob="*.bmp")
+    rows = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    assert set(rows) == {"batch1/frame.bmp", "batch2/frame.bmp"}
+    assert rows["batch1/frame.bmp"] != rows["batch2/frame.bmp"]
