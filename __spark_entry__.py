@@ -46,6 +46,11 @@ _PQ_CACHE: dict[str, tuple] = {}
 # identical fit emb_kmeans and emb_semdedup each ran; deterministic
 # (fixed-point integer Lloyd's), so sharing it is bit-exact
 _KM8_CACHE: dict[str, tuple] = {}  # sf_dir -> (assigned frame, int64 centroid matrix)
+# exact cosine-≥0.4 near-dup pair frame per sf_dir — built identically
+# by emb_near_dup (the pair report) and emb_dup_components (the
+# transitive closure); the blocked join is the expensive part, so share
+# the checkpointed pairs
+_EMB_NEARDUP_CACHE: dict[str, DataFrame] = {}
 # checkpointed RP-LSH bucketed index (dim=64, bits=8) per sf_dir —
 # shared by emb_ann_lsh and emb_ann_eval; the hyperplanes are literal
 # constants so the index is deterministic. Without this memo, ann_topk
@@ -87,7 +92,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -120,6 +125,7 @@ def reset_caches() -> None:
         _MINHASH_SIG_CACHE,
         _KM8_CACHE,
         _LSH_CACHE,
+        _EMB_NEARDUP_CACHE,
     ):
         cache.clear()
 
@@ -144,6 +150,9 @@ def reset_memo(name: str) -> None:
         "docs_ngram_jaccard": [_JACCARD_CACHE],
         "docs_dedup_eval": [_MINHASH_CACHE, _MINHASH_SIG_CACHE, _JACCARD_CACHE],
         "docs_dedup_clusters": [_JACCARD_CACHE],
+        "docs_leakage_split": [_JACCARD_CACHE],
+        "emb_near_dup": [_EMB_NEARDUP_CACHE],
+        "emb_dup_components": [_EMB_NEARDUP_CACHE],
         "docs_winnow": [_WINNOW_CACHE],
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
@@ -1076,6 +1085,53 @@ def _q_docs_chunk_bm25(spark, sf_dir):
     return ops_text.bm25_topk(cd, ["vector", "join", "scan"], k=20, id_col="chunk_id")
 
 
+def _q_docs_rrf_fusion(spark, sf_dir):
+    """X114 — hybrid retrieval via reciprocal-rank fusion (Cormack et
+    al. 2009): the BM25 top-20 lexical list fused with the dense
+    cosine top-10 (vec_id ≡ doc_id in the fixture) by integer-RRF
+    ``sum(10^9 div (60 + rank))`` — the production retrieval shape
+    where lexical and embedding scores are incommensurable and only
+    ranks fuse. All-int64 fusion over two replayed rankings, so the
+    oracle composes the bm25 and cosine CTEs with the same window
+    ranks bit-for-bit."""
+    bm = ops_text.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["vector", "join", "scan"], k=20
+    )
+    dense = ops_sim.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), probe_id=7, k=10
+    ).select(F.col("vec_id").alias("doc_id"), "cosine")
+    return ops_text.rrf_fuse([(bm, "bm25"), (dense, "cosine")], k=10, c=60)
+
+
+def _q_docs_leakage_split(spark, sf_dir):
+    """X115 — leakage-safe train/val/test split: the split key is the
+    near-dup CLUSTER id (shared 3-gram-Jaccard components, memoized
+    pairs), so near-duplicates can never straddle train and eval — the
+    per-document hash split scores memorization otherwise. Split
+    assignment itself is the md5-bucket projection of cluster_id; the
+    oracle composes the dedup_clusters recursive-CTE replay with the
+    same CASE buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = ops_dedup.dedup_clusters(
+        docs, n=3, threshold=0.5, pairs=_jaccard_pairs(spark, sf_dir)
+    )
+    return ops_dedup.leakage_safe_split(docs, clusters=clusters)
+
+
+def _q_emb_dup_components(spark, sf_dir):
+    """X116 — embedding-space duplicate GROUPS: connected components
+    (min-contraction) over the exact cosine-≥0.4 near-dup graph with
+    component sizes — the transitive closure a pairwise report misses
+    (keeper chosen per GROUP, not per pair). Deterministic (exact pair
+    set from the blocked join, min-id canonical labels), so the oracle
+    replays pairs + closure with a recursive CTE."""
+    return ops_sim.embedding_dup_components(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        pairs=_emb_near_pairs(spark, sf_dir),
+    )
+
+
 def _q_emb_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar-quantization top-k by dot product: one
     global max-abs scale, components quantized floor(x·127/s + 0.5),
@@ -1662,9 +1718,18 @@ def _q_emb_near_dup(spark, sf_dir):
     (28 s at sf0.1). Blocking never changes the result set, so the
     brute-force oracle is unaffected. LSH-pruned approximate variant
     covered by emb_ann_lsh."""
-    return ops_sim.cosine_near_pairs_blocked(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
-    )
+    return _emb_near_pairs(spark, sf_dir)
+
+
+def _emb_near_pairs(spark, sf_dir) -> DataFrame:
+    # deterministic exact pair set — shared by emb_near_dup and
+    # emb_dup_components (same memo rule as _jaccard_pairs)
+    cached = _EMB_NEARDUP_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _EMB_NEARDUP_CACHE[sf_dir] = ops_sim.cosine_near_pairs_blocked(
+            _t(spark, sf_dir, "embeddings"), threshold=0.4
+        ).localCheckpoint(eager=True)
+    return _EMB_NEARDUP_CACHE[sf_dir]
 
 
 # --------------------------------------------------------------------------
@@ -1819,6 +1884,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately after emb_pq_topk: reuse the memoized PQ index
         "emb_pq_rerank": _q_emb_pq_rerank,
         "emb_pq_eval": _q_emb_pq_eval,
+        # -- r8 window head: NEW entries (no driver row yet — rotation
+        # -- rule: new entries go at the FRONT, each check_oracle'd
+        # -- pre-commit per VERDICT r7 ask #5)
+        "docs_rrf_fusion": _q_docs_rrf_fusion,
+        "docs_leakage_split": _q_docs_leakage_split,
+        "emb_dup_components": _q_emb_dup_components,
         "emb_knn_label": _q_emb_knn_label,
         "emb_pca": _q_emb_pca,
         "docs_winnow": _q_docs_winnow,
@@ -2938,18 +3009,25 @@ def _funnel_oracle() -> str:
     )
 
 
-def _split_oracle(fractions=None, seed: str = "split") -> str:
+def _split_case_sql(id_sql: str, fractions=None, seed: str = "split") -> str:
+    """The train_split md5-bucket assignment as a SQL CASE over an
+    arbitrary id expression — mirrors ops.text.split_expr (same Python
+    float accumulation for the cumulative bucket limits, so the hex
+    constants are bit-identical on both sides)."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = f"substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    bucket = f"substring(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8)"
     names = list(fractions)
     cases, cum = [], 0.0
     for name in names[:-1]:
         cum += fractions[name]
         cases.append(f"WHEN {bucket} < '{int(cum * float(1 << 32)):08x}' THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def _split_oracle(fractions=None, seed: str = "split") -> str:
     return (
-        "SELECT doc_id, CASE "
-        + " ".join(cases)
-        + f" ELSE '{names[-1]}' END AS split FROM documents"
+        f"SELECT doc_id, {_split_case_sql('doc_id', fractions, seed)} "
+        "AS split FROM documents"
     )
 
 
@@ -3996,6 +4074,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dft USING (tok), stats "
             "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20"
         ),
+        # X114 — the bm25 and cosine ranking replays, each cut and
+        # row_number'd, fused with integer RRF (10^9 // (60 + rank)).
+        "docs_rrf_fusion": (
+            "WITH toks AS MATERIALIZED (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks), "
+            "hits AS MATERIALIZED (SELECT * FROM base "
+            "WHERE tok IN ('vector', 'join', 'scan')), "
+            "stats AS (SELECT count(*) AS n, sum(len(t)) AS tot FROM toks), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf, first(dl) AS dl "
+            "FROM hits GROUP BY doc_id, tok), "
+            "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok), "
+            "bm AS (SELECT doc_id, round(sum("
+            "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * "
+            "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + "
+            "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / "
+            "(CAST(tot AS DOUBLE) / n)))), 6) AS bm25 "
+            "FROM tf JOIN dft USING (tok), stats "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20), "
+            "bmr AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY bm25 DESC, doc_id) AS r FROM bm), "
+            "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+            "FROM embeddings WHERE vec_id = 7), "
+            "co AS (SELECT e.vec_id AS doc_id, round("
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+            "FROM embeddings e, probe WHERE e.vec_id <> 7 "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10), "
+            "cor AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY cosine DESC, doc_id) AS r FROM co), "
+            "u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cor) "
+            "SELECT doc_id, CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_micro, "
+            "CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id "
+            "ORDER BY rrf_micro DESC, doc_id LIMIT 10"
+        ),
         # Chunk replay (same CTE as docs_chunks) feeding the BM25 replay
         # keyed on chunk_id — the composed RAG retrieval query.
         "docs_chunk_bm25": (
@@ -4370,6 +4486,53 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
             "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
             "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
+        ),
+        # X115 — the dedup_clusters recursive-CTE replay feeding the
+        # train_split CASE keyed on cluster_id (leakage-safe split).
+        "docs_leakage_split": (
+            "WITH RECURSIVE "
+            "sh AS MATERIALIZED (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh), "
+            "pairs AS MATERIALIZED (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
+            "SELECT doc_id, cluster_id, "
+            + _split_case_sql("cluster_id")
+            + " AS split FROM comp"
+        ),
+        # X116 — near-dup pair replay + recursive closure + sizes.
+        "emb_dup_components": (
+            "WITH RECURSIVE pr AS MATERIALIZED (SELECT id_a, id_b FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
+            "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "WHERE cosine >= 0.4), "
+            "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS MATERIALIZED (SELECT a AS vec_id, min(b) AS component_id "
+            "FROM reach GROUP BY a), "
+            "csz AS (SELECT component_id, count(*) AS n FROM comp "
+            "GROUP BY component_id) "
+            "SELECT c.vec_id, c.component_id, CAST(csz.n AS BIGINT) AS "
+            "component_size FROM comp c JOIN csz USING (component_id)"
         ),
         "emb_near_dup": (
             "SELECT id_a, id_b, cosine FROM ("

@@ -107,6 +107,13 @@ def _drop_persisted_blocks(spark) -> None:
 # __spark_entry__.queries() at runtime so a newly-registered operator can
 # never be correctness-green but perf-blind. Keep the heavy iterative
 # graph queries last so their block churn can't inflate earlier rows.
+#
+# Memo-cost attribution: whichever entry of a memo group runs FIRST in
+# registry order pays the group's one-time index/signature build (e.g.
+# docs_pipeline_funnel at ~4 s ahead of docs_minhash_pairs at ~1 s —
+# r7's "regression" was this attribution moving with the rotation, not
+# a slowdown). Compare memo groups by their TOTAL across rounds, not by
+# the individual line.
 _BENCH_LAST = [
     "graph_triangles",
     "graph_bfs",

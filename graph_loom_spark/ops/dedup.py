@@ -679,6 +679,52 @@ def dedup_clusters(
     )
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    fractions: dict | None = None,
+    seed: str = "split",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: every document in a
+    near-dup cluster lands in the SAME split. Per-document hash splits
+    (:func:`graph_loom_spark.ops.text.train_split`) leak when two
+    near-duplicates straddle train and eval — the eval metric then
+    scores memorization, not generalization — so the split key here is
+    the ``cluster_id`` from :func:`dedup_clusters`, not the doc id.
+    Returns ``(doc_id, cluster_id, split)`` for every document
+    (singletons cluster with themselves, so coverage is total).
+
+    Pass ``clusters`` (a ``(doc_id, cluster_id, ...)`` frame) or
+    ``pairs`` to reuse an already-computed dedup pass; both default to
+    the exact n-gram-Jaccard pipeline. The split itself is the same
+    md5-bucket expression as :func:`train_split` applied to cluster_id —
+    a pure narrow projection (no per-cluster assignment table, no join),
+    so at 100 TB the only cost above a plain split is the dedup pass the
+    pipeline runs anyway.
+    """
+    from graph_loom_spark.ops.text import split_expr
+
+    if clusters is None:
+        clusters = dedup_clusters(
+            documents,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+            pairs=pairs,
+        )
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        split_expr("cluster_id", fractions, seed).alias("split"),
+    )
+
+
 def winnow_overlap_pairs(
     documents: DataFrame,
     text_col: str = "text",

@@ -1371,6 +1371,52 @@ def knn_label(
     )
 
 
+def embedding_dup_components(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space duplicate GROUPS: connected components over the
+    cosine-≥-threshold near-dup graph, with component sizes — the
+    transitive closure a pairwise dedup report misses (A≈B, B≈C puts
+    A,C in one group even when cos(A,C) dips under the threshold; pick
+    one keeper PER GROUP, not per pair). Returns
+    ``(vec_id, component_id, component_size)`` for EVERY vector
+    (singletons are their own size-1 component); ``component_id`` is
+    the smallest member id — same canonical rule as
+    :func:`graph_loom_spark.ops.dedup.dedup_clusters`, whose
+    min-contraction components this reuses.
+
+    ``pairs`` defaults to the exact centroid-blocked
+    :func:`cosine_near_pairs_blocked`; pass an LSH/IVF candidate-pair
+    frame for the approximate path at corpus scale. The size column is
+    one partial-aggregable count over the (id, component) map joined
+    back along the component key.
+    """
+    from graph_loom_spark.ops.dedup import dedup_clusters
+
+    if pairs is None:
+        pairs = cosine_near_pairs_blocked(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    comp = dedup_clusters(
+        embeddings.select(id_col),
+        id_col=id_col,
+        pairs=pairs.select("id_a", "id_b"),
+    ).select(F.col(id_col), F.col("cluster_id").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    # near-dup graphs are almost all singletons; the sizes frame has
+    # ~|components| ≈ |vectors| rows, so this is a co-shuffled equi-join
+    # on the component key (both sides partition by it), not a broadcast
+    return comp.join(sizes, "component_id").select(
+        id_col, "component_id", "component_size"
+    )
+
+
 def cluster_quality_report(
     documents: DataFrame,
     assigned: DataFrame,

@@ -664,9 +664,22 @@ def train_split(
     100 TB the split is decided at scan speed and is re-derivable from
     the id alone (no membership tables to ship). Returns
     ``(id, split)``."""
+    return documents.select(
+        F.col(id_col), split_expr(id_col, fractions, seed).alias("split")
+    )
+
+
+def split_expr(
+    id_col: str = "doc_id", fractions: dict | None = None, seed: str = "split"
+) -> Column:
+    """The :func:`train_split` assignment as a bare Column expression —
+    a deterministic pure function of the id, so callers that split by a
+    DERIVED key (e.g. :func:`graph_loom_spark.ops.dedup.
+    leakage_safe_split` keying on cluster_id) stay narrow projections
+    instead of joining a per-key assignment table."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    names_ = list(fractions)
-    if sum(fractions[n] for n in names_[:-1]) >= 1.0:
+    names = list(fractions)
+    if sum(fractions[n] for n in names[:-1]) >= 1.0:
         # at cum ≥ 1.0 the %08x limit becomes a 9-char hex string and the
         # fixed-width lexicographic compare silently misroutes most docs
         raise ValueError(
@@ -678,16 +691,12 @@ def train_split(
     )
     expr = None
     cum = 0.0
-    names = list(fractions)
     for name in names[:-1]:
         cum += fractions[name]
         hexlim = f"{int(cum * float(1 << 32)):08x}"
         cond = bucket < hexlim
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = (
-        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    )
-    return documents.select(F.col(id_col), expr.alias("split"))
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
 
 
 def epoch_shuffle(
@@ -1360,6 +1369,59 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of retrieval lists —
+    the hybrid-retrieval combiner that merges lexical (BM25) and dense
+    (embedding cosine) rankings without score calibration. ``ranked``
+    is a list of ``(frame, score_col)`` pairs; each frame is an
+    already-cut top-k list carrying ``(id_col, score_col)``. Per list,
+    rank = 1-based position by (score desc, id asc); fused score is the
+    sum of ``10^9 div (c + rank)`` — RRF in integer micropoints, so the
+    fusion is exact int64 arithmetic (no float summation order) and a
+    SQL oracle replays it bit-for-bit. Returns the top ``k``
+    ``(id, rrf_micro, n_lists)`` by (rrf_micro desc, id asc);
+    ``n_lists`` = how many input lists retrieved the id.
+
+    Shape: input frames are top-k cuts BY CONTRACT (tiny — the
+    candidate generators bound them), so the per-list rank is a single
+    unpartitioned ``row_number`` window over ≤k rows and the fusion a
+    hash aggregate over ≤Σk rows; corpus scale lives in the upstream
+    retrievers, never here.
+    """
+    from pyspark.sql.window import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse: empty ranked list")
+    contribs = []
+    for frame, score_col in ranked:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contribs.append(
+            frame.select(id_col, score_col).withColumn(
+                "__r", F.row_number().over(w)
+            ).select(
+                F.col(id_col),
+                F.expr(f"1000000000 div ({int(c)} + __r)").alias("__pts"),
+            )
+        )
+    u = contribs[0]
+    for frame in contribs[1:]:
+        u = u.unionByName(frame)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__pts").cast("bigint").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
 

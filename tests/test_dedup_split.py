@@ -1,0 +1,85 @@
+"""leakage_safe_split (X115) and embedding_dup_components (X116):
+cluster-keyed splits never let near-duplicates straddle train/eval, and
+embedding dup groups are the transitive closure of the pair report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_loom_spark.ops import dedup as ops_dedup
+from graph_loom_spark.ops import simsearch as ops_sim
+from graph_loom_spark.ops import text as ops_text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ops_dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    split = ops_dedup.leakage_safe_split(docs, pairs=pairs)
+    # every doc assigned exactly once
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+    # no near-dup pair straddles two splits
+    s = split.select("doc_id", "split")
+    straddle = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            s.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddle.count() == 0
+    # singletons follow the plain hash split of their own cluster id
+    # (cluster_id == doc_id for docs with no near-dup partner)
+    singles = split.filter(F.col("cluster_id") == F.col("doc_id"))
+    plain = ops_text.train_split(singles.select("doc_id"))
+    joined = singles.join(
+        plain.withColumnRenamed("split", "plain_split"), "doc_id"
+    )
+    assert joined.filter(F.col("split") != F.col("plain_split")).count() == 0
+
+
+def test_leakage_safe_split_clusters_share_one_split(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    split = ops_dedup.leakage_safe_split(docs)
+    per_cluster = split.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_cluster.filter(F.col("k") > 1).count() == 0
+
+
+def test_embedding_dup_components_transitive_closure(spark):
+    # A≈B and B≈C but cos(A,C) < τ: pairwise report has 2 pairs, the
+    # component op must still group all three (plus D isolated)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.4359]),  # cos(0,1) ≈ 0.90
+        (2, [0.62, 0.7846]),  # cos(1,2) ≈ 0.90, cos(0,2) ≈ 0.62
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ops_sim.cosine_near_pairs_blocked(emb, threshold=0.85).collect()
+    }
+    assert pairs == {(0, 1), (1, 2)}
+    comp = {
+        r["vec_id"]: (r["component_id"], r["component_size"])
+        for r in ops_sim.embedding_dup_components(emb, threshold=0.85).collect()
+    }
+    assert comp == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (3, 1)}
+
+
+def test_embedding_dup_components_accepts_candidate_pairs(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = ops_sim.cosine_near_pairs_blocked(emb, threshold=0.4)
+    via_default = ops_sim.embedding_dup_components(emb, threshold=0.4)
+    via_pairs = ops_sim.embedding_dup_components(emb, pairs=pairs)
+    assert sorted(map(tuple, via_default.collect())) == sorted(
+        map(tuple, via_pairs.collect())
+    )

@@ -877,6 +877,35 @@ def test_bm25_empty_query_raises(spark):
         ops_text.bm25_topk(docs, [])
 
 
+def test_rrf_fuse_integer_points_and_ties(spark):
+    # list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
+    a = spark.createDataFrame(
+        [(10, 9.0), (20, 5.0), (30, 1.0)], "doc_id bigint, s1 double"
+    )
+    b = spark.createDataFrame([(20, 0.9), (40, 0.1)], "doc_id bigint, s2 double")
+    got = {
+        r["doc_id"]: (r["rrf_micro"], r["n_lists"])
+        for r in ops_text.rrf_fuse([(a, "s1"), (b, "s2")], k=10, c=60).collect()
+    }
+    pt = lambda r: 1000000000 // (60 + r)  # noqa: E731
+    assert got == {
+        10: (pt(1), 1),
+        20: (pt(2) + pt(1), 2),  # retrieved by both lists
+        30: (pt(3), 1),
+        40: (pt(2), 1),
+    }
+    # equal scores tie-break by id: both docs score 5.0 in one list
+    t = spark.createDataFrame([(7, 5.0), (3, 5.0)], "doc_id bigint, s double")
+    rows = ops_text.rrf_fuse([(t, "s")], k=2).collect()
+    by_id = {r["doc_id"]: r["rrf_micro"] for r in rows}
+    assert by_id[3] == pt(1) and by_id[7] == pt(2)
+    # k cuts the fused list, ordered by (rrf desc, id)
+    top1 = ops_text.rrf_fuse([(a, "s1"), (b, "s2")], k=1).collect()
+    assert [r["doc_id"] for r in top1] == [20]
+    with pytest.raises(ValueError, match="empty"):
+        ops_text.rrf_fuse([])
+
+
 def test_hashed_linear_score_matches_python_reference(spark):
     import hashlib
 
