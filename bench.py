@@ -116,6 +116,7 @@ def _drop_persisted_blocks(spark) -> None:
 # the individual line.
 _BENCH_LAST = [
     "graph_triangles",
+    "graph_clustering",  # immediately after triangles: shares _TRI_CACHE
     "graph_bfs",
     "graph_degrees",
     "graph_kcore",

@@ -815,6 +815,69 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    triangles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected simple
+    graph: ``cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` — the standard
+    local-density score (how close each node's neighborhood is to a
+    clique), the community-structure companion to the raw triangle
+    counts. Returns ``(id, degree, n_triangles, clustering)`` for EVERY
+    node (degree < 2 ⇒ clustering 0.0); the coefficient is one float
+    division of exact integers rounded to 6 digits, so a SQL oracle
+    replays it bit-for-bit.
+
+    ``triangles`` accepts a precomputed :func:`triangle_counts` frame
+    (the expensive part — memoize it when both reports run); the rest is
+    one degree aggregate and a co-shuffled left equi-join on the node id
+    (the triangle side only carries nodes in ≥1 triangle, always ≤ the
+    degree side). Edges are canonicalized exactly like
+    :func:`triangle_counts`, so both accept raw directed/duplicated
+    lists.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    if triangles is None:
+        triangles = triangle_counts(e, src="u", dst="v")
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(triangles, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                    / (d * (d - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
 def bfs_distances(
     edges_df: DataFrame,
     source=None,

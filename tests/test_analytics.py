@@ -147,3 +147,34 @@ def test_triangle_counts_exact(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     out = {r["id"]: r["n_triangles"] for r in analytics.triangle_counts(df).collect()}
     assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_clustering_coefficients_exact(spark):
+    from graph_loom_spark import analytics
+
+    # same graph as the triangle test: K4 minus (3,4) + pendant (5,6) +
+    # self-loop + duplicates. cc = 2*tri / (deg*(deg-1)); deg<2 -> 0.0
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+        (3, 2), (5, 6), (7, 7), (1, 2),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {
+        r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in analytics.clustering_coefficients(df).collect()
+    }
+    assert out == {
+        1: (3, 2, round(2 * 2 / (3 * 2), 6)),
+        2: (3, 2, round(2 * 2 / (3 * 2), 6)),
+        3: (2, 1, 1.0),
+        4: (2, 1, 1.0),
+        5: (1, 0, 0.0),  # pendant: degree 1, coefficient defined as 0
+        6: (1, 0, 0.0),
+    }
+    # a precomputed triangle frame gives identical output
+    tri = analytics.triangle_counts(df)
+    out2 = {
+        r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in analytics.clustering_coefficients(df, triangles=tri).collect()
+    }
+    assert out2 == out
