@@ -138,6 +138,23 @@ _BENCH_LAST = [
 # several times over in the timed numbers).
 _RESTART_BEFORE = {"graph_triangles", "graph_lpa"}
 
+# Default A/B variance watch list (override via $SPARK_GRAFT_AB).
+# graph_components + docs_tfidf: r5 regressed with no impl change — the
+# A/B min distinguishes plan cost from session / cold-JVM noise (r5
+# verdict items 4 and 10). graph_community_density is deliberately NOT
+# tracked: its reset_memo drops the LPA memo, so each rerun times a
+# FULL LPA (~30-70 s) that graph_lpa's own A/B already measures — the
+# density aggregation itself is the 0.7 s warm number. docs_vocab: r6
+# 0.58->0.93 s with no impl change (r6 ask #8). emb_ann_lsh: r6 weak
+# line, fixed r7 via _LSH_CACHE — track. graph_ppr +
+# media_png_features: r7 verdict asks #3/#4 — unexplained drift with
+# unchanged code; min-of-3 separates plan cost from noise.
+_AB_DEFAULT = (
+    "cypher_var_length,graph_lpa,docs_vocab,emb_ann_lsh,"
+    "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup,"
+    "graph_ppr,media_png_features"
+)
+
 
 def bench_query_names(qs: dict) -> list[str]:
     names = [n for n in qs if n not in _BENCH_LAST]
@@ -402,6 +419,16 @@ def main() -> None:
         _warm_iterative(fresh)
         return fresh
 
+    # A/B watch list, resolved up front: the MAIN-LOOP timing of a
+    # tracked query must also measure its full computation, so its memo
+    # is reset before the timed slot (an earlier memo-group sibling may
+    # have pre-built the shared frame — r8: emb_dup_components warmed
+    # the near-dup pairs and emb_near_dup's slot recorded a 0.1 s cache
+    # hit, which would poison the cross-round min).
+    ab_watch = set(
+        os.environ.get("SPARK_GRAFT_AB", _AB_DEFAULT).split(",")
+    )
+
     timings: dict[str, float] = {}
     restarts = set(_RESTART_BEFORE)
     for i, name in enumerate(bench_queries):
@@ -411,6 +438,11 @@ def main() -> None:
         if name in restarts:
             spark = _fresh_session(spark)
             restarts.discard(name)
+        if name in ab_watch:
+            try:
+                entry.reset_memo(name)
+            except Exception:
+                pass
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -431,24 +463,7 @@ def main() -> None:
     variance: dict[str, dict] = {}
     ab_names = [
         n
-        for n in os.environ.get(
-            "SPARK_GRAFT_AB",
-            # graph_components + docs_tfidf: r5 regressed with no impl
-            # change — the A/B min distinguishes plan cost from session /
-            # cold-JVM noise (r5 verdict items 4 and 10)
-            # graph_community_density is deliberately NOT tracked: its
-            # reset_memo drops the LPA memo, so each rerun times a FULL
-            # LPA (~30-70 s) that graph_lpa's own A/B already measures —
-            # the density aggregation itself is the 0.7 s warm number.
-            # docs_vocab: r6 0.58->0.93 s with no impl change (r6 ask #8)
-            # emb_ann_lsh: r6 weak line, fixed r7 via _LSH_CACHE — track
-            # graph_ppr + media_png_features: r7 verdict asks #3/#4 —
-            # unexplained 0.7->1.55 s (png) and 13->15 s (ppr) drift with
-            # unchanged code; min-of-3 separates plan cost from noise
-            "cypher_var_length,graph_lpa,docs_vocab,emb_ann_lsh,"
-            "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup,"
-            "graph_ppr,media_png_features",
-        ).split(",")
+        for n in os.environ.get("SPARK_GRAFT_AB", _AB_DEFAULT).split(",")
         if n in timings and timings.get(n, -1) >= 0
     ]
     # Run the cheap A/B queries first in the existing (aged) session,

@@ -85,6 +85,9 @@ def main() -> None:
         "triangles": lambda g: analytics.triangle_counts(
             g.edges.select("src", "dst")
         ).count(),
+        "clustering": lambda g: analytics.clustering_coefficients(
+            g.edges.select("src", "dst")
+        ).count(),
         "bfs": lambda g: analytics.bfs_distances(
             g.edges.select("src", "dst")
         ).count(),
