@@ -75,6 +75,84 @@ def test_embedding_dup_components_transitive_closure(spark):
     assert comp == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (3, 1)}
 
 
+def test_rrf_fuse_fuzz_matches_python_model(spark):
+    """Randomized lists × a pure-Python RRF model: ranks by (score desc,
+    id asc), integer micropoints, fused top-k by (points desc, id)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n_lists = rng.randint(1, 4)
+        lists = []
+        for _ in range(n_lists):
+            ids = rng.sample(range(40), rng.randint(1, 12))
+            # coarse scores force plenty of rank ties
+            lists.append([(i, float(rng.randint(0, 5))) for i in ids])
+        k, c = rng.randint(1, 8), rng.choice([10, 60])
+
+        pts: dict[int, int] = {}
+        cnt: dict[int, int] = {}
+        for lst in lists:
+            ranked = sorted(lst, key=lambda t: (-t[1], t[0]))
+            for r, (i, _) in enumerate(ranked, start=1):
+                pts[i] = pts.get(i, 0) + 10**9 // (c + r)
+                cnt[i] = cnt.get(i, 0) + 1
+        expect = sorted(pts.items(), key=lambda t: (-t[1], t[0]))[:k]
+        expect = [(i, p, cnt[i]) for i, p in expect]
+
+        frames = [
+            (
+                spark.createDataFrame(lst, "doc_id bigint, s double"),
+                "s",
+            )
+            for lst in lists
+        ]
+        got = [
+            (r["doc_id"], r["rrf_micro"], r["n_lists"])
+            for r in ops_text.rrf_fuse(frames, k=k, c=c).collect()
+        ]
+        assert got == expect, (trial, got, expect)
+
+
+def test_clustering_coefficients_fuzz_matches_python_model(spark):
+    """Random graphs × the textbook local-cc formula over adjacency
+    sets (triangles per node counted brute-force)."""
+    import itertools
+    import random
+
+    from graph_loom_spark import analytics
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 16
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < 0.25
+        ]
+        if not edges:
+            continue
+        adj: dict[int, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expect = {}
+        for v, nb in adj.items():
+            tri = sum(
+                1 for a, b in itertools.combinations(sorted(nb), 2) if b in adj[a]
+            )
+            d = len(nb)
+            cc = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+            expect[v] = (d, tri, cc)
+
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in analytics.clustering_coefficients(df).collect()
+        }
+        assert got == expect, (trial, got, expect)
+
+
 def test_embedding_dup_components_accepts_candidate_pairs(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     pairs = ops_sim.cosine_near_pairs_blocked(emb, threshold=0.4)
