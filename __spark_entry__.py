@@ -138,7 +138,24 @@ def reset_memo(name: str) -> None:
     """Drop the result memo behind one query so a timing harness can
     re-measure its full computation (a memoized rerun times a cache
     hit). Queries without a memo are a no-op."""
-    for cache in {
+    for cache in _memo_map().get(name, []):
+        cache.clear()
+
+
+def memo_warm(name: str, sf_dir: str) -> bool:
+    """True iff some memo behind ``name`` already holds a frame for
+    ``sf_dir`` — i.e. timing ``name`` now would measure a cache hit. A
+    timing harness uses this to reset ONLY pre-warmed entries (an
+    earlier memo-group sibling built the shared frame) while leaving a
+    cold producer's honest first build alone (resetting a cold entry is
+    harmless but rebuilding a warm group's frame twice inflates the
+    session total — code-review r8)."""
+    return any(sf_dir in cache for cache in _memo_map().get(name, []))
+
+
+def _memo_map() -> dict:
+    # built lazily: some cache dicts are defined further down the module
+    return {
         "graph_lpa": [_LPA_CACHE],
         # community_density consumes the LPA memo, density_components the
         # components memo — resetting the consumer must drop the producer
@@ -178,8 +195,7 @@ def reset_memo(name: str) -> None:
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
-    }.get(name, []):
-        cache.clear()
+    }
 
 
 def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,7 +1528,12 @@ def _q_emb_pq_topk(spark, sf_dir):
     ranking exactly. The deterministic index is memoized per sf_dir."""
     emb = _t(spark, sf_dir, "embeddings")
     codes, books = _pq_index(spark, sf_dir)
-    out = ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10)
+    # persist the 10-row result so the diag write's collect and the
+    # harness's subsequent collect/count execute the ADC scan ONCE
+    # (code-review r8: the diag's extra execution landed inside the
+    # timed bench slot); the executed plan still pins the TakeOrdered
+    # shape, and the tiny cache is swept by the bench between queries
+    out = ops_sim.pq_topk(emb, codes, books, probe_id=7, k=10).persist()
     _write_pq_diag(sf_dir, books, out)
     return out
 
@@ -1580,6 +1601,10 @@ def _pq_index(spark, sf_dir):
                 f"got={got} — refitting once",
                 file=sys.stderr,
             )
+            try:  # free the diverged fit's checkpoint blocks
+                codes.unpersist()
+            except Exception:
+                pass
             codes, books = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
             got = ops_sim.pq_codebooks_md5(books)
             print(

@@ -210,11 +210,19 @@ def build_output_lines(
     )
 
     alpha = sorted(timings)
+    # "k8" fingerprints the name list (first 8 hex of md5 over the
+    # comma-joined sorted names): a count-preserving registry change
+    # between bench run and tail parse would otherwise silently
+    # misattribute every value (code-review r8)
+    import hashlib
+
+    names_fp = hashlib.md5(",".join(alpha).encode()).hexdigest()[:8]
     qta = json.dumps(
         {
             "qta": {
                 "o": "alpha",
                 "n": len(alpha),
+                "k8": names_fp,
                 "v": [round(timings[k], 2) for k in alpha],
             }
         },
@@ -233,7 +241,20 @@ def build_output_lines(
         "pq_md5": pq_md5,
         "sf": sf,
     }
-    tail_budget = max(300, TAIL_WINDOW - len(qta) - len(variance_line) - 60)
+    tail_budget = TAIL_WINDOW - len(qta) - len(variance_line) - 60
+    if tail_budget < 300:
+        # variance + qta alone are crowding the window: the last lines
+        # (qta, compact) still survive a tail capture, but variance may
+        # clip — surface it instead of silently regressing (r5 lesson)
+        print(
+            f"bench tail-budget warning: qta={len(qta)}B + "
+            f"variance={len(variance_line)}B leave {tail_budget}B for the "
+            f"compact line (window {TAIL_WINDOW}B) — shrink the A/B list "
+            "or tighten the qta encoding",
+            file=sys.stderr,
+            flush=True,
+        )
+        tail_budget = 300
     for k in sorted(timings, key=lambda k: -timings[k]):
         trial = dict(budgeted)
         trial[k] = round(timings[k], 2)
@@ -439,8 +460,14 @@ def main() -> None:
             spark = _fresh_session(spark)
             restarts.discard(name)
         if name in ab_watch:
+            # reset ONLY when an earlier memo-group sibling pre-warmed
+            # the shared frame (the timed slot would record a cache
+            # hit); a cold producer's honest first build is left alone —
+            # blanket resets double-counted each watched group's build
+            # in the session total (code-review r8)
             try:
-                entry.reset_memo(name)
+                if entry.memo_warm(name, sf_dir):
+                    entry.reset_memo(name)
             except Exception:
                 pass
         t0 = time.time()

@@ -20,12 +20,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def registry_names() -> list[str]:
     spec = importlib.util.spec_from_file_location(
-        "entrymod", "/root/repo/__spark_entry__.py"
+        "entrymod", os.path.join(REPO, "__spark_entry__.py")
     )
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
@@ -48,6 +49,18 @@ def reconstruct(tail: str, names: list[str]) -> dict[str, float]:
             f"qta carries {qta['n']} values but the registry has "
             f"{len(names)} — registry changed since this bench ran"
         )
+    # the name-list fingerprint catches count-preserving registry
+    # changes (rename, add+remove) that the count check cannot
+    if "k8" in qta:
+        import hashlib
+
+        fp = hashlib.md5(",".join(names).encode()).hexdigest()[:8]
+        if fp != qta["k8"]:
+            raise SystemExit(
+                f"qta name fingerprint {qta['k8']} != registry {fp} — the "
+                "registry names changed since this bench ran; check out the "
+                "commit the bench ran against"
+            )
     return dict(zip(names, qta["v"]))
 
 
