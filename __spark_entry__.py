@@ -1153,6 +1153,18 @@ def _q_emb_dup_components(spark, sf_dir):
     )
 
 
+def _q_emb_dim_eval(spark, sf_dir):
+    """X118 — matryoshka dimension-truncation scoreboard: recall@10 of
+    the cosine ranking on the first 16/32/64 of 64 components vs the
+    full-dimension exact top-10 — the serving-dimension selection table
+    (the d=64 row is a built-in invariant: recall 1.0). Each lane is
+    the broadcast-probe exact scan over a d-float slice; the oracle
+    replays all three rankings with list slices."""
+    return ops_sim.truncated_dim_eval(
+        _t(spark, sf_dir, "embeddings"), probe_id=7, dims=(16, 32, 64), k=10
+    )
+
+
 def _q_emb_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar-quantization top-k by dot product: one
     global max-abs scale, components quantized floor(x·127/s + 0.5),
@@ -1943,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_split": _q_docs_leakage_split,
         "emb_dup_components": _q_emb_dup_components,
         "graph_clustering": _q_graph_clustering,
+        "emb_dim_eval": _q_emb_dim_eval,
         "emb_knn_label": _q_emb_knn_label,
         "emb_pca": _q_emb_pca,
         "docs_winnow": _q_docs_winnow,
@@ -2775,6 +2788,42 @@ def _ivf_eval_oracle(k: int = 10, probe: int = 7) -> str:
         "FROM a JOIN e USING (vec_id)) "
         f"SELECT hits, CAST({k} AS BIGINT) AS k, "
         f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
+    )
+
+
+def _dim_eval_oracle(dims=(16, 32, 64), k: int = 10, probe: int = 7) -> str:
+    """X118 — matryoshka truncation scoreboard: one exact-cosine replay
+    per dimension slice (embedding[1:d]), each semi-joined against the
+    full-dimension exact top-k, unioned into (dims, hits, k, recall)
+    rows (mirrors _ivf_eval_oracle's nesting)."""
+
+    def ranked(d: int | None) -> str:
+        vec = "CAST({}.embedding AS DOUBLE[])"
+        sl = (lambda e: f"({e})[1:{d}]") if d is not None else (lambda e: e)
+        ev, pv = sl(vec.format("e")), sl("CAST(embedding AS DOUBLE[])")
+        return (
+            f"SELECT e.vec_id FROM embeddings e, (SELECT {pv} AS p "
+            f"FROM embeddings WHERE vec_id = {probe}) probe "
+            f"WHERE e.vec_id <> {probe} ORDER BY round("
+            f"list_dot_product({ev}, probe.p) / "
+            f"(sqrt(list_dot_product({ev}, {ev})) * "
+            f"sqrt(list_dot_product(probe.p, probe.p))), 4) DESC, "
+            f"e.vec_id LIMIT {k}"
+        )
+
+    lanes = []
+    for d in dims:
+        lanes.append(
+            f"SELECT CAST({d} AS BIGINT) AS dims, hits, "
+            f"CAST({k} AS BIGINT) AS k, "
+            f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM ("
+            "SELECT CAST(count(*) AS BIGINT) AS hits FROM ("
+            + ranked(int(d))
+            + ") t JOIN ex USING (vec_id))"
+        )
+    return (
+        "WITH ex AS MATERIALIZED (" + ranked(None) + ") "
+        + " UNION ALL ".join(lanes)
     )
 
 
@@ -4615,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_rerank": _pq_rerank_oracle(),
         "emb_pq_eval": _pq_eval_oracle(),
         "emb_ivf_eval": _ivf_eval_oracle(),
+        "emb_dim_eval": _dim_eval_oracle(),
         "emb_index_eval": (
             "SELECT 'lsh' AS index, * FROM (" + _ann_eval_oracle() + ") "
             "UNION ALL SELECT 'ivf' AS index, * FROM (" + _ivf_eval_oracle() + ") "

@@ -1371,6 +1371,56 @@ def knn_label(
     )
 
 
+def truncated_dim_eval(
+    embeddings: DataFrame,
+    probe_id: int,
+    dims=(16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@k of the
+    cosine ranking computed on only the FIRST ``d`` components against
+    the full-dimension exact top-k, one row per ``d`` — the table an
+    embedding deployment reads to pick a serving dimension (truncating
+    MRL-trained vectors trades recall for index size/bandwidth; this
+    measures that trade on the actual corpus). Returns
+    ``(dims, hits, k, recall)``.
+
+    Shape: each candidate ranking is the broadcast-probe
+    :func:`cosine_topk` over a NARROWER projection (``slice`` prunes the
+    scan to d floats/vector — at corpus scale the d=16 lane reads a
+    quarter of the bytes); the recall join is a semi-join of two k-row
+    frames. Fully deterministic (rounded cosine, id tie-break), so a
+    SQL oracle replays every lane.
+    """
+    exact = cosine_topk(
+        embeddings, probe_id, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col))
+    frames = []
+    for d in dims:
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        trunc = cosine_topk(
+            sliced, probe_id, k=k, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col))
+        frames.append(
+            trunc.join(exact, id_col, "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(
+                F.lit(int(d)).cast("bigint").alias("dims"),
+                "hits",
+                F.lit(k).cast("bigint").alias("k"),
+                F.round(F.col("hits") / k, 6).alias("recall"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def embedding_dup_components(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -237,6 +237,40 @@ def test_cluster_quality_report_exact(spark):
         assert rep[c]["avg_chars"] == round(sum(nc[m] for m in members) / len(members), 6)
 
 
+def test_truncated_dim_eval_matches_numpy(spark):
+    """X118 recall table vs a numpy replay: per d, rank by rounded
+    cosine of the first d components (ties by id), recall vs full."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    probe_i = int(np.where(ids == 7)[0][0])
+
+    def topk(d, k=10):
+        Vd = V[:, :d]
+        p = Vd[probe_i]
+        cos = (Vd @ p) / (np.linalg.norm(Vd, axis=1) * np.linalg.norm(p))
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != 7),
+            key=lambda i: (-round(float(cos[i]), 4), ids[i]),
+        )
+        return [int(ids[i]) for i in order[:k]]
+
+    full = set(topk(V.shape[1]))
+    expect = {
+        d: (len(set(topk(d)) & full), round(len(set(topk(d)) & full) / 10, 6))
+        for d in (16, 32, 64)
+    }
+    got = {
+        r["dims"]: (r["hits"], r["recall"])
+        for r in sim.truncated_dim_eval(emb, probe_id=7, dims=(16, 32, 64)).collect()
+    }
+    assert got == expect
+    assert got[64] == (10, 1.0)  # full-dim lane is the invariant row
+
+
 def test_knn_label_candidates_path_matches_exact_scan(spark):
     """knn_label(candidates=...) with a covering candidate set must
     equal the exact-scan default — the LSH/IVF composition contract."""
