@@ -1555,20 +1555,53 @@ def _write_pq_diag(sf_dir, books, out) -> None:
     run (VERDICT r7 ask #1b): the entry has been driver-hash-red twice
     while four judge replays were tuple-exact, so a red row must become
     a value-level diff — {codebook md5, the 10 (vec_id, adc) rows} as
-    seen by THIS process — instead of a boolean. Best-effort: any
-    failure (read-only checkout, etc.) must not affect the query."""
+    seen by THIS process — instead of a boolean. VERDICT r8 ask #1
+    extends it with a driver-environment ORACLE capture: run the
+    entry's own pinned ``_pq_oracle()`` SQL through duckdb's pandas
+    path (``fetchdf`` — the dtype-sensitive route a canonicalizer
+    takes) and record the oracle's rows AND dtypes next to the
+    engine's. Root cause found r9: duckdb ``list_sum`` yields HUGEINT →
+    ``fetchdf`` float64 vs the engine's int64; fixed with an outer
+    CAST in ``_pq_oracle`` and guarded by ``scripts/check_dtypes.py``.
+    Best-effort: any failure (read-only checkout, missing duckdb, sf
+    too big) must not affect the query."""
     import json
     import os
 
     try:
+        base_sf = os.path.basename(sf_dir.rstrip("/"))
         diag = {
             "sf_dir": sf_dir,
             "codebooks_md5": ops_sim.pq_codebooks_md5(books),
-            "expected_md5": _PQ_EXPECTED_MD5.get(
-                os.path.basename(sf_dir.rstrip("/"))
-            ),
+            "expected_md5": _PQ_EXPECTED_MD5.get(base_sf),
+            "fit_status": _PQ_FIT_STATUS.get(sf_dir),
             "rows": [[int(r[0]), int(r[1])] for r in out.collect()],
         }
+        # oracle capture only at the correctness scales — the unrolled
+        # fit-replay CTEs are sized for sf≤0.01, and the sf0.1 bench
+        # run must not pay an oracle inside its timed slot
+        if base_sf in ("sf0.001", "sf0.01"):
+            try:
+                import duckdb
+
+                con = duckdb.connect()
+                con.execute(
+                    "CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf_dir.rstrip('/')}/embeddings.parquet')"
+                )
+                opdf = con.execute(_pq_oracle()).fetchdf()
+                diag["oracle_rows"] = [
+                    [v.item() if hasattr(v, "item") else v for v in r]
+                    for r in opdf.itertuples(index=False)
+                ]
+                diag["oracle_dtypes"] = {
+                    c: str(opdf[c].dtype) for c in opdf.columns
+                }
+                diag["engine_eq_oracle"] = diag["rows"] == [
+                    [int(a), int(b)] for a, b in diag["oracle_rows"]
+                ]
+            except Exception as e:  # pragma: no cover - diagnostic only
+                diag["oracle_error"] = repr(e)
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "assets", "diag"
         )
@@ -1596,6 +1629,11 @@ _PQ_EXPECTED_MD5 = {
     "sf0.1": "13e3f8f0ad89e4217c727dc74d5c9e8a",
 }
 
+# Structured fit-status record per sf_dir (ADVICE r8 #4: a post-refit
+# divergence must reach structured output, not just stderr) — written
+# by _pq_index, consumed by _write_pq_diag and bench.py.
+_PQ_FIT_STATUS: dict = {}
+
 
 def _pq_index(spark, sf_dir):
     import os
@@ -1607,7 +1645,9 @@ def _pq_index(spark, sf_dir):
         codes, books = ops_sim.pq_fit(emb, m=4, k=16, iters=4)
         expected = _PQ_EXPECTED_MD5.get(os.path.basename(sf_dir.rstrip("/")))
         got = ops_sim.pq_codebooks_md5(books)
+        refits = 0
         if expected is not None and got != expected:
+            refits = 1
             print(
                 f"[pq_index] DIGEST MISMATCH sf={sf_dir} expected={expected} "
                 f"got={got} — refitting once",
@@ -1624,6 +1664,12 @@ def _pq_index(spark, sf_dir):
                 f"({'MATCH' if got == expected else 'STILL DIVERGED'})",
                 file=sys.stderr,
             )
+        _PQ_FIT_STATUS[sf_dir] = {
+            "expected": expected,
+            "got": got,
+            "refits": refits,
+            "diverged": expected is not None and got != expected,
+        }
         _PQ_CACHE[sf_dir] = (codes, books)
     return _PQ_CACHE[sf_dir]
 
@@ -2725,7 +2771,11 @@ def _pq_oracle(
     adc = " + ".join(f"dt{j}.d" for j in range(m))
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT vec_id, adc FROM ("
+        # CAST matters: list_sum yields HUGEINT, so bare `adc` reaches
+        # pandas as decimal128→float64 while the engine emits int64 —
+        # equal values, different hashes (the r6-r8 emb_pq_topk red row;
+        # every other oracle here already casts its integer outputs)
+        + f" SELECT vec_id, CAST(adc AS BIGINT) AS adc FROM ("
         f"SELECT a0.vec_id, {adc} AS adc "
         f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
         f"WHERE a0.vec_id != {probe}) "

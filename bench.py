@@ -168,7 +168,11 @@ TAIL_WINDOW = 2000
 
 
 def build_output_lines(
-    timings: dict[str, float], variance: dict, sf: float, pq_md5: str | None
+    timings: dict[str, float],
+    variance: dict,
+    sf: float,
+    pq_md5: str | None,
+    pq_fit: dict | None = None,
 ) -> tuple[str, list[str], str, str, str]:
     """Serialize the bench output lines. Returns (result, qt_lines,
     variance_line, qta, compact) — printed in that order, so the
@@ -205,6 +209,9 @@ def build_output_lines(
             "queries": timings,
             "variance": variance,
             "pq_md5": pq_md5,
+            # per-sf {expected, got, refits, diverged} — present only
+            # when a PQ fit happened this run (ADVICE r8 #4)
+            "pq_fit": pq_fit,
             "sf": sf,
         }
     )
@@ -256,6 +263,10 @@ def build_output_lines(
         )
         tail_budget = 300
     for k in sorted(timings, key=lambda k: -timings[k]):
+        if timings[k] < 0:
+            # failed queries (-1) sort last but could still be admitted,
+            # corrupting the named map and the omitted count (ADVICE r8)
+            continue
         trial = dict(budgeted)
         trial[k] = round(timings[k], 2)
         base["queries"] = trial
@@ -553,9 +564,19 @@ def main() -> None:
         pq_md5 = _sim.LAST_PQ_MD5
     except Exception:
         pq_md5 = None
+    # Structured fit-divergence surfacing (ADVICE r8 #4): a refit that
+    # STILL diverges from the pinned digest must reach bench_result.json
+    # and BENCH_HISTORY.jsonl, not just stderr.
+    try:
+        import __spark_entry__ as entry
+
+        pq_fit = {k: v for k, v in entry._PQ_FIT_STATUS.items() if v}
+        pq_fit = pq_fit or None
+    except Exception:
+        pq_fit = None
 
     result, qt_lines, variance_line, qta, compact = build_output_lines(
-        timings, variance, sf, pq_md5
+        timings, variance, sf, pq_md5, pq_fit
     )
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.

@@ -1352,7 +1352,7 @@ def weighted_sssp(
     dst: str = "dst",
     weight_col: str | None = None,
     weight_mod: int = 9,
-    broadcast_dist_max: int = 5_000_000,
+    broadcast_edge_max: int = 5_000_000,
 ) -> DataFrame:
     """Bounded-hop weighted single-source shortest paths: ``rounds``
     synchronous Bellman-Ford relaxations over an undirected ``(src,
@@ -1371,9 +1371,10 @@ def weighted_sssp(
     adjacency is built once, persisted partitioned on the join key
     ``u`` so every relaxation's equi-join probes a stationary layout;
     the delta frontier joins broadcast while the symmetric adjacency
-    stays under ``broadcast_dist_max`` rows (2·|E| — an edge-count
-    gate, the same proxy the other iterative ops use), co-shuffled
-    beyond it; each round is ONE partial-aggregable ``groupBy(n).min``
+    stays under ``broadcast_edge_max`` rows (2·|E| — an edge-count
+    gate named for what it measures; the frontier actually broadcast
+    is bounded above by it, same proxy the other iterative ops use),
+    co-shuffled beyond it; each round is ONE partial-aggregable ``groupBy(n).min``
     over |dist| + |candidates| rows; lineage checkpoints per round and
     an empty-delta probe EVERY round exits as soon as no distance
     improves. Unlike Dijkstra
@@ -1411,7 +1412,7 @@ def weighted_sssp(
     # |dist| ≤ |nodes| ≤ |adj| rows, so this bounds every broadcast below
     # without paying a distinct-count pass over the adjacency
     n_bound = adj.count()
-    bcast = F.broadcast if n_bound <= broadcast_dist_max else (lambda df: df)
+    bcast = F.broadcast if n_bound <= broadcast_edge_max else (lambda df: df)
     dist = _tracked_checkpoint(
         adj.sparkSession.createDataFrame(
             [(source, 0)], f"n {'string' if isinstance(source, str) else 'long'}, d long"

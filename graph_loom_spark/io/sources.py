@@ -205,16 +205,29 @@ def read_media_dir(
     # local files as file:<abs-path> and object-store files with their
     # scheme, so anchor on the root's scheme-less path component; fall
     # back to the full path (still collision-free) if the root string
-    # doesn't appear (exotic URI normalization).
+    # doesn't appear (exotic URI normalization). Spark reports paths in
+    # URI form (space → %20), while the root here is the caller's raw
+    # OS path — try BOTH the raw and the URI-quoted spelling so roots
+    # with spaces/%-chars still yield relative ids (ADVICE r8), and
+    # quote the literal with \Q..\E (Java Pattern.quote) instead of
+    # Python re.escape, whose output Java's regex may reject.
     import os
-    import re as _re
+    import urllib.parse
 
     root = path.rstrip("/")
     if "://" not in root and not root.startswith("file:"):
         root = os.path.abspath(root)
     root_part = root.split("://", 1)[-1]
     root_part = root_part.removeprefix("file:")
-    rel = F.get(F.split(F.col("path"), _re.escape(root_part) + "/", 2), 1)
+    candidates = dict.fromkeys(
+        [root_part, urllib.parse.quote(root_part, safe="/:")]
+    )
+    rel = F.coalesce(
+        *[
+            F.get(F.split(F.col("path"), "\\Q" + p + "\\E/", 2), 1)
+            for p in candidates
+        ]
+    )
     return df.select(
         F.coalesce(rel, F.col("path")).alias("media_id"),
         mime.alias("mime"),

@@ -197,3 +197,34 @@ def test_read_media_dir_same_basename_in_subdirs_does_not_collide(spark, tmp_pat
     rows = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
     assert set(rows) == {"batch1/frame.bmp", "batch2/frame.bmp"}
     assert rows["batch1/frame.bmp"] != rows["batch2/frame.bmp"]
+
+
+def test_read_media_dir_root_with_space_and_percent_stays_relative(
+    spark, tmp_path
+):
+    """Spark's binaryFile reports paths URI-encoded (space → %20) while
+    the caller's root is a raw OS path; the extractor must still match
+    the root and emit load-root-RELATIVE ids — not fall back to
+    absolute-URI media_ids (ADVICE r8). Covers both an encodable char
+    (space) and a char that is itself an escape lead-in (%)."""
+    from graph_loom_spark.io.sources import read_media_dir
+    from graph_loom_spark.ops.multimodal import _payload_for
+
+    for name in ["media lake", "pct%25dir"]:
+        d = tmp_path / name
+        (d / "sub").mkdir(parents=True)
+        (d / "a.bmp").write_bytes(_payload_for(0, "bmp"))
+        (d / "sub" / "b.bmp").write_bytes(_payload_for(1, "bmp"))
+
+        media = read_media_dir(spark, str(d), glob="*.bmp")
+        ids = sorted(r["media_id"] for r in media.collect())
+        assert len(ids) == 2, (name, ids)
+        # relative: no scheme, no leading slash, subdir preserved
+        assert all(
+            not i.startswith(("file:", "/")) for i in ids
+        ), (name, ids)
+        assert any(i.endswith("a.bmp") for i in ids), (name, ids)
+        assert any("sub" in i and i.endswith("b.bmp") for i in ids), (
+            name,
+            ids,
+        )
