@@ -60,6 +60,9 @@ _EMB_NEARDUP_CACHE: dict[str, DataFrame] = {}
 # localCheckpoints the FULL index per call and emb_ann_eval rebuilds it
 # a second time (the r6 bench regression: 1.76 s → 5.48 s).
 _LSH_CACHE: dict[str, DataFrame] = {}
+# checkpointed binary-quantization signature frame (X119) per sf_dir —
+# shared by emb_bq_topk / emb_bq_rerank / emb_bq_eval
+_BQ_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -128,6 +131,7 @@ def reset_caches() -> None:
         _MINHASH_SIG_CACHE,
         _KM8_CACHE,
         _LSH_CACHE,
+        _BQ_CACHE,
         _EMB_NEARDUP_CACHE,
         _TRI_CACHE,
     ):
@@ -186,6 +190,10 @@ def _memo_map() -> dict:
         "emb_cluster_quality": [_KM8_CACHE],
         "emb_ann_lsh": [_LSH_CACHE],
         "emb_ann_eval": [_LSH_CACHE],
+        "emb_dup_components_lsh": [_LSH_CACHE],
+        "emb_bq_topk": [_BQ_CACHE],
+        "emb_bq_rerank": [_BQ_CACHE],
+        "emb_bq_eval": [_BQ_CACHE],
         "emb_kmeans": [_KM8_CACHE],
         "emb_semdedup": [_KM8_CACHE],
         "emb_cluster_sample": [_KM8_CACHE],
@@ -683,9 +691,11 @@ def _q_docs_temp_mixture(spark, sf_dir):
 def _q_docs_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training, 20 merges in batches of 8
     symbol-disjoint merges per count round (the production batching —
-    3 aggregate rounds instead of 20). Iterative argmax loop → no SQL
-    oracle; pytest replays the identical batched algorithm in pure
-    Python and matches the merge list exactly."""
+    3 aggregate rounds instead of 20). Hash-checked since r9: the
+    iterative argmax loop replays in SQL via ``_bpe_train_oracle``
+    (doubled-separator string rewrite + recursive-CTE greedy batch
+    selection); the pure-Python pytest replay remains as a second
+    independent check."""
     return ops_bpe.bpe_train(
         _t(spark, sf_dir, "documents"), num_merges=20, batch_size=8
     )
@@ -1150,6 +1160,89 @@ def _q_emb_dup_components(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         threshold=0.4,
         pairs=_emb_near_pairs(spark, sf_dir),
+    )
+
+
+def _q_emb_dup_components_lsh(spark, sf_dir):
+    """X116 at-scale path (VERDICT r8 ask #7): the SAME duplicate-group
+    closure, but over LSH-candidate pairs instead of the exact blocked
+    join — pins the composed approximate path
+    ``embedding_dup_components(pairs=lsh_near_pairs(...))`` that the
+    exact entry's docstring advertises for 100 TB. Deterministic
+    (literal hyperplanes, rounded-cosine verify, min-id labels), so the
+    oracle replays buckets + collisions + verify + closure exactly.
+    Recall < 1 by design: pairs colliding in no table are missed —
+    component structure reflects the candidate graph, which is the
+    honest at-scale contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ops_sim.lsh_near_pairs(
+        emb, _lsh_index(spark, sf_dir), threshold=0.4
+    )
+    return ops_sim.embedding_dup_components(emb, threshold=0.4, pairs=pairs)
+
+
+def _bq_sigs(spark, sf_dir) -> DataFrame:
+    # checkpointed sign-signature frame shared by the X119 entries
+    cached = _BQ_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _BQ_CACHE[sf_dir] = ops_sim.bq_signatures(
+            _t(spark, sf_dir, "embeddings"), dim=64
+        ).localCheckpoint(eager=True)
+    return _BQ_CACHE[sf_dir]
+
+
+def _q_emb_bq_topk(spark, sf_dir):
+    """X119 — binary-quantization ANN top-k: 64 sign bits per vector
+    packed into two 32-bit words, ranked by integer Hamming distance
+    with the (hamming, id) tie-break — the 1-bit/dim memory tier below
+    PQ (64× smaller than the floats; the scan touches two small ints
+    per vector). Exact-integer end-to-end → the oracle replays packing
+    and ranking bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.bq_topk(
+        emb, probe_id=7, k=10, dim=64, sigs=_bq_sigs(spark, sf_dir)
+    )
+
+
+def _q_emb_bq_rerank(spark, sf_dir):
+    """X119 rescoring stage: Hamming shortlist of 50, exact cosine
+    rescore to top-10 — the standard recall-recovery pattern for
+    binary codes. Shares the memoized signature frame with
+    emb_bq_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.bq_rerank_topk(
+        emb, probe_id=7, k=10, candidates=50, dim=64,
+        sigs=_bq_sigs(spark, sf_dir),
+    )
+
+
+def _q_emb_bq_eval(spark, sf_dir):
+    """X119 recall scoreboard: recall@10 of the raw Hamming ranking vs
+    the exact cosine top-10 — slots under the IVF/LSH/PQ rows of
+    emb_index_eval as the cheapest-memory tier (expected to trail PQ;
+    rescoring via emb_bq_rerank is the recovery lever)."""
+    bq = _q_emb_bq_topk(spark, sf_dir).select("vec_id")
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        bq.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "hits",
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("hits") / 10, 6).alias("recall"),
+        )
+    )
+
+
+def _q_emb_maxsim_topk(spark, sf_dir):
+    """X120 — multi-vector late-interaction retrieval (ColBERT MaxSim):
+    vectors group into parent docs (vec_id div 8, the fixture stand-in
+    for per-chunk embeddings); candidates rank by Σ_q max_d cos(q, d)
+    in exact integer micropoints. One broadcast of the probe's 8
+    vectors against one corpus scan, two partial-aggregable groupBys —
+    the distributed MaxSim shape."""
+    return ops_sim.maxsim_topk(
+        _t(spark, sf_dir, "embeddings"), probe_parent=7, group=8, k=10
     )
 
 
@@ -1986,17 +2079,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_clusters, kmeans → semdedup, ann_lsh → ann_eval) so the
     # shared frame is warm.
     return {
-        # -- r7 window head: the 16 entries with no green driver row in any
-        # -- round (VERDICT r6 ask #2): emb_pq_topk (r6 hash-red, judge-exact
-        # -- x3), emb_pca (r5 fix never driver-checked), then the 14 entries
-        # -- the 50-entry prefix never reached
+        # -- r9 window head: NEW entries (no driver row yet — rotation
+        # -- rule: new entries go at the FRONT, each check_oracle'd
+        # -- pre-commit per VERDICT r7 ask #5). bq_topk directly before
+        # -- its memo-sharing rerank/eval consumers; dup_components_lsh
+        # -- after the bq block so the LSH index memo stays warm into
+        # -- ann_lsh further down.
+        "emb_bq_topk": _q_emb_bq_topk,
+        "emb_bq_rerank": _q_emb_bq_rerank,
+        "emb_bq_eval": _q_emb_bq_eval,
+        "emb_maxsim_topk": _q_emb_maxsim_topk,
+        "emb_dup_components_lsh": _q_emb_dup_components_lsh,
+        # -- r9: first round with a SQL oracle for the BPE trainer
+        # -- (was rows-only no_oracle through r8) — needs its first
+        # -- hash row
+        "docs_bpe_train": _q_docs_bpe_train,
+        # -- emb_pq_topk: hash-red r6-r8; r9 fixed the root cause (the
+        # -- oracle's HUGEINT adc now CASTs to BIGINT) — needs the
+        # -- confirming green row
         "emb_pq_topk": _q_emb_pq_topk,
         # immediately after emb_pq_topk: reuse the memoized PQ index
         "emb_pq_rerank": _q_emb_pq_rerank,
         "emb_pq_eval": _q_emb_pq_eval,
-        # -- r8 window head: NEW entries (no driver row yet — rotation
-        # -- rule: new entries go at the FRONT, each check_oracle'd
-        # -- pre-commit per VERDICT r7 ask #5)
+        # -- r8 window head (all green in CORRECTNESS_r08)
         "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_leakage_split": _q_docs_leakage_split,
         "emb_dup_components": _q_emb_dup_components,
@@ -2145,7 +2250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher": _q_docs_gopher,
         "docs_trigram_lp": _q_docs_trigram_lp,
         "docs_compression": _q_docs_compression,
-        "docs_bpe_train": _q_docs_bpe_train,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_span_removal": _q_docs_span_removal,
         "docs_pack": _q_docs_pack,
@@ -2259,22 +2363,15 @@ def _dedup_eval_oracle() -> str:
     )
 
 
-def _ann_lsh_oracle(
-    dim: int = 64,
-    bits: int = 8,
-    tables: int = 4,
-    seed: int = 42,
-    k: int = 10,
-    probe_id: int = 7,
-) -> str:
-    """SQL replay of the RP-LSH probe: the hyperplanes are seeded Python
-    literals (repr round-trips doubles exactly), bucket bits are signs
-    of plane dot products, and the Hamming-1 multiprobe is equivalent to
-    ``bit_count(xor(bucket, probe_bucket)) <= 1`` per table. The final
-    rerank reuses the bit-compatible cosine shape. The only ulp risk is
-    a plane dot crossing 0 between numpy matmul (engine) and DuckDB's
-    sequential list_dot_product — both deterministic per dataset, and
-    absent on the test corpora (verified sf0.001/sf0.01)."""
+def _lsh_bucket_parts(
+    dim: int = 64, bits: int = 8, tables: int = 4, seed: int = 42
+) -> list:
+    """Shared CTE chain replaying ops.simsearch.rp_lsh_buckets: seeded
+    hyperplanes as Python literals (repr round-trips doubles exactly),
+    bucket bits as signs of plane dot products, one (vec_id, t, bucket)
+    posting-list row per table. Ends with ``bl`` — consumed by
+    _ann_lsh_oracle (probe path) and _dup_components_lsh_oracle
+    (all-collisions path)."""
     from graph_loom_spark.ops.simsearch import _random_hyperplanes
 
     planes = []
@@ -2296,12 +2393,171 @@ def _ann_lsh_oracle(
     rows = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(tables)
     )
+    return [
+        "v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"hv AS (SELECT vec_id, {dots} FROM v0)",
+        f"bk AS (SELECT vec_id, {buckets} FROM hv)",
+        f"bl AS MATERIALIZED ({rows})",
+    ]
+
+
+def _dup_components_lsh_oracle(threshold: float = 0.4) -> str:
+    """X116-LSH composed replay: bucket posting lists (literal
+    hyperplanes), all same-(table,bucket) collisions deduped, the exact
+    rounded-cosine verify, then the same recursive closure + sizes as
+    the exact emb_dup_components oracle."""
     return (
-        "WITH v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
-        f"hv AS (SELECT vec_id, {dots} FROM v0), "
-        f"bk AS (SELECT vec_id, {buckets} FROM hv), "
-        f"bl AS MATERIALIZED ({rows}), "
+        "WITH RECURSIVE "
+        + ", ".join(_lsh_bucket_parts())
+        + ", cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bl a JOIN bl b ON a.t = b.t AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "pr AS MATERIALIZED (SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, round("
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * "
+        "sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine "
+        "FROM cp JOIN v0 va ON va.vec_id = id_a "
+        "JOIN v0 vb ON vb.vec_id = id_b) "
+        f"WHERE cosine >= {threshold}), "
+        "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr "
+        "UNION SELECT id_b, id_a FROM pr), "
+        "reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings "
+        "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+        "comp AS MATERIALIZED (SELECT a AS vec_id, min(b) AS component_id "
+        "FROM reach GROUP BY a), "
+        "csz AS (SELECT component_id, count(*) AS n FROM comp "
+        "GROUP BY component_id) "
+        "SELECT c.vec_id, c.component_id, CAST(csz.n AS BIGINT) AS "
+        "component_size FROM comp c JOIN csz USING (component_id)"
+    )
+
+
+def _bq_parts(dim: int = 64) -> str:
+    """Sign-signature CTE replaying ops.simsearch.bq_signatures: pack
+    ``v[i] >= 0`` bits into 32-bit words sig0.. — integer-exact."""
+    words = (dim + 31) // 32
+    cols = []
+    for w in range(words):
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << (i - 32 * w)} "
+            "ELSE 0 END)"
+            for i in range(32 * w, min(32 * (w + 1), dim))
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS sig{w}")
+    return (
+        "sg AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(cols)
+        + " FROM embeddings)"
+    )
+
+
+def _bq_topk_oracle(
+    dim: int = 64, probe: int = 7, k: int = 10
+) -> str:
+    """SQL replay of binary-quantized ANN: sign packing, per-word
+    bit_count(xor) Hamming sum, (hamming, id) tie-break."""
+    words = (dim + 31) // 32
+    ham = " + ".join(
+        f"bit_count(xor(s.sig{w}, p.sig{w}))" for w in range(words)
+    )
+    return (
+        "WITH " + _bq_parts(dim) + ", "
+        f"p AS (SELECT * FROM sg WHERE vec_id = {probe}) "
+        f"SELECT s.vec_id, CAST({ham} AS BIGINT) AS hamming "
+        f"FROM sg s, p WHERE s.vec_id <> {probe} "
+        f"ORDER BY hamming, s.vec_id LIMIT {k}"
+    )
+
+
+def _bq_rerank_oracle(
+    dim: int = 64, probe: int = 7, candidates: int = 50, k: int = 10
+) -> str:
+    """Two-stage BQ replay: Hamming shortlist nested as a CTE, exact
+    cosine rescore with the (cosine DESC, id) tie-break."""
+    return (
+        f"WITH cand AS (SELECT vec_id FROM "
+        f"({_bq_topk_oracle(dim, probe, candidates)})), "
+        "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings "
+        f"WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        "FROM embeddings e JOIN cand USING (vec_id), probe "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
+
+
+def _bq_eval_oracle(k: int = 10, probe: int = 7) -> str:
+    """Recall@k scoreboard for the BQ index (mirrors _ann_eval_oracle /
+    _pq_eval_oracle)."""
+    bq = _bq_topk_oracle(probe=probe, k=k)
+    exact = (
+        "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+        f"FROM embeddings WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        f"FROM embeddings e, probe WHERE e.vec_id <> {probe} "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
+    return (
+        "WITH a AS (SELECT vec_id FROM (" + bq + ")), "
+        "e AS (SELECT vec_id FROM (" + exact + ")), "
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits "
+        "FROM a JOIN e USING (vec_id)) "
+        f"SELECT hits, CAST({k} AS BIGINT) AS k, "
+        f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
+    )
+
+
+def _maxsim_oracle(probe_parent: int = 7, group: int = 8, k: int = 10) -> str:
+    """SQL replay of MaxSim late-interaction retrieval: probe-parent
+    vectors cross the non-probe corpus, cosines lift to exact integer
+    micropoints (floor(round(cos,4)*1e4 + 0.5)), max per (parent, q),
+    sum per parent, (score DESC, id) tie-break."""
+    return (
+        "WITH nz AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[])) > 0), "
+        f"pv AS (SELECT vec_id % {group} AS qi, v AS p FROM nz "
+        f"WHERE vec_id // {group} = {probe_parent}), "
+        f"c AS (SELECT vec_id // {group} AS parent_id, v FROM nz "
+        f"WHERE vec_id // {group} <> {probe_parent}), "
+        "m AS (SELECT parent_id, qi, max(CAST(floor(round("
+        "list_dot_product(c.v, pv.p) / (sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(pv.p, pv.p))), 4) * 10000 + 0.5) AS BIGINT)) "
+        "AS mm FROM c, pv GROUP BY parent_id, qi) "
+        "SELECT CAST(parent_id AS BIGINT) AS parent_id, "
+        "CAST(sum(mm) AS BIGINT) AS maxsim_micro FROM m GROUP BY parent_id "
+        f"ORDER BY maxsim_micro DESC, parent_id LIMIT {k}"
+    )
+
+
+def _ann_lsh_oracle(
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    k: int = 10,
+    probe_id: int = 7,
+) -> str:
+    """SQL replay of the RP-LSH probe: the hyperplanes are seeded Python
+    literals (repr round-trips doubles exactly), bucket bits are signs
+    of plane dot products, and the Hamming-1 multiprobe is equivalent to
+    ``bit_count(xor(bucket, probe_bucket)) <= 1`` per table. The final
+    rerank reuses the bit-compatible cosine shape. The only ulp risk is
+    a plane dot crossing 0 between numpy matmul (engine) and DuckDB's
+    sequential list_dot_product — both deterministic per dataset, and
+    absent on the test corpora (verified sf0.001/sf0.01)."""
+    return (
+        "WITH " + ", ".join(_lsh_bucket_parts(dim, bits, tables, seed)) + ", "
         f"probe AS (SELECT t, bucket AS pb FROM bl WHERE vec_id = {probe_id}), "
         "cand AS (SELECT DISTINCT b.vec_id FROM bl b JOIN probe p ON b.t = p.t "
         f"AND bit_count(xor(b.bucket, p.pb)) <= 1 WHERE b.vec_id <> {probe_id}), "
@@ -2780,6 +3036,100 @@ def _pq_oracle(
         f"FROM {assigns[0]} a0 {code_joins} {dt_joins} "
         f"WHERE a0.vec_id != {probe}) "
         f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _bpe_train_oracle(
+    num_merges: int = 20, batch_size: int = 8, table: str = "documents"
+) -> str:
+    """Unrolled SQL replay of ops.bpe.bpe_train (VERDICT r8 ask #6 —
+    was rows-only): every count round replays as pair counts over a
+    word table whose symbol sequence is encoded as a DOUBLED-separator
+    string (``\\x1f a \\x1f\\x1f b \\x1f``), so applying a merge (l, r)
+    is exactly one left-to-right non-overlapping ``replace()`` — the
+    same greedy scan as ``_py_apply_merge`` (doubling the separator
+    keeps adjacent matches from sharing boundary chars, so [a,b,a,b]
+    merges to [ab, ab], not [ab, a, b]). The per-round greedy
+    symbol-disjoint batch selection over the top-64 candidates is a
+    recursive CTE carrying (used[], picked[]) state; cumulative merges
+    thread through 1-row ``a{r}`` states. Unrolls ``num_merges``
+    rounds — an upper bound, since every non-final engine round adds
+    >=1 merge and an empty round stays empty forever. Exact: integer
+    counts, lexicographic tie-breaks, ASCII corpus (fixture-checked:
+    no \\x1f / NUL bytes to collide with the encoding)."""
+    SEP, SEP2 = "chr(31)", "(chr(31)||chr(31))"
+    R = num_merges
+    topn = max(1, 8 * batch_size)
+    parts = [
+        "w0 AS MATERIALIZED (SELECT "
+        f"{SEP}||array_to_string(list_append(string_split(w, ''), '</w>'), "
+        f"{SEP2})||{SEP} AS s, "
+        "CAST(count(*) AS BIGINT) AS f FROM ("
+        f"SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w "
+        f"FROM {table}) WHERE w <> '' GROUP BY w)",
+        "a0 AS (SELECT CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]) AS m)",
+    ]
+    for r in range(1, R + 1):
+        p = r - 1
+        parts.append(
+            f"p{r} AS (SELECT x.l AS l, x.r AS r, f FROM ("
+            "SELECT unnest([{'l': sym[i], 'r': sym[i+1]} "
+            "for i in generate_series(1, len(sym)-1)]) AS x, f FROM ("
+            f"SELECT string_split(substr(s, 2, length(s)-2), {SEP2}) AS sym, "
+            f"f FROM w{p})))"
+        )
+        parts.append(
+            f"t{r} AS (SELECT l, r, sum(f) AS c, "
+            "row_number() OVER (ORDER BY sum(f) DESC, l, r) AS rn "
+            f"FROM p{r} GROUP BY l, r QUALIFY rn <= {topn})"
+        )
+        ok = (
+            "t.c >= 2 AND len(g.picked) < g.cap "
+            "AND NOT list_contains(g.used, t.l) "
+            "AND NOT list_contains(g.used, t.r)"
+        )
+        parts.append(
+            f"g{r} AS (SELECT 0 AS i, CAST([] AS VARCHAR[]) AS used, "
+            "CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]) AS picked, "
+            f"LEAST({batch_size}, {num_merges} - len(m)) AS cap FROM a{p} "
+            "UNION ALL SELECT g.i+1, "
+            f"CASE WHEN {ok} THEN g.used || [t.l, t.r] ELSE g.used END, "
+            f"CASE WHEN {ok} THEN list_append(g.picked, "
+            "{'l': t.l, 'r': t.r}) ELSE g.picked END, "
+            f"g.cap FROM g{r} g JOIN t{r} t ON t.rn = g.i + 1 "
+            f"WHERE g.i < {topn})"
+        )
+        parts.append(
+            f"b{r} AS (SELECT picked FROM g{r} ORDER BY i DESC LIMIT 1)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED "
+            f"(SELECT a.m || b.picked AS m FROM a{p} a, b{r} b)"
+        )
+        # out-of-range picked[j] -> NULL concat -> coalesce to a NUL
+        # pattern that cannot occur: replace() becomes the identity,
+        # keeping the rewrite chain linear instead of 2^batch CASEs
+        expr = "s"
+        for j in range(1, batch_size + 1):
+            pat = (
+                f"coalesce({SEP}||b.picked[{j}].l||{SEP2}||"
+                f"b.picked[{j}].r||{SEP}, chr(0))"
+            )
+            rep = (
+                f"coalesce({SEP}||b.picked[{j}].l||"
+                f"b.picked[{j}].r||{SEP}, chr(0))"
+            )
+            expr = f"replace({expr}, {pat}, {rep})"
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {expr} AS s, f FROM w{p}, b{r} b)"
+        )
+    return (
+        "WITH RECURSIVE " + ", ".join(parts)
+        + ' SELECT CAST(x.rank AS BIGINT) AS rank, x.l AS "left", '
+        'x.r AS "right", x.l || x.r AS merged FROM ('
+        "SELECT unnest([{'rank': i-1, 'l': m[i].l, 'r': m[i].r} "
+        f"for i in generate_series(1, len(m))]) AS x FROM a{R}) "
+        "ORDER BY rank"
     )
 
 
@@ -4415,6 +4765,9 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END AS bpe_per_ws "
             "FROM documents"
         ),
+        # full unrolled replay of the distributed BPE trainer (was
+        # rows-only through r8; see _bpe_train_oracle)
+        "docs_bpe_train": _bpe_train_oracle(),
         "docs_vocab": (
             "WITH tok AS (SELECT unnest(string_split_regex(lower(text), "
             "'[^a-z0-9_]+')) AS term FROM documents), "
@@ -4704,6 +5057,14 @@ def oracle_sql() -> dict[str, str]:
         # RP-LSH probe: hyperplanes are seeded literals, multiprobe ≡
         # per-table Hamming-1 on bucket ids → full replay (generated).
         "emb_ann_lsh": _ann_lsh_oracle(),
+        # X116-LSH composed path: bucket collisions + verify + closure.
+        "emb_dup_components_lsh": _dup_components_lsh_oracle(),
+        # X119 binary quantization: integer sign-packing + Hamming.
+        "emb_bq_topk": _bq_topk_oracle(),
+        "emb_bq_rerank": _bq_rerank_oracle(),
+        "emb_bq_eval": _bq_eval_oracle(),
+        # X120 MaxSim late interaction: integer-micropoint Σmax replay.
+        "emb_maxsim_topk": _maxsim_oracle(),
         # Fixed-point integer Lloyd's → full SQL replay (generated).
         "emb_kmeans": _kmeans_oracle(),
         "emb_outliers": _outliers_oracle(),

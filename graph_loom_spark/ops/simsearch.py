@@ -1547,3 +1547,225 @@ def norm_stats(
             F.round(F.sum("__q") / F.count(F.lit(1)), 6).alias("avg_qnorm"),
         )
     )
+
+
+def lsh_near_pairs(
+    embeddings: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs from an RP-LSH posting-list ``index``
+    (:func:`rp_lsh_buckets` layout ``(id, vec, table, bucket)``): every
+    pair colliding in ANY table's bucket is a candidate; candidates are
+    deduped and exact-cosine verified against ``threshold``. Same
+    ``(id_a, id_b, cosine)`` shape as
+    :func:`cosine_near_pairs_blocked`, so the output drops into
+    :func:`embedding_dup_components` unchanged — this is the
+    approximate at-scale pair path that function's docstring
+    advertises (recall < 1: a true near-dup pair colliding in NO table
+    is missed; the OR over tables is the standard recall lever).
+
+    Scale shape: the candidate join is an equi-join on (table, bucket)
+    — posting lists, never all-pairs; ``distinct()`` collapses
+    multi-table collisions BEFORE the verify join so each pair pays
+    one dot product; the verify joins key on the two id columns
+    (co-shuffled narrow int keys). The cosine arithmetic (raw-vector
+    dot ÷ norm product, round 4) is kept bit-identical to the blocked
+    path and the DuckDB oracle."""
+    ids = index.select(F.col(id_col), "table", "bucket")
+    cand = (
+        ids.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        .join(
+            ids.select(F.col(id_col).alias("id_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    normed = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__a"),
+        F.col("__n").alias("__na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__b"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _dot(F.col("__a"), F.col("__b")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def bq_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X119 — binary (1-bit sign) quantization: pack each vector's
+    per-component sign bits (``v[i] >= 0``) into 32-bit words
+    ``sig0, sig1, ...`` — 64× smaller than the float vector, the
+    memory-bounded tier BELOW PQ (PQ: 4 bytes/vec here; BQ: 1 bit/dim).
+    Hamming distance between sign signatures is a monotone proxy for
+    angular distance (Goemans–Williamson / SimHash bound:
+    ``P[sign mismatch] = angle/π`` per random direction; for raw axes
+    it is the standard binary-quantization heuristic modern vector
+    stores ship). The packing is a static 32-term bitwise-OR tree per
+    word — whole-stage-codegen'd JVM expressions, no UDF, and exactly
+    reproducible in SQL (sign tests on the stored floats)."""
+    import functools
+
+    words = (dim + 31) // 32
+    cols = [F.col(id_col)]
+    for w in range(words):
+        terms = [
+            F.when(
+                F.element_at(F.col(vec_col), i + 1) >= 0,
+                F.lit(1 << (i - 32 * w)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            for i in range(32 * w, min(32 * (w + 1), dim))
+        ]
+        cols.append(
+            functools.reduce(lambda x, y: x.bitwiseOR(y), terms).alias(
+                f"sig{w}"
+            )
+        )
+    return embeddings.select(*cols)
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-quantized ANN top-k: rank by Hamming distance between
+    sign signatures (``bit_count(xor)`` per 32-bit word — integer,
+    exact, tie-break ``(hamming, id)``), never touching the float
+    vectors. Returns ``(vec_id, hamming)``. The scan reads ``words``
+    small ints per vector — the same code-scan shape as
+    :func:`pq_topk` at 1 bit/dim instead of 8. Pass ``sigs`` to reuse
+    a memoized :func:`bq_signatures` frame."""
+    if sigs is None:
+        sigs = bq_signatures(embeddings, dim, id_col=id_col, vec_col=vec_col)
+    words = (dim + 31) // 32
+    probe = sigs.filter(F.col(id_col) == probe_id).collect()[0]
+    ham = None
+    for w in range(words):
+        term = F.bit_count(
+            F.col(f"sig{w}").bitwiseXOR(F.lit(int(probe[f"sig{w}"])))
+        ).cast("long")
+        ham = term if ham is None else ham + term
+    return (
+        sigs.filter(F.col(id_col) != probe_id)
+        .select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bq_rerank_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    candidates: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage BQ retrieval: Hamming shortlist of ``candidates`` ids
+    (:func:`bq_topk` — the memory-bounded scan), then exact cosine
+    rescoring of only those vectors with the ``(cosine DESC, id)``
+    tie-break — the standard rescoring pattern that recovers most of
+    the recall binary codes lose. Returns ``(vec_id, cosine)``."""
+    cand = bq_topk(
+        embeddings,
+        probe_id,
+        k=candidates,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        sigs=sigs,
+    ).select(id_col)
+    probe_vec = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__p")
+    )
+    cos = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__p"))
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .crossJoin(F.broadcast(probe_vec))
+        .select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    probe_parent: int = 7,
+    group: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X120 — multi-vector late-interaction retrieval (ColBERT MaxSim,
+    Khattab & Zaharia 2020): vectors group into parent documents
+    (``id div group`` — the fixture's stand-in for per-token/per-chunk
+    embeddings); a candidate parent's score against the probe parent is
+    ``Σ_q max_d cos(q, d)`` over the probe's vectors q and the
+    candidate's vectors d. Cosines are rounded to 4 and lifted to
+    integer micropoints (``floor(round(cos,4)·10⁴ + 0.5)``) so the sum
+    is exact int64 — the same fixed-point trick as RRF fusion — and
+    the oracle replays bit-for-bit. Returns the top ``k``
+    ``(parent_id, maxsim_micro)``, score desc then id.
+
+    Scale shape: the probe side is ``group`` rows broadcast against ONE
+    corpus scan (n×group cosine evaluations — the irreducible MaxSim
+    work); both reductions are partial-aggregable groupBys on narrow
+    int keys (max per (parent, q), sum per parent), then a global
+    top-k ``orderBy().limit()`` that TakeOrdered keeps driver-light.
+    Zero-norm vectors are excluded on both sides (NaN cosine),
+    mirroring the near-pair operators."""
+    parent = F.expr(f"{id_col} div {group}")
+    nz = embeddings.filter(_norm(F.col(vec_col)) > 0)
+    probe = nz.filter(parent == probe_parent).select(
+        F.pmod(F.col(id_col), F.lit(group)).alias("__qi"),
+        F.col(vec_col).alias("__p"),
+        _norm(F.col(vec_col)).alias("__np"),
+    )
+    corpus = nz.filter(parent != probe_parent).select(
+        parent.alias("parent_id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__nv"),
+    )
+    cos = _dot(F.col("__v"), F.col("__p")) / (F.col("__nv") * F.col("__np"))
+    micro = F.floor(F.round(cos, 4) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return (
+        corpus.crossJoin(F.broadcast(probe))
+        .select("parent_id", "__qi", micro.alias("__m"))
+        .groupBy("parent_id", "__qi")
+        .agg(F.max("__m").alias("__mm"))
+        .groupBy("parent_id")
+        .agg(F.sum("__mm").alias("maxsim_micro"))
+        .orderBy(F.col("maxsim_micro").desc(), F.col("parent_id").asc())
+        .limit(k)
+    )

@@ -299,3 +299,107 @@ def test_knn_label_candidates_path_matches_exact_scan(spark):
         tuple(r) for r in sim.knn_label(emb, pf, k=5, candidates=dup).collect()
     )
     assert got_dup == want
+
+
+def test_bq_topk_matches_numpy_hamming(spark):
+    """X119 binary quantization vs a numpy replay: same sign bits, same
+    Hamming distances, same (hamming, id) ranking — exact integers."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    bits = X >= 0  # (n, 64)
+    probe = bits[ids == 7][0]
+    ham = (bits != probe).sum(axis=1)
+    order = sorted(
+        (int(h), int(i)) for h, i in zip(ham, ids) if i != 7
+    )[:10]
+    got = [
+        (r["hamming"], r["vec_id"])
+        for r in sim.bq_topk(emb, probe_id=7, k=10).collect()
+    ]
+    assert got == order
+
+
+def test_bq_rerank_subset_and_recall_not_worse(spark):
+    """BQ rescoring: output ⊆ Hamming shortlist, exact-cosine ordered,
+    and recall of the exact top-k is >= the raw Hamming top-k's."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cand = {
+        r["vec_id"]
+        for r in sim.bq_topk(emb, probe_id=7, k=30).collect()
+    }
+    raw10 = {r["vec_id"] for r in sim.bq_topk(emb, probe_id=7, k=10).collect()}
+    rer = sim.bq_rerank_topk(emb, probe_id=7, k=10, candidates=30).collect()
+    got = {r["vec_id"] for r in rer}
+    assert len(got) == 10 and got <= cand
+    cosines = [r["cosine"] for r in rer]
+    assert cosines == sorted(cosines, reverse=True)
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, probe_id=7, k=10).collect()}
+    assert len(exact & got) >= len(exact & raw10)
+
+
+def test_maxsim_topk_matches_numpy(spark):
+    """X120 MaxSim vs a numpy replay: same rounded-micropoint cosines,
+    same per-(parent, q) max, same Σ and (score desc, id) ranking."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    keep = nrm > 0
+    ids, X, nrm = ids[keep], X[keep], nrm[keep]
+    parents = ids // 8
+    P = X[parents == 7]
+    pn = nrm[parents == 7]
+    scores = {}
+    for par in np.unique(parents):
+        if par == 7:
+            continue
+        C = X[parents == par]
+        cn = nrm[parents == par]
+        cos = (P @ C.T) / np.outer(pn, cn)
+        micro = np.floor(np.round(cos, 4) * 10000 + 0.5).astype(np.int64)
+        scores[int(par)] = int(micro.max(axis=1).sum())
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["parent_id"], r["maxsim_micro"])
+        for r in sim.maxsim_topk(emb, probe_parent=7, group=8, k=10).collect()
+    ]
+    assert got == [(p, s) for p, s in want]
+
+
+def test_lsh_near_pairs_subset_of_exact_and_components_consistent(spark):
+    """The LSH candidate pair set is a SUBSET of the exact blocked pair
+    set (same threshold, same rounded cosine — LSH can only miss pairs,
+    never invent them), and the components built on it never merge ids
+    the exact components keep apart."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = sim.rp_lsh_buckets(emb, dim=64, bits=8, seed=42, tables=4)
+    lsh_pairs = sim.lsh_near_pairs(emb, idx, threshold=0.4)
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh_pairs.collect()}
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in sim.cosine_near_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert got <= exact
+    comp_lsh = {
+        r["vec_id"]: r["component_id"]
+        for r in sim.embedding_dup_components(
+            emb, threshold=0.4, pairs=lsh_pairs
+        ).collect()
+    }
+    comp_exact = {
+        r["vec_id"]: r["component_id"]
+        for r in sim.embedding_dup_components(emb, threshold=0.4).collect()
+    }
+    assert set(comp_lsh) == set(comp_exact)
+    # refinement: same LSH component => same exact component
+    for a in comp_lsh:
+        for b in comp_lsh:
+            if a < b and comp_lsh[a] == comp_lsh[b]:
+                assert comp_exact[a] == comp_exact[b]
