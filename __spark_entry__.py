@@ -35,6 +35,10 @@ _WINNOW_CACHE: dict[str, DataFrame] = {}
 # is deterministic, so re-fitting per invocation only re-pays 5 Lloyd
 # iterations for an identical result
 _IVF_CACHE: dict[str, tuple] = {}
+# (codes frame, residual codebooks) per sf_dir — the IVFADC residual
+# PQ fit over the _IVF_CACHE coarse quantizer (X121); deterministic
+# like the flat PQ fit
+_IVFPQ_CACHE: dict[str, tuple] = {}
 # part co-purchase edge set (l_orderkey % 4 == 0 quarter) — built
 # identically by graph_triangles, graph_bfs and graph_kcore; the
 # construction is a distinct + self-join over lineitem, worth sharing
@@ -104,7 +108,7 @@ def pinned_rdd_ids() -> set:
                 ids.add(_ckpt_rdd(df).id())
             except Exception:
                 pass
-    for cache in (_IVF_CACHE, _PQ_CACHE, _KM8_CACHE):
+    for cache in (_IVF_CACHE, _IVFPQ_CACHE, _PQ_CACHE, _KM8_CACHE):
         for frame, _aux in cache.values():
             try:
                 ids.add(_ckpt_rdd(frame).id())
@@ -125,6 +129,7 @@ def reset_caches() -> None:
         _JACCARD_CACHE,
         _WINNOW_CACHE,
         _IVF_CACHE,
+        _IVFPQ_CACHE,
         _COOC_CACHE,
         _PQ_CACHE,
         _MINHASH_CACHE,
@@ -182,7 +187,15 @@ def _memo_map() -> dict:
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_ivf_eval": [_IVF_CACHE],
-        "emb_index_eval": [_IVF_CACHE, _PQ_CACHE, _LSH_CACHE],
+        "emb_ivfpq_topk": [_IVF_CACHE, _IVFPQ_CACHE],
+        "emb_ivfpq_eval": [_IVF_CACHE, _IVFPQ_CACHE],
+        "emb_index_eval": [
+            _IVF_CACHE,
+            _PQ_CACHE,
+            _LSH_CACHE,
+            _IVFPQ_CACHE,
+            _BQ_CACHE,
+        ],
         "emb_pq_topk": [_PQ_CACHE],
         "emb_pq_rerank": [_PQ_CACHE],
         "emb_pq_eval": [_PQ_CACHE],
@@ -1018,6 +1031,16 @@ def _q_docs_classifier(spark, sf_dir):
     )
 
 
+def _q_docs_classifier_auc(spark, sf_dir):
+    """X122 — ROC-AUC of the hashed linear classifier against the
+    fixture's language label (the classifier as a weak English
+    detector), via the exact integer Mann-Whitney rank statistic
+    (tie-averaged ranks carried as 2·R⁺ so everything is int64 until
+    one rounded division). One partial-aggregable groupBy on the
+    score; the rank window runs over the distinct-score frame only."""
+    return ops_text.classifier_auc(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_profile(spark, sf_dir):
     """Per-column data-quality profile of the documents table (nulls,
     exact distincts, native-type min/max rendered as strings) — ONE
@@ -1071,14 +1094,16 @@ def _q_docs_bm25(spark, sf_dir):
 
 
 def _q_emb_index_eval(spark, sf_dir):
-    """X113 — the index-selection scoreboard: recall@10 of all three
-    ANN structures (RP-LSH, IVF-flat, PQ/ADC) against the same exact
-    cosine top-10, one row per index — the table an embedding-platform
-    owner reads to pick a structure for a given memory/recall budget
-    (on this corpus: IVF 0.8 > LSH 0.5 > PQ 0.4, mirroring their
-    memory footprints). All three fits are memoized and shared with
-    their standalone entries; the oracle unions the three eval
-    replays."""
+    """X113 — the index-selection scoreboard: recall@10 of all five
+    ANN structures (RP-LSH, IVF-flat, PQ/ADC, IVFADC, binary
+    quantization) against the same exact cosine top-10, one row per
+    index — the table an embedding-platform owner reads to pick a
+    structure for a given memory/recall budget (on this corpus:
+    IVF 0.8 > LSH/IVFADC 0.5 > PQ 0.4 > BQ 0.2, mirroring their
+    memory footprints; IVFADC's +0.1 over flat PQ is what residual
+    encoding buys at the same code budget). All fits are memoized and
+    shared with their standalone entries; the oracle unions the five
+    eval replays."""
     frames = [
         _q_emb_ann_eval(spark, sf_dir).select(
             F.lit("lsh").alias("index"), "hits", "k", "recall"
@@ -1088,6 +1113,12 @@ def _q_emb_index_eval(spark, sf_dir):
         ),
         _q_emb_pq_eval(spark, sf_dir).select(
             F.lit("pq").alias("index"), "hits", "k", "recall"
+        ),
+        _q_emb_ivfpq_eval(spark, sf_dir).select(
+            F.lit("ivfpq").alias("index"), "hits", "k", "recall"
+        ),
+        _q_emb_bq_eval(spark, sf_dir).select(
+            F.lit("bq").alias("index"), "hits", "k", "recall"
         ),
     ]
     out = frames[0]
@@ -1616,12 +1647,66 @@ def _q_emb_ivf_topk(spark, sf_dir):
     float quantizer; that path remains as ivf_centroids/ivf_topk with
     its recall pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
+    assigned, C = _ivf_quantizer(spark, sf_dir)
+    return ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4)
+
+
+def _ivf_quantizer(spark, sf_dir) -> tuple:
+    # memoized deterministic coarse quantizer (k=16, 5 fixed-point Lloyd
+    # iterations) — shared by IVF-flat, the index scoreboard, and the
+    # IVFADC residual fit
+    emb = _t(spark, sf_dir, "embeddings")
     cached = _IVF_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached[0]):
         assigned, C = ops_sim.kmeans_fit(emb, k=16, iters=5)
         _IVF_CACHE[sf_dir] = (assigned.localCheckpoint(eager=True), C)
-    assigned, C = _IVF_CACHE[sf_dir]
-    return ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4)
+    return _IVF_CACHE[sf_dir]
+
+
+def _ivfpq_index(spark, sf_dir) -> tuple:
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = _IVFPQ_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached[0]):
+        assigned, C = _ivf_quantizer(spark, sf_dir)
+        _IVFPQ_CACHE[sf_dir] = ops_sim.ivfpq_fit(
+            emb, assigned, C, m=4, k=16, iters=4
+        )
+    return _IVFPQ_CACHE[sf_dir]
+
+
+def _q_emb_ivfpq_topk(spark, sf_dir):
+    """X121 — IVFADC search (Jégou et al. 2011 §IV, the production
+    composite ANN index): coarse cells localize, PQ codes quantize the
+    RESIDUAL v − c(v), search ranks cells by exact int64 distance and
+    ADC-scores only the nprobe probed cells with per-cell residual
+    distance tables. Fully integer (fixed-point grid residuals, plan-
+    literal LUTs, (adc, id) tie-break) → the oracle replays the coarse
+    fit, the m residual sub-fits, and the restricted ranking exactly.
+    Shares the coarse quantizer memo with emb_ivf_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, C = _ivf_quantizer(spark, sf_dir)
+    codes, books = _ivfpq_index(spark, sf_dir)
+    return ops_sim.ivfpq_topk(
+        emb, assigned, C, codes, books, probe_id=7, k=10, nprobe=4
+    )
+
+
+def _q_emb_ivfpq_eval(spark, sf_dir):
+    """X121 recall scoreboard: recall@10 of the IVFADC ranking vs the
+    exact cosine top-10 — the fourth row of the index-selection family
+    (LSH / IVF-flat / PQ / IVFADC), measuring what residual encoding
+    buys over flat PQ at the same code budget."""
+    ivfpq = _q_emb_ivfpq_topk(spark, sf_dir).select("vec_id")
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        ivfpq.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "hits",
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("hits") / 10, 6).alias("recall"),
+        )
+    )
 
 
 def _q_emb_pq_topk(spark, sf_dir):
@@ -1774,11 +1859,7 @@ def _q_emb_ivf_eval(spark, sf_dir):
     (X98 LSH, X104 PQ) — what an index-selection bench reports per
     candidate structure. Oracle nests both ranking replays."""
     emb = _t(spark, sf_dir, "embeddings")
-    cached = _IVF_CACHE.get(sf_dir)
-    if cached is None or not _checkpoint_alive(cached[0]):
-        assigned, C = ops_sim.kmeans_fit(emb, k=16, iters=5)
-        _IVF_CACHE[sf_dir] = (assigned.localCheckpoint(eager=True), C)
-    assigned, C = _IVF_CACHE[sf_dir]
+    assigned, C = _ivf_quantizer(spark, sf_dir)
     ivf = ops_sim.ivf_flat_topk(emb, assigned, C, probe_id=7, k=10, nprobe=4).select(
         "vec_id"
     )
@@ -2088,8 +2169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bq_topk": _q_emb_bq_topk,
         "emb_bq_rerank": _q_emb_bq_rerank,
         "emb_bq_eval": _q_emb_bq_eval,
+        # ivfpq shares the coarse-quantizer memo with the ivf block
+        # further down; topk directly before its eval consumer
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
+        "emb_ivfpq_eval": _q_emb_ivfpq_eval,
         "emb_maxsim_topk": _q_emb_maxsim_topk,
         "emb_dup_components_lsh": _q_emb_dup_components_lsh,
+        "docs_classifier_auc": _q_docs_classifier_auc,
         # -- r9: first round with a SQL oracle for the BPE trainer
         # -- (was rows-only no_oracle through r8) — needs its first
         # -- hash row
@@ -2874,24 +2960,33 @@ def _kmeans_sql_parts(
     scale: int = 1 << 20,
     prefix: str = "",
     off: int = 0,
+    src: str | None = None,
 ) -> tuple[list, str]:
     """CTE parts replaying the fixed-point Lloyd's in
     ops.simsearch.kmeans (see _kmeans_oracle); returns (parts,
     final-assignment CTE name) so composing oracles (summary, SemDeDup,
     PQ) can build on the per-vector assignments. ``prefix`` namespaces
     every CTE (PQ composes m independent fits in one query); ``off``
-    slices the fit to coordinates off+1..off+dim (a PQ subspace)."""
-    qexpr = (
-        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
-        f"for i in generate_series({off + 1}, {off + dim})]"
-    )
+    slices the fit to coordinates off+1..off+dim (a PQ subspace).
+    ``src`` names a CTE already holding PRE-QUANTIZED int64 vectors
+    ``(vec_id, v)`` — the fit then slices that instead of quantizing
+    the embeddings table (mirrors kmeans_fit(prequantized=True), used
+    by the IVFADC residual sub-fits)."""
+    if src is not None:
+        qexpr = f"v[{off + 1}:{off + dim}]"
+    else:
+        qexpr = (
+            f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) AS BIGINT) "
+            f"for i in generate_series({off + 1}, {off + dim})]"
+        )
     dist = (
         "list_sum([(x.v[i]-c.v[i])*(x.v[i]-c.v[i]) "
         f"for i in generate_series(1, {dim})])"
     )
     x = prefix
     parts = [
-        f"{x}v AS MATERIALIZED (SELECT vec_id, {qexpr} AS v FROM embeddings)",
+        f"{x}v AS MATERIALIZED (SELECT vec_id, {qexpr} AS v "
+        f"FROM {src if src is not None else 'embeddings'})",
         f"{x}c0 AS MATERIALIZED (SELECT cluster, v FROM ("
         f"SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM {x}v) "
         f"WHERE cluster < {k})",
@@ -3319,16 +3414,6 @@ def _knn_label_oracle(k: int = 5, mod: int = 50, rem: int = 7) -> str:
     )
 
 
-_QUALITY_SCORE_SQL = (
-    "CAST("
-    "CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1 ELSE 0 END + "
-    "CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 "
-    "AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
-    "CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5 THEN 1 ELSE 0 END "
-    "AS BIGINT)"
-)
-
-
 def _cluster_quality_oracle(k: int = 8, iters: int = 10) -> str:
     """SQL replay of the cluster-level quality report: the k=8
     fixed-point k-means assignment (same generator as the kmeans
@@ -3414,6 +3499,113 @@ def _ivf_oracle(
         f"SELECT c.vec_id, {cos} AS cosine "
         "FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN pe p) "
         f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+def _ivfpq_oracle(
+    n_cells: int = 16,
+    coarse_iters: int = 5,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    probe: int = 7,
+    topk: int = 10,
+    nprobe: int = 4,
+) -> str:
+    """X121 — SQL replay of IVFADC (coarse cells + residual PQ): the
+    coarse kmeans replay (shared shape with _ivf_oracle), exact int64
+    residuals ``v − c(v)`` on the fixed-point grid, m prequantized
+    residual sub-fits (``_kmeans_sql_parts(src='rv')``), the probe's
+    integer cell ranking cut at nprobe, per-PROBED-CELL residual
+    distance tables (the asymmetric part), and the summed ADC ranking
+    restricted to probed cells with the (adc, id) tie-break — matching
+    ops.simsearch.ivfpq_fit/ivfpq_topk bit-for-bit. adc CASTs to
+    BIGINT (list_sum yields HUGEINT — the r6-r8 pq_topk lesson)."""
+    sub = dim // m
+    parts, cassign, ccents = _kmeans_sql_parts(
+        n_cells, coarse_iters, dim, prefix="cq"
+    )
+    parts.append(
+        "rv AS MATERIALIZED (SELECT x.vec_id, "
+        f"[x.v[i] - c.v[i] for i in generate_series(1, {dim})] AS v "
+        f"FROM cqv x JOIN {cassign} a USING (vec_id) "
+        f"JOIN {ccents} c ON c.cluster = a.cluster)"
+    )
+    assigns, cents = [], []
+    for j in range(m):
+        pj, aj, cj = _kmeans_sql_parts(
+            k, iters, sub, prefix=f"rs{j}", off=j * sub, src="rv"
+        )
+        parts += pj
+        assigns.append(aj)
+        cents.append(cj)
+    celldist = (
+        "list_sum([(c.v[i]-p.v[i])*(c.v[i]-p.v[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    parts += [
+        f"pq0 AS (SELECT v FROM cqv WHERE vec_id = {probe})",
+        "crank AS (SELECT c.cluster, row_number() OVER ("
+        f"ORDER BY {celldist}, c.cluster) AS rk "
+        f"FROM {ccents} c CROSS JOIN pq0 p)",
+        f"pcells AS (SELECT cluster FROM crank WHERE rk <= {nprobe})",
+        # the probe's residual AGAINST EACH probed cell (asymmetric ADC)
+        "prc AS (SELECT c.cluster AS cell, "
+        f"[p.v[i] - c.v[i] for i in generate_series(1, {dim})] AS rv "
+        f"FROM {ccents} c JOIN pcells USING (cluster) CROSS JOIN pq0 p)",
+    ]
+    for j in range(m):
+        parts.append(
+            f"dt{j} AS MATERIALIZED (SELECT pr.cell, b.cluster AS code, "
+            f"list_sum([(pr.rv[{j * sub} + i] - b.v[i]) * "
+            f"(pr.rv[{j * sub} + i] - b.v[i]) "
+            f"for i in generate_series(1, {sub})]) AS d "
+            f"FROM prc pr CROSS JOIN {cents[j]} b)"
+        )
+    code_joins = " ".join(
+        f"JOIN {assigns[j]} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{j} ON dt{j}.cell = ca.cluster AND dt{j}.code = a{j}.cluster"
+        for j in range(m)
+    )
+    adc = " + ".join(f"dt{j}.d" for j in range(m))
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT vec_id, CAST(adc AS BIGINT) AS adc FROM ("
+        f"SELECT a0.vec_id, {adc} AS adc "
+        f"FROM {assigns[0]} a0 {code_joins} "
+        f"JOIN {cassign} ca USING (vec_id) "
+        "JOIN pcells pc ON pc.cluster = ca.cluster "
+        f"{dt_joins} "
+        f"WHERE a0.vec_id != {probe}) "
+        f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _ivfpq_eval_oracle(k: int = 10, probe: int = 7) -> str:
+    """Recall@k scoreboard for the IVFADC index (mirrors
+    _pq_eval_oracle / _ivf_eval_oracle)."""
+    adc = _ivfpq_oracle(topk=k, probe=probe)
+    exact = (
+        "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p "
+        f"FROM embeddings WHERE vec_id = {probe}) "
+        "SELECT e.vec_id, round("
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), probe.p) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(probe.p, probe.p))), 4) AS cosine "
+        f"FROM embeddings e, probe WHERE e.vec_id <> {probe} "
+        f"ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
+    return (
+        "WITH a AS (SELECT vec_id FROM (" + adc + ")), "
+        "e AS (SELECT vec_id FROM (" + exact + ")), "
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits "
+        "FROM a JOIN e USING (vec_id)) "
+        f"SELECT hits, CAST({k} AS BIGINT) AS k, "
+        f"round(CAST(hits AS DOUBLE) / {k}, 6) AS recall FROM h"
     )
 
 
@@ -4279,6 +4471,29 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
             ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM f"
         ),
+        # X122 classifier AUC: same hashed score replay, lang='en'
+        # label, exact Mann-Whitney via integer 2*R+ (tie groups
+        # contribute p*(2*cprev+n+1)).
+        "docs_classifier_auc": (
+            "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, lang, list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) "
+            "ELSE [] END) AS feats FROM t), "
+            "s AS (SELECT CAST(list_sum(list_transform(feats, x -> "
+            "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
+            ")) AS BIGINT) AS ws, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), "
+            "g AS (SELECT ws, count(*) AS n, sum(pos) AS p FROM s GROUP BY ws), "
+            "g2 AS (SELECT *, sum(n) OVER (ORDER BY ws ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cprev FROM g), "
+            "a AS (SELECT sum(p * (2 * cprev + n + 1)) AS twoR, "
+            "sum(p) AS np, sum(n - p) AS nn FROM g2) "
+            "SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
+            "CAST(twoR - np * (np + 1) AS BIGINT) AS u2, "
+            "round(CAST(twoR - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) "
+            "AS auc FROM a"
+        ),
         # Lexical diversity: grouping on token STRINGS (engine) vs the
         # same strings here — xxhash64 keying changes nothing barring
         # collisions; integer ratios rounded to 6.
@@ -5070,6 +5285,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_outliers": _outliers_oracle(),
         # IVF-flat over the same quantizer → full replay (generated).
         "emb_ivf_topk": _ivf_oracle(),
+        # X121 IVFADC: coarse replay + residual sub-fits + per-cell ADC.
+        "emb_ivfpq_topk": _ivfpq_oracle(),
+        "emb_ivfpq_eval": _ivfpq_eval_oracle(),
         # PQ/ADC over m fixed-point subspace fits → full replay (generated).
         "emb_pq_topk": _pq_oracle(),
         "emb_pq_rerank": _pq_rerank_oracle(),
@@ -5079,7 +5297,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_index_eval": (
             "SELECT 'lsh' AS index, * FROM (" + _ann_eval_oracle() + ") "
             "UNION ALL SELECT 'ivf' AS index, * FROM (" + _ivf_eval_oracle() + ") "
-            "UNION ALL SELECT 'pq' AS index, * FROM (" + _pq_eval_oracle() + ")"
+            "UNION ALL SELECT 'pq' AS index, * FROM (" + _pq_eval_oracle() + ") "
+            "UNION ALL SELECT 'ivfpq' AS index, * FROM (" + _ivfpq_eval_oracle() + ") "
+            "UNION ALL SELECT 'bq' AS index, * FROM (" + _bq_eval_oracle() + ")"
         ),
         "docs_pack_efficiency": (
             "WITH b AS (SELECT doc_id % 8 AS shard, "

@@ -149,10 +149,13 @@ _RESTART_BEFORE = {"graph_triangles", "graph_lpa"}
 # line, fixed r7 via _LSH_CACHE — track. graph_ppr +
 # media_png_features: r7 verdict asks #3/#4 — unexplained drift with
 # unchanged code; min-of-3 separates plan cost from noise.
+# docs_rrf_fusion: r8 final-run outlier (5.5 s vs 2.1-2.5 s typical,
+# VERDICT r8 ask #8) — record the floor to pin memo/session
+# attribution.
 _AB_DEFAULT = (
     "cypher_var_length,graph_lpa,docs_vocab,emb_ann_lsh,"
     "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup,"
-    "graph_ppr,media_png_features"
+    "graph_ppr,media_png_features,docs_rrf_fusion"
 )
 
 

@@ -548,6 +548,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     scale: int = 1 << 20,
     parts: int | None = None,
+    prequantized: bool = False,
 ):
     """Fully distributed Euclidean k-means (Lloyd's): returns
     ``(assigned, centroids)`` — the ``(vec_id, cluster)`` frame plus the
@@ -594,11 +595,18 @@ def kmeans_fit(
 
     spark = embeddings.sparkSession
     tracked: list = []
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
-            "long"
-        ),
+    # prequantized: the caller already lives on the int64 grid (e.g.
+    # ivfpq_fit's exact residuals) — quantizing again would floor a
+    # float round-trip of values the grid already owns
+    q = (
+        F.col(vec_col)
+        if prequantized
+        else F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        )
     )
     X = _tracked_checkpoint(
         spread(embeddings.select(id_col, q.alias("__q"))), tracked
@@ -1024,6 +1032,8 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1 << 20,
+    prequantized: bool = False,
+    track_digest: bool = True,
 ):
     """Product quantization (Jégou et al. 2011): split the vector into
     ``m`` contiguous subspaces and run the fixed-point :func:`kmeans_fit`
@@ -1082,6 +1092,7 @@ def pq_fit(
             vec_col=vec_col,
             scale=scale,
             parts=parts,
+            prequantized=prequantized,
         )
         return (
             assigned.select(F.col(id_col), F.col("cluster").alias(f"code_{j}")),
@@ -1107,8 +1118,12 @@ def pq_fit(
     import sys
 
     _digest = pq_codebooks_md5(books)
-    global LAST_PQ_MD5
-    LAST_PQ_MD5 = _digest
+    if track_digest:
+        # ivfpq_fit's residual sub-fit passes False: LAST_PQ_MD5 is the
+        # FLAT PQ digest bench.py compares to the pinned constants, and
+        # the residual fit would otherwise clobber it
+        global LAST_PQ_MD5
+        LAST_PQ_MD5 = _digest
     print(f"[pq_fit] codebooks md5={_digest} n={n_rows} m={m} k={k}", file=sys.stderr)
     return codes.localCheckpoint(eager=True), books
 
@@ -1767,5 +1782,141 @@ def maxsim_topk(
         .groupBy("parent_id")
         .agg(F.sum("__mm").alias("maxsim_micro"))
         .orderBy(F.col("maxsim_micro").desc(), F.col("parent_id").asc())
+        .limit(k)
+    )
+
+
+def ivfpq_fit(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    coarse_centroids,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+):
+    """X121 — IVFADC residual product quantization (Jégou et al. 2011,
+    §IV): the production composite ANN index. The coarse quantizer
+    (``kmeans_fit`` cells — the same frame IVF-flat probes) localizes a
+    vector; PQ codes encode the RESIDUAL ``v − c(v)`` instead of the
+    raw vector, which concentrates the code budget on the
+    within-cell variance (the part the coarse index doesn't already
+    know) — the standard reason IVF+PQ beats flat PQ at equal bytes.
+
+    Residuals are computed on the fixed-point grid — quantized vector
+    minus quantized centroid, exact int64 — and the sub-fits run
+    ``prequantized`` so no second rounding happens; everything stays
+    SQL-replayable. Returns ``(codes, books)`` like :func:`pq_fit`
+    (codes = ``(vec_id, code_0..m-1)``; cell membership stays in
+    ``assigned``).
+
+    Scale shape: the residual projection is one broadcast join of the
+    k×dim centroid matrix onto a narrow scan; the m sub-fits are the
+    measured :func:`pq_fit` concurrent-job pattern over slim int
+    arrays.
+    """
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (i, [int(x) for x in coarse_centroids[i]])
+            for i in range(len(coarse_centroids))
+        ],
+        "cell int, __c array<bigint>",
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    res = (
+        embeddings.select(F.col(id_col), q.alias("__q"))
+        .join(assigned.select(id_col, F.col("cluster").alias("cell")), id_col)
+        .join(F.broadcast(cent), "cell")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col("__q"), F.col("__c"), lambda a, b: a - b
+            ).alias("residual"),
+        )
+    )
+    return pq_fit(
+        res,
+        m=m,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col="residual",
+        scale=scale,
+        prequantized=True,
+        track_digest=False,
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    coarse_centroids,
+    codes: DataFrame,
+    codebooks,
+    probe_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """IVFADC search: rank cells by exact int64 squared distance from
+    the quantized probe (ties → lower cell), then ADC-score ONLY the
+    ``nprobe`` probed cells' vectors — each probed cell gets its own
+    distance table built from the probe's residual AGAINST THAT CELL
+    (the asymmetric part), all computed driver-side from the k×dim
+    matrices (m·k·nprobe integer ops). The scan touches ``m`` small
+    ints per vector in ~``nprobe/n_cells`` of the corpus — the IVF
+    pruning ON TOP of PQ's byte budget. Fully integer with the
+    ``(adc, id)`` tie-break → exact SQL replay. Returns
+    ``(vec_id, adc)``.
+    """
+    import numpy as np
+
+    rows = embeddings.filter(F.col(id_col) == probe_id).select(vec_col).collect()
+    if not rows:
+        raise ValueError(f"ivfpq_topk: probe {probe_id!r} not in embeddings")
+    qp = np.asarray(
+        [int(np.floor(float(x) * scale + 0.5)) for x in rows[0][0]], dtype=np.int64
+    )
+    Cc = np.asarray(coarse_centroids, dtype=np.int64)
+    celld = ((qp[None, :] - Cc) ** 2).sum(axis=1)
+    probed = sorted(range(len(Cc)), key=lambda c: (int(celld[c]), c))[:nprobe]
+    m = len(codebooks)
+    sub = len(qp) // m
+    # per-cell ADC expression: CASE over the nprobe probed cells, each
+    # summing m plan-literal 16-entry LUT lookups on its residual probe
+    score = None
+    for cell in probed:
+        rp = qp - Cc[cell]
+        cell_score = None
+        for j, B in enumerate(codebooks):
+            Bj = np.asarray(B, dtype=np.int64)
+            d = ((rp[j * sub : (j + 1) * sub][None, :] - Bj) ** 2).sum(axis=1)
+            lut = F.array(*[F.lit(int(x)).cast("long") for x in d])
+            term = F.element_at(lut, F.col(f"code_{j}") + 1)
+            cell_score = term if cell_score is None else cell_score + term
+        branch = F.when(F.col("cell") == cell, cell_score)
+        score = branch if score is None else score.when(
+            F.col("cell") == cell, cell_score
+        )
+    scan = codes.join(
+        assigned.filter(F.col("cluster").isin([int(c) for c in probed])).select(
+            id_col, F.col("cluster").alias("cell")
+        ),
+        id_col,
+    )
+    return (
+        scan.filter(F.col(id_col) != probe_id)
+        .select(F.col(id_col), score.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -1890,3 +1890,67 @@ def lexical_diversity(
             F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
         )
     )
+
+
+def classifier_auc(
+    documents: DataFrame,
+    label: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X122 — ROC-AUC of the hashed linear classifier score against a
+    binary label, via the EXACT Mann-Whitney rank statistic — the
+    threshold-free quality gate a pipeline reports before trusting a
+    model-based filter (a quality/domain classifier is only as good as
+    its ranking; precision@threshold hides miscalibration). Default
+    label: ``lang = 'en'`` (the classifier as a weak English detector
+    against the fixture's language column).
+
+    Exactness: AUC = U/(n⁺·n⁻) with tie-averaged ranks. Averaged ranks
+    introduce halves, so the statistic is computed as integer
+    ``2·R⁺`` — per tied-score group, positives contribute
+    ``p·(2·c_prev + n + 1)`` where ``c_prev`` is the cumulative count
+    of strictly-smaller scores (the tie group spans ranks
+    ``c_prev+1..c_prev+n``, averaging to ``(2·c_prev+n+1)/2``). Then
+    ``u2 = 2·R⁺ − n⁺(n⁺+1)`` and ``auc = u2 / (2·n⁺·n⁻)`` — everything
+    int64 until the one rounded division, so a SQL oracle replays it
+    bit-for-bit. Returns one row ``(n_pos, n_neg, u2, auc)``.
+
+    Scale shape: the data-sized work is ONE partial-aggregable groupBy
+    on the score (map-side combine); the rank window then runs over the
+    DISTINCT-SCORE frame (bounded by the score range, corpus-size-
+    independent) — the same aggregate-then-window reduction as the
+    funnel/report ops. No per-row window over the corpus.
+    """
+    if label is None:
+        label = F.col("lang") == "en"
+    scored = hashed_linear_score(documents, text_col=text_col).select(
+        id_col, "weight_sum", label.cast("long").alias("__pos")
+    )
+    from pyspark.sql.window import Window
+
+    g = scored.groupBy("weight_sum").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__pos").alias("__p")
+    )
+    w = Window.orderBy("weight_sum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g2 = g.select(
+        "*", (F.sum("__n").over(w) - F.col("__n")).alias("__cprev")
+    )
+    agg = g2.agg(
+        F.sum(
+            F.col("__p") * (2 * F.col("__cprev") + F.col("__n") + 1)
+        ).alias("__twoR"),
+        F.sum("__p").alias("__np"),
+        F.sum(F.col("__n") - F.col("__p")).alias("__nn"),
+    )
+    u2 = F.col("__twoR") - F.col("__np") * (F.col("__np") + 1)
+    return agg.select(
+        F.col("__np").cast("bigint").alias("n_pos"),
+        F.col("__nn").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        F.round(
+            u2 / (2.0 * F.col("__np") * F.col("__nn")), 6
+        ).alias("auc"),
+    )

@@ -403,3 +403,60 @@ def test_lsh_near_pairs_subset_of_exact_and_components_consistent(spark):
         for b in comp_lsh:
             if a < b and comp_lsh[a] == comp_lsh[b]:
                 assert comp_exact[a] == comp_exact[b]
+
+
+def test_ivfpq_topk_matches_numpy_adc_over_probed_cells(spark):
+    """X121 IVFADC: given the fitted coarse quantizer + residual
+    codebooks, a numpy replay of the search (integer cell ranking,
+    per-cell residual distance tables, ADC over probed cells only,
+    (adc, id) tie-break) must match exactly — pins the scan path
+    independently of the SQL-replayed fits."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, C = sim.kmeans_fit(emb, k=16, iters=5)
+    codes, books = sim.ivfpq_fit(emb, assigned, C, m=4, k=16, iters=4)
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in sim.ivfpq_topk(
+            emb, assigned, C, codes, books, probe_id=7, k=10, nprobe=4
+        ).collect()
+    ]
+
+    scale = 1 << 20
+    rows = emb.select("vec_id", "embedding").collect()
+    qv = {
+        r["vec_id"]: np.array(
+            [int(np.floor(float(x) * scale + 0.5)) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+    cell = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    code_rows = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+        for r in codes.collect()
+    }
+    Cc = np.asarray(C, dtype=np.int64)
+    qp = qv[7]
+    celld = ((qp[None, :] - Cc) ** 2).sum(axis=1)
+    probed = set(sorted(range(16), key=lambda c: (int(celld[c]), c))[:4])
+    sub = 16
+    luts = {}
+    for c in probed:
+        rp = qp - Cc[c]
+        luts[c] = [
+            ((rp[j * sub : (j + 1) * sub][None, :]
+              - np.asarray(books[j], dtype=np.int64)) ** 2).sum(axis=1)
+            for j in range(4)
+        ]
+    scores = []
+    for vid, cds in code_rows.items():
+        if vid == 7 or cell[vid] not in probed:
+            continue
+        adc = sum(int(luts[cell[vid]][j][cds[j]]) for j in range(4))
+        scores.append((adc, vid))
+    want = [(v, a) for a, v in sorted(scores)[:10]]
+    assert got == want
+    # every returned id lives in a probed cell by construction
+    assert all(cell[v] in probed for v, _ in got)

@@ -43,7 +43,8 @@ def test_one_hop_path(session):
 def test_entry_registry_oracle_consistency():
     # every oracle key must name a registered query (an orphan oracle
     # silently never runs in any harness), and the rows-only set must
-    # stay exactly the three documented SQL-inexpressible queries
+    # stay exactly the two documented SQL-inexpressible queries
+    # (docs_bpe_train joined the hash-checked set in r9)
     import importlib.util
     import os
 
@@ -55,7 +56,7 @@ def test_entry_registry_oracle_consistency():
     spec.loader.exec_module(m)
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q)
-    assert set(q) - set(o) == {"docs_bpe_train", "docs_compression", "emb_pca"}
+    assert set(q) - set(o) == {"docs_compression", "emb_pca"}
     # reset_memo must accept every registered name without KeyError
     for name in q:
         m.reset_memo(name)
