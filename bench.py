@@ -215,6 +215,11 @@ def build_output_lines(
             # per-sf {expected, got, refits, diverged} — present only
             # when a PQ fit happened this run (ADVICE r8 #4)
             "pq_fit": pq_fit,
+            # run provenance (VERDICT r8 ask #2): "floor" marks the
+            # per-round solo idle-box run, so cross-round comparisons
+            # can separate plan cost from box state in one read; the
+            # driver's own runs carry no tag
+            "tag": os.environ.get("SPARK_GRAFT_TAG"),
             "sf": sf,
         }
     )
