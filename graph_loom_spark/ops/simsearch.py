@@ -1841,18 +1841,29 @@ def ivfpq_fit(
                 F.col("__q"), F.col("__c"), lambda a, b: a - b
             ).alias("residual"),
         )
+        # materialize ONCE: each of the m concurrent sub-fits checkpoints
+        # its slice of this frame, so an unmaterialized plan re-runs the
+        # residual join m times (measured 14.0 s → the fit is the whole
+        # emb_ivfpq_topk bench line)
+        .localCheckpoint(eager=True)
     )
-    return pq_fit(
-        res,
-        m=m,
-        k=k,
-        iters=iters,
-        id_col=id_col,
-        vec_col="residual",
-        scale=scale,
-        prequantized=True,
-        track_digest=False,
-    )
+    try:
+        return pq_fit(
+            res,
+            m=m,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col="residual",
+            scale=scale,
+            prequantized=True,
+            track_digest=False,
+        )
+    finally:
+        try:  # the sub-fits hold their own checkpoints; free this one
+            res.unpersist()
+        except Exception:
+            pass
 
 
 def ivfpq_topk(
