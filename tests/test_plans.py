@@ -467,3 +467,49 @@ def test_cluster_quality_joins_stay_hash_or_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bq_topk_is_single_scan_take_ordered_no_exchange(spark):
+    """X119: the Hamming scan must stay one codegen'd projection into
+    TakeOrdered — no shuffle, no join anywhere in the plan."""
+    plan = _plan(spark, "emb_bq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_maxsim_broadcasts_probe_partial_aggs_take_ordered(spark):
+    """X120: probe vectors broadcast against one corpus scan; both
+    reductions are partial-aggregable (map-side combine before each
+    exchange); final top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, "emb_maxsim_topk")
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final, twice
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_scan_is_literal_lut_no_cartesian(spark):
+    """X121: the ADC scan joins only slim code/cell frames; LUTs are
+    plan literals (no LUT-table join), ranking is TakeOrdered."""
+    plan = _plan(spark, "emb_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_auc_partial_aggs_before_window(spark):
+    """X122: the only data-sized stage is the score groupBy with a
+    map-side partial; the rank window runs after aggregation."""
+    plan = _plan(spark, "docs_classifier_auc")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_near_pairs_joins_are_hash_equi_joins(spark):
+    """X116b: candidate generation and verify must be equi-joins (no
+    nested-loop fallback), with the pair dedup before the verify."""
+    plan = _plan(spark, "emb_dup_components_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1158,3 +1158,39 @@ def test_pack_efficiency_consistent_with_pack_sequences(spark):
         )
         want = float(Decimal(repr(want)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
         assert eff[sh]["fill_rate"] == want
+
+
+def test_classifier_auc_matches_numpy_mann_whitney(spark):
+    """X122 AUC vs a numpy tie-aware Mann-Whitney replay: ranks via
+    scipy-style average ranking computed by hand — same n_pos/n_neg/u2
+    and the same rounded AUC."""
+    import numpy as np
+
+    from graph_loom_spark.ops import text as ops_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = ops_text.classifier_auc(docs).collect()[0]
+
+    scored = ops_text.hashed_linear_score(docs).select(
+        "weight_sum", "lang"
+    ).collect()
+    ws = np.array([r["weight_sum"] for r in scored], dtype=np.int64)
+    pos = np.array([r["lang"] == "en" for r in scored])
+    order = np.argsort(ws, kind="stable")
+    ws_sorted, pos_sorted = ws[order], pos[order]
+    # tie-averaged ranks, carried as 2*rank to stay integer
+    two_ranks = np.empty(len(ws), dtype=np.int64)
+    i = 0
+    while i < len(ws_sorted):
+        j = i
+        while j < len(ws_sorted) and ws_sorted[j] == ws_sorted[i]:
+            j += 1
+        two_ranks[i:j] = (i + 1) + j  # 2*avg(i+1..j) = (i+1)+j
+        i = j
+    n_pos = int(pos.sum())
+    n_neg = len(ws) - n_pos
+    two_r_pos = int(two_ranks[pos_sorted].sum())
+    u2 = two_r_pos - n_pos * (n_pos + 1)
+    assert (row["n_pos"], row["n_neg"], row["u2"]) == (n_pos, n_neg, u2)
+    assert row["auc"] == round(u2 / (2 * n_pos * n_neg), 6)
+    assert 0.0 <= row["auc"] <= 1.0
