@@ -3,6 +3,9 @@ library's retrieval operators into the standard RAG-over-a-corpus shape:
 
     chunk → chunk-level BM25 (lexical lane)
     embed store → ANN index (IVF cells) → dense top-k (semantic lane)
+    → index selection as measurement (the five-tier recall scoreboard:
+      IVF / LSH / IVFADC / PQ / BQ), with the 1-bit BQ + exact-rescore
+      lane shown as the tight-memory swap-in
     → reciprocal-rank fusion of the two lanes
     → leakage-safe eval split of the corpus (so retrieval eval queries
       never hit near-duplicates of their own training docs)
@@ -51,6 +54,18 @@ def run_retrieval(spark, sf_dir: str, query_terms=None, probe_id: int = 7, k: in
         emb, assigned, cells, probe_id=probe_id, k=k, nprobe=4
     ).select(F.col("vec_id").alias("doc_id"), "cosine")
     info["dense_candidates"] = dense.count()
+
+    # 2b. index selection is a measurement, not a guess: the registry's
+    #    emb_index_eval scoreboard ranks all five tiers on recall@10
+    #    (this corpus: IVF 0.8 > LSH/IVFADC 0.5 > PQ 0.4 > BQ 0.2) —
+    #    at a tighter memory budget, swap the dense lane for the 1-bit
+    #    signatures + exact rescoring (bq_rerank_topk), or ivfpq_topk
+    #    for the FAISS-style IVFADC middle ground; the fusion below is
+    #    lane-agnostic. Report how much the cheap lane agrees:
+    bq = S.bq_rerank_topk(emb, probe_id=probe_id, k=k, candidates=50)
+    info["bq_rerank_overlap_with_ivf"] = (
+        bq.select("vec_id").join(dense.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi").count()
+    )
 
     # 3. fuse by rank (scores are incommensurable): integer RRF
     fused = T.rrf_fuse([(bm, "bm25"), (dense, "cosine")], k=k, c=60)

@@ -23,6 +23,8 @@ def test_retrieval_pipeline_end_to_end(spark):
     # both lanes produced candidates; a doc retrieved by both lanes (if
     # any) carries n_lists == 2
     assert info["bm25_candidates"] > 0 and info["dense_candidates"] > 0
+    # the tight-memory BQ+rescore lane runs and overlaps sanely
+    assert 0 <= info["bq_rerank_overlap_with_ivf"] <= 5
     assert all(r["n_lists"] in (1, 2) for r in rows)
     # split covers the corpus
     assert sum(info["split_sizes"].values()) == info["corpus_docs"]
