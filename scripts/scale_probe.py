@@ -108,6 +108,17 @@ def _profile(d) -> int:
     return ops_rel.profile_table(d).count()
 
 
+def _ivfpq(e) -> int:
+    # full IVFADC build + probe: coarse fit, residual PQ fit, ADC scan
+    from graph_loom_spark.ops import simsearch as ops_sim
+
+    assigned, C = ops_sim.kmeans_fit(e, k=16, iters=5)
+    codes, books = ops_sim.ivfpq_fit(e, assigned, C, m=4, k=16, iters=4)
+    return ops_sim.ivfpq_topk(
+        e, assigned, C, codes, books, probe_id=7, k=10, nprobe=4
+    ).count()
+
+
 def main() -> None:
     from graph_loom_spark.ops import dedup as ops_dedup
     from graph_loom_spark.ops import simsearch as ops_sim
@@ -150,6 +161,14 @@ def main() -> None:
             d, total_docs=max(1, d.count() // 20 + 1)
         ).count(),
         "profile": lambda d, e: _profile(d),
+        # r9 additions
+        "bq_topk": lambda d, e: ops_sim.bq_topk(e, probe_id=7).count(),
+        "maxsim": lambda d, e: ops_sim.maxsim_topk(e).count(),
+        "lsh_near_pairs": lambda d, e: ops_sim.lsh_near_pairs(
+            e, ops_sim.rp_lsh_buckets(e, dim=64), threshold=0.4
+        ).count(),
+        "ivfpq": lambda d, e: _ivfpq(e),
+        "classifier_auc": lambda d, e: ops_text.classifier_auc(d).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]
