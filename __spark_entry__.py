@@ -1265,6 +1265,17 @@ def _q_emb_bq_eval(spark, sf_dir):
     )
 
 
+def _q_emb_pca_power(spark, sf_dir):
+    """X123 — deterministic top-principal-component scores via
+    fixed-point power iteration: the hash-checkable counterpart to the
+    eigh-based emb_pca (rows-only). Exact int second-moment matrix
+    (Arrow partials summed as decimal), 100 driver-side iterations on
+    Python ints with DuckDB-matching trunc-division (the fixture's
+    0.93 eigen-gap needs ~100 steps to converge), int64 projection —
+    every step replays in SQL."""
+    return ops_sim.pca_power_scores(_t(spark, sf_dir, "embeddings"), iters=100)
+
+
 def _q_emb_maxsim_topk(spark, sf_dir):
     """X120 — multi-vector late-interaction retrieval (ColBERT MaxSim):
     vectors group into parent docs (vec_id div 8, the fixture stand-in
@@ -2176,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_maxsim_topk": _q_emb_maxsim_topk,
         "emb_dup_components_lsh": _q_emb_dup_components_lsh,
         "docs_classifier_auc": _q_docs_classifier_auc,
+        "emb_pca_power": _q_emb_pca_power,
         # -- r9: first round with a SQL oracle for the BPE trainer
         # -- (was rows-only no_oracle through r8) — needs its first
         # -- hash row
@@ -3581,6 +3593,48 @@ def _ivfpq_oracle(
         f"{dt_joins} "
         f"WHERE a0.vec_id != {probe}) "
         f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
+def _pca_power_oracle(
+    iters: int = 100, dim: int = 64, scale: int = 1 << 20
+) -> str:
+    """X123 — SQL replay of the fixed-point power iteration: the exact
+    integer second-moment matrix (HUGEINT sums of int64 products), then
+    ``iters`` unrolled iterations ``w = C·v``, ``v ← (w·scale) // max|w|``
+    in HUGEINT (DuckDB ``//`` truncates toward zero — the engine's
+    driver-side loop uses the matching trunc-div on Python ints), and
+    the final int64 projection. Every quantity exact, so the scores
+    hash-match bit-for-bit."""
+    qexpr = (
+        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(scale)} + 0.5) "
+        f"AS BIGINT) for i in generate_series(1, {dim})]"
+    )
+    parts = [
+        f"qv AS MATERIALIZED (SELECT vec_id, {qexpr} AS v FROM embeddings)",
+        "cov AS MATERIALIZED (SELECT a.i, b.j, "
+        "CAST(sum(q.v[a.i] * q.v[b.j]) AS HUGEINT) AS s "
+        f"FROM qv q, (SELECT unnest(generate_series(1, {dim})) AS i) a, "
+        f"(SELECT unnest(generate_series(1, {dim})) AS j) b GROUP BY a.i, b.j)",
+        f"vt0 AS (SELECT [CAST({scale} AS HUGEINT) "
+        f"for i in generate_series(1, {dim})] AS v)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT c.i, sum(c.s * vt{p}.v[c.j]) AS w "
+            f"FROM cov c, vt{p} GROUP BY c.i)"
+        )
+        parts.append(f"m{t} AS (SELECT max(abs(w)) AS m FROM w{t})")
+        parts.append(
+            f"vt{t} AS (SELECT list(CAST(w * {scale} // m AS HUGEINT) "
+            f"ORDER BY i) AS v FROM w{t}, m{t})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT q.vec_id, CAST(list_sum([q.v[i] * t.v[i] "
+        f"for i in generate_series(1, {dim})]) AS BIGINT) AS pc1 "
+        f"FROM qv q, vt{iters} t"
     )
 
 
@@ -5288,6 +5342,9 @@ def oracle_sql() -> dict[str, str]:
         # X121 IVFADC: coarse replay + residual sub-fits + per-cell ADC.
         "emb_ivfpq_topk": _ivfpq_oracle(),
         "emb_ivfpq_eval": _ivfpq_eval_oracle(),
+        # X123 fixed-point power-iteration PC1: exact moment matrix +
+        # HUGEINT iteration replay.
+        "emb_pca_power": _pca_power_oracle(),
         # PQ/ADC over m fixed-point subspace fits → full replay (generated).
         "emb_pq_topk": _pq_oracle(),
         "emb_pq_rerank": _pq_rerank_oracle(),

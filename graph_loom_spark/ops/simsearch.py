@@ -1931,3 +1931,102 @@ def ivfpq_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pca_power_scores(
+    embeddings: DataFrame,
+    iters: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """X123 — DETERMINISTIC top-principal-component scores via
+    fixed-point power iteration: the hash-checkable counterpart to
+    :func:`pca` (whose eigh solve is float-only and rows-only-checked).
+    The dominant direction of an embedding corpus is the
+    curation-relevant one — PC1 scores drive outlier pruning, dedup
+    blocking, and the "is this corpus collapsing to one axis?" ingest
+    check — and this variant makes that score bit-reproducible across
+    engines, partitionings and reruns.
+
+    Arithmetic contract (every step integer-exact):
+    - quantize to the standard ``floor(x·scale + 0.5)`` int64 grid;
+    - the UNCENTERED second-moment matrix ``C[i][j] = Σ_n q_n[i]·q_n[j]``
+      accumulates distributed via Arrow-batched int64 partial matrices,
+      summed exactly as DECIMAL(38,0) (a 100 TB corpus overflows int64:
+      2^40-bounded products × 2^30 rows; decimal keeps the sum exact
+      and associative);
+    - ``iters`` power iterations run DRIVER-SIDE on the collected 64×64
+      matrix with arbitrary-precision Python ints:
+      ``w = C·v``, then rescale ``v ← trunc(w·scale / max|w|)`` —
+      truncation toward zero, matching DuckDB's ``//``, so the SQL
+      oracle replays every iteration with HUGEINT arithmetic;
+    - output ``(vec_id, pc1)`` = exact int64 dot of each quantized
+      vector with the final fixed-point direction (|pc1| ≤ 64·scale²).
+
+    Scale shape: one narrow scan for the moment matrix (the only
+    data-sized stage — dim² ints per BATCH, not per row, cross the
+    wire), k·dim² driver flops for the iterations (same footprint as
+    collecting k-means centroids), one codegen'd projection for the
+    scores. Sign is pinned by the all-ones start vector, not RNG.
+    The default ``iters=100`` covers slow convergence on near-isotropic
+    corpora (rate (λ₂/λ₁)^t — the fixture's gap is 0.93, so 8
+    iterations leave PC1 at cos 0.33 vs eigh while 100 reach ~1e-3);
+    each iteration is dim² driver flops and three 64-row oracle CTEs,
+    so the unroll is cheap on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    head = embeddings.select(vec_col).head()
+    if head is None:
+        raise ValueError("pca_power_scores: empty embeddings")
+    dim = len(head[0])
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qdf = spread(embeddings.select(F.col(id_col), q.alias("__q")))
+
+    def _partials(batches):
+        for pdf in batches:
+            M = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+            if M.size == 0:
+                continue
+            C = M.T @ M  # (dim, dim) exact int64 within batch bounds
+            ii, jj = np.indices(C.shape)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": C.ravel()}
+            )
+
+    cov_rows = (
+        qdf.select("__q")
+        .mapInPandas(_partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    C = [[0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        C[r["i"]][r["j"]] = int(r["s"])
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncation toward zero — DuckDB's integer // semantics
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [scale] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_tdiv(x * scale, m) for x in w]
+
+    proj = None
+    for i in range(dim):
+        term = F.element_at(F.col("__q"), i + 1) * F.lit(int(v[i]))
+        proj = term if proj is None else proj + term
+    return qdf.select(F.col(id_col), proj.alias("pc1"))

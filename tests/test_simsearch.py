@@ -460,3 +460,36 @@ def test_ivfpq_topk_matches_numpy_adc_over_probed_cells(spark):
     assert got == want
     # every returned id lives in a probed cell by construction
     assert all(cell[v] in probed for v, _ in got)
+
+
+def test_pca_power_scores_correlate_with_numpy_pc1(spark):
+    """X123: the fixed-point power-iteration PC1 scores must be (up to
+    sign and scale) the real first principal direction — |Pearson r|
+    vs numpy's uncentered-moment eigenvector projection >= 0.999 —
+    and exactly reproducible across two independent fits."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sim.pca_power_scores(emb, iters=100).collect()
+    got = {r["vec_id"]: r["pc1"] for r in rows}
+    again = {
+        r["vec_id"]: r["pc1"]
+        for r in sim.pca_power_scores(emb, iters=100).collect()
+    }
+    assert got == again  # bit-reproducible across fits
+
+    data = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in data]
+    Q = np.array(
+        [
+            [int(np.floor(float(x) * (1 << 20) + 0.5)) for x in r["embedding"]]
+            for r in data
+        ],
+        dtype=np.float64,
+    )
+    C = Q.T @ Q
+    vals, vecs = np.linalg.eigh(C)
+    pc1 = Q @ vecs[:, -1]
+    mine = np.array([got[i] for i in ids], dtype=np.float64)
+    r = np.corrcoef(mine, pc1)[0, 1]
+    assert abs(r) >= 0.999, r
