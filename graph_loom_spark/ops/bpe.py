@@ -212,3 +212,56 @@ def bpe_encode_stats(
     return documents.select(id_col, text_col).mapInPandas(
         _encode, f"{id_col} long, n_bpe_tokens long"
     )
+
+
+def bpe_token_counts(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X124 — per-document token counts under a TRAINED merge list,
+    amortized over the distinct-word table: encode each distinct word
+    ONCE (the merges apply in rank order — the standard greedy encode),
+    then join the per-word symbol counts back onto per-doc word
+    occurrences. This is the scale shape of tokenizer application: a
+    100 TB corpus has millions of distinct words, not billions, so the
+    Arrow-batched encode touches the vocabulary while the data-sized
+    stages are one explode→groupBy and one narrow join keyed on the
+    word string. Returns ``(doc_id, n_bpe_tokens)`` — exact integers,
+    replayed by the SQL oracle via the same doubled-separator
+    ``replace()`` rewrites the trainer's oracle uses.
+
+    Contrast :func:`bpe_encode_stats`, which re-encodes every word
+    occurrence inline (fine for a probe, quadratic waste on repeated
+    words at corpus scale); both produce identical counts (pytest).
+    """
+    import pandas as pd
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    occ = (
+        documents.select(F.col(id_col), F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vocab = occ.select("__w").distinct()
+
+    def _encode(batches):
+        for pdf in batches:
+            ns = []
+            for w in pdf["__w"]:
+                sym = list(w) + [EOW]
+                for l, r in merges:
+                    sym = _py_apply_merge(sym, l, r, l + r)
+                ns.append(len(sym))
+            yield pd.DataFrame({"__w": pdf["__w"], "__n": ns})
+
+    enc = vocab.mapInPandas(_encode, "__w string, __n long")
+    return (
+        occ.join(enc, "__w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__n")).alias("n_bpe_tokens"))
+    )

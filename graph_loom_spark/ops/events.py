@@ -413,3 +413,37 @@ def user_extreme_events(events: DataFrame, k: int = 1) -> DataFrame:
         .filter(F.col("__rk") <= k)
         .select("user_id", "event_id", "value", F.col("__z").alias("z"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """X125 — first-order behavior model: the event-type transition
+    matrix ``(from_type, to_type, n, prob)`` over per-user event
+    streams — the Markov generalization of a fixed funnel (which paths
+    do users actually take, with what probability?). ``to_type`` is the
+    NEXT event in the user's stream ordered by ``(ts, event_id)`` —
+    the id tie-break makes equal-timestamp orderings deterministic, so
+    the SQL oracle's ``lead()`` replays them exactly. ``prob`` is the
+    row-normalized integer ratio rounded to 6.
+
+    Scale shape: one keyed window (partition by user — the same
+    shuffle :func:`sessionize` pays, nothing global) feeding one
+    partial-aggregable groupBy on the ``(from, to)`` pair; the
+    normalization joins the |types|-row marginals back broadcast."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
+        )
+    )

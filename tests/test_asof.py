@@ -130,3 +130,37 @@ def test_attribution_summary_matches_python_replay(spark):
     assert got["attribution_rate"] == round(n_attr / n, 6)
     assert got["sum_lag_us"] == lag
     assert got["attributed_value_cents"] == cents
+
+
+def test_event_transitions_matches_python_replay(spark):
+    """X125: transition counts and row-normalized probs vs a pure-Python
+    replay over the same (ts, event_id)-ordered per-user streams."""
+    from collections import Counter, defaultdict
+
+    from graph_loom_spark.ops import events as E
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in E.event_transitions(ev).collect()
+    }
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    byu = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    n = Counter()
+    for seq in byu.values():
+        seq.sort(key=lambda t: (t[0], t[1]))
+        for a, b in zip(seq, seq[1:]):
+            n[(a[2], b[2])] += 1
+    tot = Counter()
+    for (f, _t2), c in n.items():
+        tot[f] += c
+    want = {k: (c, round(c / tot[k[0]], 6)) for k, c in n.items()}
+    assert got == want
+    # probabilities row-normalize
+    from collections import defaultdict as dd
+    sums = dd(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())

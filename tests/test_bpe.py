@@ -112,3 +112,27 @@ def test_bpe_train_batched_matches_batched_reference(spark):
     ]
     assert got == want
     assert len(got) == 16
+
+
+def test_bpe_token_counts_matches_inline_encode(spark):
+    """X124: the distinct-word-amortized encode must produce counts
+    identical to the per-occurrence inline encode (bpe_encode_stats)
+    under the same learned merge list."""
+    from graph_loom_spark.ops import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [
+        (r["left"], r["right"])
+        for r in B.bpe_train(docs, num_merges=12, batch_size=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    fast = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(docs, merges).collect()
+    }
+    slow = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_encode_stats(docs, merges).collect()
+    }
+    assert fast == slow
