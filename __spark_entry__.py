@@ -1083,6 +1083,15 @@ def _q_docs_classifier_auc(spark, sf_dir):
     return ops_text.classifier_auc(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_classifier_calibration(spark, sf_dir):
+    """X126 — reliability table: 10 equal-frequency score bands with
+    per-band positive rate and mean score (AUC's companion — ranking
+    vs thresholdability). Bands assigned per distinct score as
+    floor(10·c_prev/N), deterministic under ties; same
+    aggregate-then-window shape as the AUC."""
+    return ops_text.classifier_calibration(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_profile(spark, sf_dir):
     """Per-column data-quality profile of the documents table (nulls,
     exact distincts, native-type min/max rendered as strings) — ONE
@@ -2229,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_maxsim_topk": _q_emb_maxsim_topk,
         "emb_dup_components_lsh": _q_emb_dup_components_lsh,
         "docs_classifier_auc": _q_docs_classifier_auc,
+        "docs_classifier_calibration": _q_docs_classifier_calibration,
         "emb_pca_power": _q_emb_pca_power,
         # encode before train: X124 memoizes its own merge list, the
         # train entry stays an honest independent compute
@@ -4660,6 +4670,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(twoR - np * (np + 1) AS BIGINT) AS u2, "
             "round(CAST(twoR - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) "
             "AS auc FROM a"
+        ),
+        # X126 reliability bins: same score replay; band per distinct
+        # score = floor(10*cprev/N), integer counts, two rounded ratios.
+        "docs_classifier_calibration": (
+            "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, lang, list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) "
+            "ELSE [] END) AS feats FROM t), "
+            "s AS (SELECT CAST(list_sum(list_transform(feats, x -> "
+            "(CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001) - 1000"
+            ")) AS BIGINT) AS ws, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM f), "
+            "g AS (SELECT ws, count(*) AS n, sum(pos) AS p FROM s GROUP BY ws), "
+            "g2 AS (SELECT *, sum(n) OVER (ORDER BY ws ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cprev, "
+            "sum(n) OVER () AS tot FROM g) "
+            "SELECT CAST(floor(10 * cprev / tot) AS BIGINT) AS bin, "
+            "CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos, "
+            "round(CAST(sum(p) AS DOUBLE) / sum(n), 6) AS pos_rate, "
+            "round(CAST(sum(ws * n) AS DOUBLE) / sum(n), 6) AS avg_score "
+            "FROM g2 GROUP BY 1 ORDER BY 1"
         ),
         # Lexical diversity: grouping on token STRINGS (engine) vs the
         # same strings here — xxhash64 keying changes nothing barring

@@ -1954,3 +1954,67 @@ def classifier_auc(
             u2 / (2.0 * F.col("__np") * F.col("__nn")), 6
         ).alias("auc"),
     )
+
+
+def classifier_calibration(
+    documents: DataFrame,
+    label: Column | None = None,
+    bins: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """X126 — reliability table for the hashed linear classifier: split
+    the corpus into ``bins`` equal-frequency score bands and report per
+    band ``(bin, n, n_pos, pos_rate, avg_score)`` — the companion to
+    :func:`classifier_auc` (AUC says the RANKING is good; calibration
+    says whether the score MAGNITUDE can be thresholded). Bands are
+    assigned per DISTINCT score as ``floor(bins·c_prev/N)`` where
+    ``c_prev`` counts strictly-smaller scores — deterministic under
+    ties (a tied score group lands wholly in one band), all-integer
+    until the two rounded ratios, so the SQL oracle replays it
+    bit-for-bit.
+
+    Scale shape: identical to :func:`classifier_auc` — one
+    partial-aggregable groupBy on the score is the only data-sized
+    stage; the band window runs over the distinct-score frame.
+    """
+    if label is None:
+        label = F.col("lang") == "en"
+    scored = hashed_linear_score(documents, text_col=text_col).select(
+        "weight_sum", label.cast("long").alias("__pos")
+    )
+    from pyspark.sql.window import Window
+
+    g = scored.groupBy("weight_sum").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__pos").alias("__p"),
+    )
+    w = Window.orderBy("weight_sum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g2 = g.select(
+        "*",
+        (F.sum("__n").over(w) - F.col("__n")).alias("__cprev"),
+        F.sum("__n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__tot"),
+    )
+    b = g2.select(
+        F.floor(F.lit(bins) * F.col("__cprev") / F.col("__tot"))
+        .cast("bigint")
+        .alias("bin"),
+        "__n",
+        "__p",
+        (F.col("weight_sum") * F.col("__n")).alias("__ws"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.sum("__p").cast("bigint").alias("n_pos"),
+            F.round(F.sum("__p") / F.sum("__n"), 6).alias("pos_rate"),
+            F.round(F.sum("__ws") / F.sum("__n"), 6).alias("avg_score"),
+        )
+        .orderBy("bin")
+    )

@@ -1194,3 +1194,37 @@ def test_classifier_auc_matches_numpy_mann_whitney(spark):
     assert (row["n_pos"], row["n_neg"], row["u2"]) == (n_pos, n_neg, u2)
     assert row["auc"] == round(u2 / (2 * n_pos * n_neg), 6)
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_classifier_calibration_bins_partition_corpus(spark):
+    """X126: bands partition the corpus exactly (Σn = corpus size,
+    Σn_pos = total positives), bins are equal-frequency up to score
+    ties, and per-band stats replay in pure Python."""
+    from collections import Counter
+
+    from graph_loom_spark.ops import text as ops_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ops_text.classifier_calibration(docs).collect()
+    got = {r["bin"]: (r["n"], r["n_pos"], r["pos_rate"], r["avg_score"]) for r in rows}
+
+    scored = ops_text.hashed_linear_score(docs).select("weight_sum", "lang").collect()
+    data = sorted((r["weight_sum"], r["lang"] == "en") for r in scored)
+    N = len(data)
+    cprev = {}
+    cnt = Counter(ws for ws, _ in data)
+    run = 0
+    for ws in sorted(cnt):
+        cprev[ws] = run
+        run += cnt[ws]
+    agg = {}
+    for ws, pos in data:
+        b = 10 * cprev[ws] // N
+        n, p, s = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, p + int(pos), s + ws)
+    want = {
+        b: (n, p, round(p / n, 6), round(s / n, 6))
+        for b, (n, p, s) in agg.items()
+    }
+    assert got == want
+    assert sum(n for n, *_ in got.values()) == N
