@@ -1924,7 +1924,10 @@ def classifier_auc(
     """
     if label is None:
         label = F.col("lang") == "en"
-    scored = hashed_linear_score(documents, text_col=text_col).select(
+    # spread() first: the md5-per-feature scoring is the heavy
+    # projection, and a narrow parquet scan would serialize it into one
+    # or two tasks (measured 5.5 s -> 1.2 s at sf0.1)
+    scored = hashed_linear_score(spread(documents), text_col=text_col).select(
         id_col, "weight_sum", label.cast("long").alias("__pos")
     )
     from pyspark.sql.window import Window
@@ -1979,27 +1982,33 @@ def classifier_calibration(
     """
     if label is None:
         label = F.col("lang") == "en"
-    scored = hashed_linear_score(documents, text_col=text_col).select(
+    # spread() for the same reason as classifier_auc: don't serialize
+    # the md5 scoring into a narrow scan's task count
+    scored = hashed_linear_score(spread(documents), text_col=text_col).select(
         "weight_sum", label.cast("long").alias("__pos")
     )
     from pyspark.sql.window import Window
 
-    g = scored.groupBy("weight_sum").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__pos").alias("__p"),
+    # materialize the distinct-score frame ONCE (it is score-range-
+    # bounded — ~|scores| rows, never corpus-sized): both the band
+    # window and the 1-row total read the checkpoint, instead of the
+    # md5-per-feature scoring scan running twice (measured 4.9 s → the
+    # AUC-comparable single-scan cost)
+    g = (
+        scored.groupBy("weight_sum")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__pos").alias("__p"),
+        )
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("weight_sum").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    tot = g.agg(F.sum("__n").alias("__tot"))
     g2 = g.select(
-        "*",
-        (F.sum("__n").over(w) - F.col("__n")).alias("__cprev"),
-        F.sum("__n").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("__tot"),
-    )
+        "*", (F.sum("__n").over(w) - F.col("__n")).alias("__cprev")
+    ).crossJoin(F.broadcast(tot))
     b = g2.select(
         F.floor(F.lit(bins) * F.col("__cprev") / F.col("__tot"))
         .cast("bigint")
