@@ -3347,8 +3347,9 @@ def _bpe_encode_oracle(
     )
     return (
         "WITH RECURSIVE " + ", ".join(parts)
-        + " SELECT doc_id, CAST(sum(c * n) AS BIGINT) AS n_bpe_tokens "
-        "FROM dw JOIN vn USING (w) GROUP BY doc_id"
+        + " SELECT d.doc_id, CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_bpe_tokens "
+        f"FROM {table} d LEFT JOIN (SELECT doc_id, sum(c * n) AS n_tok "
+        "FROM dw JOIN vn USING (w) GROUP BY doc_id) s USING (doc_id)"
     )
 
 

@@ -219,8 +219,14 @@ def read_media_dir(
         root = os.path.abspath(root)
     root_part = root.split("://", 1)[-1]
     root_part = root_part.removeprefix("file:")
+    # safe set = Java URI path encoding's literal characters (RFC 2396
+    # pchar marks + "&=+$," — java.net.URI / Hadoop Path leave these
+    # unencoded in paths), so the quoted candidate matches Spark's
+    # reported spelling even for roots mixing e.g. '+' with a space:
+    # quote()'s default would percent-encode '+' and match neither
+    # spelling (ADVICE r9)
     candidates = dict.fromkeys(
-        [root_part, urllib.parse.quote(root_part, safe="/:")]
+        [root_part, urllib.parse.quote(root_part, safe="/:@&=+$,!~*'()-_.")]
     )
     rel = F.coalesce(
         *[

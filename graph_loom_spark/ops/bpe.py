@@ -219,6 +219,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab_max: int = 5_000_000,
 ) -> DataFrame:
     """X124 — per-document token counts under a TRAINED merge list,
     amortized over the distinct-word table: encode each distinct word
@@ -234,20 +235,41 @@ def bpe_token_counts(
 
     Contrast :func:`bpe_encode_stats`, which re-encodes every word
     occurrence inline (fine for a probe, quadratic waste on repeated
-    words at corpus scale); both produce identical counts (pytest).
+    words at corpus scale); both produce identical counts (pytest),
+    including ``n_bpe_tokens = 0`` for empty/whitespace-only documents:
+    an empty text normalizes to the single token ``""`` which is KEPT
+    as an occurrence marker (excluded from the vocab, left-join →
+    ``coalesce(n, 0)``), so every document id survives to the output
+    without a second corpus-sized join back onto ``documents``.
+
+    Skew: the occurrences→encoded-vocab join keys on the raw word
+    string, and word frequency is zipfian ("the" lands every doc's
+    row in one partition). The encoded vocab is |vocab| rows of
+    (word, int), so when its count fits ``broadcast_vocab_max``
+    (the same measured 5M gate the iterative graph ops use) the join
+    is broadcast — no shuffle on the skewed key at all; above the
+    gate it falls back to a sort-merge join where AQE's skew split
+    applies (the occurrence side is already per-(doc, word) counts,
+    so one key's rows are bounded by |docs|, not token count).
     """
     import pandas as pd
 
+    # coalesce: a NULL text must behave like "" (n_bpe_tokens = 0, row
+    # kept), matching bpe_encode_stats' `(t or "")`
     toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+        ),
+        " ",
     )
+    # the "" token (empty/whitespace-only doc) is deliberately KEPT in
+    # occ — it is that doc's only row and carries its id to the output
     occ = (
         documents.select(F.col(id_col), F.explode(toks).alias("__w"))
-        .filter(F.col("__w") != "")
         .groupBy(id_col, "__w")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    vocab = occ.select("__w").distinct()
+    vocab = occ.select("__w").filter(F.col("__w") != "").distinct()
 
     def _encode(batches):
         for pdf in batches:
@@ -260,8 +282,17 @@ def bpe_token_counts(
             yield pd.DataFrame({"__w": pdf["__w"], "__n": ns})
 
     enc = vocab.mapInPandas(_encode, "__w string, __n long")
+    # Gate on the JVM-side distinct count, not enc.count(): counting
+    # enc would run the Python encode twice (once to count, once in
+    # the join); vocab.count() is the same number for free.
+    if vocab.count() <= broadcast_vocab_max:
+        enc = F.broadcast(enc)
     return (
-        occ.join(enc, "__w")
+        occ.join(enc, "__w", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("__c") * F.col("__n")).alias("n_bpe_tokens"))
+        .agg(
+            F.sum(F.col("__c") * F.coalesce(F.col("__n"), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens")
+        )
     )

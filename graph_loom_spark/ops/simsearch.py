@@ -1588,7 +1588,12 @@ def lsh_near_pairs(
     one dot product; the verify joins key on the two id columns
     (co-shuffled narrow int keys). The cosine arithmetic (raw-vector
     dot ÷ norm product, round 4) is kept bit-identical to the blocked
-    path and the DuckDB oracle."""
+    path and the DuckDB oracle. Zero-norm vectors are excluded before
+    the verify join, mirroring :func:`cosine_near_pairs_blocked` —
+    in Spark ``0.0/0.0`` is NaN and ``NaN >= threshold`` is TRUE, so
+    an unfiltered zero vector would be linked into every colliding
+    bucket's dup component (DuckDB yields NULL and drops the pair —
+    an engine/oracle divergence as well as a false positive)."""
     ids = index.select(F.col(id_col), "table", "bucket")
     cand = (
         ids.select(F.col(id_col).alias("id_a"), "table", "bucket")
@@ -1602,7 +1607,7 @@ def lsh_near_pairs(
     )
     normed = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
-    )
+    ).filter(F.col("__n") > 0)
     a = normed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__a"),
@@ -1680,7 +1685,10 @@ def bq_topk(
     if sigs is None:
         sigs = bq_signatures(embeddings, dim, id_col=id_col, vec_col=vec_col)
     words = (dim + 31) // 32
-    probe = sigs.filter(F.col(id_col) == probe_id).collect()[0]
+    rows = sigs.filter(F.col(id_col) == probe_id).collect()
+    if not rows:
+        raise ValueError(f"bq_topk: probe {probe_id!r} not in embeddings")
+    probe = rows[0]
     ham = None
     for w in range(words):
         term = F.bit_count(
@@ -1709,7 +1717,12 @@ def bq_rerank_topk(
     (:func:`bq_topk` — the memory-bounded scan), then exact cosine
     rescoring of only those vectors with the ``(cosine DESC, id)``
     tie-break — the standard rescoring pattern that recovers most of
-    the recall binary codes lose. Returns ``(vec_id, cosine)``."""
+    the recall binary codes lose. Returns ``(vec_id, cosine)``.
+    Zero-norm candidates are excluded from the rescore (mirroring
+    :func:`maxsim_topk`): their cosine is NaN in Spark, which sorts
+    FIRST under ``ORDER BY DESC`` — a zero vector would otherwise
+    displace a real neighbor from the top-k, while DuckDB's NULL
+    sorts last."""
     cand = bq_topk(
         embeddings,
         probe_id,
@@ -1726,7 +1739,8 @@ def bq_rerank_topk(
         _norm(F.col(vec_col)) * _norm(F.col("__p"))
     )
     return (
-        embeddings.join(F.broadcast(cand), id_col)
+        embeddings.filter(_norm(F.col(vec_col)) > 0)
+        .join(F.broadcast(cand), id_col)
         .crossJoin(F.broadcast(probe_vec))
         .select(F.col(id_col), F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

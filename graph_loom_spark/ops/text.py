@@ -1892,6 +1892,65 @@ def lexical_diversity(
     )
 
 
+def _grouped_cprev(
+    g: DataFrame,
+    score_col: str = "weight_sum",
+    n_col: str = "__n",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exclusive prefix-sum of ``n_col`` in ``score_col`` order over a
+    grouped-by-distinct-score frame, WITHOUT a single-partition window
+    — the same two-phase range-bucket construction as
+    :func:`token_budget_select` (X82), generalized to return the
+    cumulative for EVERY row instead of locating one boundary bucket:
+
+    1. integer range-bucket the score domain (monotone: a smaller
+       score never lands in a larger bucket; equal scores co-bucket),
+       take per-bucket ``sum(n)`` — one partial-aggregable shuffle to
+       ≤ ``n_buckets`` rows, collected driver-side (bounded by
+       ``n_buckets``, never data-sized);
+    2. broadcast the exclusive per-bucket offsets back and run the
+       exact running-sum window PARTITIONED BY bucket — each task
+       sorts ~|distinct scores|/n_buckets rows, so no stage
+       serializes the frame through one task at any scale.
+
+    Adds ``__cprev`` (count of strictly-smaller scores, int64) and
+    preserves all other columns. Scores must be integers.
+    """
+    from pyspark.sql.window import Window
+
+    rng = g.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).first()
+    if rng["lo"] is None:
+        return g.select("*", F.lit(0).cast("long").alias("__cprev"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = hi - lo + 1
+    nb = min(int(n_buckets), span)
+    # integer div, not double /: (s−lo)·nb can pass 2^53 (see X82)
+    bexpr = F.expr(f"(({score_col} - {lo}L) * {nb}L) div {span}L")
+    sums = g.groupBy(bexpr.alias("__b")).agg(F.sum(n_col).alias("__t")).collect()
+    cum, offsets = 0, []
+    for b, t in sorted((int(r["__b"]), int(r["__t"])) for r in sums):
+        offsets.append((b, cum))
+        cum += t
+    off = F.broadcast(
+        g.sparkSession.createDataFrame(offsets, "__b long, __off long")
+    )
+    w = Window.partitionBy("__b").orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("__b", bexpr)
+        .join(off, "__b")
+        .withColumn(
+            "__cprev",
+            F.sum(n_col).over(w) - F.col(n_col) + F.col("__off"),
+        )
+        .drop("__b", "__off")
+    )
+
+
 def classifier_auc(
     documents: DataFrame,
     label: Column | None = None,
@@ -1917,10 +1976,12 @@ def classifier_auc(
     bit-for-bit. Returns one row ``(n_pos, n_neg, u2, auc)``.
 
     Scale shape: the data-sized work is ONE partial-aggregable groupBy
-    on the score (map-side combine); the rank window then runs over the
-    DISTINCT-SCORE frame (bounded by the score range, corpus-size-
-    independent) — the same aggregate-then-window reduction as the
-    funnel/report ops. No per-row window over the corpus.
+    on the score (map-side combine); the rank cumulative then runs
+    over the DISTINCT-SCORE frame (bounded by the score range, corpus-
+    size-independent) via :func:`_grouped_cprev`'s range-bucketed
+    two-phase prefix-sum — no single-partition window anywhere (the
+    distinct-score frame is range-bounded, but with long documents
+    that range reaches ~10⁷–10⁸, too much for one sort task at 100×).
     """
     if label is None:
         label = F.col("lang") == "en"
@@ -1930,17 +1991,15 @@ def classifier_auc(
     scored = hashed_linear_score(spread(documents), text_col=text_col).select(
         id_col, "weight_sum", label.cast("long").alias("__pos")
     )
-    from pyspark.sql.window import Window
-
-    g = scored.groupBy("weight_sum").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__pos").alias("__p")
+    # materialize the distinct-score frame once — _grouped_cprev scans
+    # it three times (range agg, bucket sums, final join) and each scan
+    # would otherwise re-run the md5-per-feature scoring
+    g = (
+        scored.groupBy("weight_sum")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__pos").alias("__p"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("weight_sum").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    g2 = g.select(
-        "*", (F.sum("__n").over(w) - F.col("__n")).alias("__cprev")
-    )
+    g2 = _grouped_cprev(g)
     agg = g2.agg(
         F.sum(
             F.col("__p") * (2 * F.col("__cprev") + F.col("__n") + 1)
@@ -1978,7 +2037,10 @@ def classifier_calibration(
 
     Scale shape: identical to :func:`classifier_auc` — one
     partial-aggregable groupBy on the score is the only data-sized
-    stage; the band window runs over the distinct-score frame.
+    stage; the band cumulative runs over the distinct-score frame via
+    :func:`_grouped_cprev`'s range-bucketed two-phase prefix-sum, so
+    no single-partition window remains even when the score range is
+    ~10⁷–10⁸ distinct values.
     """
     if label is None:
         label = F.col("lang") == "en"
@@ -1987,13 +2049,11 @@ def classifier_calibration(
     scored = hashed_linear_score(spread(documents), text_col=text_col).select(
         "weight_sum", label.cast("long").alias("__pos")
     )
-    from pyspark.sql.window import Window
-
     # materialize the distinct-score frame ONCE (it is score-range-
-    # bounded — ~|scores| rows, never corpus-sized): both the band
-    # window and the 1-row total read the checkpoint, instead of the
-    # md5-per-feature scoring scan running twice (measured 4.9 s → the
-    # AUC-comparable single-scan cost)
+    # bounded — ~|scores| rows, never corpus-sized): the prefix-sum's
+    # three scans and the 1-row total all read the checkpoint, instead
+    # of the md5-per-feature scoring scan running each time (measured
+    # 4.9 s → the AUC-comparable single-scan cost)
     g = (
         scored.groupBy("weight_sum")
         .agg(
@@ -2002,13 +2062,8 @@ def classifier_calibration(
         )
         .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("weight_sum").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     tot = g.agg(F.sum("__n").alias("__tot"))
-    g2 = g.select(
-        "*", (F.sum("__n").over(w) - F.col("__n")).alias("__cprev")
-    ).crossJoin(F.broadcast(tot))
+    g2 = _grouped_cprev(g).crossJoin(F.broadcast(tot))
     b = g2.select(
         F.floor(F.lit(bins) * F.col("__cprev") / F.col("__tot"))
         .cast("bigint")

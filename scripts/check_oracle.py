@@ -1,10 +1,22 @@
 """Local stand-in for the driver's t2 correctness gate: run every
 queries() entry AND its oracle_sql() on the same sf dir, compare
-row-count + column names + order-insensitive exact values."""
+row-count + column names + order-insensitive exact values.
+
+Usage:
+    python scripts/check_oracle.py [SF_DIR] [name1,name2,...] [--json OUT]
+
+With ``--json OUT`` the per-entry results (status hash_pass/rows_only/
+fail + wall seconds) are written as a replay artifact — the per-round
+full-registry sweep (``assets/oracle_replay_rN.json``) that closes the
+driver's 50-entry rotation blind spot (r9 verdict #1): every registry
+entry is re-verified against its oracle each round, independent of the
+driver's window position.
+"""
 
 from __future__ import annotations
 
 import importlib.util
+import json
 import math
 import sys
 import time
@@ -15,8 +27,14 @@ sys.path.insert(0, "/root/repo")
 from graph_loom_spark.io.tpch_graph import TABLES  # noqa: E402
 from graph_loom_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+argv = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in argv:
+    i = argv.index("--json")
+    JSON_OUT = argv[i + 1]
+    del argv[i : i + 2]
+SF_DIR = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+ONLY = argv[1].split(",") if len(argv) > 1 else None
 
 
 def norm_rows(cols, rows):
@@ -46,6 +64,7 @@ def main():
 
     qs, oracles = m.queries(), m.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -56,10 +75,18 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {
+                "status": "fail", "rows": None,
+                "err": f"spark: {e}"[:300], "sec": round(time.time() - t0, 2),
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "rows_only", "rows": len(srows),
+                "err": None, "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -67,6 +94,10 @@ def main():
             drows = [tuple(r) for r in res.fetchall()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {
+                "status": "fail", "rows": len(srows),
+                "err": f"duckdb: {e}"[:300], "sec": round(time.time() - t0, 2),
+            }
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
@@ -97,8 +128,26 @@ def main():
         status = "PASS " if ok else "FAIL "
         n_pass += ok
         n_fail += not ok
+        results[name] = {
+            "status": "hash_pass" if ok else "fail",
+            "rows": len(sr),
+            "err": "; ".join(msgs[:3]) or None if not ok else None,
+            "sec": round(time.time() - t0, 2),
+        }
         print(f"{status}{name}: {len(sr)} rows [{time.time()-t0:.1f}s] {'; '.join(msgs[:3])}")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if JSON_OUT:
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_entries": len(results),
+            "n_hash_pass": sum(r["status"] == "hash_pass" for r in results.values()),
+            "n_rows_only": sum(r["status"] == "rows_only" for r in results.values()),
+            "n_fail": sum(r["status"] == "fail" for r in results.values()),
+            "entries": results,
+        }
+        with open(JSON_OUT, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {JSON_OUT}")
 
 
 if __name__ == "__main__":

@@ -136,3 +136,27 @@ def test_bpe_token_counts_matches_inline_encode(spark):
         for r in B.bpe_encode_stats(docs, merges).collect()
     }
     assert fast == slow
+
+
+def test_bpe_token_counts_empty_doc_emits_zero(spark):
+    """(ADVICE r9) A document whose text tokenizes to zero words must
+    appear with n_bpe_tokens=0 — identical to bpe_encode_stats — not be
+    dropped by the occurrence inner join."""
+    from graph_loom_spark.ops import bpe as B
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, ""), (2, "   "), (3, "newer new"), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    fast = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(docs, merges).collect()
+    }
+    slow = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_encode_stats(docs, merges).collect()
+    }
+    assert fast == slow
+    assert set(fast) == {0, 1, 2, 3, 4}
+    assert fast[1] == 0 and fast[2] == 0 and fast[4] == 0

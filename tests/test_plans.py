@@ -500,11 +500,39 @@ def test_ivfpq_scan_is_literal_lut_no_cartesian(spark):
 
 def test_classifier_auc_partial_aggs_before_window(spark):
     """X122: the only data-sized stage is the score groupBy with a
-    map-side partial; the rank window runs after aggregation."""
+    map-side partial; the rank cumulative runs after aggregation and
+    (r9 verdict #2) every window in the plan is PARTITIONED by the
+    range bucket — no single-partition sort anywhere."""
     plan = _plan(spark, "docs_classifier_auc")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__b" in line, f"unpartitioned window: {line}"
+
+
+def test_classifier_calibration_windows_are_bucket_partitioned(spark):
+    """X126 (r9 verdict #2): same property as the AUC plan — the band
+    cumulative's window is partitioned by the range bucket, never a
+    global single-partition sort."""
+    plan = _plan(spark, "docs_classifier_calibration")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__b" in line, f"unpartitioned window: {line}"
+
+
+def test_bpe_token_counts_broadcasts_encoded_vocab(spark):
+    """X124 (r9 verdict #3): the occurrences→encoded-vocab join keys on
+    the raw word string (zipfian skew); under the 5M gate the vocab
+    side must broadcast so no shuffle happens on the skewed key."""
+    plan = _plan(spark, "docs_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no sort-merge join on the word key in the gated (small-vocab) path
+    assert "SortMergeJoin" not in plan
 
 
 def test_lsh_near_pairs_joins_are_hash_equi_joins(spark):

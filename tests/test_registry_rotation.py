@@ -65,3 +65,23 @@ def test_unverified_entries_inside_driver_window():
 def test_registry_has_no_duplicate_keys():
     keys = _registry_keys()
     assert len(keys) == len(set(keys))
+
+
+def test_oracle_replay_artifact_covers_full_registry():
+    """(VERDICT r9 ask #1) The per-round full-registry oracle replay
+    (scripts/check_oracle.py --json assets/oracle_replay_rN.json) must
+    exist, cover EVERY registry key, and contain no failing entry —
+    changed-code re-verification no longer depends on the driver's
+    50-entry window ordering."""
+    arts = sorted(glob.glob(os.path.join(REPO, "assets", "oracle_replay_r*.json")))
+    assert arts, "no assets/oracle_replay_rN.json — run scripts/check_oracle.py --json"
+    with open(arts[-1]) as fh:
+        art = json.load(fh)
+    entries = art["entries"]
+    missing = [k for k in _registry_keys() if k not in entries]
+    assert not missing, (
+        f"{os.path.basename(arts[-1])} is stale — registry keys absent "
+        f"from the replay artifact: {missing}"
+    )
+    failing = {k: v for k, v in entries.items() if v["status"] == "fail"}
+    assert not failing, f"replay artifact has failing entries: {failing}"

@@ -493,3 +493,53 @@ def test_pca_power_scores_correlate_with_numpy_pc1(spark):
     mine = np.array([got[i] for i in ids], dtype=np.float64)
     r = np.corrcoef(mine, pc1)[0, 1]
     assert abs(r) >= 0.999, r
+
+
+def _zero_out(emb, vid):
+    from pyspark.sql import functions as F
+
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == vid,
+            F.expr("transform(embedding, x -> cast(0.0 as float))"),
+        ).otherwise(F.col("embedding")),
+    )
+
+
+def test_lsh_near_pairs_excludes_zero_norm(spark):
+    """(ADVICE r9) A zero-norm vector has NaN cosine to everything, and
+    Spark treats NaN >= threshold as TRUE — without the up-front norm
+    filter the zero vector would be linked into every bucket collision's
+    dup component (DuckDB's 0.0/0.0 is NULL, so the oracle drops the
+    pair). The zeroed id must appear in NO output pair."""
+    emb = _zero_out(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), 3)
+    idx = sim.rp_lsh_buckets(emb, dim=64, bits=8, seed=42, tables=4)
+    pairs = sim.lsh_near_pairs(emb, idx, threshold=0.4).collect()
+    touched = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 3 not in touched
+    for r in pairs:  # and no NaN leaked through the filter
+        assert r["cosine"] == r["cosine"]
+
+
+def test_bq_rerank_excludes_zero_norm(spark):
+    """(ADVICE r9) In the BQ rescore a zero-norm candidate's NaN cosine
+    sorts FIRST under ORDER BY DESC in Spark (NULL sorts last in the
+    oracle) — it must be filtered before the rescore join, not returned
+    at rank 1."""
+    emb = _zero_out(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), 3)
+    # candidates = full corpus so the zero vector is certainly shortlisted
+    rer = sim.bq_rerank_topk(emb, probe_id=7, k=10, candidates=600).collect()
+    assert len(rer) == 10
+    assert all(r["vec_id"] != 3 for r in rer)
+    assert all(r["cosine"] == r["cosine"] for r in rer)
+
+
+def test_bq_topk_missing_probe_raises(spark):
+    """(ADVICE r9) An absent probe id raises a descriptive ValueError,
+    matching ivfpq_topk, not a bare IndexError."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="bq_topk: probe"):
+        sim.bq_topk(emb, probe_id=10**9, k=5)

@@ -210,7 +210,7 @@ def test_read_media_dir_root_with_space_and_percent_stays_relative(
     from graph_loom_spark.io.sources import read_media_dir
     from graph_loom_spark.ops.multimodal import _payload_for
 
-    for name in ["media lake", "pct%25dir"]:
+    for name in ["media lake", "pct%25dir", "a+b dir", "eq=amp& (x)"]:
         d = tmp_path / name
         (d / "sub").mkdir(parents=True)
         (d / "a.bmp").write_bytes(_payload_for(0, "bmp"))
