@@ -171,6 +171,7 @@ def _memo_map() -> dict:
         # frame too, or a per-query-invalidation harness keeps timing a
         # cache hit
         "graph_community_density": [_LPA_CACHE],
+        "graph_modularity": [_LPA_CACHE],
         "graph_components": [_COMP_CACHE],
         "graph_density_components": [_COMP_CACHE],
         "docs_minhash_pairs": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
@@ -2209,6 +2210,15 @@ def _q_graph_community_density(spark, sf_dir):
     )
 
 
+def _q_graph_modularity(spark, sf_dir):
+    """X127 / VERDICT r9 ask #5 — Newman modularity over the LPA
+    communities (rides the LPA memo like community_density); oracle
+    composes the LPA replay with the exact-integer Q numerators."""
+    return analytics.modularity(
+        _graph(spark, sf_dir), _lpa_communities(spark, sf_dir)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness pass checks a bounded
     # 50-entry PREFIX of this registry, so the window must be ROTATED
@@ -2228,6 +2238,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- its memo-sharing rerank/eval consumers; dup_components_lsh
         # -- after the bq block so the LSH index memo stays warm into
         # -- ann_lsh further down.
+        # -- r10 window head: graph_modularity is NEW (rotation rule:
+        # -- no driver row yet → front). The whole LPA trio moves with
+        # -- it so the memo producer stays directly before its
+        # -- consumers and bench attribution keeps the 8-round LPA cost
+        # -- on graph_lpa, not on the new entry.
+        "graph_lpa": _q_graph_lpa,
+        "graph_community_density": _q_graph_community_density,
+        "graph_modularity": _q_graph_modularity,
+        # -- r9 head: every emb_bq_*/lsh/classifier/bpe entry below
+        # -- changed this round (zero-norm guards, bucket-partitioned
+        # -- prefix-sum, vocab-broadcast join) — kept in-window for
+        # -- changed-code re-verification.
         "emb_bq_topk": _q_emb_bq_topk,
         "emb_bq_rerank": _q_emb_bq_rerank,
         "emb_bq_eval": _q_emb_bq_eval,
@@ -2326,9 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         # immediately after graph_components: reuses its memoized frame
         "graph_density_components": _q_graph_density_components,
-        "graph_lpa": _q_graph_lpa,
-        # immediately after graph_lpa: reuses its memoized communities
-        "graph_community_density": _q_graph_community_density,
+        # (graph_lpa + community_density + modularity moved to the r10
+        # window head — memo producer directly before its consumers)
         "graph_pagerank": _q_graph_pagerank,
         "graph_ppr": _q_graph_ppr,
         "graph_hits": _q_graph_hits,
@@ -4029,6 +4050,36 @@ def _density_lpa_oracle(rounds: int = 8) -> str:
     return "WITH " + ", ".join(parts) + ", " + _density_sql_tail(assign, "community")
 
 
+def _modularity_lpa_oracle(rounds: int = 8) -> str:
+    """X127 — Newman modularity over the LPA communities: per community
+    the exact-integer numerator 4·m·e_c − d_c² (DuckDB evaluates it in
+    HUGEINT; only the final rounded double share crosses to pandas, so
+    the HUGEINT→float64 dtype trap doesn't apply) divided by the same
+    CAST-to-double 4·m² Spark uses. Composes the LPA replay exactly
+    like the density oracle."""
+    parts, assign = _lpa_sql_parts(rounds)
+    tail = (
+        "deg AS (SELECT id, count(*) AS degree FROM ("
+        "SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id), "
+        "mm AS (SELECT count(*) AS m FROM edges), "
+        f"dsum AS (SELECT a.community AS community, "
+        f"CAST(COALESCE(sum(d.degree), 0) AS BIGINT) AS degree_sum "
+        f"FROM {assign} a LEFT JOIN deg d ON a.id = d.id GROUP BY a.community), "
+        f"inner_e AS (SELECT cs.community AS community, count(*) AS internal_edges "
+        f"FROM edges e JOIN {assign} cs ON e.u = cs.id "
+        f"JOIN {assign} cd ON e.v = cd.id "
+        f"WHERE cs.community = cd.community GROUP BY cs.community) "
+        "SELECT s.community, "
+        "CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges, "
+        "s.degree_sum, "
+        "round(CAST(4 * mm.m * COALESCE(i.internal_edges, 0) "
+        "- s.degree_sum * s.degree_sum AS DOUBLE) "
+        "/ CAST(4 * greatest(mm.m, 1) * greatest(mm.m, 1) AS DOUBLE), 6) AS q_share "
+        "FROM dsum s LEFT JOIN inner_e i ON s.community = i.community CROSS JOIN mm"
+    )
+    return "WITH " + ", ".join(parts) + ", " + tail
+
+
 def _components_oracle() -> str:
     """Region-quotient connected-components oracle (see the long
     comment above oracle_sql) — also composed by the density-over-
@@ -5561,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         # replay; density composes the same assignment (generated).
         "graph_lpa": _lpa_oracle(),
         "graph_community_density": _density_lpa_oracle(),
+        "graph_modularity": _modularity_lpa_oracle(),
         # graph_components IS oracle-checked below via the tpch
         # projection's quotient structure: every R/N/C/S/O/L node maps to
         # its region tree through the FK chain (each tree is internally

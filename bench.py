@@ -127,6 +127,7 @@ _BENCH_LAST = [
     "graph_density_components",
     "graph_lpa",
     "graph_community_density",
+    "graph_modularity",  # immediately after: shares the LPA memo too
 ]
 
 # Queries that get a brand-new JVM immediately before them. Both ends

@@ -368,6 +368,71 @@ def community_density(graph: PropertyGraph, communities: DataFrame) -> DataFrame
     )
 
 
+def modularity(graph: PropertyGraph, communities: DataFrame) -> DataFrame:
+    """Newman modularity per community over an ``(id, community)``
+    assignment — the "are these communities real?" score next to LPA
+    (the evaluation metric the reference's community view stops short
+    of: it reports membership + density, frontend.rs:509-616; this
+    plays the same role for the community family that emb_index_eval
+    plays for the ANN family).
+
+    For community c with ``e_c`` internal edges (each edge counted
+    once, the same convention as :func:`community_density`), ``d_c``
+    the sum of member degrees, and ``m`` total edges::
+
+        Q = Σ_c [ e_c/m − (d_c/(2m))² ] = Σ_c (4·m·e_c − d_c²) / (4·m²)
+
+    Each per-community numerator ``4·m·e_c − d_c²`` is an exact
+    integer, computed in DECIMAL(38,0) — int64 overflows once
+    m > ~1.5e9 edges, the same 100 TB accumulator lesson as the PC1
+    moment matrix — then divided once as a double and rounded to 6.
+    Returns ``(community, internal_edges, degree_sum, q_share)``
+    with Q = Σ q_share (up to rounding); isolated-node communities
+    appear with zeros.
+
+    Scale shape: degrees are one union + partial-agg groupBy; member
+    degree sums one groupBy over the assignment join; internal edges
+    reuse :func:`community_density`'s two equi-joins; ``m`` is one
+    scalar count — no window, no data-sized driver state.
+    """
+    c = communities
+    m = graph.edges.count()
+    mm = max(m, 1)  # m = 0 → every q_share is exactly 0, not NaN
+    deg = degrees(graph)
+    dsum = (
+        c.join(deg, "id", "left")
+        .groupBy("community")
+        .agg(
+            F.coalesce(F.sum("degree"), F.lit(0)).cast("bigint").alias("degree_sum")
+        )
+    )
+    e = (
+        graph.edges.select("src", "dst")
+        .join(c.select(F.col("id").alias("src"), F.col("community").alias("__cs")), "src")
+        .join(c.select(F.col("id").alias("dst"), F.col("community").alias("__cd")), "dst")
+        .filter(F.col("__cs") == F.col("__cd"))
+        .groupBy(F.col("__cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    ie = F.coalesce("internal_edges", F.lit(0)).cast("bigint")
+    d38 = "decimal(38,0)"
+    q_num = (
+        ie.cast(d38) * F.lit(4 * m).cast(d38)
+        - F.col("degree_sum").cast(d38) * F.col("degree_sum").cast(d38)
+    )
+    return dsum.join(e, "community", "left").select(
+        "community",
+        ie.alias("internal_edges"),
+        "degree_sum",
+        # float(): a Python int→double conversion (round-to-nearest),
+        # identical to SQL CAST(4·m² AS DOUBLE), and unlike a long
+        # literal it cannot overflow past m ~ 1.5e9 edges
+        F.round(
+            q_num.cast("double") / F.lit(float(4 * mm * mm)), 6
+        ).alias("q_share"),
+    )
+
+
 def force_layout(
     graph: PropertyGraph,
     iters: int = 30,

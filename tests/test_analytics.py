@@ -178,3 +178,48 @@ def test_clustering_coefficients_exact(spark):
         for r in analytics.clustering_coefficients(df, triangles=tri).collect()
     }
     assert out2 == out
+
+
+def test_modularity_hand_computed_two_cliques(spark):
+    """X127 (VERDICT r9 ask #5): two triangles joined by one bridge —
+    the textbook case. m=7; each community: e_c=3, d_c=7 →
+    q_share = (4·7·3 − 49)/(4·49) = 35/196; Q = 70/196 ≈ 0.357143."""
+    names = ["a", "b", "c", "d", "e", "f"]
+    nodes = [("X", {"name": n}) for n in names]
+    edges = [
+        ("a", "b", "R", {}), ("b", "c", "R", {}), ("a", "c", "R", {}),
+        ("d", "e", "R", {}), ("e", "f", "R", {}), ("d", "f", "R", {}),
+        ("c", "d", "R", {}),  # bridge
+    ]
+    g, nid = _graph(spark, nodes, edges)
+    comm = spark.createDataFrame(
+        [(nid[n], "left" if n in "abc" else "right") for n in names],
+        "id string, community string",
+    )
+    rows = {r["community"]: r for r in analytics.modularity(g, comm).collect()}
+    assert set(rows) == {"left", "right"}
+    for side in rows.values():
+        assert side["internal_edges"] == 3
+        assert side["degree_sum"] == 7
+        assert abs(side["q_share"] - 35.0 / 196.0) < 1e-6
+    # everyone in ONE community: Q = e/m − (2m/2m)² = 1 − 1 = 0
+    one = spark.createDataFrame(
+        [(nid[n], "all") for n in names], "id string, community string"
+    )
+    (only,) = analytics.modularity(g, one).collect()
+    assert only["q_share"] == 0.0
+
+
+def test_modularity_isolated_community_zero_share(spark):
+    nodes = [("X", {"name": n}) for n in ["a", "b", "z"]]
+    g, nid = _graph(spark, nodes, [("a", "b", "R", {})])
+    comm = spark.createDataFrame(
+        [(nid["a"], "c0"), (nid["b"], "c0"), (nid["z"], "iso")],
+        "id string, community string",
+    )
+    rows = {r["community"]: r for r in analytics.modularity(g, comm).collect()}
+    assert rows["iso"]["internal_edges"] == 0
+    assert rows["iso"]["degree_sum"] == 0
+    assert rows["iso"]["q_share"] == 0.0
+    # c0 holds the whole graph: q_share = (4·1·1 − 4)/4 = 0
+    assert rows["c0"]["q_share"] == 0.0
