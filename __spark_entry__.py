@@ -585,6 +585,14 @@ def _q_docs_winnow_pairs(spark, sf_dir):
     )
 
 
+def _q_docs_exact_spans(spark, sf_dir):
+    """X128 / VERDICT r9 ask #6 — exact maximal duplicate substrings
+    ≥ 40 chars between doc pairs (Lee et al. 2022 §4.1) via
+    gram-diagonal islands; oracle replays the identical
+    explode→join→islands construction."""
+    return ops_dedup.exact_dup_spans(_t(spark, sf_dir, "documents"), min_len=40)
+
+
 def _q_docs_bpe_tokens(spark, sf_dir):
     """BPE-ish-regex vs whitespace token counts — pure regexp math,
     oracle-exact (pattern is in the Java-regex ∩ RE2 subset)."""
@@ -2246,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
+        "docs_exact_spans": _q_docs_exact_spans,
         # -- r9 head: every emb_bq_*/lsh/classifier/bpe entry below
         # -- changed this round (zero-norm guards, bucket-partitioned
         # -- prefix-sum, vocab-broadcast join) — kept in-window for
@@ -5190,6 +5199,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CAST(i AS DOUBLE) / sa.n AS containment "
             "FROM inter JOIN sz sa ON sa.doc_id = id_a) "
             "WHERE containment >= 0.8"
+        ),
+        # X128: gram-diagonal islands — runs of consecutive matching
+        # min_len-grams on one alignment diagonal ARE the maximal
+        # common substrings ≥ min_len; same construction as the engine
+        "docs_exact_spans": (
+            "WITH d AS MATERIALIZED (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents), "
+            "gr AS MATERIALIZED (SELECT doc_id, pos, substr(t, pos, 40) AS gram FROM ("
+            "SELECT doc_id, t, unnest(range(1, len(t) - 40 + 2)) AS pos FROM d "
+            "WHERE len(t) >= 40)), "
+            "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb "
+            "FROM gr a JOIN gr b USING (gram) WHERE a.doc_id < b.doc_id), "
+            "i AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag, "
+            "pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl "
+            "FROM m) "
+            "SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS start_a, "
+            "CAST(min(pb) AS BIGINT) AS start_b, "
+            "CAST(max(pa) - min(pa) + 40 AS BIGINT) AS span_len "
+            "FROM i GROUP BY id_a, id_b, diag, isl"
         ),
         "docs_winnow": (
             "WITH nm AS (SELECT doc_id, "

@@ -859,6 +859,106 @@ def dup_ngram_coverage(
     )
 
 
+def exact_dup_spans(
+    documents: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """X128 — exact MAXIMAL duplicate substrings between document pairs
+    (Lee et al. 2022 §4.1, the other half of the dedup signal X40's
+    gram-hash coverage approximates): every maximal exact common
+    substring of length ≥ ``min_len`` chars (normalized text), as
+    ``(id_a, id_b, start_a, start_b, span_len)`` with 1-based positions.
+
+    Construction (gram-diagonal islands — the relational equivalent of
+    the paper's suffix-array maximal repeats, restricted to ≥ min_len):
+    every position's ``min_len``-gram is a seed; two docs' seeds match
+    iff the grams are equal; on a fixed alignment diagonal
+    (``pa − pb``), RUNS of consecutive matching seeds correspond
+    exactly to maximal common substrings of length ≥ min_len (a run of
+    r consecutive gram matches = one maximal span of r + min_len − 1
+    chars: left/right maximality is automatic, since any extending
+    char would add another matching seed to the run). Runs are the
+    standard gaps-and-islands ``pos − row_number()`` grouping, so the
+    whole operator is explode → equi-join → windowed groupBy — exact
+    and SQL-replayable, no suffix array.
+
+    Scale shape: the gram stream is (id, pos, gram) — text never
+    shuffles whole, only fixed-width min_len-char grams; the join is
+    an equi-join on the gram (AQE splits hot grams); the island window
+    partitions by (id_a, id_b, diagonal) — per-partition rows are
+    bounded by the shorter doc's length, never corpus-sized. The
+    quadratic risk is a gram shared by many documents (boilerplate):
+    ``max_gram_df`` drops grams occurring in more than that many
+    positions corpus-wide first (one partial-agg groupBy — the same
+    noise cap as :func:`winnow_overlap_pairs`; spans found remain
+    exact, but spans consisting ONLY of ubiquitous grams are missed —
+    the standard common-code exclusion). At 100 TB, compose with
+    :func:`winnow_overlap_pairs` to prefilter candidate pairs before
+    paying the full gram index.
+    """
+    from pyspark.sql.window import Window
+
+    g = int(min_len)
+    if g < 2:
+        raise ValueError("min_len must be >= 2")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = documents.select(F.col(id_col).alias("__id"), norm.alias("__t")).filter(
+        F.length("__t") >= g
+    )
+    # explode positions first, substring in the same codegen stage: the
+    # full text crosses no shuffle (only the 40-char gram does), and no
+    # interpreted higher-order-function lambda runs per gram
+    grams = (
+        d.select(
+            "__id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(g - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "__id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(f"substring(__t, pos, {g})").alias("gram"),
+        )
+    )
+    if max_gram_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
+    a = grams.select(F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram")
+    b = grams.select(F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram")
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("__diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
+    return (
+        m.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__diag", "__isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.max("pa").alias("__max_pa"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+            (F.col("__max_pa") - F.col("start_a") + g).cast("bigint").alias("span_len"),
+        )
+    )
+
+
 def co_occurrence_edges(
     df: DataFrame,
     group_col: str,

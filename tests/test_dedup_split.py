@@ -161,3 +161,75 @@ def test_embedding_dup_components_accepts_candidate_pairs(spark):
     assert sorted(map(tuple, via_default.collect())) == sorted(
         map(tuple, via_pairs.collect())
     )
+
+
+def test_exact_dup_spans_planted_duplicate(spark):
+    """X128 (VERDICT r9 ask #6): a planted shared passage must come back
+    as ONE maximal span with exact 1-based positions and length —
+    seed runs may not fragment it or extend past the differing char."""
+    passage = "the quick brown fox jumps over the lazy dog near the riverbank"  # 63 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "AA " + passage + " XX"),
+            (1, "BBBBBB " + passage + " YY"),
+            (2, "completely unrelated text with no shared passage at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ops_dedup.exact_dup_spans(docs, min_len=40).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    # normalized text is lowercase/whitespace-collapsed; both planted
+    # copies share exactly " <passage> " (the spaces around it match too)
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["span_len"] == len(passage) + 2
+    assert r["start_a"] == 3   # after "aa" + space, span starts AT the space
+    assert r["start_b"] == 7   # after "bbbbbb"
+    # min_len above the span length → no rows
+    assert ops_dedup.exact_dup_spans(docs, min_len=70).count() == 0
+
+
+def test_exact_dup_spans_two_islands_and_self_pairs_excluded(spark):
+    """Two separate shared passages in the same pair → two spans; a doc
+    never pairs with itself even when it repeats its own substring."""
+    p1 = "first shared passage with forty-five chars!!"  # 45 chars, aperiodic
+    p2 = "shared passage number two goes right here ok!"
+    docs = spark.createDataFrame(
+        [
+            (0, p1 + " gap gap gap " + p2),
+            (1, p1 + " DIFFERENT MIDDLE " + p2),
+            (2, "self repeat " + p1 + " and again " + p1),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["span_len"])
+        for r in ops_dedup.exact_dup_spans(docs, min_len=40).collect()
+    }
+    # p1 also appears twice in doc 2 → (0,2) and (1,2) pairs exist too;
+    # restrict the assertion to the (0,1) pair's islands
+    spans_01 = sorted(s for a, b, s in got if (a, b) == (0, 1))
+    # "xxx... " (p1 + trailing space matches in both) and " <p2>" (leading space)
+    assert spans_01 == [len(p1) + 1, len(p2) + 1]
+    assert all(a != b for a, b, _ in got)
+    # doc 2 repeats p1 internally at two positions → TWO alignment
+    # diagonals against doc 0's single copy
+    assert len([1 for a, b, _ in got if (a, b) == (0, 2)]) == 2
+
+
+def test_exact_dup_spans_gram_df_cap_drops_boilerplate(spark):
+    """max_gram_df: a passage shared by every doc is boilerplate — with
+    the cap at 2 occurrences the all-docs passage vanishes while the
+    two-doc passage survives (the MOSS common-code exclusion)."""
+    boiler = "this exact boilerplate header appears in every single document"
+    rare = "only these two documents share this one particular sentence"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" body {i} " + (rare if i < 2 else "")) for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = ops_dedup.exact_dup_spans(docs, min_len=40)
+    capped = ops_dedup.exact_dup_spans(docs, min_len=40, max_gram_df=2)
+    unc_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1) in cap_pairs and len(cap_pairs) == 1  # rare passage kept
+    assert len(unc_pairs) == 15  # boilerplate links all 6 choose 2 pairs

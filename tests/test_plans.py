@@ -541,3 +541,17 @@ def test_lsh_near_pairs_joins_are_hash_equi_joins(spark):
     plan = _plan(spark, "emb_dup_components_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_spans_window_is_diagonal_partitioned_no_text_shuffle(spark):
+    """X128: the islands window partitions by (pair, diagonal) — never a
+    global sort; the full text column never crosses an exchange (only
+    the fixed-width gram does)."""
+    plan = _plan(spark, "docs_exact_spans")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__diag" in line, f"unpartitioned window: {line}"
+        if "Exchange hashpartitioning" in line:
+            assert "__t" not in line, f"text crossed a shuffle: {line}"
