@@ -31,6 +31,9 @@ _LPA_CACHE: dict[str, DataFrame] = {}
 _COMP_CACHE: dict[str, DataFrame] = {}
 _JACCARD_CACHE: dict[str, DataFrame] = {}
 _WINNOW_CACHE: dict[str, DataFrame] = {}
+# maximal exact duplicate spans (X128) — deterministic gram islands,
+# shared by docs_exact_spans + docs_span_coverage
+_SPANS_CACHE: dict[str, DataFrame] = {}
 # (assigned frame, centroid matrix) per sf_dir — the IVF quantizer fit
 # is deterministic, so re-fitting per invocation only re-pays 5 Lloyd
 # iterations for an identical result
@@ -102,7 +105,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _COOC_CACHE, _TRI_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -128,6 +131,7 @@ def reset_caches() -> None:
         _COMP_CACHE,
         _JACCARD_CACHE,
         _WINNOW_CACHE,
+        _SPANS_CACHE,
         _IVF_CACHE,
         _IVFPQ_CACHE,
         _COOC_CACHE,
@@ -186,6 +190,8 @@ def _memo_map() -> dict:
         "emb_dup_components": [_EMB_NEARDUP_CACHE],
         "docs_bpe_encode": [_BPE_MERGES_CACHE],
         "docs_winnow": [_WINNOW_CACHE],
+        "docs_exact_spans": [_SPANS_CACHE],
+        "docs_span_coverage": [_SPANS_CACHE],
         "docs_winnow_pairs": [_WINNOW_CACHE],
         "emb_ivf_topk": [_IVF_CACHE],
         "emb_ivf_eval": [_IVF_CACHE],
@@ -585,12 +591,32 @@ def _q_docs_winnow_pairs(spark, sf_dir):
     )
 
 
+def _exact_spans(spark, sf_dir) -> DataFrame:
+    # deterministic → memo-safe; shared by docs_exact_spans +
+    # docs_span_coverage (same rule as _winnow_fps)
+    cached = _SPANS_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _SPANS_CACHE[sf_dir] = ops_dedup.exact_dup_spans(
+            _t(spark, sf_dir, "documents"), min_len=40
+        ).localCheckpoint(eager=True)
+    return _SPANS_CACHE[sf_dir]
+
+
 def _q_docs_exact_spans(spark, sf_dir):
     """X128 / VERDICT r9 ask #6 — exact maximal duplicate substrings
     ≥ 40 chars between doc pairs (Lee et al. 2022 §4.1) via
     gram-diagonal islands; oracle replays the identical
     explode→join→islands construction."""
-    return ops_dedup.exact_dup_spans(_t(spark, sf_dir, "documents"), min_len=40)
+    return _exact_spans(spark, sf_dir)
+
+
+def _q_docs_span_coverage(spark, sf_dir):
+    """X129 — per-doc exact-duplicate char coverage over the memoized
+    X128 spans; oracle composes the islands CTE with a distinct
+    position count per doc."""
+    return ops_dedup.exact_span_coverage(
+        _t(spark, sf_dir, "documents"), spans=_exact_spans(spark, sf_dir)
+    )
 
 
 def _q_docs_bpe_tokens(spark, sf_dir):
@@ -2255,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
         "docs_exact_spans": _q_docs_exact_spans,
+        # immediately after: rides the memoized spans frame
+        "docs_span_coverage": _q_docs_span_coverage,
         # -- r9 head: every emb_bq_*/lsh/classifier/bpe entry below
         # -- changed this round (zero-norm guards, bucket-partitioned
         # -- prefix-sum, vocab-broadcast join) — kept in-window for
@@ -5218,6 +5246,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(pb) AS BIGINT) AS start_b, "
             "CAST(max(pa) - min(pa) + 40 AS BIGINT) AS span_len "
             "FROM i GROUP BY id_a, id_b, diag, isl"
+        ),
+        # X129: spans CTE (same islands construction) → per-side char
+        # ranges → count(DISTINCT pos) per doc — overlaps union away
+        "docs_span_coverage": (
+            "WITH d AS MATERIALIZED (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents), "
+            "gr AS MATERIALIZED (SELECT doc_id, pos, substr(t, pos, 40) AS gram FROM ("
+            "SELECT doc_id, t, unnest(range(1, len(t) - 40 + 2)) AS pos FROM d "
+            "WHERE len(t) >= 40)), "
+            "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb "
+            "FROM gr a JOIN gr b USING (gram) WHERE a.doc_id < b.doc_id), "
+            "i AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag, "
+            "pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl "
+            "FROM m), "
+            "sp AS MATERIALIZED (SELECT id_a, id_b, min(pa) AS start_a, "
+            "min(pb) AS start_b, max(pa) - min(pa) + 40 AS span_len "
+            "FROM i GROUP BY id_a, id_b, diag, isl), "
+            "sides AS (SELECT id_a AS doc_id, start_a AS s, span_len FROM sp "
+            "UNION ALL SELECT id_b, start_b, span_len FROM sp), "
+            "cov AS (SELECT doc_id, count(DISTINCT pos) AS covered FROM ("
+            "SELECT doc_id, unnest(range(s, s + span_len)) AS pos FROM sides) "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_chars, "
+            "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars, "
+            "round(CAST(COALESCE(c.covered, 0) AS DOUBLE) "
+            "/ greatest(CAST(len(d.t) AS DOUBLE), 1.0), 6) AS coverage "
+            "FROM d LEFT JOIN cov c ON d.doc_id = c.doc_id"
         ),
         "docs_winnow": (
             "WITH nm AS (SELECT doc_id, "

@@ -959,6 +959,69 @@ def exact_dup_spans(
     )
 
 
+def exact_span_coverage(
+    documents: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """X129 — per-document exact-duplicate coverage: the fraction of a
+    doc's normalized chars lying inside ANY maximal exact duplicate
+    span (:func:`exact_dup_spans`) — the per-doc decision signal Lee
+    et al. 2022 act on (they cut one copy of every duplicate span; a
+    doc that is mostly covered is the removal candidate). Returns
+    ``(doc_id, n_chars, covered_chars, coverage)`` for EVERY document
+    (zero rows for docs in no span).
+
+    Overlapping spans are unioned, not double-counted: span char
+    ranges explode to positions and a count_distinct per doc (two-
+    phase aggregate) collapses overlaps — same shape as X40's
+    covered-token count. The explode fanout is Σ span lengths (a doc
+    duplicated across many partners repeats its positions, which the
+    distinct absorbs); pass a prefiltered ``spans`` frame (e.g. capped
+    via ``max_gram_df`` or winnow-prefiltered pairs) at scale.
+    """
+    if spans is None:
+        spans = exact_dup_spans(
+            documents, min_len=min_len, text_col=text_col, id_col=id_col
+        )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sides = spans.select(
+        F.col("id_a").alias("__id"), F.col("start_a").alias("__s"), "span_len"
+    ).unionAll(
+        spans.select(
+            F.col("id_b").alias("__id"), F.col("start_b").alias("__s"), "span_len"
+        )
+    )
+    covered = (
+        sides.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.col("span_len") - 1)
+            ).alias("__pos"),
+        )
+        .groupBy("__id")
+        .agg(F.count_distinct("__pos").alias("covered_chars"))
+    )
+    return (
+        documents.select(
+            F.col(id_col), F.length(norm).cast("bigint").alias("n_chars")
+        )
+        .join(covered.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("covered_chars", F.lit(0)).cast("bigint").alias("covered_chars"),
+            F.round(
+                F.coalesce("covered_chars", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
 def co_occurrence_edges(
     df: DataFrame,
     group_col: str,

@@ -233,3 +233,38 @@ def test_exact_dup_spans_gram_df_cap_drops_boilerplate(spark):
     cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (0, 1) in cap_pairs and len(cap_pairs) == 1  # rare passage kept
     assert len(unc_pairs) == 15  # boilerplate links all 6 choose 2 pairs
+
+
+def test_exact_span_coverage_unions_overlaps(spark):
+    """X129: overlapping spans may not double-count covered chars, and
+    span-free docs report coverage 0.0."""
+    # doc 0 and doc 1 share a 60-char passage; doc 0 and doc 2 share a
+    # DIFFERENT 45-char passage that overlaps the first inside doc 0
+    p = "abcdefghij klmnopqrst uvwxyzabcd efghijklmn opqrstuvwx"  # 55 chars
+    docs = spark.createDataFrame(
+        [
+            (0, p + "yz TAIL0"),
+            (1, p + "yz OTHER"),          # shares p+"yz " (57 chars) with doc 0
+            (2, "HEAD2 " + p[:45] + "!"),  # shares p's first 45 chars with doc 0
+            (3, "no shared passage whatsoever in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = ops_dedup.exact_dup_spans(docs, min_len=40)
+    cov = {
+        r["doc_id"]: r
+        for r in ops_dedup.exact_span_coverage(docs, spans=spans).collect()
+    }
+    assert set(cov) == {0, 1, 2, 3}
+    assert cov[3]["covered_chars"] == 0 and cov[3]["coverage"] == 0.0
+    # doc 0's two spans overlap: union is span(0,1) alone (the (0,2)
+    # span is a prefix subset of it), so covered == that span's length
+    s01 = [
+        r for r in spans.collect() if (r["id_a"], r["id_b"]) == (0, 1)
+    ]
+    assert len(s01) == 1
+    assert cov[0]["covered_chars"] == s01[0]["span_len"]
+    # no double counting: covered never exceeds n_chars
+    for r in cov.values():
+        assert 0 <= r["covered_chars"] <= r["n_chars"]
+        assert abs(r["coverage"] - round(r["covered_chars"] / max(r["n_chars"], 1), 6)) < 1e-9
