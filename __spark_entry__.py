@@ -49,6 +49,9 @@ _COOC_CACHE: dict[str, DataFrame] = {}
 # per-node triangle counts on the cooc graph — the wedge join is the
 # expensive stage and graph_triangles / graph_clustering both need it
 _TRI_CACHE: dict[str, DataFrame] = {}
+# link-prediction scores (X130) on the cooc graph — one wedge join
+# feeds BOTH the Jaccard and Resource-Allocation top-k entries
+_LINKPRED_CACHE: dict[str, DataFrame] = {}
 # (codes frame, codebook list) per sf_dir — the PQ index fit is
 # deterministic (m fixed-point subspace k-means), same memo rule as IVF
 _PQ_CACHE: dict[str, tuple] = {}
@@ -105,7 +108,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -143,6 +146,7 @@ def reset_caches() -> None:
         _BQ_CACHE,
         _EMB_NEARDUP_CACHE,
         _TRI_CACHE,
+        _LINKPRED_CACHE,
     ):
         cache.clear()
 
@@ -221,6 +225,8 @@ def _memo_map() -> dict:
         "emb_outliers": [_KM8_CACHE],
         "graph_triangles": [_COOC_CACHE, _TRI_CACHE],
         "graph_clustering": [_COOC_CACHE, _TRI_CACHE],
+        "graph_link_jaccard": [_COOC_CACHE, _LINKPRED_CACHE],
+        "graph_link_ra": [_COOC_CACHE, _LINKPRED_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -489,6 +495,15 @@ def _q_events_transitions(spark, sf_dir):
     (from, to) pair with row-normalized rounded probabilities. One
     keyed window + one partial-agg groupBy; marginals broadcast."""
     return ops_events.event_transitions(_events(spark, sf_dir))
+
+
+def _q_events_rfm(spark, sf_dir):
+    """X132 — RFM user segmentation (Hughes 1994): per-user recency
+    (µs vs corpus max), frequency, int64-cent monetary, each mapped to
+    a rank-based quintile via the X82 range-bucketed prefix sum (equal
+    values share a bucket — no engine-variant NTILE remainder, no
+    single-partition window). All-integer → oracle-exact."""
+    return ops_events.rfm_segments(_events(spark, sf_dir))
 
 
 def _q_events_funnel(spark, sf_dir):
@@ -2028,6 +2043,18 @@ def _q_emb_knn_label(spark, sf_dir):
     )
 
 
+def _q_emb_retrieval_mrr(spark, sf_dir):
+    """X131 — labeled-retrieval scorecard (MRR + precision@k): per
+    vec_id%50==7 probe, exact rounded-cosine top-10 graded by label
+    match — reciprocal rank and P@10 as integer micropoints.
+    Complements emb_index_eval (recall of index vs exact) with the
+    label-relevance view; same scoring skeleton as emb_knn_label —
+    oracle-exact."""
+    return ops_sim.retrieval_label_eval(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 50 == 7, k=10
+    )
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -2140,6 +2167,45 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             li, "l_orderkey", "l_partkey"
         ).localCheckpoint(eager=True)
     return _COOC_CACHE[sf_dir]
+
+
+def _link_scores(spark, sf_dir) -> DataFrame:
+    # deterministic (exact integer scores) full candidate frame —
+    # shared by graph_link_jaccard + graph_link_ra (one wedge join,
+    # both scores in the same groupBy pass)
+    cached = _LINKPRED_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _LINKPRED_CACHE[sf_dir] = analytics.link_prediction_scores(
+            _cooc_edges(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _LINKPRED_CACHE[sf_dir]
+
+
+def _q_graph_link_jaccard(spark, sf_dir):
+    """X130 — link prediction, Jaccard score (Liben-Nowell & Kleinberg
+    2003): top-100 NON-adjacent part pairs by common-neighbor Jaccard
+    on the co-purchase graph — the "which association forms next"
+    curation view next to the adjacent-pair similarity the reference
+    surfaces (src/gui/frontend.rs:536-562). Integer micropoints
+    (inter·10⁶ div union) → oracle-exact; ties broken by (id_a, id_b)."""
+    return (
+        _link_scores(spark, sf_dir)
+        .orderBy(F.col("jaccard_micro").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+def _q_graph_link_ra(spark, sf_dir):
+    """X130 — link prediction, Resource-Allocation index (Zhou, Lü &
+    Zhang 2009): top-100 non-adjacent pairs by Σ 1/deg(common neighbor),
+    the hub-discounting score that beats raw counts on co-occurrence
+    graphs. Per-term integer floor (10⁹ div deg) keeps the sum exact
+    int64 → oracle-exact. Rides the memoized X130 scored frame."""
+    return (
+        _link_scores(spark, sf_dir)
+        .orderBy(F.col("ra_nano").desc(), "id_a", "id_b")
+        .limit(100)
+    )
 
 
 def _q_graph_bfs(spark, sf_dir):
@@ -2280,6 +2346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
+        # -- r10 NEW: link prediction rides the co-purchase edge memo
+        # -- (it pays the _cooc_edges build here at the front; the
+        # -- triangles/bfs/kcore block further down then reads it warm —
+        # -- attribution note in SCALE.md). jaccard builds the shared
+        # -- scored frame; ra rides it.
+        "graph_link_jaccard": _q_graph_link_jaccard,
+        "graph_link_ra": _q_graph_link_ra,
+        "emb_retrieval_mrr": _q_emb_retrieval_mrr,
+        "events_rfm": _q_events_rfm,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -3572,6 +3647,34 @@ def _pq_rerank_oracle(
     )
 
 
+def _retrieval_mrr_oracle(k: int = 10, mod: int = 50, rem: int = 7) -> str:
+    """SQL replay of the labeled-retrieval scorecard: per probe, rank
+    all OTHER vectors by rounded cosine (ties → lower id), grade the
+    top-k by label equality — integer micropoint RR / P@k matching
+    ops.simsearch.retrieval_label_eval exactly."""
+    return (
+        "WITH p AS (SELECT vec_id AS pid, label AS plbl, "
+        "CAST(embedding AS DOUBLE[]) AS pv "
+        f"FROM embeddings WHERE vec_id % {mod} = {rem}), "
+        "s AS (SELECT p.pid, p.plbl, e.vec_id AS nid, e.label AS lbl, "
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(p.pv, p.pv))), 4) AS c "
+        "FROM embeddings e JOIN p ON e.vec_id <> p.pid), "
+        "r AS (SELECT pid, plbl, lbl, row_number() OVER ("
+        "PARTITION BY pid ORDER BY c DESC, nid) AS rn FROM s), "
+        f"t AS (SELECT * FROM r WHERE rn <= {k}), "
+        "a AS (SELECT pid, plbl, "
+        "sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END) AS n_rel, "
+        "min(CASE WHEN lbl = plbl THEN rn END) AS fr "
+        "FROM t GROUP BY pid, plbl) "
+        "SELECT pid AS vec_id, plbl AS label, CAST(n_rel AS BIGINT) AS n_rel, "
+        f"CAST((n_rel * 1000000) // {k} AS BIGINT) AS p_at_k_micro, "
+        "CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank, "
+        "CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_micro FROM a"
+    )
+
+
 def _knn_label_oracle(k: int = 5, mod: int = 50, rem: int = 7) -> str:
     """SQL replay of kNN auto-labeling: per probe (vec_id % mod = rem),
     rank all OTHER vectors by rounded cosine (ties → lower id), majority
@@ -4268,6 +4371,29 @@ def oracle_sql() -> dict[str, str]:
         "setop_customers_no_orders": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        # X132 — RFM quintiles: rank()−1 = count of strictly-smaller
+        # metric values (the engine's two-phase c_prev), shared-bucket
+        # quantile 1 + (c_prev·5) div n; int64 cents like attribution.
+        "events_rfm": (
+            "WITH u AS (SELECT user_id, "
+            "(SELECT epoch_us(max(ts)) FROM events) - epoch_us(max(ts)) AS recency_us, "
+            "count(*) AS frequency, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents "
+            "FROM events GROUP BY user_id), "
+            "n AS (SELECT count(*) AS c FROM u), "
+            "r AS (SELECT u.*, rank() OVER (ORDER BY recency_us) - 1 AS cr, "
+            "rank() OVER (ORDER BY frequency) - 1 AS cf, "
+            "rank() OVER (ORDER BY monetary_cents) - 1 AS cm FROM u) "
+            "SELECT user_id, CAST(recency_us AS BIGINT) AS recency_us, "
+            "CAST(frequency AS BIGINT) AS frequency, monetary_cents, "
+            "CAST(1 + (cr * 5) // (SELECT c FROM n) AS BIGINT) AS r_q, "
+            "CAST(1 + (cf * 5) // (SELECT c FROM n) AS BIGINT) AS f_q, "
+            "CAST(1 + (cm * 5) // (SELECT c FROM n) AS BIGINT) AS m_q, "
+            "CAST((1 + (cr * 5) // (SELECT c FROM n)) * 100 "
+            "+ (1 + (cf * 5) // (SELECT c FROM n)) * 10 "
+            "+ (1 + (cm * 5) // (SELECT c FROM n)) AS BIGINT) AS rfm_code "
+            "FROM r"
         ),
         "events_hourly": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
@@ -5685,6 +5811,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_report": _minhash_report_oracle(),
         "emb_knn_label": _knn_label_oracle(),
+        "emb_retrieval_mrr": _retrieval_mrr_oracle(),
         "emb_cluster_quality": _cluster_quality_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),
@@ -5726,6 +5853,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
             "SELECT a AS id FROM t UNION ALL SELECT x FROM t "
             "UNION ALL SELECT y FROM t) GROUP BY id"
+        ),
+        # X130 — link prediction on the same co-purchase edge CTE:
+        # unoriented wedges at the common neighbor (carrying its degree),
+        # one grouped pass computing BOTH integer scores, NOT EXISTS
+        # dropping existing edges, integer-division micropoints. The
+        # HUGEINT sum is CAST to BIGINT (check_dtypes lesson).
+        "graph_link_jaccard": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+            "adj AS (SELECT u AS w, v AS n FROM e "
+            "UNION ALL SELECT v AS w, u AS n FROM e), "
+            "adjd AS (SELECT adj.w, adj.n, deg.d AS dw "
+            "FROM adj JOIN deg ON adj.w = deg.id), "
+            "pr AS (SELECT a1.n AS id_a, a2.n AS id_b, "
+            "count(*) AS n_common, "
+            "CAST(sum(1000000000 // a1.dw) AS BIGINT) AS ra_nano "
+            "FROM adjd a1 JOIN adjd a2 ON a1.w = a2.w AND a1.n < a2.n "
+            "GROUP BY a1.n, a2.n), "
+            "cand AS (SELECT * FROM pr WHERE NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.u = pr.id_a AND e.v = pr.id_b)), "
+            "sc AS (SELECT cand.id_a, cand.id_b, "
+            "CAST(cand.n_common AS BIGINT) AS n_common, "
+            "CAST((cand.n_common * 1000000) // "
+            "(da.d + db.d - cand.n_common) AS BIGINT) AS jaccard_micro, "
+            "cand.ra_nano "
+            "FROM cand JOIN deg da ON cand.id_a = da.id "
+            "JOIN deg db ON cand.id_b = db.id) "
+            "SELECT * FROM sc ORDER BY jaccard_micro DESC, id_a, id_b LIMIT 100"
+        ),
+        "graph_link_ra": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+            "adj AS (SELECT u AS w, v AS n FROM e "
+            "UNION ALL SELECT v AS w, u AS n FROM e), "
+            "adjd AS (SELECT adj.w, adj.n, deg.d AS dw "
+            "FROM adj JOIN deg ON adj.w = deg.id), "
+            "pr AS (SELECT a1.n AS id_a, a2.n AS id_b, "
+            "count(*) AS n_common, "
+            "CAST(sum(1000000000 // a1.dw) AS BIGINT) AS ra_nano "
+            "FROM adjd a1 JOIN adjd a2 ON a1.w = a2.w AND a1.n < a2.n "
+            "GROUP BY a1.n, a2.n), "
+            "cand AS (SELECT * FROM pr WHERE NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.u = pr.id_a AND e.v = pr.id_b)), "
+            "sc AS (SELECT cand.id_a, cand.id_b, "
+            "CAST(cand.n_common AS BIGINT) AS n_common, "
+            "CAST((cand.n_common * 1000000) // "
+            "(da.d + db.d - cand.n_common) AS BIGINT) AS jaccard_micro, "
+            "cand.ra_nano "
+            "FROM cand JOIN deg da ON cand.id_a = da.id "
+            "JOIN deg db ON cand.id_b = db.id) "
+            "SELECT * FROM sc ORDER BY ra_nano DESC, id_a, id_b LIMIT 100"
         ),
         # X117 — same triangle CTE chain + the degree frame feeding the
         # local clustering-coefficient formula (every node, deg<2 -> 0).

@@ -204,6 +204,92 @@ def top_users_by_value(events: DataFrame, event_type: str = "purchase", k: int =
     )
 
 
+def rfm_segments(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    quantiles: int = 5,
+) -> DataFrame:
+    """RFM user segmentation — the classic recency/frequency/monetary
+    quantile grid (Hughes 1994) behind cohort targeting and user-level
+    data curation: per user,
+
+    - ``recency_us``  = corpus-max ts − user's last ts (unix micros,
+      no float time math);
+    - ``frequency``   = event count;
+    - ``monetary_cents`` = Σ floor(value·100 + 0.5) — int64 cents, the
+      attribution-op convention, so the sum is exact;
+
+    then each metric maps to a ``quantiles``-bucket code ``q = 1 +
+    (c_prev·Q) div n`` where ``c_prev`` counts users with a STRICTLY
+    smaller metric — equal values share a bucket (the honest rank-based
+    quantile; no per-user tie-break needed, unlike NTILE whose
+    remainder distribution also differs between engines). All-integer →
+    a SQL oracle replays every code via ``rank() − 1``. Returns
+    ``(user_id, recency_us, frequency, monetary_cents, r_q, f_q, m_q,
+    rfm_code)`` with ``rfm_code = r_q·100 + f_q·10 + m_q`` (1 = most
+    recent / fewest events / lowest spend — ascending metric order).
+
+    Scale shape: one partial-agg ``groupBy(user)`` over the event
+    stream, a broadcast 1-row corpus-max join, then per metric ONE
+    grouped-by-distinct-value count fed through the range-bucketed
+    two-phase prefix sum (:func:`~graph_loom_spark.ops.text._grouped_cprev`,
+    the X82 construction) — c_prev for every distinct value WITHOUT a
+    single-partition window — joined back on the metric value. No stage
+    serializes the user frame through one task.
+    """
+    from graph_loom_spark.ops.text import _grouped_cprev
+
+    mx = events.agg(F.max(ts_col).alias("__mx"))
+    u = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.unix_micros(F.max(ts_col)).alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+            ).cast("bigint").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("__mx")) - F.col("__last")).alias("recency_us"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n = max(u.count(), 1)  # empty stream → no rows; avoid div-by-zero
+    out = u
+    for metric, code in (
+        ("recency_us", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary_cents", "m_q"),
+    ):
+        g = out.groupBy(metric).agg(F.count(F.lit(1)).alias("__n"))
+        cprev = _grouped_cprev(g, score_col=metric, n_col="__n").select(
+            metric, F.col("__cprev")
+        )
+        out = out.join(cprev, metric).withColumn(
+            code,
+            F.expr(f"1 + (__cprev * {int(quantiles)}L) div {int(n)}L").cast(
+                "bigint"
+            ),
+        ).drop("__cprev")
+    return out.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("bigint")
+        .alias("rfm_code"),
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str] = ("view", "click", "purchase"),

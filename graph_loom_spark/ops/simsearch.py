@@ -1386,6 +1386,103 @@ def knn_label(
     )
 
 
+def retrieval_label_eval(
+    embeddings: DataFrame,
+    probe_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Labeled-retrieval quality per probe — the TREC-style scorecard
+    (reciprocal rank + precision@k) that grades the *retrieval* the way
+    ``index_eval`` grades the *index* (recall vs exact): for every probe
+    row matched by ``probe_filter``, rank all OTHER vectors by rounded
+    cosine (ties → lower neighbor id, the knn_label ordering), call a
+    neighbor RELEVANT when its label equals the probe's, and emit
+
+    ``(vec_id, label, n_rel, p_at_k_micro, first_rel_rank, rr_micro)``
+
+    with ``p_at_k_micro = n_rel·10⁶ div k`` and ``rr_micro = 10⁶ div
+    first_rel_rank`` (both 0 when no relevant neighbor lands in the
+    top-k; ``first_rel_rank`` 0 likewise) — integer micropoints, so the
+    corpus MRR/P@k are exact sums downstream and a SQL oracle replays
+    every row bit-for-bit. Complements :func:`knn_label` (same scoring,
+    opposite read: there the neighbors label the probe, here the
+    probe's known label grades the neighbors).
+
+    Scale shape: identical to :func:`knn_label` — a caller-bounded
+    broadcast probe set against one narrow corpus scan, per-probe
+    ``row_number`` window, no global sort; pass ``candidates`` (a
+    deduped-on-read ``(probe_id, nbr_id)`` frame from LSH/IVF candidate
+    generation) to score only those pairs at corpus scale.
+    """
+    p = embeddings.filter(probe_filter).select(
+        F.col(id_col).alias("__pid"),
+        F.col(label_col).alias("__plbl"),
+        F.col(vec_col).alias("__p"),
+    )
+    cos = _dot(F.col("__v"), F.col("__p")) / (
+        _norm(F.col("__v")) * _norm(F.col("__p"))
+    )
+    if candidates is not None:
+        pid_col, nid_col = candidates.columns[:2]
+        # .distinct() for the same duplicated-collision reason as
+        # knn_label (a doubled pair would occupy two top-k slots)
+        pairs = candidates.select(
+            F.col(pid_col).alias("__pid"), F.col(nid_col).alias("__nid")
+        ).distinct().join(
+            embeddings.select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            ),
+            "__nid",
+        )
+    else:
+        pairs = (
+            spread(embeddings)
+            .select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            )
+            .crossJoin(F.broadcast(p.select("__pid")))
+        )
+    scored = (
+        pairs.join(F.broadcast(p), "__pid")
+        .filter(F.col("__nid") != F.col("__pid"))
+        .select(
+            "__pid",
+            "__plbl",
+            (F.col("__lbl") == F.col("__plbl")).alias("__rel"),
+            F.round(cos, round_digits).alias("__c"),
+            "__nid",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return (
+        top.groupBy("__pid", "__plbl")
+        .agg(
+            F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("n_rel"),
+            F.min(F.when(F.col("__rel"), F.col("__rn"))).alias("__fr"),
+        )
+        .select(
+            F.col("__pid").alias(id_col),
+            F.col("__plbl").alias(label_col),
+            "n_rel",
+            F.expr(f"(n_rel * 1000000L) div {k}").cast("bigint").alias("p_at_k_micro"),
+            F.coalesce(F.col("__fr"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.coalesce(F.expr("1000000L div __fr"), F.lit(0))
+            .cast("bigint")
+            .alias("rr_micro"),
+        )
+    )
+
+
 def truncated_dim_eval(
     embeddings: DataFrame,
     probe_id: int,

@@ -223,3 +223,41 @@ def test_modularity_isolated_community_zero_share(spark):
     assert rows["iso"]["q_share"] == 0.0
     # c0 holds the whole graph: q_share = (4·1·1 − 4)/4 = 0
     assert rows["c0"]["q_share"] == 0.0
+
+
+def test_link_prediction_scores_exact(spark):
+    from graph_loom_spark import analytics
+
+    # path 1-2-3-4 plus chord 1-3 (with a reverse duplicate and a
+    # self-loop to exercise canonicalization). degrees: 1:2 2:2 3:3 4:1.
+    # Non-adjacent pairs with a common neighbor: (1,4) and (2,4), both
+    # through center 3 (deg 3). Adjacent wedge pairs (1,2),(1,3),(2,3)
+    # must be anti-joined away.
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (3, 1), (2, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_micro"], r["ra_nano"])
+        for r in analytics.link_prediction_scores(df).collect()
+    }
+    # (1,4): inter=1, union=2+1-1=2 -> 500000; ra = 10^9 div 3
+    assert out == {
+        (1, 4): (1, 500_000, 333_333_333),
+        (2, 4): (1, 500_000, 333_333_333),
+    }
+
+
+def test_link_prediction_hub_cap_drops_hub_centers(spark):
+    from graph_loom_spark import analytics
+
+    # star center 0 with leaves 1..5 (deg(0)=5) plus a 1-2 edge.
+    # Exact: every leaf pair scores through center 0 (10 candidate
+    # pairs minus adjacent (1,2) -> 9). With max_center_degree=4 the
+    # hub stops serving as a center, leaving only wedges at centers
+    # 1 and 2 (deg 2): pair (0, x)? 0 is adjacent to everything, so
+    # nothing survives the anti-join -> empty.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    exact = analytics.link_prediction_scores(df)
+    assert exact.count() == 9
+    capped = analytics.link_prediction_scores(df, max_center_degree=4)
+    assert capped.count() == 0

@@ -164,3 +164,64 @@ def test_event_transitions_matches_python_replay(spark):
     for (f, _), (_, p) in got.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_rfm_segments_planted_quintiles(spark):
+    """X132: user k (k=1..5) has k events, value k each (monetary k²
+    cents·100), and a later last-ts for larger k — so f_q = m_q = k and
+    r_q = 6−k (user 5 is most recent). Codes are rank-based with
+    strictly-smaller counting; 5 distinct values over n=5 → one user
+    per quintile."""
+    import datetime
+
+    from graph_loom_spark.ops.events import rfm_segments
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(1, 6):
+        for i in range(k):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(minutes=k, seconds=i), k, "e", float(k)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+    for k in range(1, 6):
+        r = out[k]
+        assert r["frequency"] == k
+        assert r["monetary_cents"] == k * k * 100
+        assert (r["r_q"], r["f_q"], r["m_q"]) == (6 - k, k, k)
+        assert r["rfm_code"] == (6 - k) * 100 + k * 10 + k
+    # recency is µs vs the corpus max (user 5's last event)
+    assert out[5]["recency_us"] == 0
+    assert out[4]["recency_us"] == (60 + 1) * 1_000_000  # 1 min − 1 s earlier
+
+
+def test_rfm_equal_metrics_share_buckets_no_global_window(spark):
+    """Users with identical metrics get identical codes (strictly-
+    smaller counting — never an arbitrary NTILE split), and the plan
+    contains no unpartitioned window (every Window partitions by the
+    range bucket)."""
+    import datetime
+
+    from graph_loom_spark.ops.events import rfm_segments
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "e", 5.0),
+        (2, t0, 20, "e", 5.0),  # identical metrics as user 10
+        (3, t0 + datetime.timedelta(hours=1), 30, "e", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df = rfm_segments(ev)
+    out = {r["user_id"]: r for r in df.collect()}
+    assert (out[10]["r_q"], out[10]["f_q"], out[10]["m_q"]) == (
+        out[20]["r_q"], out[20]["f_q"], out[20]["m_q"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__b" in line, f"unpartitioned window: {line}"

@@ -547,7 +547,14 @@ def test_exact_spans_window_is_diagonal_partitioned_no_text_shuffle(spark):
     """X128: the islands window partitions by (pair, diagonal) — never a
     global sort; the full text column never crosses an exchange (only
     the fixed-width gram does)."""
-    plan = _plan(spark, "docs_exact_spans")
+    # build the op directly: the registry entry memoizes through a
+    # localCheckpoint, whose plan is just the checkpoint scan
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    df = ops_dedup.exact_dup_spans(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")), min_len=40
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     for line in plan.splitlines():
@@ -555,3 +562,21 @@ def test_exact_spans_window_is_diagonal_partitioned_no_text_shuffle(spark):
             assert "__diag" in line, f"unpartitioned window: {line}"
         if "Exchange hashpartitioning" in line:
             assert "__t" not in line, f"text crossed a shuffle: {line}"
+
+
+def test_link_prediction_no_cartesian_no_reshuffled_text(spark):
+    """X130: wedge enumeration + score joins are all equi-joins — never
+    a cross product / nested-loop fallback; both scores come out of ONE
+    grouped pass (a single Exchange on the pair key feeds the agg)."""
+    from graph_loom_spark import analytics
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    edges = (
+        edges.filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_partkey").alias("src"), (F.col("l_partkey") + 1).alias("dst"))
+    )
+    df = analytics.link_prediction_scores(edges)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

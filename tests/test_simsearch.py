@@ -543,3 +543,51 @@ def test_bq_topk_missing_probe_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="bq_topk: probe"):
         sim.bq_topk(emb, probe_id=10**9, k=5)
+
+
+def test_retrieval_label_eval_planted(spark):
+    """X131: planted 2-D corpus with known cosine ranks — probe 7
+    (label 1) ranks [id 1 (lbl 2), id 2 (lbl 1), id 3 (lbl 1)]:
+    first relevant at rank 2 → rr 500000, P@3 = 2·10⁶ div 3; probe 8
+    (label 9, nobody shares it) → all-zero scorecard."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (7, [1.0, 0.0], 1),       # probe A
+        (8, [0.0, 1.0], 9),       # probe B, label shared with nobody
+        (1, [1.0, 0.01], 2),      # rank 1 for probe A, irrelevant
+        (2, [1.0, 0.1], 1),       # rank 2, relevant
+        (3, [0.5, 0.5], 1),       # rank 3, relevant
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {
+        r["vec_id"]: (
+            r["label"], r["n_rel"], r["p_at_k_micro"],
+            r["first_rel_rank"], r["rr_micro"],
+        )
+        for r in sim.retrieval_label_eval(
+            emb, F.col("vec_id").isin(7, 8), k=3
+        ).collect()
+    }
+    assert out[7] == (1, 2, 666_666, 2, 500_000)
+    assert out[8] == (9, 0, 0, 0, 0)
+
+
+def test_retrieval_label_eval_candidates_match_full(spark):
+    """The LSH/IVF candidate path (with duplicated candidate pairs, the
+    knn_label contract) equals the full-scan scorecard when candidates
+    cover the true top-k."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = F.col("vec_id") % 50 == 7
+    full = sim.retrieval_label_eval(emb, probe, k=5)
+    pids = emb.filter(probe).select(F.col("vec_id").alias("p"))
+    cands = (
+        pids.crossJoin(emb.select(F.col("vec_id").alias("n")))
+        .unionAll(pids.crossJoin(emb.select(F.col("vec_id").alias("n")).limit(50)))
+    )
+    via = sim.retrieval_label_eval(emb, probe, k=5, candidates=cands)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
