@@ -227,6 +227,7 @@ def _memo_map() -> dict:
         "graph_clustering": [_COOC_CACHE, _TRI_CACHE],
         "graph_link_jaccard": [_COOC_CACHE, _LINKPRED_CACHE],
         "graph_link_ra": [_COOC_CACHE, _LINKPRED_CACHE],
+        "graph_assortativity": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -1183,6 +1184,15 @@ def _q_docs_source_overlap(spark, sf_dir):
     return ops_dedup.source_shingle_overlap(
         _t(spark, sf_dir, "documents"), shingle_n=3, sample_mod=4
     )
+
+
+def _q_docs_source_drift(spark, sf_dir):
+    """X134 — per-source-pair unigram total-variation drift: the
+    distribution-level feed monitor next to the set-level shingle
+    overlap (X73). Fixed-point term frequencies (c·10⁶ div N), TV via
+    S_a+S_b−2·Σ min — the one-sided-terms identity keeps the join
+    INNER on shared terms; all-integer → oracle-exact."""
+    return ops_text.source_unigram_drift(_t(spark, sf_dir, "documents"))
 
 
 def _q_docs_bm25(spark, sf_dir):
@@ -2208,6 +2218,15 @@ def _q_graph_link_ra(spark, sf_dir):
     )
 
 
+def _q_graph_assortativity(spark, sf_dir):
+    """X133 — degree assortativity (Newman 2002) on the part
+    co-purchase graph: do hub parts co-purchase with hub parts?
+    One-row topology scalar next to clustering/modularity; exact
+    DECIMAL(38,0) integer sums into one rounded division —
+    oracle-exact. Rides the memoized co-occurrence edges."""
+    return analytics.degree_assortativity(_cooc_edges(spark, sf_dir))
+
+
 def _q_graph_bfs(spark, sf_dir):
     """Single-source BFS shortest-path distances on the part co-purchase
     graph, from its smallest part id (deterministic). Level-synchronous
@@ -2355,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_ra": _q_graph_link_ra,
         "emb_retrieval_mrr": _q_emb_retrieval_mrr,
         "events_rfm": _q_events_rfm,
+        "graph_assortativity": _q_graph_assortativity,
+        "docs_source_drift": _q_docs_source_drift,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -5448,6 +5469,32 @@ def oracle_sql() -> dict[str, str]:
         # X124: train replay nested + rank-order merge application over
         # the distinct-word table
         "docs_bpe_encode": _bpe_encode_oracle(),
+        # X134 — per-source-pair unigram TV drift: fixed-point term
+        # frequencies, Σmin over SHARED terms only (one-sided terms
+        # contribute min=0), half-difference by integer division.
+        "docs_source_drift": (
+            "WITH tok AS (SELECT source AS src, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS t "
+            "FROM documents), "
+            "c AS (SELECT src, t, count(*) AS n FROM tok WHERE t <> '' "
+            "GROUP BY src, t), "
+            "tot AS (SELECT src, sum(n) AS nn FROM c GROUP BY src), "
+            "p AS (SELECT c.src, c.t, (c.n * 1000000) // tot.nn AS pp "
+            "FROM c JOIN tot ON c.src = tot.src), "
+            "s AS (SELECT src, CAST(sum(pp) AS BIGINT) AS ss FROM p GROUP BY src), "
+            "m AS (SELECT a.src AS source_a, b.src AS source_b, "
+            "count(*) AS n_shared, CAST(sum(least(a.pp, b.pp)) AS BIGINT) AS mm "
+            "FROM p a JOIN p b ON a.t = b.t AND a.src < b.src "
+            "GROUP BY a.src, b.src), "
+            "grid AS (SELECT sa.src AS source_a, sb.src AS source_b, "
+            "sa.ss AS ssa, sb.ss AS ssb FROM s sa JOIN s sb ON sa.src < sb.src) "
+            "SELECT grid.source_a, grid.source_b, "
+            "CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared_terms, "
+            "CAST((grid.ssa + grid.ssb - 2 * coalesce(m.mm, 0)) // 2 AS BIGINT) "
+            "AS drift_micro "
+            "FROM grid LEFT JOIN m ON grid.source_a = m.source_a "
+            "AND grid.source_b = m.source_b"
+        ),
         "docs_vocab": (
             "WITH tok AS (SELECT unnest(string_split_regex(lower(text), "
             "'[^a-z0-9_]+')) AS term FROM documents), "
@@ -5853,6 +5900,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
             "SELECT a AS id FROM t UNION ALL SELECT x FROM t "
             "UNION ALL SELECT y FROM t) GROUP BY id"
+        ),
+        # X133 — degree assortativity on the same co-purchase CTE:
+        # symmetric-doubling Pearson over integer degree sums (HUGEINT
+        # exact, matching the engine's DECIMAL(38,0)), one rounded
+        # double division; degree-regular graph -> 0.0 by convention.
+        "graph_assortativity": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+            "s AS (SELECT count(*) AS n, "
+            "sum(da.d + db.d) AS sx, "
+            "sum(2 * da.d * db.d) AS sxy, "
+            "sum(da.d * da.d + db.d * db.d) AS sxx "
+            "FROM e JOIN deg da ON e.u = da.id JOIN deg db ON e.v = db.id) "
+            "SELECT CAST(n AS BIGINT) AS n_edges, "
+            "CASE WHEN 2 * n * sxx - sx * sx = 0 THEN 0.0 "
+            "ELSE round(CAST(2 * n * sxy - sx * sx AS DOUBLE) / "
+            "CAST(2 * n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity "
+            "FROM s"
         ),
         # X130 — link prediction on the same co-purchase edge CTE:
         # unoriented wedges at the common neighbor (carrying its degree),

@@ -1035,6 +1035,76 @@ def link_prediction_scores(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks") over an undirected simple graph — the
+    one-number answer to "do hubs attach to hubs?" (r > 0) or "to
+    leaves?" (r < 0) that sits next to clustering/modularity in any
+    topology report. With every edge counted in BOTH orientations
+    (M = 2m terms; tail degree x, head degree y — the symmetric
+    doubling makes the x and y marginals identical, the standard
+    undirected convention), Pearson's r collapses to::
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    where per canonical edge ``Σxy += 2·du·dv``, ``Σx += du + dv``,
+    ``Σx² += du² + dv²`` — all exact integers accumulated in
+    DECIMAL(38,0) (per-edge products pass int64 once degrees pass
+    ~2³¹·√m, same 100 TB accumulator rule as modularity), then ONE
+    double division rounded to 6. Returns a single row
+    ``(n_edges, assortativity)``; a degree-regular graph (denominator
+    0: every degree equal) reports 0.0 by convention.
+
+    Scale shape: canonicalize + one degree aggregate + two narrow
+    degree equi-joins (the triangle_counts prologue) into ONE
+    partial-agg global aggregate — no window, no driver-side state
+    beyond the 1-row result. Input may be directed/duplicated/looped;
+    canonicalized exactly like :func:`triangle_counts`.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    d38 = "decimal(38,0)"
+    ed = e.join(
+        deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum((F.col("du") + F.col("dv")).cast(d38)).alias("__sx"),
+        F.sum(
+            F.lit(2).cast(d38) * F.col("du").cast(d38) * F.col("dv").cast(d38)
+        ).alias("__sxy"),
+        F.sum(
+            F.col("du").cast(d38) * F.col("du").cast(d38)
+            + F.col("dv").cast(d38) * F.col("dv").cast(d38)
+        ).alias("__sxx"),
+    )
+    m2 = (F.lit(2).cast(d38) * F.col("n_edges").cast(d38))
+    num = m2 * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = m2 * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return agg.select(
+        "n_edges",
+        F.when(den == F.lit(0).cast(d38), F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("assortativity"),
+    )
+
+
 def bfs_distances(
     edges_df: DataFrame,
     source=None,

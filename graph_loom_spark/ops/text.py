@@ -777,6 +777,91 @@ def vocab_topk(documents: DataFrame, text_col: str = "text", k: int = 50) -> Dat
     )
 
 
+def source_unigram_drift(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source-pair vocabulary drift: total-variation distance
+    between unigram distributions — the distribution-level "are these
+    ingest feeds diverging?" monitor next to the set-level shingle
+    overlap matrix (X73 asks "do they share content?"; this asks "do
+    they *write* differently?" — a feed can share zero documents yet
+    have identical language, or vice versa). For sources a, b with
+    fixed-point term frequencies ``p(t) = c(t)·10⁶ div N``::
+
+        drift_micro(a,b) = (S_a + S_b − 2·Σ_t min(p_a(t), p_b(t))) div 2
+
+    which equals ½·Σ|p_a−p_b| because one-sided terms contribute
+    min = 0 — so the expensive stage is an INNER join on shared terms
+    only, never a full-outer union of vocabularies. 0 = identical
+    distributions, ~10⁶ = disjoint. All-integer (per-term floors, the
+    RRF micropoint trick) → a SQL oracle replays it bit-for-bit.
+    Returns ``(source_a, source_b, n_shared_terms, drift_micro)`` for
+    EVERY source pair (zero-overlap pairs report drift ≈ 10⁶), pairs
+    ordered ``source_a < source_b``. Tokenizer matches
+    :func:`lang_id` / TF-IDF (lowercase, split on non-[a-z0-9_]).
+
+    Scale shape: one partial-agg ``groupBy(source, term)`` over the
+    exploded stream (the only corpus-sized stage), per-source totals
+    broadcast back (|sources| rows), the shared-term equi-join fans
+    out ≤ |sources|² rows per term (AQE splits hot stopword terms),
+    and the pair grid is a crossJoin of two |sources|-row aggregates —
+    at a thousand feeds that grid is 10⁶ rows, still nothing. The
+    per-term floor makes drift exact-reproducible but means Σp ≤ 10⁶
+    (off by ≤ |vocab| micropoints); both engines replay identically.
+    """
+    documents = spread(documents)
+    c = (
+        documents.select(
+            F.col(source_col).alias("__src"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("__src", "__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = c.groupBy("__src").agg(F.sum("__n").alias("__tot"))
+    p = c.join(F.broadcast(tot), "__src").select(
+        "__src", "__t", F.expr("(__n * 1000000L) div __tot").alias("__p")
+    )
+    s = p.groupBy("__src").agg(F.sum("__p").cast("bigint").alias("__S"))
+    pa = p.select(
+        F.col("__src").alias("source_a"), "__t", F.col("__p").alias("__pa")
+    )
+    pb = p.select(
+        F.col("__src").alias("source_b"), "__t", F.col("__p").alias("__pb")
+    )
+    m = (
+        pa.join(pb, "__t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.least("__pa", "__pb")).alias("__m"),
+        )
+    )
+    grid = (
+        s.select(F.col("__src").alias("source_a"), F.col("__S").alias("__Sa"))
+        .crossJoin(
+            s.select(F.col("__src").alias("source_b"), F.col("__S").alias("__Sb"))
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return grid.join(m, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_terms", F.lit(0)).cast("bigint").alias(
+            "n_shared_terms"
+        ),
+        F.expr("(__Sa + __Sb - 2 * coalesce(__m, 0L)) div 2")
+        .cast("bigint")
+        .alias("drift_micro"),
+    )
+
+
 def mixture_rates(
     documents: DataFrame,
     weights: dict[str, float],

@@ -261,3 +261,21 @@ def test_link_prediction_hub_cap_drops_hub_centers(spark):
     assert exact.count() == 9
     capped = analytics.link_prediction_scores(df, max_center_degree=4)
     assert capped.count() == 0
+
+
+def test_degree_assortativity_exact(spark):
+    from graph_loom_spark import analytics
+
+    # triangle {1,2,3} + pendant (3,4): degrees 2,2,3,1.
+    # M=8, Σx=18, Σxy=38, Σxx=44 → r = (8·38−18²)/(8·44−18²) = −20/28
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1)]  # + a reverse dup
+    df = spark.createDataFrame(edges, "src int, dst int")
+    row = analytics.degree_assortativity(df).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["assortativity"] == round(-20 / 28, 6)
+    # star S3: perfectly disassortative → −1
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src int, dst int")
+    assert analytics.degree_assortativity(star).collect()[0]["assortativity"] == -1.0
+    # degree-regular (triangle): denominator 0 → 0.0 by convention
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    assert analytics.degree_assortativity(tri).collect()[0]["assortativity"] == 0.0

@@ -1228,3 +1228,28 @@ def test_classifier_calibration_bins_partition_corpus(spark):
     }
     assert got == want
     assert sum(n for n, *_ in got.values()) == N
+
+
+def test_source_unigram_drift_planted(spark):
+    """X134: hand-computed TV — A={a,a,b}, B={a,b,b} share both terms
+    (drift = ½·(|⅔−⅓|+|⅓−⅔|) ≈ 333333 micropoints); C={c} shares
+    nothing with either (drift ≈ 10⁶, via the left-join zero-min path)."""
+    from graph_loom_spark.ops.text import source_unigram_drift
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "a b b", "B"), (3, "c", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_shared_terms"], r["drift_micro"])
+        for r in source_unigram_drift(docs).collect()
+    }
+    assert out[("A", "B")] == (2, 333_333)
+    assert out[("A", "C")] == (0, 999_999)  # (999999+1000000) div 2
+    assert out[("B", "C")] == (0, 999_999)
+    # identical distributions → zero drift
+    docs2 = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "y x", "B")], "doc_id long, text string, source string"
+    )
+    row = source_unigram_drift(docs2).collect()[0]
+    assert (row["n_shared_terms"], row["drift_micro"]) == (2, 0)
