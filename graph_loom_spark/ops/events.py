@@ -232,15 +232,16 @@ def rfm_segments(
     recent / fewest events / lowest spend — ascending metric order).
 
     Scale shape: one partial-agg ``groupBy(user)`` over the event
-    stream, a broadcast 1-row corpus-max join, then per metric ONE
-    grouped-by-distinct-value count fed through the range-bucketed
-    two-phase prefix sum (:func:`~graph_loom_spark.ops.text._grouped_cprev`,
-    the X82 construction) — c_prev for every distinct value WITHOUT a
-    single-partition window — joined back on the metric value. No stage
-    serializes the user frame through one task.
+    stream, a broadcast 1-row corpus-max join, then ALL THREE metrics
+    melt through one explode into a single grouped-by-(metric, value)
+    count fed through the range-bucketed two-phase prefix sum (the X82
+    construction as in :func:`~graph_loom_spark.ops.text._grouped_cprev`,
+    multi-keyed) — c_prev for every distinct value WITHOUT a
+    single-partition window, and without three serial rounds of driver
+    jobs (one range aggregate, one ≤3·4096-row bucket collect) —
+    joined back per metric value. No stage serializes the user frame
+    through one task.
     """
-    from graph_loom_spark.ops.text import _grouped_cprev
-
     mx = events.agg(F.max(ts_col).alias("__mx"))
     u = (
         events.groupBy(F.col(user_col).alias("user_id"))
@@ -259,22 +260,77 @@ def rfm_segments(
             "monetary_cents",
         )
     )
+    # localCheckpoint BEFORE the metric stage: every branch below
+    # re-reads the user frame, and without truncation the raw-event
+    # aggregate (and its 1-row corpus-max join) re-plans once per branch
+    # — measured 8 duplicated subtrees / 8 event scans for 3 metrics.
+    # The frame is |users| rows; the count below materializes it anyway.
+    u = u.localCheckpoint(eager=True)
     n = max(u.count(), 1)  # empty stream → no rows; avoid div-by-zero
-    out = u
-    for metric, code in (
-        ("recency_us", "r_q"),
-        ("frequency", "f_q"),
-        ("monetary_cents", "m_q"),
-    ):
-        g = out.groupBy(metric).agg(F.count(F.lit(1)).alias("__n"))
-        cprev = _grouped_cprev(g, score_col=metric, n_col="__n").select(
-            metric, F.col("__cprev")
+    metrics = [("recency_us", "r_q"), ("frequency", "f_q"), ("monetary_cents", "m_q")]
+    # All three c_prev frames in ONE melted pass (the X82 range-bucket
+    # construction, multi-keyed): three per-metric _grouped_cprev calls
+    # cost 2 serial driver jobs each (range agg + bucket-sum collect) —
+    # measured ~6 s of pure job latency on a 100k-row table. Melting
+    # (metric, value) through one explode keys everything by metric:
+    # one range aggregate, one grouped count shuffle, one ≤3·4096-row
+    # collect, one (metric, bucket)-partitioned window.
+    rng = u.agg(
+        *[f for m, _ in metrics for f in (F.min(m).alias(f"__lo_{m}"), F.max(m).alias(f"__hi_{m}"))]
+    ).first()
+    if rng[f"__lo_{metrics[0][0]}"] is None:  # empty stream → empty output
+        out = u
+        for _, code in metrics:
+            out = out.withColumn(code, F.lit(0).cast("bigint"))
+        return out.select(
+            "user_id", "recency_us", "frequency", "monetary_cents",
+            "r_q", "f_q", "m_q",
+            F.lit(0).cast("bigint").alias("rfm_code"),
         )
-        out = out.join(cprev, metric).withColumn(
+    melted = u.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("__k"), F.col(m).alias("__v"))
+                    for m, _ in metrics
+                ]
+            )
+        ).alias("__x")
+    ).select("__x.*")
+    g = melted.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__n"))
+    buckets = []
+    for m, _ in metrics:
+        lo, hi = int(rng[f"__lo_{m}"]), int(rng[f"__hi_{m}"])
+        span = hi - lo + 1
+        nb = min(4096, span)
+        # integer div, not double /: (v−lo)·nb can pass 2^53 (see X82)
+        buckets.append(f"WHEN __k = '{m}' THEN ((__v - {lo}L) * {nb}L) div {span}L")
+    bexpr = F.expr("CASE " + " ".join(buckets) + " END")
+    sums = g.groupBy("__k", bexpr.alias("__b")).agg(F.sum("__n").alias("__t")).collect()
+    offsets, cum = [], {}
+    for k, b, t in sorted((r["__k"], int(r["__b"]), int(r["__t"])) for r in sums):
+        offsets.append((k, b, cum.get(k, 0)))
+        cum[k] = cum.get(k, 0) + t
+    off = F.broadcast(
+        u.sparkSession.createDataFrame(offsets, "__k string, __b long, __off long")
+    )
+    w = Window.partitionBy("__k", "__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cprev = (
+        g.withColumn("__b", bexpr)
+        .join(off, ["__k", "__b"])
+        .withColumn("__cprev", F.sum("__n").over(w) - F.col("__n") + F.col("__off"))
+        .select("__k", "__v", "__cprev")
+    )
+    out = u
+    for m, code in metrics:
+        cp = cprev.filter(F.col("__k") == m).select(
+            F.col("__v").alias(m), "__cprev"
+        )
+        out = out.join(cp, m).withColumn(
             code,
-            F.expr(f"1 + (__cprev * {int(quantiles)}L) div {int(n)}L").cast(
-                "bigint"
-            ),
+            F.expr(f"1 + (__cprev * {int(quantiles)}L) div {int(n)}L").cast("bigint"),
         ).drop("__cprev")
     return out.select(
         "user_id",

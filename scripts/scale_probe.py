@@ -169,6 +169,11 @@ def main() -> None:
         ).count(),
         "ivfpq": lambda d, e: _ivfpq(e),
         "classifier_auc": lambda d, e: ops_text.classifier_auc(d).count(),
+        # r10 additions
+        "retrieval_mrr": lambda d, e: ops_sim.retrieval_label_eval(
+            e, F.col("vec_id") % 50 == 7, k=10
+        ).count(),
+        "source_drift": lambda d, e: ops_text.source_unigram_drift(d).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]

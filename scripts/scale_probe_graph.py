@@ -101,28 +101,70 @@ def main() -> None:
             g, g.nodes.select("id").orderBy("id").limit(16)
         ).count(),
     }
+    # r10: link prediction + assortativity run on the co-purchase
+    # PROJECTION (the entry's graph), not the FK property graph — the
+    # FK graph's nation/region mega-hubs are exactly what the wedge
+    # enumeration must never see uncapped. 10× = ten disjoint id-offset
+    # copies, so wedge count grows exactly 10× (linearity check).
+    cooc_path = f"{DERIVED}/cooc_edges.parquet"
+    if not os.path.exists(cooc_path):
+        from graph_loom_spark.ops.dedup import co_occurrence_edges
+
+        li = spark.read.parquet(f"{SF1}/lineitem.parquet").filter(
+            F.col("l_orderkey") % 4 == 0
+        )
+        e1c = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+        off = int(e1c.agg(F.max(F.greatest("src", "dst"))).first()[0]) + 1
+        copies = spark.range(COPIES).select(F.col("id").alias("__c"))
+        (
+            e1c.crossJoin(copies)
+            .select(
+                (F.col("src") + F.col("__c") * off).alias("src"),
+                (F.col("dst") + F.col("__c") * off).alias("dst"),
+            )
+            .write.mode("overwrite")
+            .parquet(cooc_path)
+        )
+        e1c.write.mode("overwrite").parquet(f"{DERIVED}/cooc_edges_1x.parquet")
+    ec1 = spark.read.parquet(f"{DERIVED}/cooc_edges_1x.parquet").localCheckpoint(
+        eager=True
+    )
+    ec10 = spark.read.parquet(cooc_path).localCheckpoint(eager=True)
+    EDGE_OPS = {
+        "link_pred": lambda e: analytics.link_prediction_scores(e).count(),
+        "assortativity": lambda e: analytics.degree_assortativity(e).count(),
+    }
+
     only = sys.argv[1:]
     scales = [("sf0.1", g1), ("sf0.1x10", g10)]
     print(f"{'op':12s} " + " ".join(f"{t:>10s}" for t, _ in scales) + "   x(1->10)")
-    for name, fn in OPS.items():
-        if only and name not in only:
-            continue
+
+    def _run(name, fn, pairs):
         row = []
-        for tag, g in scales:
+        for tag, arg in pairs:
             t0 = time.time()
             try:
-                fn(g)
+                fn(arg)
                 row.append(time.time() - t0)
             except Exception as ex:
                 print(f"{name}: FAIL at {tag}: {str(ex)[:120]}", flush=True)
                 row.append(float("nan"))
                 break
-        if len(row) == len(scales):
+        if len(row) == len(pairs):
             factor = row[1] / row[0] if row[0] else float("nan")
             print(
                 f"{name:12s} " + " ".join(f"{v:9.2f}s" for v in row) + f"   {factor:6.1f}x",
                 flush=True,
             )
+
+    for name, fn in OPS.items():
+        if only and name not in only:
+            continue
+        _run(name, fn, scales)
+    for name, fn in EDGE_OPS.items():
+        if only and name not in only:
+            continue
+        _run(name, fn, [("sf0.1", ec1), ("sf0.1x10", ec10)])
     spark.stop()
 
 
