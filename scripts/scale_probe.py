@@ -173,6 +173,15 @@ def main() -> None:
         "retrieval_mrr": lambda d, e: ops_sim.retrieval_label_eval(
             e, F.col("vec_id") % 50 == 7, k=10
         ).count(),
+        # the %-mod probe filter grows the probe SET 10x with the
+        # corpus, so the line above measures |probes|x|corpus| (~100x
+        # work) — production keeps the probe set fixed (or passes
+        # candidates=). This fixed-40-probe line isolates corpus
+        # scaling: vec_id < 2000 is the 1x corpus' id range, present
+        # verbatim at every scale (the 10x replicas offset upward).
+        "retrieval_mrr_fixedp": lambda d, e: ops_sim.retrieval_label_eval(
+            e, (F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000), k=10
+        ).count(),
         "source_drift": lambda d, e: ops_text.source_unigram_drift(d).count(),
     }
     only = sys.argv[1:]

@@ -279,3 +279,51 @@ def test_degree_assortativity_exact(spark):
     # degree-regular (triangle): denominator 0 → 0.0 by convention
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
     assert analytics.degree_assortativity(tri).collect()[0]["assortativity"] == 0.0
+
+
+def test_link_prediction_matches_python_replay_random_graphs(spark):
+    """X130 vs an exact pure-Python replay on seeded random graphs:
+    same canonicalization, same strictly-smaller pair convention, same
+    integer floors — every candidate pair must match on all three
+    scores (and no adjacent pair may leak through the anti-join)."""
+    import itertools
+    import random
+
+    from graph_loom_spark import analytics
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(6, 12)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)
+                )
+                if a != b
+            }
+        )
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = {}
+        for a, b in itertools.combinations(sorted(adj), 2):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            inter = len(common)
+            union = len(adj[a]) + len(adj[b]) - inter
+            expect[(a, b)] = (
+                inter,
+                (inter * 1_000_000) // union,
+                sum(1_000_000_000 // len(adj[w]) for w in common),
+            )
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_micro"], r["ra_nano"])
+            for r in analytics.link_prediction_scores(df).collect()
+        }
+        assert got == expect, f"seed {seed}: {got} != {expect}"

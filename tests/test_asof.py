@@ -225,3 +225,61 @@ def test_rfm_equal_metrics_share_buckets_no_global_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "__b" in line, f"unpartitioned window: {line}"
+
+
+def test_rfm_matches_python_replay_random(spark):
+    """X132 vs a pure-Python replay on a seeded random event stream:
+    identical cents flooring, µs recency, and strictly-smaller quantile
+    codes for every user."""
+    import datetime
+    import random
+
+    from graph_loom_spark.ops.events import rfm_segments
+
+    rng = random.Random(11)
+    t0 = datetime.datetime(2026, 3, 1)
+    rows = []
+    for eid in range(200):
+        uid = rng.randrange(17)
+        ts = t0 + datetime.timedelta(seconds=rng.randrange(100_000))
+        rows.append((eid, ts, uid, "e", rng.uniform(0, 50)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # python replay
+    import math
+
+    per = {}
+    for _, ts, uid, _, val in rows:
+        r = per.setdefault(uid, {"last": ts, "n": 0, "cents": 0})
+        r["last"] = max(r["last"], ts)
+        r["n"] += 1
+        r["cents"] += math.floor(val * 100 + 0.5)
+    mx = max(r["last"] for r in per.values())
+    users = {
+        uid: (
+            int((mx - r["last"]).total_seconds() * 1_000_000),
+            r["n"],
+            r["cents"],
+        )
+        for uid, r in per.items()
+    }
+    n = len(users)
+
+    def q(vals, v):
+        return 1 + (sum(1 for x in vals if x < v) * 5) // n
+
+    expect = {}
+    for uid, (rec, freq, mon) in users.items():
+        rq = q([u[0] for u in users.values()], rec)
+        fq = q([u[1] for u in users.values()], freq)
+        mq = q([u[2] for u in users.values()], mon)
+        expect[uid] = (rec, freq, mon, rq, fq, mq, rq * 100 + fq * 10 + mq)
+    got = {
+        r["user_id"]: (
+            r["recency_us"], r["frequency"], r["monetary_cents"],
+            r["r_q"], r["f_q"], r["m_q"], r["rfm_code"],
+        )
+        for r in rfm_segments(ev).collect()
+    }
+    assert got == expect
