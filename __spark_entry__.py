@@ -1195,6 +1195,24 @@ def _q_docs_source_drift(spark, sf_dir):
     return ops_text.source_unigram_drift(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_novelty(spark, sf_dir):
+    """X136 — per-doc novelty profile in ingest order: fraction of each
+    doc's distinct 3-gram shingles first seen in THAT doc (min-doc-id
+    inverted index) — the complement of the dup-coverage family along
+    the ingestion axis; all-integer micropoints, oracle-exact."""
+    return ops_dedup.doc_novelty(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_textrank(spark, sf_dir):
+    """X135 — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    top-30 terms by fixed-point PageRank over the word-adjacency graph
+    (window 2, undirected via symmetric edges) — graph centrality as
+    the "what is this corpus about?" view next to the frequency head
+    and TF-IDF. The PageRank loop runs on the VOCABULARY-sized graph;
+    integer ranks → the oracle replays all 5 iterations exactly."""
+    return ops_text.textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_bm25(spark, sf_dir):
     """BM25 top-20 for a fixed 3-term query — retrieval surface for
     benchmark decontamination / targeted mining. Inverted index built
@@ -2376,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": _q_events_rfm,
         "graph_assortativity": _q_graph_assortativity,
         "docs_source_drift": _q_docs_source_drift,
+        "docs_textrank": _q_docs_textrank,
+        "docs_novelty": _q_docs_novelty,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -3095,6 +3115,48 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+    )
+
+
+def _textrank_oracle(k: int = 30, iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
+    """SQL replay of TextRank (X135): tokenize → consecutive-pair zip →
+    canonical distinct edges doubled both directions, then the exact
+    _pagerank_oracle iteration block (integer ranks, floor divisions,
+    rational damping, MATERIALIZED per-level CTEs — same
+    exponential-inlining lesson) over the word graph; rank-desc /
+    term-asc top-k."""
+    parts = [
+        "tok AS (SELECT list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9_]+'), w -> w <> '') AS ws FROM documents)",
+        "pz AS (SELECT unnest(list_zip(ws[1:length(ws)-1], ws[2:length(ws)])) "
+        "AS p FROM tok)",
+        "ce AS MATERIALIZED (SELECT DISTINCT least(p[1], p[2]) AS u, "
+        "greatest(p[1], p[2]) AS v FROM pz WHERE p[1] <> p[2])",
+        "edges AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM edges)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
+        f"r0 AS MATERIALIZED (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for kk in range(1, iters + 1):
+        p = kk - 1
+        parts.append(
+            f"c{kk} AS MATERIALIZED (SELECT e.v AS id, sum(r.r // d.od) AS s FROM edges e "
+            f"JOIN od d ON e.u = d.id JOIN r{p} r ON e.u = r.id GROUP BY e.v)"
+        )
+        parts.append(
+            f"m{kk} AS MATERIALIZED (SELECT COALESCE(sum(r.r), 0) AS m FROM r{p} r "
+            "LEFT JOIN od d ON r.id = d.id WHERE d.id IS NULL)"
+        )
+        parts.append(
+            f"r{kk} AS MATERIALIZED (SELECT n.id, {(100 - dn) * S} // (100 * (SELECT n FROM nn)) + "
+            f"({dn} * (COALESCE(c.s, 0) + (SELECT m FROM m{kk}) // (SELECT n FROM nn))) // 100 AS r "
+            f"FROM nodes n LEFT JOIN c{kk} c ON n.id = c.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id AS term, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters} "
+        f"ORDER BY rank DESC, term LIMIT {k}"
     )
 
 
@@ -5334,6 +5396,28 @@ def oracle_sql() -> dict[str, str]:
         # (All-pairs form measured 30 s vs ~1 s at sf0.01.)
         "docs_dedup_eval": _dedup_eval_oracle(),
         "emb_ann_eval": _ann_eval_oracle(),
+        # X136 — novelty: the same distinct-shingle frames as the
+        # jaccard family, min-doc-id first-occurrence index, integer
+        # micropoint fraction.
+        "docs_novelty": (
+            "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "f AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY g), "
+            "per AS (SELECT ex.doc_id, count(*) AS n_grams, "
+            "sum(CASE WHEN f.fd = ex.doc_id THEN 1 ELSE 0 END) AS n_novel "
+            "FROM ex JOIN f ON ex.g = f.g GROUP BY ex.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel, "
+            "CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0 "
+            "ELSE (per.n_novel * 1000000) // per.n_grams END AS BIGINT) "
+            "AS novelty_micro "
+            "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+        ),
         "docs_ngram_jaccard": (
             "WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct("
             "[array_to_string(toks[i:i+2], ' ') "
@@ -6045,6 +6129,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Fixed-point integer PageRank → full SQL replay (generated).
         "graph_pagerank": _pagerank_oracle(),
+        "docs_textrank": _textrank_oracle(),
         "graph_ppr": _ppr_oracle(),
         "graph_hits": _hits_oracle(),
         # Bounded-depth BFS as a recursive CTE: the working set carries

@@ -1022,6 +1022,62 @@ def exact_span_coverage(
     )
 
 
+def doc_novelty(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty profile in ingestion (id) order: the
+    fraction of a doc's distinct word ``n``-gram shingles whose FIRST
+    corpus occurrence (min doc id) is this doc — the "how much new
+    content does each document actually add?" curve behind corpus
+    redundancy growth analyses (the aggregate view of the same signal
+    Lee et al. 2022 act on per-span; X40/X129 measure *duplicated*
+    content, this measures its complement along the ingest axis — a
+    feed whose novelty trend decays toward 0 has stopped contributing).
+    Returns ``(doc_id, n_grams, n_novel, novelty_micro)`` for EVERY
+    document, ``novelty_micro = n_novel·10⁶ div n_grams`` — all-integer,
+    SQL-replayable. Shingles use the exact :func:`_shingles` convention
+    (lowercase, whitespace-normalized word ``n``-grams, distinct per
+    doc), so the numbers compose with the Jaccard/containment family.
+
+    Scale shape: one explode + one partial-agg ``groupBy(gram)`` min
+    (the inverted-index build every dedup op here already pays), one
+    equi-join back (AQE splits hot boilerplate grams), one
+    ``groupBy(doc)`` — no window, no driver state; the min-aggregate
+    makes "first occurrence" associative, so it parallelizes exactly
+    like a count.
+    """
+    base = spread(documents).select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("__g")
+    )
+    first = base.groupBy("__g").agg(F.min(id_col).alias("__first"))
+    per = (
+        base.join(first, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("(n_novel * 1000000L) div n_grams"))
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
+
+
 def co_occurrence_edges(
     df: DataFrame,
     group_col: str,

@@ -862,6 +862,80 @@ def source_unigram_drift(
     )
 
 
+def textrank_keywords(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 30,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    top-``k`` terms by PageRank over the word ADJACENCY graph — terms
+    are vertices, an edge links words that appear consecutively
+    (window 2, the paper's default), and centrality in that graph beats
+    raw frequency because a term that co-occurs with many *distinct*
+    well-connected terms outranks a term that merely repeats. The
+    pipeline's "what is this corpus about?" view next to the frequency
+    head (X33) and TF-IDF (X9).
+
+    Built as a COMPOSITION: tokenize → consecutive-pair explode →
+    canonical distinct edge set doubled into both directions (TextRank's
+    graph is undirected; symmetric edges make directed PageRank
+    equivalent) → :func:`~graph_loom_spark.analytics.pagerank` — the
+    fixed-point integer implementation, so ranks are bit-identical
+    across engines/partitionings and the SQL oracle replays all
+    ``iters`` iterations exactly. Returns ``(term, rank)``, rank-desc /
+    term-asc top-k.
+
+    Scale shape: one explode + one distinct on (a, b) word pairs (the
+    only corpus-sized stages, both partial-aggregable); the graph
+    itself is VOCABULARY-sized (|V| = distinct terms, edges ≤ distinct
+    bigrams), so the PageRank loop runs on frames orders of magnitude
+    smaller than the corpus — the same reduction BPE training rides.
+    Tokenizer matches :func:`lang_id` / TF-IDF (lowercase,
+    non-[a-z0-9_] splits; empty tokens dropped BEFORE pairing so
+    adjacency never spans a separator run).
+    """
+    from graph_loom_spark import analytics
+    from graph_loom_spark.graph import PropertyGraph
+
+    documents = spread(documents)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+        lambda w: w != F.lit(""),
+    )
+    pairs = documents.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))).alias("a"),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    e = (
+        pairs.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    g = PropertyGraph(documents.sparkSession, nodes=nodes, edges=edges)
+    ranks = analytics.pagerank(g, iters=iters, damping=damping)
+    return (
+        ranks.select(F.col("id").alias("term"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def mixture_rates(
     documents: DataFrame,
     weights: dict[str, float],

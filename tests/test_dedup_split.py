@@ -268,3 +268,25 @@ def test_exact_span_coverage_unions_overlaps(spark):
     for r in cov.values():
         assert 0 <= r["covered_chars"] <= r["n_chars"]
         assert abs(r["coverage"] - round(r["covered_chars"] / max(r["n_chars"], 1), 6)) < 1e-9
+
+
+def test_doc_novelty_planted(spark):
+    """X136: doc 1 introduces every gram (novelty 10⁶); doc 2 repeats
+    doc 1 verbatim (novelty 0); doc 3 shares a prefix but adds a new
+    tail gram. Short docs still yield one (short) gram — the _shingles
+    convention."""
+    from graph_loom_spark.ops.dedup import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c','b c d' — both new
+            (2, "a b c d"),          # same grams, first seen in doc 1
+            (3, "a b c x"),          # 'a b c' old, 'b c x' new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_micro"])
+           for r in doc_novelty(docs).collect()}
+    assert out[1] == (2, 2, 1_000_000)
+    assert out[2] == (2, 0, 0)
+    assert out[3] == (2, 1, 500_000)

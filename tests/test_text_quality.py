@@ -1253,3 +1253,32 @@ def test_source_unigram_drift_planted(spark):
     )
     row = source_unigram_drift(docs2).collect()[0]
     assert (row["n_shared_terms"], row["drift_micro"]) == (2, 0)
+
+
+def test_textrank_keywords_hub_word_ranks_first(spark):
+    """X135: 'hub' is adjacent to four distinct words, each leaf only
+    to hub — the star's center must out-rank every leaf; empty and
+    one-word docs contribute no edges; k-boundary ties break term-asc."""
+    from graph_loom_spark.ops.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta", "s"),
+            (2, "hub gamma", "s"),
+            (3, "delta hub", "s"),
+            (4, "solo", "s"),       # 1 word → no pairs
+            (5, "", "s"),           # empty → no pairs
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = textrank_keywords(docs, k=10).collect()
+    terms = [r["term"] for r in out]
+    assert terms[0] == "hub"
+    assert set(terms) == {"hub", "alpha", "beta", "gamma", "delta"}  # no 'solo'
+    ranks = {r["term"]: r["rank"] for r in out}
+    assert all(ranks["hub"] > ranks[t] for t in terms[1:])
+    # the four leaves are structurally identical → identical fixed-point
+    # ranks, listed term-ascending
+    assert terms[1:] == sorted(terms[1:])
+    leaf = {ranks[t] for t in terms[1:]}
+    assert len(leaf) == 1
