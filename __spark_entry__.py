@@ -187,6 +187,7 @@ def _memo_map() -> dict:
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_pipeline_funnel": [_MINHASH_SIG_CACHE],
         "docs_ngram_jaccard": [_JACCARD_CACHE],
+        "docs_dedup_keep_best": [_JACCARD_CACHE],
         "docs_dedup_eval": [_MINHASH_CACHE, _MINHASH_SIG_CACHE, _JACCARD_CACHE],
         "docs_dedup_clusters": [_JACCARD_CACHE],
         "docs_leakage_split": [_JACCARD_CACHE],
@@ -925,6 +926,21 @@ def _q_docs_dedup_clusters(spark, sf_dir):
     oracle rebuilds the same pairs brute-force and closes them with a
     recursive CTE — exact, so the whole pipeline is hash-checked."""
     return ops_dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        pairs=_jaccard_pairs(spark, sf_dir),
+    )
+
+
+def _q_docs_dedup_keep_best(spark, sf_dir):
+    """X137 — quality-aware canonical selection: within each near-dup
+    cluster keep the highest-quality member (integer 0-3 quality
+    score, ties → smallest id) instead of blindly the first-seen —
+    the rule production dedup applies. Rides the memoized Jaccard
+    pairs; selection is one argmax groupBy (min over (−score, id)
+    structs, no window) — oracle-exact."""
+    return ops_dedup.dedup_keep_best(
         _t(spark, sf_dir, "documents"),
         n=3,
         threshold=0.5,
@@ -2396,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_drift": _q_docs_source_drift,
         "docs_textrank": _q_docs_textrank,
         "docs_novelty": _q_docs_novelty,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -5802,6 +5819,40 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
             "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
             "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
+        ),
+        # X137 — the dedup_clusters recursive-CTE replay + the shared
+        # quality expression; keeper = (quality DESC, id ASC) first.
+        "docs_dedup_keep_best": (
+            "WITH RECURSIVE "
+            "sh AS MATERIALIZED (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh), "
+            "pairs AS MATERIALIZED (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), "
+            f"q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS qs FROM documents), "
+            "j AS (SELECT comp.doc_id, comp.cluster_id, q.qs "
+            "FROM comp JOIN q ON comp.doc_id = q.doc_id), "
+            "b AS (SELECT cluster_id, doc_id AS keep FROM ("
+            "SELECT cluster_id, doc_id, row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY qs DESC, doc_id) AS rn FROM j) "
+            "WHERE rn = 1) "
+            "SELECT j.doc_id, j.cluster_id, CAST(j.qs AS BIGINT) AS quality_score, "
+            "j.doc_id = b.keep AS is_kept "
+            "FROM j JOIN b ON j.cluster_id = b.cluster_id"
         ),
         # X115 — the dedup_clusters recursive-CTE replay feeding the
         # train_split CASE keyed on cluster_id (leakage-safe split).

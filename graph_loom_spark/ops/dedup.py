@@ -679,6 +679,64 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    quality: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters — the
+    rule production dedup actually applies: within each
+    :func:`dedup_clusters` component keep the HIGHEST-quality member
+    (ties → smallest id, first-seen), not blindly the first-seen one —
+    when a cleaner copy of a boilerplate-wrapped page exists, the
+    cleaner copy survives. Returns ``(doc_id, cluster_id,
+    quality_score, is_kept)`` for EVERY document; exactly one
+    ``is_kept`` per cluster.
+
+    ``quality`` defaults to the integer 0-3
+    :func:`~graph_loom_spark.ops.text.quality_score` (the same signal
+    the cluster-quality report rolls up); pass any ``(id, score)``
+    frame — e.g. the hashed classifier — for a different keep rule.
+    ``pairs`` passes through to :func:`dedup_clusters` (memoized exact
+    Jaccard here; LSH pairs at scale).
+
+    Scale shape: clustering dominates (see dedup_clusters); selection
+    adds one narrow equi-join + one partial-agg argmax groupBy — the
+    argmax is a ``min`` over ``(-score, id)`` structs, the same
+    portable tie-break lever as knn_label's vote, so no window and no
+    second pass.
+    """
+    from graph_loom_spark.ops.text import quality_score as _qs
+
+    clusters = dedup_clusters(
+        documents, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, pairs=pairs,
+    ).select(id_col, "cluster_id")
+    if quality is None:
+        quality = _qs(documents, text_col=text_col).select(
+            id_col, "quality_score"
+        )
+    j = clusters.join(quality, id_col)
+    best = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality_score")).alias("nq"),
+                F.col(id_col).alias("i"),
+            )
+        ).alias("__b")
+    )
+    return j.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        F.col("quality_score").cast("bigint").alias("quality_score"),
+        (F.col(id_col) == F.col("__b.i")).alias("is_kept"),
+    )
+
+
 def leakage_safe_split(
     documents: DataFrame,
     text_col: str = "text",

@@ -290,3 +290,40 @@ def test_doc_novelty_planted(spark):
     assert out[1] == (2, 2, 1_000_000)
     assert out[2] == (2, 0, 0)
     assert out[3] == (2, 1, 500_000)
+
+
+def test_dedup_keep_best_prefers_quality_over_first_seen(spark):
+    """X137: docs 1 and 2 are near-dups; doc 2 has higher quality (long
+    alphabetic text) while doc 1 is first-seen junk — keep-best must
+    flip the canonical choice dedup_clusters would make; singleton doc
+    3 keeps itself."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops.dedup import dedup_keep_best, dedup_clusters
+
+    # doc 1's single 400-char "word" pushes mean word length past the
+    # 12-char quality rule (score 2) while adding only ~2 shingles, so
+    # Jaccard with doc 2 stays ~0.64 (offline-verified); doc 2 scores 3
+    good = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, good + "z" * 400),
+            (2, good + "and runs far away"),
+            (3, "completely different content here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    # sanity: 1 and 2 really cluster together
+    cl = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    assert cl[1] == cl[2] != cl[3]
+    out = {r["doc_id"]: (r["cluster_id"], r["quality_score"], r["is_kept"])
+           for r in dedup_keep_best(docs).collect()}
+    assert out[2][2] and not out[1][2]      # higher-quality doc 2 kept
+    assert out[2][1] > out[1][1]
+    assert out[3][2]                        # singleton keeps itself
+    # exactly one keeper per cluster
+    assert sum(1 for v in out.values() if v[2]) == 2
+    # custom quality frame flips the choice back
+    q = spark.createDataFrame([(1, 9), (2, 0), (3, 0)], "doc_id long, quality_score int")
+    out2 = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(docs, quality=q).collect()}
+    assert out2[1] and not out2[2]
