@@ -2087,6 +2087,15 @@ def _q_emb_knn_label(spark, sf_dir):
     )
 
 
+def _q_emb_drift(spark, sf_dir):
+    """X138 — per-label embedding drift: cosine between the A/B-slice
+    centroids (vec_id parity split) on the fixed-point grid — the
+    representation-level companion of docs_source_drift; exact int64
+    component sums, DECIMAL(38,0) cross products, one rounded
+    division — oracle-exact."""
+    return ops_sim.embedding_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_emb_retrieval_mrr(spark, sf_dir):
     """X131 — labeled-retrieval scorecard (MRR + precision@k): per
     vec_id%50==7 probe, exact rounded-cosine top-10 graded by label
@@ -2413,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_textrank": _q_docs_textrank,
         "docs_novelty": _q_docs_novelty,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
+        "emb_drift": _q_emb_drift,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -5994,6 +6004,32 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_report": _minhash_report_oracle(),
         "emb_knn_label": _knn_label_oracle(),
         "emb_retrieval_mrr": _retrieval_mrr_oracle(),
+        # X138 — per-label A/B centroid cosine on the fixed-point grid:
+        # lateral generate_series = posexplode, HUGEINT cross products.
+        "emb_drift": (
+            "WITH t AS (SELECT label, vec_id % 2 = 0 AS a, "
+            "list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "comp AS (SELECT label, a, pos, sum(v) AS s, count(*) AS n FROM ("
+            "SELECT label, a, unnest(q) AS v, "
+            "unnest(generate_series(1, length(q))) AS pos FROM t) "
+            "GROUP BY label, a, pos), "
+            "pa AS (SELECT label, pos, s AS sa, n AS na FROM comp WHERE a), "
+            "pb AS (SELECT label, pos, s AS sb, n AS nb FROM comp WHERE NOT a), "
+            "j AS (SELECT coalesce(pa.label, pb.label) AS label, "
+            "pa.sa, pa.na, pb.sb, pb.nb FROM pa "
+            "FULL OUTER JOIN pb ON pa.label = pb.label AND pa.pos = pb.pos), "
+            "per AS (SELECT label, max(na) AS n_a, max(nb) AS n_b, "
+            "sum(sa * sb) AS dot, sum(sa * sa) AS qa, sum(sb * sb) AS qb "
+            "FROM j GROUP BY label) "
+            "SELECT label, CAST(coalesce(n_a, 0) AS BIGINT) AS n_a, "
+            "CAST(coalesce(n_b, 0) AS BIGINT) AS n_b, "
+            "CASE WHEN qa > 0 AND qb > 0 THEN "
+            "round(CAST(dot AS DOUBLE) / (sqrt(CAST(qa AS DOUBLE)) * "
+            "sqrt(CAST(qb AS DOUBLE))), 6) END AS centroid_cosine "
+            "FROM per"
+        ),
         "emb_cluster_quality": _cluster_quality_oracle(),
         # Fixed-point clusters + rounded-cosine dedup → full replay.
         "emb_semdedup": _semdedup_oracle(),

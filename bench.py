@@ -152,11 +152,13 @@ _RESTART_BEFORE = {"graph_triangles", "graph_lpa"}
 # unchanged code; min-of-3 separates plan cost from noise.
 # docs_rrf_fusion: r8 final-run outlier (5.5 s vs 2.1-2.5 s typical,
 # VERDICT r8 ask #8) — record the floor to pin memo/session
-# attribution.
+# attribution. graph_link_jaccard (r10): pays the _cooc_edges memo
+# build at the window front, so its line mixes memo cost with its own
+# wedge join — min-of-3 after reset separates the two.
 _AB_DEFAULT = (
     "cypher_var_length,graph_lpa,docs_vocab,emb_ann_lsh,"
     "graph_components,docs_tfidf,graph_pagerank,graph_hits,emb_near_dup,"
-    "graph_ppr,media_png_features,docs_rrf_fusion"
+    "graph_ppr,media_png_features,docs_rrf_fusion,graph_link_jaccard"
 )
 
 

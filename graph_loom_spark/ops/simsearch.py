@@ -1622,6 +1622,92 @@ def cluster_quality_report(
     )
 
 
+def embedding_drift(
+    embeddings: DataFrame,
+    split_expr: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-label embedding drift between two corpus slices — the
+    monitor that catches a silent encoder/version change or a feed
+    shift at the REPRESENTATION level (X134 watches the text
+    distribution; this watches the vectors): split the store by
+    ``split_expr`` (default ``vec_id % 2 = 0``, an A/B parity slice —
+    pass ``ingested_at < cutoff`` in production), sum the
+    ``scale``-quantized vectors per (label, slice), and report the
+    cosine between the two slice CENTROIDS per label (the sum-vector
+    cosine — invariant to the 1/n scaling). Healthy stationary slices
+    sit near 1.0; a drifting label drops first. Returns
+    ``(label, n_a, n_b, centroid_cosine)``; labels present in only one
+    slice report NULL cosine (flagged, not silently dropped).
+
+    Determinism: component sums are exact int64 on the fixed-point
+    grid, cross products accumulate in DECIMAL(38,0) (sum-vector
+    components reach n·scale, so products pass int64 at ~10⁶ rows —
+    the 100 TB accumulator rule), and the single rounded double
+    division replays in HUGEINT SQL bit-for-bit.
+
+    Scale shape: one posexplode (rows×dim, the only corpus-sized
+    stage) into a partial-agg ``groupBy(label, slice, dim)``, then the
+    label-frame self-join and 1-row-per-label aggregates — everything
+    downstream is |labels|·dim-sized. No window, no driver state.
+    """
+    if split_expr is None:
+        split_expr = (F.col(id_col) % 2) == 0
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    comp = (
+        spread(embeddings)
+        .select(
+            F.col(label_col).alias("label"),
+            split_expr.alias("__a"),
+            F.posexplode(q).alias("__pos", "__v"),
+        )
+        .groupBy("label", "__a", "__pos")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    d38 = "decimal(38,0)"
+    a = comp.filter(F.col("__a")).select(
+        "label", "__pos", F.col("__s").alias("__sa"), F.col("__n").alias("__na")
+    )
+    b = comp.filter(~F.col("__a")).select(
+        "label", "__pos", F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
+    )
+    per = (
+        a.join(b, ["label", "__pos"], "full_outer")
+        .groupBy("label")
+        .agg(
+            F.max("__na").alias("n_a"),
+            F.max("__nb").alias("n_b"),
+            F.sum(F.col("__sa").cast(d38) * F.col("__sb").cast(d38)).alias("__dot"),
+            F.sum(F.col("__sa").cast(d38) * F.col("__sa").cast(d38)).alias("__qa"),
+            F.sum(F.col("__sb").cast(d38) * F.col("__sb").cast(d38)).alias("__qb"),
+        )
+    )
+    return per.select(
+        "label",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        F.when(
+            (F.col("__qa") > 0) & (F.col("__qb") > 0),
+            F.round(
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__qa").cast("double"))
+                    * F.sqrt(F.col("__qb").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("centroid_cosine"),
+    )
+
+
 def norm_stats(
     embeddings: DataFrame,
     id_col: str = "vec_id",

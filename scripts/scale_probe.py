@@ -183,6 +183,9 @@ def main() -> None:
             e, (F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000), k=10
         ).count(),
         "source_drift": lambda d, e: ops_text.source_unigram_drift(d).count(),
+        "textrank": lambda d, e: ops_text.textrank_keywords(d).count(),
+        "novelty": lambda d, e: ops_dedup.doc_novelty(d).count(),
+        "keep_best": lambda d, e: ops_dedup.dedup_keep_best(d).count(),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]

@@ -591,3 +591,27 @@ def test_retrieval_label_eval_candidates_match_full(spark):
     )
     via = sim.retrieval_label_eval(emb, probe, k=5, candidates=cands)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
+
+
+def test_embedding_drift_planted(spark):
+    """X138: label 1's slices share direction (cosine 1.0), label 2's
+    are orthogonal (0.0), label 3 exists only in slice A (NULL cosine,
+    not dropped)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # label 1: even (A) and odd (B) both along e1
+        (0, [1.0, 0.0], 1), (2, [2.0, 0.0], 1),
+        (1, [3.0, 0.0], 1),
+        # label 2: A along e1, B along e2
+        (4, [1.0, 0.0], 2),
+        (5, [0.0, 1.0], 2),
+        # label 3: only A
+        (6, [1.0, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = {r["label"]: (r["n_a"], r["n_b"], r["centroid_cosine"])
+           for r in sim.embedding_drift(emb).collect()}
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (1, 1, 0.0)
+    assert out[3][0] == 1 and out[3][1] == 0 and out[3][2] is None
