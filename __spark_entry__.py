@@ -499,6 +499,14 @@ def _q_events_transitions(spark, sf_dir):
     return ops_events.event_transitions(_events(spark, sf_dir))
 
 
+def _q_events_active_users(spark, sf_dir):
+    """X139 — DAU/WAU/stickiness engagement report: trailing-7-day
+    distinct actives via contribution-day explode of the reduced
+    (user, day) frame (no range join, no window); integer micropoint
+    ratio — oracle checks against the equivalent range join."""
+    return ops_events.active_users(_events(spark, sf_dir))
+
+
 def _q_events_rfm(spark, sf_dir):
     """X132 — RFM user segmentation (Hughes 1994): per-user recency
     (µs vs corpus max), frequency, int64-cent monetary, each mapped to
@@ -2423,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty": _q_docs_novelty,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "emb_drift": _q_emb_drift,
+        "events_active_users": _q_events_active_users,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -4481,6 +4490,21 @@ def oracle_sql() -> dict[str, str]:
         "setop_customers_no_orders": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        # X139 — DAU/WAU/stickiness: the oracle uses the equivalent
+        # O(days×pairs) range join (tiny at oracle scale; the engine
+        # explodes contribution days instead).
+        "events_active_users": (
+            "WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u "
+            "FROM events), "
+            "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), "
+            "wau AS (SELECT d.day, count(DISTINCT ud.u) AS wau "
+            "FROM (SELECT DISTINCT day FROM ud) d "
+            "JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day GROUP BY d.day) "
+            "SELECT strftime(dau.day, '%Y-%m-%d') AS day, "
+            "CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau, "
+            "CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_micro "
+            "FROM dau JOIN wau ON dau.day = wau.day"
         ),
         # X132 — RFM quintiles: rank()−1 = count of strictly-smaller
         # metric values (the engine's two-phase c_prev), shared-bucket

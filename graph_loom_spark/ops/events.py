@@ -346,6 +346,63 @@ def rfm_segments(
     )
 
 
+def active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement report every event
+    pipeline publishes: per calendar day, distinct daily active users,
+    distinct trailing-``window_days`` active users, and the DAU/WAU
+    stickiness ratio as integer micropoints (``dau·10⁶ div wau``).
+    Returns ``(day, dau, wau, stickiness_micro)`` for every day with
+    ≥1 event, ``day`` as an ISO string (the engine/oracle-stable
+    spelling, same convention as the hourly windows).
+
+    The trailing-window distinct is computed WITHOUT a range join or
+    window function: each distinct ``(user, day)`` pair explodes into
+    the ``window_days`` report days it contributes to, then one
+    distinct + partial-agg count per report day — shuffle keys are
+    (day, user), both partial-aggregable, no stage bounded by the
+    window length times the corpus. (An oracle can use the equivalent
+    O(days×pairs) range join — tiny at oracle scale.)
+
+    Scale shape: one distinct over (user, day) — the classic daily
+    rollup — then a ×``window_days`` explode of that ALREADY-reduced
+    frame (days × users, orders of magnitude under the event count),
+    one more distinct-count. No window, no driver state.
+    """
+    ud = events.select(
+        F.to_date(F.col(ts_col)).alias("__day"), F.col(user_col).alias("__u")
+    ).distinct()
+    dau = ud.groupBy("__day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = (
+        ud.select(
+            F.explode(
+                F.sequence(
+                    F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+                )
+            ).alias("__wday"),
+            "__u",
+        )
+        .distinct()
+        .groupBy("__wday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(contrib, dau["__day"] == contrib["__wday"])
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000L) div wau").cast("bigint").alias(
+                "stickiness_micro"
+            ),
+        )
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str] = ("view", "click", "purchase"),

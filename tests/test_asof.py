@@ -283,3 +283,32 @@ def test_rfm_matches_python_replay_random(spark):
         for r in rfm_segments(ev).collect()
     }
     assert got == expect
+
+
+def test_active_users_planted(spark):
+    """X139: users 1,2 active day 1; user 1 again day 3; user 3 day 10
+    (outside the 7-day window of days 1-3). DAU/WAU/stickiness are
+    hand-computed."""
+    import datetime
+
+    from graph_loom_spark.ops.events import active_users
+
+    d = lambda n, h=0: datetime.datetime(2026, 1, n, h)  # noqa: E731
+    rows = [
+        (1, d(1), 1, "e", 0.0), (2, d(1, 5), 2, "e", 0.0),
+        (3, d(3), 1, "e", 0.0),
+        (4, d(10), 3, "e", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["day"]: (r["dau"], r["wau"], r["stickiness_micro"])
+           for r in active_users(ev).collect()}
+    # day 1: dau {1,2}; wau = users in [dec 26..jan 1] = {1,2}
+    assert out["2026-01-01"] == (2, 2, 1_000_000)
+    # day 3: dau {1}; wau = activity in [dec 28..jan 3] = {1,2}
+    assert out["2026-01-03"] == (1, 2, 500_000)
+    # day 10: dau {3}; window [jan 4..10] = {3} only (day-3 event ages out)
+    assert out["2026-01-10"] == (1, 1, 1_000_000)
+    # only days with events report
+    assert set(out) == {"2026-01-01", "2026-01-03", "2026-01-10"}
