@@ -94,6 +94,38 @@ def stream_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def stream_daily_active(
+    events: DataFrame, watermark: str = "25 hours"
+) -> DataFrame:
+    """Streaming DAU — the live twin of the batch
+    ``ops.events.active_users`` DAU column: exact distinct users per
+    calendar day as ``(day, dau)``, day as the ISO string. Two CHAINED
+    stateful aggregations (Spark ≥3.5 multiple-stateful-operator
+    support): a tumbling 1-day window per (window, user) dedups each
+    user to one row per day (state = users seen in open windows, the
+    exact-distinct state bound), then a second aggregate over the same
+    window counts them. The default watermark holds a day's state open
+    for one late hour past the day boundary; at 100 TB the state is
+    |active users per open day| rows — the rollup every engagement
+    dashboard keeps hot anyway."""
+    w = F.window("ts", "1 day").alias("w")
+    per_user = (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # re-window on window_time(w): the Spark ≥3.4 pattern that carries
+    # the event-time watermark METADATA into the second stateful
+    # aggregate — grouping on the raw window struct trips the global-
+    # watermark correctness check
+    w2 = F.window(F.window_time("w"), "1 day").alias("w2")
+    return (
+        per_user.groupBy(w2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+        .select(F.date_format(F.col("w2.start"), "yyyy-MM-dd").alias("day"), "dau")
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -184,7 +184,12 @@ def main() -> None:
         ).count(),
         "source_drift": lambda d, e: ops_text.source_unigram_drift(d).count(),
         "textrank": lambda d, e: ops_text.textrank_keywords(d).count(),
-        "novelty": lambda d, e: ops_dedup.doc_novelty(d).count(),
+        # .count() alone would let Catalyst eliminate the cardinality-
+        # preserving left join (and with it ALL the gram work) — force
+        # the novelty column to materialize.
+        "novelty": lambda d, e: ops_dedup.doc_novelty(d)
+        .agg(F.sum("novelty_micro"))
+        .collect(),
         "keep_best": lambda d, e: ops_dedup.dedup_keep_best(d).count(),
     }
     only = sys.argv[1:]

@@ -605,3 +605,46 @@ def test_stream_cluster_counts_incremental_batches(spark, tmp_path):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == full.count()
+
+
+def test_stream_daily_active_matches_batch(spark, events_path, tmp_path):
+    """Streaming DAU (two chained windowed aggregates, append mode) ≡
+    the batch active_users dau column, day for day. Chained aggregates
+    only emit once the watermark passes a window's end, so the fixture
+    gains a sentinel event 3 days past the horizon — it pushes the
+    final watermark over every real day while its own (still-open)
+    window stays in state."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_loom_spark.ops.events import active_users
+
+    d = tmp_path / "dau_stream"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(
+        open(f"{events_path}/part-0.parquet", "rb").read()
+    )
+    t = pq.read_table(f"{events_path}/part-0.parquet")
+    mx = pa.compute.max(t.column("ts")).as_py()
+    row = {name: [None] for name in t.schema.names}
+    row.update(
+        event_id=[-1],
+        ts=[mx + datetime.timedelta(days=3)],
+        user_id=[-1],
+        event_type=["__sentinel"],
+        value=[0.0],
+    )
+    pq.write_table(pa.table(row, schema=t.schema), str(d / "part-1.parquet"))
+
+    stream = se.read_events_stream(spark, str(d))
+    se.run_available_now(
+        se.stream_daily_active(stream), "dau_t", output_mode="append"
+    )
+    got = {r["day"]: r["dau"] for r in spark.sql("SELECT * FROM dau_t").collect()}
+    want = {
+        r["day"]: r["dau"]
+        for r in active_users(batch_events.load_events(spark, events_path)).collect()
+    }
+    assert got == want  # sentinel's own day stays in state, never emits
