@@ -52,6 +52,11 @@ _TRI_CACHE: dict[str, DataFrame] = {}
 # link-prediction scores (X130) on the cooc graph — one wedge join
 # feeds BOTH the Jaccard and Resource-Allocation top-k entries
 _LINKPRED_CACHE: dict[str, DataFrame] = {}
+# near-dup cluster assignment (doc_id, cluster_id, is_canonical) over
+# the memoized Jaccard pairs — cluster ONCE, consumed by
+# docs_dedup_clusters / docs_leakage_split / docs_dedup_keep_best
+# (the components contraction is the expensive stage all three paid)
+_CLUSTERS_CACHE: dict[str, DataFrame] = {}
 # (codes frame, codebook list) per sf_dir — the PQ index fit is
 # deterministic (m fixed-point subspace k-means), same memo rule as IVF
 _PQ_CACHE: dict[str, tuple] = {}
@@ -108,7 +113,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -147,6 +152,7 @@ def reset_caches() -> None:
         _EMB_NEARDUP_CACHE,
         _TRI_CACHE,
         _LINKPRED_CACHE,
+        _CLUSTERS_CACHE,
     ):
         cache.clear()
 
@@ -187,10 +193,10 @@ def _memo_map() -> dict:
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_pipeline_funnel": [_MINHASH_SIG_CACHE],
         "docs_ngram_jaccard": [_JACCARD_CACHE],
-        "docs_dedup_keep_best": [_JACCARD_CACHE],
+        "docs_dedup_keep_best": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "docs_dedup_eval": [_MINHASH_CACHE, _MINHASH_SIG_CACHE, _JACCARD_CACHE],
-        "docs_dedup_clusters": [_JACCARD_CACHE],
-        "docs_leakage_split": [_JACCARD_CACHE],
+        "docs_dedup_clusters": [_JACCARD_CACHE, _CLUSTERS_CACHE],
+        "docs_leakage_split": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "emb_near_dup": [_EMB_NEARDUP_CACHE],
         "emb_dup_components": [_EMB_NEARDUP_CACHE],
         "docs_bpe_encode": [_BPE_MERGES_CACHE],
@@ -928,31 +934,42 @@ def _q_emb_outliers(spark, sf_dir):
     )
 
 
+def _dedup_clusters_memo(spark, sf_dir) -> DataFrame:
+    # deterministic (min-id components over exact pairs) — the
+    # components contraction is the expensive stage that
+    # docs_dedup_clusters / docs_leakage_split / docs_dedup_keep_best
+    # all consume: cluster ONCE (same memo rule as _jaccard_pairs)
+    cached = _CLUSTERS_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _CLUSTERS_CACHE[sf_dir] = ops_dedup.dedup_clusters(
+            _t(spark, sf_dir, "documents"),
+            n=3,
+            threshold=0.5,
+            pairs=_jaccard_pairs(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+    return _CLUSTERS_CACHE[sf_dir]
+
+
 def _q_docs_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline: exact 3-gram Jaccard ≥ 0.5 pairs →
     min-contraction connected components → canonical per cluster. The
     oracle rebuilds the same pairs brute-force and closes them with a
-    recursive CTE — exact, so the whole pipeline is hash-checked."""
-    return ops_dedup.dedup_clusters(
-        _t(spark, sf_dir, "documents"),
-        n=3,
-        threshold=0.5,
-        pairs=_jaccard_pairs(spark, sf_dir),
-    )
+    recursive CTE — exact, so the whole pipeline is hash-checked.
+    Memoized: split and keep-best consume the same cluster frame."""
+    return _dedup_clusters_memo(spark, sf_dir)
 
 
 def _q_docs_dedup_keep_best(spark, sf_dir):
     """X137 — quality-aware canonical selection: within each near-dup
     cluster keep the highest-quality member (integer 0-3 quality
     score, ties → smallest id) instead of blindly the first-seen —
-    the rule production dedup applies. Rides the memoized Jaccard
-    pairs; selection is one argmax groupBy (min over (−score, id)
-    structs, no window) — oracle-exact."""
+    the rule production dedup applies. Rides the memoized CLUSTER
+    frame (shared with docs_dedup_clusters / leakage_split — cluster
+    once, consume thrice); selection is one argmax groupBy (min over
+    (−score, id) structs, no window) — oracle-exact."""
     return ops_dedup.dedup_keep_best(
         _t(spark, sf_dir, "documents"),
-        n=3,
-        threshold=0.5,
-        pairs=_jaccard_pairs(spark, sf_dir),
+        clusters=_dedup_clusters_memo(spark, sf_dir),
     )
 
 
@@ -1327,10 +1344,9 @@ def _q_docs_leakage_split(spark, sf_dir):
     oracle composes the dedup_clusters recursive-CTE replay with the
     same CASE buckets."""
     docs = _t(spark, sf_dir, "documents")
-    clusters = ops_dedup.dedup_clusters(
-        docs, n=3, threshold=0.5, pairs=_jaccard_pairs(spark, sf_dir)
+    return ops_dedup.leakage_safe_split(
+        docs, clusters=_dedup_clusters_memo(spark, sf_dir)
     )
-    return ops_dedup.leakage_safe_split(docs, clusters=clusters)
 
 
 def _q_emb_dup_components(spark, sf_dir):

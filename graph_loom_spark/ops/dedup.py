@@ -687,6 +687,7 @@ def dedup_keep_best(
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
     quality: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware canonical selection over near-dup clusters — the
     rule production dedup actually applies: within each
@@ -702,7 +703,10 @@ def dedup_keep_best(
     the cluster-quality report rolls up); pass any ``(id, score)``
     frame — e.g. the hashed classifier — for a different keep rule.
     ``pairs`` passes through to :func:`dedup_clusters` (memoized exact
-    Jaccard here; LSH pairs at scale).
+    Jaccard here; LSH pairs at scale); ``clusters`` short-circuits the
+    clustering entirely with an already-computed ``(id, cluster_id)``
+    frame — cluster ONCE, consume from split/keep-best/report (the
+    same reuse seam as leakage_safe_split).
 
     Scale shape: clustering dominates (see dedup_clusters); selection
     adds one narrow equi-join + one partial-agg argmax groupBy — the
@@ -712,10 +716,12 @@ def dedup_keep_best(
     """
     from graph_loom_spark.ops.text import quality_score as _qs
 
-    clusters = dedup_clusters(
-        documents, text_col=text_col, id_col=id_col, n=n,
-        threshold=threshold, pairs=pairs,
-    ).select(id_col, "cluster_id")
+    if clusters is None:
+        clusters = dedup_clusters(
+            documents, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold, pairs=pairs,
+        )
+    clusters = clusters.select(id_col, "cluster_id")
     if quality is None:
         quality = _qs(documents, text_col=text_col).select(
             id_col, "quality_score"
