@@ -234,6 +234,7 @@ def _memo_map() -> dict:
         "graph_clustering": [_COOC_CACHE, _TRI_CACHE],
         "graph_link_jaccard": [_COOC_CACHE, _LINKPRED_CACHE],
         "graph_link_ra": [_COOC_CACHE, _LINKPRED_CACHE],
+        "graph_link_capped": [_COOC_CACHE],
         "graph_assortativity": [_COOC_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
@@ -2272,6 +2273,22 @@ def _q_graph_link_jaccard(spark, sf_dir):
     )
 
 
+def _q_graph_link_capped(spark, sf_dir):
+    """X130b — link prediction's at-scale hub-cap path, pinned at the
+    registry level (the X116b rule: an advertised scale path gets its
+    own oracle-checked entry): max_center_degree=40 stops high-degree
+    parts from serving as wedge centers (the co-purchase graph's max
+    degree is ~90, so the cap genuinely binds); scores shift exactly
+    as the capped wedge set dictates — oracle replays the same filter."""
+    return (
+        analytics.link_prediction_scores(
+            _cooc_edges(spark, sf_dir), max_center_degree=40
+        )
+        .orderBy(F.col("jaccard_micro").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 def _q_graph_link_ra(spark, sf_dir):
     """X130 — link prediction, Resource-Allocation index (Zhou, Lü &
     Zhang 2009): top-100 non-adjacent pairs by Σ 1/deg(common neighbor),
@@ -2439,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scored frame; ra rides it.
         "graph_link_jaccard": _q_graph_link_jaccard,
         "graph_link_ra": _q_graph_link_ra,
+        "graph_link_capped": _q_graph_link_capped,
         "emb_retrieval_mrr": _q_emb_retrieval_mrr,
         "events_rfm": _q_events_rfm,
         "graph_assortativity": _q_graph_assortativity,
@@ -6150,6 +6168,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT v AS w, u AS n FROM e), "
             "adjd AS (SELECT adj.w, adj.n, deg.d AS dw "
             "FROM adj JOIN deg ON adj.w = deg.id), "
+            "pr AS (SELECT a1.n AS id_a, a2.n AS id_b, "
+            "count(*) AS n_common, "
+            "CAST(sum(1000000000 // a1.dw) AS BIGINT) AS ra_nano "
+            "FROM adjd a1 JOIN adjd a2 ON a1.w = a2.w AND a1.n < a2.n "
+            "GROUP BY a1.n, a2.n), "
+            "cand AS (SELECT * FROM pr WHERE NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.u = pr.id_a AND e.v = pr.id_b)), "
+            "sc AS (SELECT cand.id_a, cand.id_b, "
+            "CAST(cand.n_common AS BIGINT) AS n_common, "
+            "CAST((cand.n_common * 1000000) // "
+            "(da.d + db.d - cand.n_common) AS BIGINT) AS jaccard_micro, "
+            "cand.ra_nano "
+            "FROM cand JOIN deg da ON cand.id_a = da.id "
+            "JOIN deg db ON cand.id_b = db.id) "
+            "SELECT * FROM sc ORDER BY jaccard_micro DESC, id_a, id_b LIMIT 100"
+        ),
+        # X130b — the hub-cap path: identical CTE chain, centers
+        # filtered at deg <= 40 before the wedge join.
+        "graph_link_capped": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+            "adj AS (SELECT u AS w, v AS n FROM e "
+            "UNION ALL SELECT v AS w, u AS n FROM e), "
+            "adjd AS (SELECT adj.w, adj.n, deg.d AS dw "
+            "FROM adj JOIN deg ON adj.w = deg.id WHERE deg.d <= 40), "
             "pr AS (SELECT a1.n AS id_a, a2.n AS id_b, "
             "count(*) AS n_common, "
             "CAST(sum(1000000000 // a1.dw) AS BIGINT) AS ra_nano "
