@@ -199,6 +199,7 @@ def _memo_map() -> dict:
         "docs_leakage_split": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "emb_near_dup": [_EMB_NEARDUP_CACHE],
         "emb_dup_components": [_EMB_NEARDUP_CACHE],
+        "emb_dup_keep_best": [_EMB_NEARDUP_CACHE],
         "docs_bpe_encode": [_BPE_MERGES_CACHE],
         "docs_winnow": [_WINNOW_CACHE],
         "docs_exact_spans": [_SPANS_CACHE],
@@ -504,6 +505,14 @@ def _q_events_transitions(spark, sf_dir):
     (from, to) pair with row-normalized rounded probabilities. One
     keyed window + one partial-agg groupBy; marginals broadcast."""
     return ops_events.event_transitions(_events(spark, sf_dir))
+
+
+def _q_events_cohort_ltv(spark, sf_dir):
+    """X141 — cohort LTV curves: first-touch cohorts, per-(cohort,
+    age-week) activity and exact int64-cent value with a per-cohort
+    cumulative (bounded window partitions) — the acquisition-quality
+    companion of the retention matrix; oracle-exact."""
+    return ops_events.cohort_ltv(_events(spark, sf_dir))
 
 
 def _q_events_active_users(spark, sf_dir):
@@ -1361,6 +1370,29 @@ def _q_emb_dup_components(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         threshold=0.4,
         pairs=_emb_near_pairs(spark, sf_dir),
+    )
+
+
+def _q_emb_dup_keep_best(spark, sf_dir):
+    """X140 — SEMANTIC-dedup keep rule: within each embedding-space
+    duplicate group (X116's exact cosine components), keep the
+    highest-quality DOCUMENT (shared id space, the cluster_quality
+    precedent) — dedup_keep_best composed over embedding components
+    instead of text-Jaccard clusters, i.e. the SemDeDup-style "keep the
+    best of each semantic group" production rule. Pure composition:
+    rides the memoized near-dup pair frame; oracle composes the X116
+    closure with the quality argmax."""
+    comp = ops_sim.embedding_dup_components(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        pairs=_emb_near_pairs(spark, sf_dir),
+    )
+    return ops_dedup.dedup_keep_best(
+        _t(spark, sf_dir, "documents"),
+        clusters=comp.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        ),
     )
 
 
@@ -2466,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "emb_drift": _q_emb_drift,
         "events_active_users": _q_events_active_users,
+        "emb_dup_keep_best": _q_emb_dup_keep_best,
+        "events_cohort_ltv": _q_events_cohort_ltv,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -4525,6 +4559,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
         ),
+        # X141 — cohort LTV: first-touch cohorts, datediff//7 ages,
+        # int64 cents, per-cohort cumulative window (unique ages per
+        # cohort ⇒ frame semantics can't differ between engines).
+        "events_cohort_ltv": (
+            "WITH ud AS (SELECT user_id AS u, CAST(ts AS DATE) AS day, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "coh AS (SELECT u, min(day) AS cday FROM ud GROUP BY u), "
+            "per AS (SELECT coh.cday, "
+            "date_diff('day', coh.cday, ud.day) // 7 AS age_weeks, "
+            "count(DISTINCT ud.u) AS n_active_users, "
+            "CAST(sum(ud.cents) AS BIGINT) AS value_cents "
+            "FROM ud JOIN coh ON ud.u = coh.u GROUP BY 1, 2) "
+            "SELECT strftime(cday, '%Y-%m-%d') AS cohort_day, "
+            "CAST(age_weeks AS BIGINT) AS age_weeks, "
+            "CAST(n_active_users AS BIGINT) AS n_active_users, value_cents, "
+            "CAST(sum(value_cents) OVER (PARTITION BY cday ORDER BY age_weeks) "
+            "AS BIGINT) AS cum_value_cents FROM per"
+        ),
         # X139 — DAU/WAU/stickiness: the oracle uses the equivalent
         # O(days×pairs) range join (tiny at oracle scale; the engine
         # explodes contribution days instead).
@@ -5950,6 +6002,33 @@ def oracle_sql() -> dict[str, str]:
             + " AS split FROM comp"
         ),
         # X116 — near-dup pair replay + recursive closure + sizes.
+        # X140 — the X116 closure + the shared quality expression;
+        # keeper = (quality DESC, id ASC) first within each component.
+        "emb_dup_keep_best": (
+            "WITH RECURSIVE pr AS MATERIALIZED (SELECT id_a, id_b FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
+            "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "WHERE cosine >= 0.4), "
+            "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS MATERIALIZED (SELECT a AS vec_id, min(b) AS cluster_id "
+            "FROM reach GROUP BY a), "
+            f"q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS qs FROM documents), "
+            "j AS (SELECT q.doc_id, comp.cluster_id, q.qs "
+            "FROM comp JOIN q ON q.doc_id = comp.vec_id), "
+            "b AS (SELECT cluster_id, doc_id AS keep FROM ("
+            "SELECT cluster_id, doc_id, row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY qs DESC, doc_id) AS rn FROM j) "
+            "WHERE rn = 1) "
+            "SELECT j.doc_id, j.cluster_id, CAST(j.qs AS BIGINT) AS quality_score, "
+            "j.doc_id = b.keep AS is_kept "
+            "FROM j JOIN b ON j.cluster_id = b.cluster_id"
+        ),
         "emb_dup_components": (
             "WITH RECURSIVE pr AS MATERIALIZED (SELECT id_a, id_b FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("

@@ -403,6 +403,59 @@ def active_users(
     )
 
 
+def cohort_ltv(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves — the acquisition-quality report
+    next to the retention matrix (X26 answers "do cohorts come back?",
+    this answers "what are they worth over time?"): users cohort by
+    their FIRST event date, activity rolls up per (cohort, age-in-
+    weeks), and value accumulates along each cohort's age axis.
+    Returns ``(cohort_day, age_weeks, n_active_users, value_cents,
+    cum_value_cents)`` — value in exact int64 cents (the attribution
+    convention), age as ``datediff div 7``, the cumulative via a window
+    PARTITIONED per cohort (partition size = #distinct ages ≤ the
+    calendar span in weeks — bounded, never corpus-sized). All-integer
+    → oracle-exact.
+
+    Scale shape: one groupBy(user) min (first-touch), one equi-join
+    back, one partial-agg groupBy(cohort, age) — the event stream is
+    touched twice, everything after is cohort×age-sized.
+    """
+    ud = events.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("__cents"),
+    )
+    coh = ud.groupBy("__u").agg(F.min("__day").alias("__cday"))
+    per = (
+        ud.join(coh, "__u")
+        .groupBy(
+            "__cday",
+            F.expr("CAST(datediff(__day, __cday) AS BIGINT) div 7").alias(
+                "age_weeks"
+            ),
+        )
+        .agg(
+            F.countDistinct("__u").cast("bigint").alias("n_active_users"),
+            F.sum("__cents").cast("bigint").alias("value_cents"),
+        )
+    )
+    w = Window.partitionBy("__cday").orderBy("age_weeks")
+    return per.withColumn(
+        "cum_value_cents", F.sum("value_cents").over(w).cast("bigint")
+    ).select(
+        F.date_format("__cday", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("age_weeks").cast("bigint").alias("age_weeks"),
+        "n_active_users",
+        "value_cents",
+        "cum_value_cents",
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str] = ("view", "click", "purchase"),

@@ -312,3 +312,30 @@ def test_active_users_planted(spark):
     assert out["2026-01-10"] == (1, 1, 1_000_000)
     # only days with events report
     assert set(out) == {"2026-01-01", "2026-01-03", "2026-01-10"}
+
+
+def test_cohort_ltv_planted(spark):
+    """X141: user 1 first touches Jan 1 (cohort A) and returns in age
+    week 1; user 2 joins cohort A same day; cumulative value accrues
+    along the age axis in exact cents."""
+    import datetime
+
+    from graph_loom_spark.ops.events import cohort_ltv
+
+    d = lambda n: datetime.datetime(2026, 1, n)  # noqa: E731
+    rows = [
+        (1, d(1), 1, "e", 1.00),
+        (2, d(1), 2, "e", 2.00),
+        (3, d(9), 1, "e", 0.50),   # age (9-1)//7 = 1 week
+        (4, d(2), 3, "e", 4.005),  # cohort Jan 2; floor(400.5+0.5)=401
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["cohort_day"], r["age_weeks"]): (
+        r["n_active_users"], r["value_cents"], r["cum_value_cents"])
+        for r in cohort_ltv(ev).collect()}
+    assert out[("2026-01-01", 0)] == (2, 300, 300)
+    assert out[("2026-01-01", 1)] == (1, 50, 350)   # cumulative
+    assert out[("2026-01-02", 0)] == (1, 401, 401)
+    assert len(out) == 3

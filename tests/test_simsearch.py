@@ -615,3 +615,27 @@ def test_embedding_drift_planted(spark):
     assert out[1] == (2, 1, 1.0)
     assert out[2] == (1, 1, 0.0)
     assert out[3][0] == 1 and out[3][1] == 0 and out[3][2] is None
+
+
+def test_emb_dup_keep_best_one_keeper_per_component(spark):
+    """X140 composition: within each embedding dup component exactly
+    one document is kept, and the keeper's quality is maximal (ties →
+    smallest id)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = m.queries()["emb_dup_keep_best"](spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_kept"]]
+        assert len(keepers) == 1, cid
+        best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
