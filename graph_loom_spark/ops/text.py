@@ -1609,6 +1609,12 @@ def hashed_linear_score(
     Returns ``(doc_id-ish passthrough cols.., n_feats, weight_sum,
     keep)`` where ``keep = weight_sum > 0``.
     """
+    # spread: the md5 feature fold is CPU-bound and otherwise runs
+    # inside the scan stage's task count (one task on a single-file
+    # local input — measured 9.4 s single-task vs ~5 s spread at sf0.1;
+    # the evals used to pre-spread around this, now redundant but
+    # harmless). No-op on already-wide inputs.
+    documents = spread(documents)
     half = weight_span // 2
     toks = f"split({text_col}, ' ')"
     # guard: Spark's sequence(0, -1) DESCENDS (returns [0, -1]), so a

@@ -283,10 +283,14 @@ def test_corpus_report_is_single_aggregate_tree(spark):
 
 
 def test_classifier_is_pure_narrow_scan(spark):
-    # hashed linear classifier: no exchange, no join — one codegen'd
-    # projection over the parquet scan
+    # hashed linear classifier: no join, no KEYED shuffle — one
+    # codegen'd projection over the parquet scan. The single tolerated
+    # exchange is spread()'s round-robin widening (r10: the md5 fold
+    # ran single-task on a one-file local input; no-op on inputs that
+    # already have ≥ core-count splits).
     plan = _plan(spark, "docs_classifier")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
