@@ -1237,6 +1237,15 @@ def _q_docs_source_overlap(spark, sf_dir):
     )
 
 
+def _q_docs_source_entropy(spark, sf_dir):
+    """X142 — per-source vocabulary Shannon entropy + Pielou evenness:
+    the single-feed diversity score next to the pairwise TV drift
+    matrix (a feed whose evenness collapses has degenerated into
+    boilerplate). Sum-form identity H = ln N − (Σ c·ln c)/N; rounded-6
+    float logs (the TF-IDF determinism class) — oracle-exact."""
+    return ops_text.source_entropy(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_source_drift(spark, sf_dir):
     """X134 — per-source-pair unigram total-variation drift: the
     distribution-level feed monitor next to the set-level shingle
@@ -2500,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": _q_events_active_users,
         "emb_dup_keep_best": _q_emb_dup_keep_best,
         "events_cohort_ltv": _q_events_cohort_ltv,
+        "docs_source_entropy": _q_docs_source_entropy,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -5690,6 +5700,25 @@ def oracle_sql() -> dict[str, str]:
         # X124: train replay nested + rank-order merge application over
         # the distinct-word table
         "docs_bpe_encode": _bpe_encode_oracle(),
+        # X142 — per-source entropy/evenness: sum-form identity,
+        # rounded-6 float logs (the TF-IDF determinism class).
+        "docs_source_entropy": (
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS t "
+            "FROM documents), "
+            "c AS (SELECT source, t, count(*) AS n FROM tok WHERE t <> '' "
+            "GROUP BY source, t), "
+            "a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln "
+            "FROM c GROUP BY source) "
+            "SELECT source, n_tokens, n_types, "
+            "round(ln(CAST(n_tokens AS DOUBLE)) - snln / CAST(n_tokens AS DOUBLE), 6) "
+            "AS entropy, "
+            "CASE WHEN n_types > 1 THEN round((ln(CAST(n_tokens AS DOUBLE)) - "
+            "snln / CAST(n_tokens AS DOUBLE)) / ln(CAST(n_types AS DOUBLE)), 6) "
+            "ELSE 0.0 END AS evenness FROM a"
+        ),
         # X134 — per-source-pair unigram TV drift: fixed-point term
         # frequencies, Σmin over SHARED terms only (one-sided terms
         # contribute min=0), half-difference by integer division.

@@ -936,6 +936,62 @@ def textrank_keywords(
     )
 
 
+def source_entropy(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary entropy — the distribution-level diversity
+    monitor next to the pairwise drift matrix (X134 compares sources to
+    each other; this scores each feed alone): unigram Shannon entropy
+    in nats via the sum-form identity ``H = ln(N) − (Σ c·ln c)/N``
+    (numerically kinder than Σ p·ln p: one division), plus Pielou
+    evenness ``H / ln(n_types)`` — a feed whose evenness collapses has
+    degenerated into boilerplate. Returns ``(source, n_tokens, n_types,
+    entropy, evenness)``, doubles rounded to 6 (same float-log
+    determinism class as the hash-green TF-IDF / trigram-LM entries;
+    counts are exact int64). Tokenizer matches :func:`lang_id`.
+
+    Scale shape: one partial-agg ``groupBy(source, term)`` over the
+    exploded stream (the only corpus-sized stage — shared shape with
+    X134), then a per-source aggregate over the vocabulary frame. No
+    window, no driver state.
+    """
+    documents = spread(documents)
+    c = (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("source", "__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("__n").cast("double") * F.log(F.col("__n").cast("double"))).alias(
+            "__snln"
+        ),
+    )
+    nd = F.col("n_tokens").cast("double")
+    h = F.log(nd) - F.col("__snln") / nd
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1,
+            F.round(h / F.log(F.col("n_types").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("evenness"),
+    )
+
+
 def mixture_rates(
     documents: DataFrame,
     weights: dict[str, float],

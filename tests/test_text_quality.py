@@ -1282,3 +1282,29 @@ def test_textrank_keywords_hub_word_ranks_first(spark):
     assert terms[1:] == sorted(terms[1:])
     leaf = {ranks[t] for t in terms[1:]}
     assert len(leaf) == 1
+
+
+def test_source_entropy_planted(spark):
+    """X142: uniform 4-type source hits H = ln 4 with evenness 1.0; a
+    single-type source scores H = 0 / evenness 0 (the degenerate-feed
+    signal); values match the closed form to the rounded digit."""
+    import math
+
+    from graph_loom_spark.ops.text import source_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "U"),         # uniform over 4 types
+            (2, "z z z z z", "Z"),       # single type
+            (3, "x x x y", "S"),         # p = (3/4, 1/4)
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_entropy(docs).collect()}
+    assert (out["U"]["n_tokens"], out["U"]["n_types"]) == (4, 4)
+    assert out["U"]["entropy"] == round(math.log(4), 6)
+    assert out["U"]["evenness"] == 1.0
+    assert (out["Z"]["entropy"], out["Z"]["evenness"]) == (0.0, 0.0)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["S"]["entropy"] == round(h, 6)
+    assert out["S"]["evenness"] == round(h / math.log(2), 6)
