@@ -196,6 +196,7 @@ def _memo_map() -> dict:
         "docs_dedup_keep_best": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "docs_dedup_eval": [_MINHASH_CACHE, _MINHASH_SIG_CACHE, _JACCARD_CACHE],
         "docs_dedup_clusters": [_JACCARD_CACHE, _CLUSTERS_CACHE],
+        "docs_dedup_report": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "docs_leakage_split": [_JACCARD_CACHE, _CLUSTERS_CACHE],
         "emb_near_dup": [_EMB_NEARDUP_CACHE],
         "emb_dup_components": [_EMB_NEARDUP_CACHE],
@@ -967,6 +968,18 @@ def _q_docs_dedup_clusters(spark, sf_dir):
     recursive CTE — exact, so the whole pipeline is hash-checked.
     Memoized: split and keep-best consume the same cluster frame."""
     return _dedup_clusters_memo(spark, sf_dir)
+
+
+def _q_docs_dedup_report(spark, sf_dir):
+    """X143 — dedup summary report: cluster-size histogram with
+    per-size doc/removed counts over the memoized cluster frame (the
+    cluster-once seam's fourth consumer) — two partial-agg groupBys
+    above the clustering; all-integer, oracle composes the cluster
+    replay with the histogram."""
+    return ops_dedup.dedup_report(
+        _t(spark, sf_dir, "documents"),
+        clusters=_dedup_clusters_memo(spark, sf_dir),
+    )
 
 
 def _q_docs_dedup_keep_best(spark, sf_dir):
@@ -2510,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_keep_best": _q_emb_dup_keep_best,
         "events_cohort_ltv": _q_events_cohort_ltv,
         "docs_source_entropy": _q_docs_source_entropy,
+        "docs_dedup_report": _q_docs_dedup_report,
         "docs_exact_spans": _q_docs_exact_spans,
         # immediately after: rides the memoized spans frame
         "docs_span_coverage": _q_docs_span_coverage,
@@ -5968,6 +5982,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
             "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
             "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp"
+        ),
+        # X143 — the same cluster replay into a size histogram.
+        "docs_dedup_report": (
+            "WITH RECURSIVE "
+            "sh AS MATERIALIZED (SELECT doc_id, list_distinct("
+            "[array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh "
+            "FROM (SELECT doc_id, string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks "
+            "FROM documents)), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a JOIN ex b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sh), "
+            "pairs AS MATERIALIZED (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT doc_id AS a, doc_id AS b FROM documents "
+            "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+            "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), "
+            "csz AS (SELECT cluster_id, count(*) AS s FROM comp GROUP BY cluster_id) "
+            "SELECT CAST(s AS BIGINT) AS cluster_size, "
+            "CAST(count(*) AS BIGINT) AS n_clusters, "
+            "CAST(s * count(*) AS BIGINT) AS n_docs, "
+            "CAST((s - 1) * count(*) AS BIGINT) AS n_removed "
+            "FROM csz GROUP BY s ORDER BY s"
         ),
         # X137 — the dedup_clusters recursive-CTE replay + the shared
         # quality expression; keeper = (quality DESC, id ASC) first.

@@ -743,6 +743,54 @@ def dedup_keep_best(
     )
 
 
+def dedup_report(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup summary report — the one-page number a dedup pass
+    publishes: cluster-size histogram plus per-size doc/keeper counts,
+    from which the dedup ratio falls out (Σ docs − Σ clusters over
+    Σ docs). Returns ``(cluster_size, n_clusters, n_docs,
+    n_removed)`` ordered by size — the "how duplicated is this corpus,
+    and in what shape?" view (a long size-1 tail = clean corpus; a few
+    mega-clusters = boilerplate detection material for X128/X40).
+    All-integer → oracle-exact.
+
+    ``clusters`` reuses an existing :func:`dedup_clusters` frame (the
+    cluster-once seam); otherwise the exact-Jaccard pipeline runs.
+    Above the clustering, the report is two partial-agg groupBys on
+    (cluster_id) then (size) — nothing corpus-sized.
+    """
+    if clusters is None:
+        clusters = dedup_clusters(
+            documents, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold, pairs=pairs,
+        )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        sizes.groupBy(F.col("__sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def leakage_safe_split(
     documents: DataFrame,
     text_col: str = "text",

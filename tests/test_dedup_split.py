@@ -327,3 +327,19 @@ def test_dedup_keep_best_prefers_quality_over_first_seen(spark):
     q = spark.createDataFrame([(1, 9), (2, 0), (3, 0)], "doc_id long, quality_score int")
     out2 = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(docs, quality=q).collect()}
     assert out2[1] and not out2[2]
+
+
+def test_dedup_report_planted(spark):
+    """X143: two near-dup docs + one singleton → one size-2 cluster
+    (1 removed) and one size-1 cluster (0 removed)."""
+    from graph_loom_spark.ops.dedup import dedup_report
+
+    good = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, good), (2, good + "tail"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    out = {r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removed"])
+           for r in dedup_report(docs).collect()}
+    assert out[2] == (1, 2, 1)
+    assert out[1] == (1, 1, 0)
