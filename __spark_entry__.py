@@ -125,6 +125,14 @@ def pinned_rdd_ids() -> set:
                 ids.add(_ckpt_rdd(frame).id())
             except Exception:
                 pass
+    # library-internal eager checkpoints (rfm_segments' per-user frame):
+    # the returned frame still reads these blocks, so a sweep between
+    # call and forcing must skip them (ADVICE r10 #3)
+    for frame in ops_events._INTERNAL_CKPTS.values():
+        try:
+            ids.add(_ckpt_rdd(frame).id())
+        except Exception:
+            pass
     return ids
 
 
@@ -180,6 +188,9 @@ def _memo_map() -> dict:
     # built lazily: some cache dicts are defined further down the module
     return {
         "graph_lpa": [_LPA_CACHE],
+        # rfm's eager internal checkpoint lives in the library registry;
+        # clearing it here unpins the blocks so the next sweep frees them
+        "events_rfm": [ops_events._INTERNAL_CKPTS],
         # community_density consumes the LPA memo, density_components the
         # components memo — resetting the consumer must drop the producer
         # frame too, or a per-query-invalidation harness keeps timing a
@@ -3879,10 +3890,15 @@ def _retrieval_mrr_oracle(k: int = 10, mod: int = 50, rem: int = 7) -> str:
         "sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END) AS n_rel, "
         "min(CASE WHEN lbl = plbl THEN rn END) AS fr "
         "FROM t GROUP BY pid, plbl) "
-        "SELECT pid AS vec_id, plbl AS label, CAST(n_rel AS BIGINT) AS n_rel, "
-        f"CAST((n_rel * 1000000) // {k} AS BIGINT) AS p_at_k_micro, "
-        "CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank, "
-        "CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_micro FROM a"
+        # left-join the probe frame back so probes with no scored rows
+        # still emit a zeroed scorecard — mirrors the engine's
+        # every-probe contract (ADVICE r10 #1)
+        "SELECT p.pid AS vec_id, p.plbl AS label, "
+        "CAST(coalesce(a.n_rel, 0) AS BIGINT) AS n_rel, "
+        f"CAST((coalesce(a.n_rel, 0) * 1000000) // {k} AS BIGINT) AS p_at_k_micro, "
+        "CAST(coalesce(a.fr, 0) AS BIGINT) AS first_rel_rank, "
+        "CAST(coalesce(1000000 // a.fr, 0) AS BIGINT) AS rr_micro "
+        "FROM p LEFT JOIN a ON a.pid = p.pid"
     )
 
 
@@ -4481,7 +4497,69 @@ def _components_oracle() -> str:
             "FROM labeled l JOIN rep r ON l.ck = r.ck")
 
 
+def _normalize_signed_zero(sql: str) -> str:
+    """Rewrite every DuckDB ``round(...)`` call in an oracle as
+    ``(round(...) + 0.0)``.
+
+    Why (VERDICT r10 "what's wrong" #1/#2 — the signed-zero class):
+    DuckDB's ``round()`` keeps IEEE sign, so a tiny negative quotient
+    rounds to ``-0.0``; Spark's ``round()`` goes through BigDecimal
+    HALF_UP and always yields ``+0.0``. Python ``==`` equates the two,
+    but the driver hashes serialized values, so every such row is a
+    byte-level mismatch (r10 red row ``graph_modularity``: 460/527
+    rows). ``x + 0.0`` is the IEEE-754 identity EXCEPT on ``-0.0``
+    (``-0.0 + 0.0 = +0.0``) and preserves NaN, so applying it to every
+    rounded expression normalizes the whole class at the
+    ``oracle_sql()`` boundary — current AND future oracles — the same
+    way the HUGEINT→BIGINT casts killed the r6-r8 dtype class.
+
+    The rewrite is paren-balancing (handles nested calls like
+    ``floor(round(cos, 4) * 1e4 + 0.5)``) and skips identifiers that
+    merely end in "round". Every rounded oracle expression here is
+    DOUBLE-typed (the dtype gate pins that), so ``+ 0.0`` never
+    changes a column's type. Proven by ``tests/test_signed_zero.py``
+    and swept at runtime by ``scripts/check_zeros.py``.
+    """
+    low = sql.lower()
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        j = low.find("round(", i)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            # part of a longer identifier (e.g. my_round(...)): skip
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        # find the matching close paren for the '(' at j+5
+        depth, pos = 0, j + 5
+        while pos < n:
+            if sql[pos] == "(":
+                depth += 1
+            elif sql[pos] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            pos += 1
+        if pos >= n:  # unbalanced (never happens in our oracles)
+            out.append(sql[i:])
+            break
+        inner = _normalize_signed_zero(sql[j + 6 : pos])
+        out.append(sql[i:j])
+        out.append("(round(" + inner + ") + 0.0)")
+        i = pos + 1
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
+    # Every oracle is normalized for the -0.0/+0.0 signed-zero class
+    # before it reaches the driver — see _normalize_signed_zero.
+    return {k: _normalize_signed_zero(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "cypher_label_scan": (
             "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"

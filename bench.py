@@ -223,6 +223,14 @@ def build_output_lines(
             # can separate plan cost from box state in one read; the
             # driver's own runs carry no tag
             "tag": os.environ.get("SPARK_GRAFT_TAG"),
+            # forcing-mode provenance (ADVICE r10 #4): rows up to r9
+            # were forced by .count() (Catalyst could prune columns /
+            # eliminate cardinality-preserving joins — systematically
+            # LOW for projection-heavy queries); r10+ rows pay the full
+            # plan via the noop sink. Cross-round deltas are
+            # like-for-like ONLY within the same forcing value; history
+            # lines without the key are count-forced (pre-r10).
+            "forcing": "noop_sink",
             "sf": sf,
         }
     )

@@ -726,7 +726,15 @@ def dedup_keep_best(
         quality = _qs(documents, text_col=text_col).select(
             id_col, "quality_score"
         )
-    j = clusters.join(quality, id_col)
+    # LEFT join + default score 0: a user-supplied quality frame that
+    # doesn't cover every clustered id must not silently drop docs (an
+    # inner join here could leave a cluster with zero is_kept rows,
+    # breaking the exactly-one-keeper invariant — ADVICE r10 #2);
+    # unscored docs compete with the floor score and still lose ties
+    # to the smallest id.
+    j = clusters.join(quality, id_col, "left").withColumn(
+        "quality_score", F.coalesce(F.col("quality_score"), F.lit(0))
+    )
     best = j.groupBy("cluster_id").agg(
         F.min(
             F.struct(
@@ -977,6 +985,7 @@ def exact_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_gram_df: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """X128 — exact MAXIMAL duplicate substrings between document pairs
     (Lee et al. 2022 §4.1, the other half of the dedup signal X40's
@@ -1008,8 +1017,17 @@ def exact_dup_spans(
     noise cap as :func:`winnow_overlap_pairs`; spans found remain
     exact, but spans consisting ONLY of ubiquitous grams are missed —
     the standard common-code exclusion). At 100 TB, compose with
-    :func:`winnow_overlap_pairs` to prefilter candidate pairs before
-    paying the full gram index.
+    :func:`winnow_overlap_pairs`: pass its output as ``pairs`` (any
+    frame whose first two columns are an id pair, either order) and
+    the gram stream is first semi-joined down to docs appearing in
+    some candidate pair, then the matched diagonals are semi-joined to
+    the pairs themselves — the gram self-join only ever runs over the
+    winnow-candidate subcorpus, so its cost tracks the candidate
+    count, not corpus². Spans found are still exact-maximal; pairs the
+    prefilter missed are traded away exactly like winnow's own
+    min_shared misses. Both 100 TB levers are pinned by registry
+    entries: ``docs_exact_spans_capped`` (max_gram_df, oracle-replayed)
+    and the winnow-composition pytest.
     """
     from pyspark.sql.window import Window
 
@@ -1037,6 +1055,23 @@ def exact_dup_spans(
             F.expr(f"substring(__t, pos, {g})").alias("gram"),
         )
     )
+    pr = None
+    if pairs is not None:
+        c0, c1 = pairs.columns[:2]
+        # normalize to (lo, hi) — winnow/jaccard pair frames already
+        # emit id_a < id_b, but accept either order
+        pr = pairs.select(
+            F.least(F.col(c0), F.col(c1)).alias("id_a"),
+            F.greatest(F.col(c0), F.col(c1)).alias("id_b"),
+        ).distinct()
+        cand_ids = (
+            pr.select(F.col("id_a").alias("__id"))
+            .unionAll(pr.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        # shrink the gram stream BEFORE the self-join — this is the
+        # 100 TB lever: the quadratic only runs over candidate docs
+        grams = grams.join(cand_ids, "__id", "left_semi")
     if max_gram_df is not None:
         keep = (
             grams.groupBy("gram")
@@ -1052,6 +1087,8 @@ def exact_dup_spans(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("__diag"))
     )
+    if pr is not None:
+        m = m.join(pr, ["id_a", "id_b"], "left_semi")
     w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
     return (
         m.withColumn("__isl", F.col("pa") - F.row_number().over(w))

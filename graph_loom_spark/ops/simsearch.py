@@ -1464,17 +1464,27 @@ def retrieval_label_eval(
     )
     w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
     top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = top.groupBy("__pid", "__plbl").agg(
+        F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("__nr"),
+        F.min(F.when(F.col("__rel"), F.col("__rn"))).alias("__fr"),
+    )
+    # EVERY probe row gets a scorecard (the docstring contract): a
+    # probe with no scored rows at all — singleton corpus, or a probe
+    # absent from the candidates= frame — must come back zeroed
+    # (n_rel=0, p_at_k_micro=0, first_rel_rank=0, rr_micro=0), not
+    # silently vanish in the groupBy (ADVICE r10 #1). The probe frame
+    # is the caller-bounded small side, so this left join is a
+    # broadcast, not a new shuffle.
     return (
-        top.groupBy("__pid", "__plbl")
-        .agg(
-            F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("n_rel"),
-            F.min(F.when(F.col("__rel"), F.col("__rn"))).alias("__fr"),
-        )
+        p.select("__pid", "__plbl")
+        .join(agg, ["__pid", "__plbl"], "left")
         .select(
             F.col("__pid").alias(id_col),
             F.col("__plbl").alias(label_col),
-            "n_rel",
-            F.expr(f"(n_rel * 1000000L) div {k}").cast("bigint").alias("p_at_k_micro"),
+            F.coalesce(F.col("__nr"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.expr(f"(coalesce(__nr, 0L) * 1000000L) div {k}")
+            .cast("bigint")
+            .alias("p_at_k_micro"),
             F.coalesce(F.col("__fr"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
             F.coalesce(F.expr("1000000L div __fr"), F.lit(0))
             .cast("bigint")

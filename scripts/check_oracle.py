@@ -18,6 +18,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import math
+import struct
 import sys
 import time
 
@@ -35,6 +36,27 @@ if "--json" in argv:
     del argv[i : i + 2]
 SF_DIR = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
 ONLY = argv[1].split(",") if len(argv) > 1 else None
+
+
+def values_equal(x, y) -> bool:
+    """Driver-faithful scalar compare. Floats are compared by their
+    IEEE-754 bytes, NOT by ``==``: the driver hashes serialized
+    values, so ``-0.0`` and ``+0.0`` (which Python equates) are a real
+    mismatch there — the exact blind spot that shipped the r10
+    ``graph_modularity`` red row (VERDICT r10 "what's wrong" #2).
+    Byte compare also treats same-bit NaNs as equal, matching the
+    driver's serialization."""
+    if isinstance(x, float) and isinstance(y, float):
+        return struct.pack("<d", x) == struct.pack("<d", y)
+    if isinstance(x, float) or isinstance(y, float):
+        # mixed float/non-float (e.g. Decimal vs float) — a dtype
+        # seam; require exact byte equality after coercion fails
+        return False
+    return x == y
+
+
+def rows_equal(a, b) -> bool:
+    return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
 
 
 def norm_rows(cols, rows):
@@ -112,18 +134,15 @@ def main():
             msgs.append(f"rowcount {len(sr)} != {len(dr)}")
         if ok:
             for i, (a, b) in enumerate(zip(sr, dr)):
-                if a != b:
-                    eq = len(a) == len(b) and all(
-                        (isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=1e-12))
+                if not rows_equal(a, b):
+                    close = len(a) == len(b) and all(
+                        (isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-15))
                         or x == y
                         for x, y in zip(a, b)
                     )
-                    if not eq:
-                        ok = False
-                        msgs.append(f"row {i}: spark={a} duck={b}")
-                        break
-                    msgs.append(f"row {i} float-close-not-exact: spark={a} duck={b}")
+                    tag = "float-close-not-byte-exact (signed zero / ulp?)" if close else "value"
                     ok = False
+                    msgs.append(f"row {i} {tag}: spark={a} duck={b}")
                     break
         status = "PASS " if ok else "FAIL "
         n_pass += ok

@@ -327,6 +327,16 @@ def test_dedup_keep_best_prefers_quality_over_first_seen(spark):
     q = spark.createDataFrame([(1, 9), (2, 0), (3, 0)], "doc_id long, quality_score int")
     out2 = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(docs, quality=q).collect()}
     assert out2[1] and not out2[2]
+    # ADVICE r10 #2: a quality frame that does NOT cover every
+    # clustered id must not drop docs — uncovered docs default to
+    # score 0 and the exactly-one-keeper invariant holds
+    partial = spark.createDataFrame([(2, 5)], "doc_id long, quality_score int")
+    out3 = {r["doc_id"]: (r["quality_score"], r["is_kept"])
+            for r in dedup_keep_best(docs, quality=partial).collect()}
+    assert set(out3) == {1, 2, 3}           # nobody dropped
+    assert out3[1] == (0, False) and out3[2] == (5, True)
+    assert out3[3] == (0, True)             # singleton keeps itself at floor score
+    assert sum(1 for v in out3.values() if v[1]) == 2
 
 
 def test_dedup_report_planted(spark):

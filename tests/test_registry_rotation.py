@@ -85,3 +85,29 @@ def test_oracle_replay_artifact_covers_full_registry():
     )
     failing = {k: v for k, v in entries.items() if v["status"] == "fail"}
     assert not failing, f"replay artifact has failing entries: {failing}"
+
+
+def test_oracle_replay_summary_matches_entries():
+    """(VERDICT r10 ask #3) The replay artifact's summary block must be
+    a pure recount of its entries dict — the r10 artifact was
+    hand-extended by a later commit (entries grew to 168 but the
+    summary still said 167/165), breaking single-provenance.  Any
+    hand-merge now fails this test; the only way to keep it green is to
+    regenerate the artifact with one clean check_oracle.py sweep."""
+    arts = sorted(glob.glob(os.path.join(REPO, "assets", "oracle_replay_r*.json")))
+    assert arts
+    with open(arts[-1]) as fh:
+        art = json.load(fh)
+    entries = art["entries"]
+    recount = {
+        "n_entries": len(entries),
+        "n_hash_pass": sum(v["status"] == "hash_pass" for v in entries.values()),
+        "n_rows_only": sum(v["status"] == "rows_only" for v in entries.values()),
+        "n_fail": sum(v["status"] == "fail" for v in entries.values()),
+    }
+    stated = {k: art[k] for k in recount}
+    assert stated == recount, (
+        f"{os.path.basename(arts[-1])} summary {stated} != recount of its own "
+        f"entries {recount} — the artifact was hand-merged; regenerate it with "
+        "a single scripts/check_oracle.py --json sweep"
+    )

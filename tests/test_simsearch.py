@@ -593,6 +593,39 @@ def test_retrieval_label_eval_candidates_match_full(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
 
 
+def test_retrieval_label_eval_every_probe_gets_a_scorecard(spark):
+    """ADVICE r10 #1: probes with NO scored rows must emit a zeroed
+    scorecard, not vanish — (a) singleton corpus (the only row is the
+    probe itself, so the self-pair filter leaves zero pairs), and (b)
+    the candidates= path where one probe has no candidate pairs."""
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0], 1)], "vec_id bigint, embedding array<double>, label int"
+    )
+    rows = sim.retrieval_label_eval(one, F.col("vec_id") == 7, k=3).collect()
+    assert [tuple(r) for r in rows] == [(7, 1, 0, 0, 0, 0)]
+
+    emb = spark.createDataFrame(
+        [
+            (7, [1.0, 0.0], 1),
+            (8, [0.0, 1.0], 1),
+            (1, [1.0, 0.1], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    # candidates cover probe 7 only — probe 8 must still appear, zeroed
+    cands = spark.createDataFrame([(7, 1)], "p bigint, n bigint")
+    out = {
+        r["vec_id"]: tuple(r)[2:]
+        for r in sim.retrieval_label_eval(
+            emb, F.col("vec_id").isin(7, 8), k=3, candidates=cands
+        ).collect()
+    }
+    assert out[7] == (1, 333_333, 1, 1_000_000)
+    assert out[8] == (0, 0, 0, 0)
+
+
 def test_embedding_drift_planted(spark):
     """X138: label 1's slices share direction (cosine 1.0), label 2's
     are orthogonal (0.0), label 3 exists only in slice A (NULL cosine,
