@@ -663,6 +663,20 @@ def _q_docs_exact_spans(spark, sf_dir):
     return _exact_spans(spark, sf_dir)
 
 
+def _q_docs_exact_spans_capped(spark, sf_dir):
+    """X128b / VERDICT r10 ask #4 — the 100 TB path of X128, PINNED:
+    exact spans with the boilerplate gram cap genuinely binding
+    (``max_gram_df=2`` drops the 385 df-3 grams at sf0.01 — the
+    triple-duplicated passages — so the capped output differs from
+    X128's, the way graph_link_capped pins X130's hub cap). The
+    oracle replays the identical keep-filter; the winnow-pair
+    prefilter composition (the other 100 TB lever) is pinned by
+    tests/test_dedup_split.py."""
+    return ops_dedup.exact_dup_spans(
+        _t(spark, sf_dir, "documents"), min_len=40, max_gram_df=2
+    )
+
+
 def _q_docs_span_coverage(spark, sf_dir):
     """X129 — per-doc exact-duplicate char coverage over the memoized
     X128 spans; oracle composes the islands CTE with a distinct
@@ -2487,6 +2501,56 @@ def _q_graph_modularity(spark, sf_dir):
     )
 
 
+def _q_graph_export_roundtrip(spark, sf_dir):
+    """S7–S10 under the driver's oracle (VERDICT r10 ask #6): export
+    the Region+Nation subgraph with the S9 adjacency denormalization
+    (reference src/gui/frontend.rs:58-156) as distributed JSON, read
+    the files back with an explicit schema, and flatten every node's
+    out/in refs to rows — ``(id, node_label, n_props, name_prop,
+    direction, rel_id, rel_label, peer)``. The oracle reconstructs the
+    identical denormalization straight from the region/nation parquet
+    (surrogate ids via lpad, edge ids ``E:<label>:<src>><dst>``), so a
+    drop/mangle anywhere in export → JSON → re-read → flatten breaks
+    the hash. Bounded by construction (|nation|+|region| rows) — the
+    distributed writer itself is the 100 TB path (sharded executors,
+    no driver collect)."""
+    import os
+    import tempfile
+
+    from graph_loom_spark.graph import PropertyGraph
+    from graph_loom_spark.io.exports import export_graph_json
+
+    g = _graph(spark, sf_dir)
+    sub = PropertyGraph(
+        spark,
+        g.nodes.filter(F.col("label").isin("Region", "Nation")),
+        g.edges.filter(F.col("label") == "IN_REGION"),
+    )
+    path = tempfile.mkdtemp(prefix="gls_export_rt_")
+    export_graph_json(sub, path, distributed=True)
+    ref_t = "array<struct<rel_id:string,label:string,peer:string,direction:string>>"
+    nodes = spark.read.schema(
+        f"id string, label string, metadata map<string,string>, "
+        f"out_rels {ref_t}, in_rels {ref_t}"
+    ).json(os.path.join(path, "nodes"))
+    return nodes.select(
+        "id",
+        F.col("label").alias("node_label"),
+        F.size("metadata").cast("bigint").alias("n_props"),
+        F.col("metadata")["n_name"].alias("name_prop"),
+        F.explode_outer(F.concat("out_rels", "in_rels")).alias("__r"),
+    ).select(
+        "id",
+        "node_label",
+        "n_props",
+        "name_prop",
+        F.col("__r.direction").alias("direction"),
+        F.col("__r.rel_id").alias("rel_id"),
+        F.col("__r.label").alias("rel_label"),
+        F.col("__r.peer").alias("peer"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness pass checks a bounded
     # 50-entry PREFIX of this registry, so the window must be ROTATED
@@ -2511,6 +2575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- it so the memo producer stays directly before its
         # -- consumers and bench attribution keeps the 8-round LPA cost
         # -- on graph_lpa, not on the new entry.
+        # -- r11 window head: NEW entries (rotation rule: no driver row
+        # -- yet → front; each check_oracle'd pre-commit).
+        # -- exact_spans_capped pins X128's at-scale gram cap;
+        # -- export_roundtrip puts the S7-S10 export surface under the
+        # -- driver's oracle.
+        "docs_exact_spans_capped": _q_docs_exact_spans_capped,
+        "graph_export_roundtrip": _q_graph_export_roundtrip,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
@@ -5707,6 +5778,52 @@ def _oracle_sql_raw() -> dict[str, str]:
             "gr AS MATERIALIZED (SELECT doc_id, pos, substr(t, pos, 40) AS gram FROM ("
             "SELECT doc_id, t, unnest(range(1, len(t) - 40 + 2)) AS pos FROM d "
             "WHERE len(t) >= 40)), "
+            "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb "
+            "FROM gr a JOIN gr b USING (gram) WHERE a.doc_id < b.doc_id), "
+            "i AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag, "
+            "pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl "
+            "FROM m) "
+            "SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS start_a, "
+            "CAST(min(pb) AS BIGINT) AS start_b, "
+            "CAST(max(pa) - min(pa) + 40 AS BIGINT) AS span_len "
+            "FROM i GROUP BY id_a, id_b, diag, isl"
+        ),
+        # S7-S10 roundtrip: reconstruct the exported-and-reread
+        # adjacency flattening straight from the base parquet — node
+        # ids via lpad surrogates, edge ids E:<label>:<src>><dst>,
+        # n_props = projected column count (nation 3, region 2),
+        # name_prop only nations carry. LEFT JOIN keeps nation-less
+        # regions as a null-ref row, mirroring explode_outer.
+        "graph_export_roundtrip": (
+            "WITH nid AS (SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0') AS id, "
+            "n_name, 'R:' || lpad(CAST(n_regionkey AS VARCHAR), 12, '0') AS rid FROM nation), "
+            "rid AS (SELECT 'R:' || lpad(CAST(r_regionkey AS VARCHAR), 12, '0') AS id FROM region) "
+            "SELECT id, 'Nation' AS node_label, CAST(3 AS BIGINT) AS n_props, "
+            "n_name AS name_prop, 'out' AS direction, "
+            "'E:IN_REGION:' || id || '>' || rid AS rel_id, "
+            "'IN_REGION' AS rel_label, rid AS peer FROM nid "
+            "UNION ALL "
+            "SELECT r.id, 'Region' AS node_label, CAST(2 AS BIGINT) AS n_props, "
+            "CAST(NULL AS VARCHAR) AS name_prop, "
+            "CASE WHEN n.id IS NULL THEN NULL ELSE 'in' END AS direction, "
+            "CASE WHEN n.id IS NULL THEN NULL "
+            "ELSE 'E:IN_REGION:' || n.id || '>' || r.id END AS rel_id, "
+            "CASE WHEN n.id IS NULL THEN NULL ELSE 'IN_REGION' END AS rel_label, "
+            "n.id AS peer FROM rid r LEFT JOIN nid n ON n.rid = r.id"
+        ),
+        # X128b: same islands construction with the at-scale gram cap
+        # REPLAYED — grams occurring at more than 2 positions
+        # corpus-wide are dropped before the self-join, exactly like
+        # the engine's max_gram_df=2 keep-filter
+        "docs_exact_spans_capped": (
+            "WITH d AS MATERIALIZED (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents), "
+            "gr0 AS MATERIALIZED (SELECT doc_id, pos, substr(t, pos, 40) AS gram FROM ("
+            "SELECT doc_id, t, unnest(range(1, len(t) - 40 + 2)) AS pos FROM d "
+            "WHERE len(t) >= 40)), "
+            "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM gr0 "
+            "GROUP BY gram) WHERE c <= 2), "
+            "gr AS MATERIALIZED (SELECT gr0.* FROM gr0 JOIN keep USING (gram)), "
             "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb "
             "FROM gr a JOIN gr b USING (gram) WHERE a.doc_id < b.doc_id), "
             "i AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag, "

@@ -235,6 +235,41 @@ def test_exact_dup_spans_gram_df_cap_drops_boilerplate(spark):
     assert len(unc_pairs) == 15  # boilerplate links all 6 choose 2 pairs
 
 
+def test_exact_dup_spans_winnow_prefilter_composition(spark):
+    """VERDICT r10 ask #4 — the at-scale composition pinned: spans with
+    a candidate-``pairs`` prefilter equal the full spans restricted to
+    those pairs (exactness is preserved; only pair coverage is traded),
+    and the real winnow_overlap_pairs frame catches the planted
+    duplicate pair end-to-end."""
+    p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    p2 = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique head aaa {p1} unique tail bbb"),
+            (2, f"other head ccc {p1} other tail ddd"),
+            (3, f"third head eee {p2} third tail fff"),
+            (4, f"fourth head ggg {p2} fourth tail hhh"),
+        ],
+        "doc_id long, text string",
+    )
+    full = sorted(map(tuple, ops_dedup.exact_dup_spans(docs, min_len=40).collect()))
+    assert {(r[0], r[1]) for r in full} == {(1, 2), (3, 4)}
+
+    # manual pair frame covering only (1,2): output == full restricted
+    only12 = spark.createDataFrame([(2, 1)], "x long, y long")  # either order
+    via = sorted(
+        map(tuple, ops_dedup.exact_dup_spans(docs, min_len=40, pairs=only12).collect())
+    )
+    assert via == [r for r in full if (r[0], r[1]) == (1, 2)]
+
+    # the real winnow candidates cover both planted pairs → identical output
+    cands = ops_dedup.winnow_overlap_pairs(docs, min_shared=2, max_fp_df=10)
+    via_winnow = sorted(
+        map(tuple, ops_dedup.exact_dup_spans(docs, min_len=40, pairs=cands).collect())
+    )
+    assert via_winnow == full
+
+
 def test_exact_span_coverage_unions_overlaps(spark):
     """X129: overlapping spans may not double-count covered chars, and
     span-free docs report coverage 0.0."""
