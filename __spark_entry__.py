@@ -249,6 +249,8 @@ def _memo_map() -> dict:
         "graph_link_ra": [_COOC_CACHE, _LINKPRED_CACHE],
         "graph_link_capped": [_COOC_CACHE],
         "graph_assortativity": [_COOC_CACHE],
+        "graph_knn_degree": [_COOC_CACHE],
+        "graph_cc_sizes": [_COMP_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -542,6 +544,25 @@ def _q_events_rfm(spark, sf_dir):
     values share a bucket — no engine-variant NTILE remainder, no
     single-partition window). All-integer → oracle-exact."""
     return ops_events.rfm_segments(_events(spark, sf_dir))
+
+
+def _q_events_gini(spark, sf_dir):
+    """X146 — Gini concentration of per-user event counts: the
+    whale-dominance one-pager next to RFM's quantile grid. Rank sum
+    collapses onto the distinct-count frame via the X82 prefix sum
+    (tie-order-proof, no single-partition window); DECIMAL(38,0)
+    integer sums into ONE rounded double — oracle-exact (the oracle's
+    rank() formulation provably equals the c_prev collapse)."""
+    return ops_events.gini_user_activity(_events(spark, sf_dir))
+
+
+def _q_events_burstiness(spark, sf_dir):
+    """X147 — per-user inter-event burstiness B = (σ−μ)/(σ+μ)
+    (Goh & Barabási 2008), the bot/scrape flag on interaction
+    streams. Gap multiset is tie-order-invariant; Σg telescopes to
+    max−min, Σg² accumulates DECIMAL(38,0); one user-partitioned lag
+    window (bounded per user) — oracle-exact."""
+    return ops_events.user_burstiness(_events(spark, sf_dir))
 
 
 def _q_events_funnel(spark, sf_dir):
@@ -1282,6 +1303,25 @@ def _q_docs_source_entropy(spark, sf_dir):
     boilerplate). Sum-form identity H = ln N − (Σ c·ln c)/N; rounded-6
     float logs (the TF-IDF determinism class) — oracle-exact."""
     return ops_text.source_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_zipf_fit(spark, sf_dir):
+    """X148 — per-source Zipf-law OLS fit (slope/intercept of ln count
+    vs ln rank): the "is this feed natural language?" screen (natural
+    text ≈ −1; template feeds flatten). Rank-window-free: count
+    histogram + sequence-explode regenerates rank blocks — the only
+    window runs over the tiny per-source histogram. Rounded-6 float
+    logs (TF-IDF determinism class) — oracle-exact."""
+    return ops_text.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_jsd_drift(spark, sf_dir):
+    """X149 — pairwise Jensen-Shannon divergence between source
+    unigram distributions: the information-theoretic companion to
+    X134's TV drift, via the inner-join-only identity (one-sided terms
+    collapse to (1−shared_mass)·ln2 — no union-vocabulary outer join).
+    Rounded-6 float logs — oracle-exact."""
+    return ops_text.jsd_drift(_t(spark, sf_dir, "documents"))
 
 
 def _q_docs_source_drift(spark, sf_dir):
@@ -2212,6 +2252,17 @@ def _q_emb_retrieval_mrr(spark, sf_dir):
     )
 
 
+def _q_emb_retrieval_ndcg(spark, sf_dir):
+    """X150 — nDCG@10 of labeled retrieval (Järvelin & Kekäläinen
+    2002): the graded-position companion to X131's MRR/P@k, with IDCG
+    normalized by the probe's corpus-wide relevant count (cross-probe
+    comparable). Same probe set/ranking as emb_retrieval_mrr; ≤k-term
+    float-log sums rounded 6 — oracle-exact."""
+    return ops_sim.retrieval_ndcg(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 50 == 7, k=10
+    )
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -2388,6 +2439,38 @@ def _q_graph_assortativity(spark, sf_dir):
     DECIMAL(38,0) integer sums into one rounded division —
     oracle-exact. Rides the memoized co-occurrence edges."""
     return analytics.degree_assortativity(_cooc_edges(spark, sf_dir))
+
+
+def _q_graph_knn_degree(spark, sf_dir):
+    """X144 — average-neighbor-degree curve k_nn(k) (Pastor-Satorras
+    et al. 2001) on the part co-purchase graph: X133's one-number
+    assortativity unrolled per degree class (WHERE the hub/leaf mixing
+    lives). Class means collapse to all-integer sums (every class-k
+    node has exactly k neighbors), one rounded division per output
+    row — oracle-exact. Rides the memoized co-occurrence edges."""
+    return analytics.avg_neighbor_degree(_cooc_edges(spark, sf_dir))
+
+
+def _q_graph_cc_sizes(spark, sf_dir):
+    """X145 — connected-component size histogram over the memoized G4
+    components frame (the cluster-once seam's graph twin: zero new
+    traversal work): ``(component_size, n_components, n_nodes)`` — the
+    "is this graph one giant component or dust?" one-pager, all-integer
+    → oracle composes the components replay with the histogram."""
+    sizes = _components(spark, sf_dir).groupBy("component").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        sizes.groupBy(F.col("__n").cast("bigint").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_nodes"),
+        )
+    )
 
 
 def _q_graph_bfs(spark, sf_dir):
@@ -2582,6 +2665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver's oracle.
         "docs_exact_spans_capped": _q_docs_exact_spans_capped,
         "graph_export_roundtrip": _q_graph_export_roundtrip,
+        "events_gini": _q_events_gini,
+        "events_burstiness": _q_events_burstiness,
+        "docs_zipf_fit": _q_docs_zipf_fit,
+        "docs_jsd_drift": _q_docs_jsd_drift,
+        "emb_retrieval_ndcg": _q_emb_retrieval_ndcg,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
@@ -2596,6 +2684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_retrieval_mrr": _q_emb_retrieval_mrr,
         "events_rfm": _q_events_rfm,
         "graph_assortativity": _q_graph_assortativity,
+        # -- r11 NEW: knn_degree rides the warm co-purchase edge memo
+        # -- the link block above just paid for (same attribution rule
+        # -- as the r10 triangles note in SCALE.md)
+        "graph_knn_degree": _q_graph_knn_degree,
+        # -- r11: the components trio moves up with its NEW third
+        # -- consumer (cc_sizes) — producer first, build cost stays on
+        # -- graph_components
+        "graph_components": _q_graph_components,
+        "graph_density_components": _q_graph_density_components,
+        "graph_cc_sizes": _q_graph_cc_sizes,
         "docs_source_drift": _q_docs_source_drift,
         "docs_textrank": _q_docs_textrank,
         "docs_novelty": _q_docs_novelty,
@@ -2708,11 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_eval": _q_docs_dedup_eval,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         # -- iterative graph block: most expensive queries, keep driver-fresh
-        "graph_components": _q_graph_components,
-        # immediately after graph_components: reuses its memoized frame
-        "graph_density_components": _q_graph_density_components,
-        # (graph_lpa + community_density + modularity moved to the r10
-        # window head — memo producer directly before its consumers)
+        # (graph_components + density_components moved to the r11
+        # window head with cc_sizes — memo producer directly before
+        # its consumers; graph_lpa trio moved likewise in r10)
         "graph_pagerank": _q_graph_pagerank,
         "graph_ppr": _q_graph_ppr,
         "graph_hits": _q_graph_hits,
@@ -3973,6 +4069,42 @@ def _retrieval_mrr_oracle(k: int = 10, mod: int = 50, rem: int = 7) -> str:
     )
 
 
+def _retrieval_ndcg_oracle(k: int = 10, mod: int = 50, rem: int = 7) -> str:
+    """SQL replay of nDCG@k: same probe/ranking CTEs as the MRR oracle;
+    DCG from the top-k, IDCG from the corpus label count via a
+    fixed-ascending-order list comprehension (matching the engine's
+    sequential aggregate() fold), nDCG from the unrounded pair."""
+    return (
+        "WITH p AS (SELECT vec_id AS pid, label AS plbl, "
+        "CAST(embedding AS DOUBLE[]) AS pv "
+        f"FROM embeddings WHERE vec_id % {mod} = {rem}), "
+        "s AS (SELECT p.pid, p.plbl, e.vec_id AS nid, e.label AS lbl, "
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(p.pv, p.pv))), 4) AS c "
+        "FROM embeddings e JOIN p ON e.vec_id <> p.pid), "
+        "r AS (SELECT pid, plbl, lbl, row_number() OVER ("
+        "PARTITION BY pid ORDER BY c DESC, nid) AS rn FROM s), "
+        f"t AS (SELECT * FROM r WHERE rn <= {k}), "
+        "a AS (SELECT pid, plbl, "
+        "sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END) AS nr, "
+        "sum(CASE WHEN lbl = plbl THEN 1.0 / log2(CAST(rn + 1 AS DOUBLE)) "
+        "ELSE 0.0 END) AS dcg FROM t GROUP BY pid, plbl), "
+        "lc AS (SELECT label AS plbl, count(*) AS c FROM embeddings GROUP BY label), "
+        "i AS (SELECT p.pid, p.plbl, coalesce(a.nr, 0) AS nr, "
+        "coalesce(a.dcg, 0.0) AS dcg, "
+        "coalesce(list_sum([1.0 / log2(CAST(x + 1 AS DOUBLE)) "
+        f"for x in range(1, CAST(least({k}, coalesce(lc.c, 1) - 1) + 1 AS BIGINT))]), "
+        "0.0) AS idcg "
+        "FROM p LEFT JOIN lc ON lc.plbl = p.plbl "
+        "LEFT JOIN a ON a.pid = p.pid) "
+        "SELECT pid AS vec_id, plbl AS label, CAST(nr AS BIGINT) AS n_rel, "
+        "round(dcg, 6) AS dcg, round(idcg, 6) AS idcg, "
+        "CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END AS ndcg "
+        "FROM i"
+    )
+
+
 def _knn_label_oracle(k: int = 5, mod: int = 50, rem: int = 7) -> str:
     """SQL replay of kNN auto-labeling: per probe (vec_id % mod = rem),
     rank all OTHER vectors by rounded cosine (ties → lower id), majority
@@ -4427,6 +4559,19 @@ def _density_sql_tail(assign: str, comm_col: str) -> str:
     )
 
 
+def _cc_sizes_oracle() -> str:
+    """X145 — component-size histogram composed over the components
+    replay (same MATERIALIZED wrap rule as the density oracle)."""
+    return (
+        "WITH comp AS MATERIALIZED (SELECT * FROM (" + _components_oracle() + ") c), "
+        "sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component) "
+        "SELECT CAST(n AS BIGINT) AS component_size, "
+        "CAST(count(*) AS BIGINT) AS n_components, "
+        "CAST(n * count(*) AS BIGINT) AS n_nodes "
+        "FROM sz GROUP BY n"
+    )
+
+
 def _density_components_oracle() -> str:
     """Density over the components assignment: composes the components
     oracle (as a CTE-wrapped subquery) with the projection edge list."""
@@ -4787,6 +4932,46 @@ def _oracle_sql_raw() -> dict[str, str]:
             "+ (1 + (cf * 5) // (SELECT c FROM n)) * 10 "
             "+ (1 + (cm * 5) // (SELECT c FROM n)) AS BIGINT) AS rfm_code "
             "FROM r"
+        ),
+        # X146 — rank() over users equals the engine's c_prev collapse
+        # exactly (per tie group Σi·v = v·(m·c_prev + m(m+1)/2));
+        # HUGEINT sums cast to BIGINT before the one double expression
+        "events_gini": (
+            "WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM u), "
+            "s AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t, "
+            "sum(i * c) AS s2 FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_users, t AS total_events, "
+            "round(2.0 * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) "
+            "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini "
+            "FROM s"
+        ),
+        # X147 — same per-user lag construction; gap multiset is
+        # tie-order-invariant so the window ORDER BY tu alone is safe
+        "events_burstiness": (
+            "WITH tu AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+            "g AS (SELECT user_id, t, "
+            "t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap FROM tu), "
+            "a AS (SELECT user_id, count(*) AS n, "
+            "CAST(max(t) - min(t) AS BIGINT) AS span_us, "
+            "sum(CAST(gap AS HUGEINT) * gap) AS g2 FROM g GROUP BY user_id) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n_events, span_us, "
+            "CASE WHEN n >= 2 THEN CAST(span_us // (n - 1) AS BIGINT) END "
+            "AS mean_gap_us, "
+            "CASE WHEN n >= 2 THEN CAST(floor(sqrt(greatest("
+            "CAST(g2 AS DOUBLE) / (n - 1) "
+            "- (CAST(span_us AS DOUBLE) / (n - 1)) * (CAST(span_us AS DOUBLE) / (n - 1)), "
+            "0.0))) AS BIGINT) END AS std_gap_us, "
+            "CASE WHEN n >= 2 AND sqrt(greatest(CAST(g2 AS DOUBLE) / (n - 1) "
+            "- (CAST(span_us AS DOUBLE) / (n - 1)) * (CAST(span_us AS DOUBLE) / (n - 1)), 0.0)) "
+            "+ CAST(span_us AS DOUBLE) / (n - 1) > 0 "
+            "THEN round((sqrt(greatest(CAST(g2 AS DOUBLE) / (n - 1) "
+            "- (CAST(span_us AS DOUBLE) / (n - 1)) * (CAST(span_us AS DOUBLE) / (n - 1)), 0.0)) "
+            "- CAST(span_us AS DOUBLE) / (n - 1)) / "
+            "(sqrt(greatest(CAST(g2 AS DOUBLE) / (n - 1) "
+            "- (CAST(span_us AS DOUBLE) / (n - 1)) * (CAST(span_us AS DOUBLE) / (n - 1)), 0.0)) "
+            "+ CAST(span_us AS DOUBLE) / (n - 1)), 6) END AS burstiness "
+            "FROM a"
         ),
         "events_hourly": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
@@ -5928,6 +6113,58 @@ def _oracle_sql_raw() -> dict[str, str]:
             "snln / CAST(n_tokens AS DOUBLE)) / ln(CAST(n_types AS DOUBLE)), 6) "
             "ELSE 0.0 END AS evenness FROM a"
         ),
+        # X148 — same histogram + rank-block-explode construction as
+        # the engine (tie order inside a count class cannot matter)
+        "docs_zipf_fit": (
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS t "
+            "FROM documents), "
+            "v AS (SELECT source, t, count(*) AS c FROM tok WHERE t <> '' "
+            "GROUP BY source, t), "
+            "h AS (SELECT source, c, count(*) AS m FROM v GROUP BY source, c), "
+            "h2 AS (SELECT source, c, m, coalesce(sum(m) OVER ("
+            "PARTITION BY source ORDER BY c DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp FROM h), "
+            "r AS (SELECT source, c, unnest(range(CAST(cp + 1 AS BIGINT), "
+            "CAST(cp + m + 1 AS BIGINT))) AS rk FROM h2), "
+            "pt AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, "
+            "ln(CAST(c AS DOUBLE)) AS y FROM r), "
+            "a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx FROM pt GROUP BY source) "
+            "SELECT source, CAST(n AS BIGINT) AS n_types, "
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 "
+            "ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope, "
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 "
+            "ELSE round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) "
+            "END AS intercept FROM a"
+        ),
+        # X149 — inner-join-only JSD: one-sided terms collapse to
+        # (1 - shared_mass)·ln2; grid LEFT JOIN covers disjoint pairs
+        "docs_jsd_drift": (
+            "WITH tok AS (SELECT source AS src, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS t "
+            "FROM documents), "
+            "c AS (SELECT src, t, count(*) AS n FROM tok WHERE t <> '' "
+            "GROUP BY src, t), "
+            "tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS nn FROM c GROUP BY src), "
+            "p AS (SELECT c.src, c.t, CAST(c.n AS DOUBLE) / tot.nn AS pp "
+            "FROM c JOIN tot ON c.src = tot.src), "
+            "sh AS (SELECT a.src AS source_a, b.src AS source_b, "
+            "count(*) AS n_shared, sum(a.pp) AS sp, sum(b.pp) AS sq, "
+            "sum(a.pp * ln(2.0 * a.pp / (a.pp + b.pp))) AS kp, "
+            "sum(b.pp * ln(2.0 * b.pp / (a.pp + b.pp))) AS kq "
+            "FROM p a JOIN p b ON a.t = b.t AND a.src < b.src "
+            "GROUP BY a.src, b.src), "
+            "grid AS (SELECT ta.src AS source_a, tb.src AS source_b "
+            "FROM tot ta JOIN tot tb ON ta.src < tb.src) "
+            "SELECT grid.source_a, grid.source_b, "
+            "CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_terms, "
+            "round(0.5 * (coalesce(sh.kp, 0.0) + (1.0 - coalesce(sh.sp, 0.0)) * ln(2.0)) "
+            "+ 0.5 * (coalesce(sh.kq, 0.0) + (1.0 - coalesce(sh.sq, 0.0)) * ln(2.0)), 6) "
+            "AS jsd "
+            "FROM grid LEFT JOIN sh ON grid.source_a = sh.source_a "
+            "AND grid.source_b = sh.source_b"
+        ),
         # X134 — per-source-pair unigram TV drift: fixed-point term
         # frequencies, Σmin over SHARED terms only (one-sided terms
         # contribute min=0), half-difference by integer division.
@@ -6408,6 +6645,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "docs_minhash_report": _minhash_report_oracle(),
         "emb_knn_label": _knn_label_oracle(),
         "emb_retrieval_mrr": _retrieval_mrr_oracle(),
+        "emb_retrieval_ndcg": _retrieval_ndcg_oracle(),
         # X138 — per-label A/B centroid cosine on the fixed-point grid:
         # lateral generate_series = posexplode, HUGEINT cross products.
         "emb_drift": (
@@ -6497,6 +6735,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             "ELSE round(CAST(2 * n * sxy - sx * sx AS DOUBLE) / "
             "CAST(2 * n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity "
             "FROM s"
+        ),
+        # X144 — k_nn(k) on the same co-purchase edge CTE: class means
+        # collapse to integer sums (every class-k node has exactly k
+        # neighbors); HUGEINT sum CAST to BIGINT (check_dtypes lesson)
+        "graph_knn_degree": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_orderkey % 4 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v "
+            "FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p), "
+            "b AS (SELECT u AS id, v AS nb FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT id, count(*) AS d FROM b GROUP BY id), "
+            "pn AS (SELECT b.id, count(*) AS k, sum(dn.d) AS s "
+            "FROM b JOIN deg dn ON b.nb = dn.id GROUP BY b.id) "
+            "SELECT CAST(k AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(s) AS BIGINT) AS sum_neighbor_degrees, "
+            "round(CAST(sum(s) AS DOUBLE) / (k * count(*)), 6) AS knn "
+            "FROM pn GROUP BY k"
         ),
         # X130 — link prediction on the same co-purchase edge CTE:
         # unoriented wedges at the common neighbor (carrying its degree),
@@ -6675,4 +6930,5 @@ def _oracle_sql_raw() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(),
         # Density over the oracle-checkable components assignment.
         "graph_density_components": _density_components_oracle(),
+        "graph_cc_sizes": _cc_sizes_oracle(),
     }

@@ -1105,6 +1105,77 @@ def degree_assortativity(
     )
 
 
+def avg_neighbor_degree(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vázquez
+    & Vespignani 2001) over an undirected simple graph — the
+    per-degree view behind :func:`degree_assortativity`'s one-number
+    summary: for each degree class k, the mean degree of the neighbors
+    of degree-k nodes. A falling curve = disassortative (hubs attach
+    to leaves), flat = uncorrelated, rising = assortative. Returns one
+    row per occupied degree, ``(degree, n_nodes,
+    sum_neighbor_degrees, knn)``.
+
+    Exactness: every node in degree class k has exactly k neighbors,
+    so the class mean collapses to all-integer sums::
+
+        k_nn(k) = (Σ_i Σ_{j∈N(i)} d_j) / (k · n_k)
+
+    — one double division per output row, rounded to 6 (never a
+    per-node float mean averaged again). Sums accumulate in
+    DECIMAL(38,0) (hub classes at 10⁹-node scale push Σd past int64 —
+    the same 100 TB accumulator rule as assortativity/modularity).
+
+    Scale shape: canonicalize, one degree aggregate, one neighbor
+    equi-join carrying the degree, then two partial-agg groupBys
+    (node, then degree) — no window, no driver state; output is
+    |distinct degrees| rows (≤ max degree, tiny at any scale). Input
+    may be directed/duplicated/looped; canonicalized exactly like
+    :func:`triangle_counts`.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = e.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("id"), F.col("u").alias("nb"))
+    )
+    deg = both.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    d38 = "decimal(38,0)"
+    per_node = (
+        both.join(deg.select(F.col("id").alias("nb"), F.col("d").alias("dn")), "nb")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__k"),
+            F.sum(F.col("dn").cast(d38)).alias("__s"),
+        )
+    )
+    return (
+        per_node.groupBy(F.col("__k").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("__s").alias("__ss"),
+        )
+        .select(
+            "degree",
+            "n_nodes",
+            F.col("__ss").cast("bigint").alias("sum_neighbor_degrees"),
+            F.round(
+                F.col("__ss").cast("double")
+                / (F.col("degree") * F.col("n_nodes")).cast("double"),
+                6,
+            ).alias("knn"),
+        )
+    )
+
+
 def bfs_distances(
     edges_df: DataFrame,
     source=None,

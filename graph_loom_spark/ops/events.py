@@ -228,6 +228,144 @@ def attribution_summary(
     )
 
 
+def gini_user_activity(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-user event counts — the one-number
+    concentration report behind "is this product carried by whales?"
+    and, for training-data curation, "is this interaction corpus
+    dominated by a few generators?" (0 = perfectly even, → 1 = one
+    user produced everything). Returns a single row ``(n_users,
+    total_events, gini)``.
+
+    Exactness: with counts sorted ascending, ``G = 2·Σᵢ i·xᵢ /(n·Σx)
+    − (n+1)/n``. The rank sum collapses onto the DISTINCT-count frame:
+    a count value v with multiplicity m and c_prev strictly-smaller
+    users contributes ``v·(m·c_prev + m(m+1)/2)`` — tie order can
+    never matter, and everything stays integer (DECIMAL(38,0)
+    accumulators — rank·count products pass int64 at 10⁹-user scale)
+    until ONE rounded double expression.
+
+    Scale shape: one partial-agg groupBy(user), one groupBy(count) to
+    the distinct-value frame, c_prev via the X82 range-bucketed
+    two-phase prefix sum (:func:`~graph_loom_spark.ops.text
+    ._grouped_cprev` — no single-partition window at any scale), then
+    a 1-row global aggregate.
+    """
+    from graph_loom_spark.ops.text import _grouped_cprev
+
+    u = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    g = u.groupBy(F.col("__c").alias("weight_sum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    d38 = "decimal(38,0)"
+    cp = _grouped_cprev(g)
+    return (
+        cp.select(
+            F.col("__n"),
+            F.col("weight_sum").alias("__v"),
+            (
+                F.col("weight_sum").cast(d38)
+                * (
+                    F.col("__n").cast(d38) * F.col("__cprev").cast(d38)
+                    # m(m+1) is even → exact int64 first (div, not
+                    # decimal /, whose result scale would drift)
+                    + F.expr("(__n * (__n + 1)) div 2").cast(d38)
+                )
+            ).alias("__ranksum"),
+        )
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_users"),
+            F.sum(F.col("__v").cast(d38) * F.col("__n").cast(d38))
+            .cast("bigint")
+            .alias("total_events"),
+            F.sum("__ranksum").alias("__s"),
+        )
+        .select(
+            "n_users",
+            "total_events",
+            F.round(
+                F.lit(2.0) * F.col("__s").cast("double")
+                / (F.col("n_users").cast("double") * F.col("total_events").cast("double"))
+                - (F.col("n_users") + F.lit(1)).cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def user_burstiness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user inter-event burstiness (Goh & Barabási 2008): the
+    coefficient-of-variation summary ``B = (σ−μ)/(σ+μ)`` of a user's
+    inter-event gaps — B→−1 periodic, 0 Poisson, →1 bursty. The
+    user-behavior twin of the corpus repetition signals: bursty
+    "users" in a training-interaction stream are bot/scrape
+    candidates. Returns ``(user_id, n_events, span_us, mean_gap_us,
+    std_gap_us, burstiness)`` for EVERY user; the gap stats are NULL
+    for single-event users and ``burstiness`` NULL when σ+μ = 0 (all
+    gaps zero).
+
+    Determinism: gaps come from the per-user ts-sorted sequence —
+    equal timestamps make the consecutive-difference MULTISET
+    invariant under tie order, so Σg (telescopes to max−min) and Σg²
+    are engine-independent. Σg² accumulates in DECIMAL(38,0) (a
+    year-long gap is ~3·10¹³ µs; its square passes int64). The µs gap
+    stats are FLOORED integers (``span div gaps``, ``floor(sqrt
+    (var))``) — ``round(x, 6)`` on a 10¹⁰-magnitude double is NOT
+    engine-portable (Spark's BigDecimal HALF_UP and DuckDB's numeric
+    rounding differ in the last ulp where 6 decimals aren't even
+    representable), so only the O(1) burstiness ratio is rounded; it
+    is computed from the UNfloored doubles (bit-identical IEEE
+    division/sqrt on exact integer inputs both engines).
+
+    Scale shape: one lag window PARTITIONED BY user (bounded by the
+    busiest user, never corpus-sized) into one partial-agg
+    groupBy(user) — no global sort, no driver state.
+    """
+    tu = events.select(
+        F.col(user_col).alias("user_id"), F.unix_micros(F.col(ts_col)).alias("__tu")
+    )
+    w = Window.partitionBy("user_id").orderBy("__tu")
+    d38 = "decimal(38,0)"
+    gaps = tu.withColumn("__gap", F.col("__tu") - F.lag("__tu").over(w))
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("__tu") - F.min("__tu")).cast("bigint").alias("span_us"),
+        F.sum(F.col("__gap").cast(d38) * F.col("__gap").cast(d38)).alias("__g2"),
+    )
+    # greatest(·, 1): ANSI mode raises DIVIDE_BY_ZERO even under a
+    # CASE guard for singleton users (ng = 0); the n_events >= 2 mask
+    # below discards the clamped values anyway
+    ng = F.greatest((F.col("n_events") - F.lit(1)).cast("double"), F.lit(1.0))
+    mean = F.col("span_us").cast("double") / ng
+    var = F.col("__g2").cast("double") / ng - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.when(
+            F.col("n_events") >= 2,
+            F.expr("span_us div greatest(n_events - 1, 1)"),
+        ).cast("bigint").alias("mean_gap_us"),
+        F.when(F.col("n_events") >= 2, F.floor(std)).cast("bigint").alias(
+            "std_gap_us"
+        ),
+        F.when(
+            (F.col("n_events") >= 2) & (std + mean > 0),
+            F.round((std - mean) / (std + mean), 6),
+        ).alias("burstiness"),
+    )
+
+
 def top_users_by_value(events: DataFrame, event_type: str = "purchase", k: int = 20) -> DataFrame:
     """Filtered top-k aggregation (orderBy+limit → TakeOrdered at scale)."""
     return (

@@ -1493,6 +1493,119 @@ def retrieval_label_eval(
     )
 
 
+def retrieval_ndcg(
+    embeddings: DataFrame,
+    probe_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """nDCG@k of labeled retrieval — the graded-position companion to
+    :func:`retrieval_label_eval`'s MRR/P@k (Järvelin & Kekäläinen
+    2002): per probe, rank all OTHER vectors by rounded cosine (ties →
+    lower id, the knn_label ordering), score binary relevance by label
+    match with the standard log2 position discount::
+
+        DCG@k  = Σ_{i ≤ k, rel_i} 1 / log2(i + 1)
+        IDCG@k = Σ_{i=1..min(k, R)} 1 / log2(i + 1)
+
+    where R = the probe's corpus-wide relevant count (same-label
+    vectors minus itself) — the best ANY retriever could do, so nDCG
+    is comparable across probes with different label frequencies.
+    Returns ``(vec_id, label, n_rel, dcg, idcg, ndcg)`` for EVERY
+    probe (zeroed when nothing scores; ndcg 0.0 when R = 0), doubles
+    rounded to 6 (≤ k terms per sum — the bounded float-log class).
+
+    Scale shape: identical to :func:`retrieval_label_eval` (broadcast
+    probe set × one corpus scan, per-probe row_number window, or the
+    ``candidates`` frame at corpus scale) plus one label-count
+    aggregate; the IDCG closed form evaluates per probe row over a
+    ≤ k-element sequence — never a join.
+    """
+    p = embeddings.filter(probe_filter).select(
+        F.col(id_col).alias("__pid"),
+        F.col(label_col).alias("__plbl"),
+        F.col(vec_col).alias("__p"),
+    )
+    cos = _dot(F.col("__v"), F.col("__p")) / (
+        _norm(F.col("__v")) * _norm(F.col("__p"))
+    )
+    if candidates is not None:
+        pid_col, nid_col = candidates.columns[:2]
+        pairs = candidates.select(
+            F.col(pid_col).alias("__pid"), F.col(nid_col).alias("__nid")
+        ).distinct().join(
+            embeddings.select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            ),
+            "__nid",
+        )
+    else:
+        pairs = (
+            spread(embeddings)
+            .select(
+                F.col(id_col).alias("__nid"),
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias("__v"),
+            )
+            .crossJoin(F.broadcast(p.select("__pid")))
+        )
+    scored = (
+        pairs.join(F.broadcast(p), "__pid")
+        .filter(F.col("__nid") != F.col("__pid"))
+        .select(
+            "__pid",
+            "__plbl",
+            (F.col("__lbl") == F.col("__plbl")).alias("__rel"),
+            F.round(cos, round_digits).alias("__c"),
+            "__nid",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = top.groupBy("__pid", "__plbl").agg(
+        F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("__nr"),
+        F.sum(
+            F.when(F.col("__rel"), F.lit(1.0) / F.log2(F.col("__rn") + 1)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("__dcg"),
+    )
+    # corpus-wide relevant count per probe label (one tiny aggregate)
+    lc = embeddings.groupBy(F.col(label_col).alias("__plbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__lc")
+    )
+    out = (
+        p.select("__pid", "__plbl")
+        .join(F.broadcast(lc), "__plbl", "left")
+        .join(agg, ["__pid", "__plbl"], "left")
+        .withColumn("__R", F.least(F.lit(k), F.coalesce(F.col("__lc") - 1, F.lit(0))))
+        .withColumn(
+            "__idcg",
+            F.expr(
+                "aggregate(sequence(1, int(greatest(__R, 1L))), 0D, "
+                "(acc, i) -> acc + if(i <= __R, 1.0 / log2(double(i + 1)), 0D))"
+            ),
+        )
+    )
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0.0))
+    return out.select(
+        F.col("__pid").alias(id_col),
+        F.col("__plbl").alias(label_col),
+        F.coalesce(F.col("__nr"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(F.col("__idcg"), 6).alias("idcg"),
+        F.when(F.col("__idcg") > 0, F.round(dcg / F.col("__idcg"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
 def truncated_dim_eval(
     embeddings: DataFrame,
     probe_id: int,

@@ -10,6 +10,8 @@ single double division).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -989,6 +991,163 @@ def source_entropy(
         )
         .otherwise(F.lit(0.0))
         .alias("evenness"),
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Zipf-law fit — OLS of ``ln(count)`` on ``ln(rank)``
+    over the full unigram vocabulary: the canonical "is this feed
+    natural language?" screen (natural text slopes ≈ −1; template/spam
+    feeds flatten or cliff — Zipf 1949, Piantadosi 2014 review).
+    Returns ``(source, n_types, slope, intercept)``, doubles rounded
+    to 6 (same float-log determinism class as the hash-green
+    entropy/TF-IDF entries; tokenizer matches :func:`lang_id`).
+
+    Rank-window-free construction (the scale story): ranks are never
+    materialized per term. The vocabulary collapses to the per-source
+    COUNT HISTOGRAM (``(source, count, multiplicity)`` — O(√tokens)
+    rows per source by Zipf itself), the strictly-greater cumulative
+    gives each count-class its rank block [c_prev+1, c_prev+m] (tie
+    order inside a class cannot matter: every tied term shares y), and
+    ``sequence``-explode regenerates exactly |vocab| narrow (rank,
+    count) rows — explode → ln → one partial-agg groupBy, all inside
+    codegen; the only window runs over the tiny histogram frame,
+    partitioned by source. No text column survives the first groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    documents = spread(documents)
+    v = (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("source", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    h = v.groupBy("source", "__c").agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h2 = h.withColumn("__cp", F.coalesce(F.sum("__m").over(w), F.lit(0)).cast("bigint"))
+    pts = h2.select(
+        "source",
+        F.log(F.col("__c").cast("double")).alias("__y"),
+        F.explode(
+            F.sequence(F.col("__cp") + F.lit(1), F.col("__cp") + F.col("__m"))
+        ).alias("__rk"),
+    ).select("source", "__y", F.log(F.col("__rk").cast("double")).alias("__x"))
+    a = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    nd = F.col("n_types").cast("double")
+    den = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    return a.select(
+        "source",
+        "n_types",
+        F.when(den != 0, F.round(slope, 6)).otherwise(F.lit(0.0)).alias("slope"),
+        F.when(
+            den != 0, F.round((F.col("__sy") - slope * F.col("__sx")) / nd, 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+    )
+
+
+def jsd_drift(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the smooth companion to the X134 total-variation
+    drift (TV counts mass displacement; JSD weighs it
+    information-theoretically and is the standard corpus-similarity
+    metric, Lin 1991). Returns ``(source_a, source_b, n_shared_terms,
+    jsd)`` per unordered source pair, nats, rounded to 6; bounded by
+    ln 2 ≈ 0.6931.
+
+    Inner-join-only identity (the same 100 TB lever as X134's 2Σmin):
+    terms present in ONLY one source contribute exactly ``½·p·ln 2``,
+    so with shared-mass sums ``Sp = Σ_shared p`` and ``Sq``::
+
+        JSD = ½[Σ_sh p·ln(2p/(p+q)) + (1−Sp)·ln 2]
+            + ½[Σ_sh q·ln(2q/(p+q)) + (1−Sq)·ln 2]
+
+    — one equi-join on the term over source pairs (never an outer
+    join materializing the union vocabulary), one partial-agg groupBy
+    per pair, then a broadcast grid join for pairs sharing nothing
+    (JSD = ln 2 exactly). Same float-log determinism class as the
+    entropy entries (counts exact; p, q are single divisions).
+    """
+    documents = spread(documents)
+    c = (
+        documents.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("src", "__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = c.groupBy("src").agg(F.sum("__n").cast("bigint").alias("__nn"))
+    p = c.join(F.broadcast(tot), "src").select(
+        "src", "__t", (F.col("__n").cast("double") / F.col("__nn")).alias("__p")
+    )
+    a = p.select(
+        F.col("src").alias("source_a"), F.col("__t"), F.col("__p").alias("__pa")
+    )
+    b = p.select(
+        F.col("src").alias("source_b"), F.col("__t"), F.col("__p").alias("__pb")
+    )
+    ln2 = float(math.log(2.0))
+    shared = (
+        a.join(b, "__t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum("__pa").alias("__sp"),
+            F.sum("__pb").alias("__sq"),
+            F.sum(
+                F.col("__pa")
+                * F.log(F.lit(2.0) * F.col("__pa") / (F.col("__pa") + F.col("__pb")))
+            ).alias("__kp"),
+            F.sum(
+                F.col("__pb")
+                * F.log(F.lit(2.0) * F.col("__pb") / (F.col("__pa") + F.col("__pb")))
+            ).alias("__kq"),
+        )
+    )
+    grid = (
+        tot.select(F.col("src").alias("source_a"))
+        .crossJoin(tot.select(F.col("src").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    j = grid.join(shared, ["source_a", "source_b"], "left")
+    jsd = (
+        F.lit(0.5)
+        * (F.coalesce("__kp", F.lit(0.0)) + (F.lit(1.0) - F.coalesce("__sp", F.lit(0.0))) * F.lit(ln2))
+        + F.lit(0.5)
+        * (F.coalesce("__kq", F.lit(0.0)) + (F.lit(1.0) - F.coalesce("__sq", F.lit(0.0))) * F.lit(ln2))
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_terms", F.lit(0)).cast("bigint").alias("n_shared_terms"),
+        F.round(jsd, 6).alias("jsd"),
     )
 
 

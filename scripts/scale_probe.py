@@ -67,6 +67,26 @@ def _derive(spark) -> None:
     )
     big_emb.write.mode("overwrite").parquet(f"{DERIVED}/embeddings.parquet")
 
+    # 10× events: replicate with per-copy user/event id offsets — the
+    # user POPULATION grows 10× while each user's per-event structure
+    # (ts sequence, values) is preserved, so per-user windows/gaps stay
+    # realistic instead of degenerating into 10×-longer histories
+    from graph_loom_spark.ops.events import load_events
+
+    ev = load_events(spark, f"{SF1}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = spark.range(COPIES).select(F.col("id").alias("__c"))
+    big_ev = ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("__c") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__c") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    big_ev.write.mode("overwrite").parquet(f"{DERIVED}/events.parquet")
+
 
 def _token_budget(d) -> int:
     # the entry composition: classifier score + ws token counts,
@@ -119,58 +139,85 @@ def _ivfpq(e) -> int:
     ).count()
 
 
+def _force_sum(df, col):
+    # .count() would let Catalyst prune the expensive column (the
+    # bench noop-sink lesson); summing it pays the full plan
+    return df.agg(F.sum(col)).collect()
+
+
+def _emb_keep_best(d, e):
+    # the X140 composition: exact-cosine near-dup components over the
+    # embeddings, quality keep-best over the shared doc ids
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.ops import simsearch as ops_sim
+
+    comp = ops_sim.embedding_dup_components(e, threshold=0.4)
+    return ops_dedup.dedup_keep_best(
+        d,
+        clusters=comp.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        ),
+    ).count()
+
+
 def main() -> None:
     from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.ops import events as ops_events
     from graph_loom_spark.ops import simsearch as ops_sim
     from graph_loom_spark.ops import text as ops_text
 
     spark = get_spark(app_name="scale-probe", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{DERIVED}/documents.parquet"):
+    # events.parquet joined the derived corpus in r11 — re-derive if an
+    # older derived dir lacks it
+    if not os.path.exists(f"{DERIVED}/documents.parquet") or not os.path.exists(
+        f"{DERIVED}/events.parquet"
+    ):
         print("deriving 10x corpus ...", flush=True)
         _derive(spark)
 
     OPS = {
-        "exact_dedup": lambda d, e: ops_dedup.exact_dedup(d, ["text"]).count(),
-        "minhash_pairs": lambda d, e: ops_dedup.minhash_lsh_pairs(
+        "exact_dedup": lambda d, e, ev: ops_dedup.exact_dedup(d, ["text"]).count(),
+        "minhash_pairs": lambda d, e, ev: ops_dedup.minhash_lsh_pairs(
             ops_dedup.minhash_signatures(d)
         ).count(),
-        "simhash_pairs": lambda d, e: ops_dedup.simhash_near_pairs(
+        "simhash_pairs": lambda d, e, ev: ops_dedup.simhash_near_pairs(
             ops_dedup.simhash(d)
         ).count(),
-        "winnow": lambda d, e: ops_text.winnow_fingerprints(d).count(),
-        "repetition": lambda d, e: ops_text.repetition_stats(d).count(),
-        "tfidf": lambda d, e: ops_text.tfidf_topk_terms(d).count(),
-        "dedup_clusters": lambda d, e: ops_dedup.dedup_clusters(d).count(),
-        "kmeans": lambda d, e: ops_sim.kmeans(e, k=8, iters=5).count(),
-        "pca": lambda d, e: ops_sim.pca(e).count(),
-        "ngram_jaccard": lambda d, e: ops_dedup.ngram_jaccard_pairs(d).count(),
-        "near_dup_blocked": lambda d, e: ops_sim.cosine_near_pairs_blocked(
+        "winnow": lambda d, e, ev: ops_text.winnow_fingerprints(d).count(),
+        "repetition": lambda d, e, ev: ops_text.repetition_stats(d).count(),
+        "tfidf": lambda d, e, ev: ops_text.tfidf_topk_terms(d).count(),
+        "dedup_clusters": lambda d, e, ev: ops_dedup.dedup_clusters(d).count(),
+        "kmeans": lambda d, e, ev: ops_sim.kmeans(e, k=8, iters=5).count(),
+        "pca": lambda d, e, ev: ops_sim.pca(e).count(),
+        "ngram_jaccard": lambda d, e, ev: ops_dedup.ngram_jaccard_pairs(d).count(),
+        "near_dup_blocked": lambda d, e, ev: ops_sim.cosine_near_pairs_blocked(
             e, threshold=0.4
         ).count(),
-        "sq_topk": lambda d, e: ops_sim.sq_topk(e, probe_id=7).count(),
-        "containment": lambda d, e: ops_dedup.containment_pairs(
+        "sq_topk": lambda d, e, ev: ops_sim.sq_topk(e, probe_id=7).count(),
+        "containment": lambda d, e, ev: ops_dedup.containment_pairs(
             d, threshold=0.8
         ).count(),
-        "token_budget": lambda d, e: _token_budget(d),
-        "phash_pairs": lambda d, e: _phash_pairs(d),
+        "token_budget": lambda d, e, ev: _token_budget(d),
+        "phash_pairs": lambda d, e, ev: _phash_pairs(d),
         # // 20 + 1: at sf0.1 total=250 puts a cap exactly on the .5
         # rounding boundary and the operator's loud guard (correctly)
         # refuses; +1 is boundary-free at all three scales
-        "temp_mixture": lambda d, e: ops_text.temperature_mixture(
+        "temp_mixture": lambda d, e, ev: ops_text.temperature_mixture(
             d, total_docs=max(1, d.count() // 20 + 1)
         ).count(),
-        "profile": lambda d, e: _profile(d),
+        "profile": lambda d, e, ev: _profile(d),
         # r9 additions
-        "bq_topk": lambda d, e: ops_sim.bq_topk(e, probe_id=7).count(),
-        "maxsim": lambda d, e: ops_sim.maxsim_topk(e).count(),
-        "lsh_near_pairs": lambda d, e: ops_sim.lsh_near_pairs(
+        "bq_topk": lambda d, e, ev: ops_sim.bq_topk(e, probe_id=7).count(),
+        "maxsim": lambda d, e, ev: ops_sim.maxsim_topk(e).count(),
+        "lsh_near_pairs": lambda d, e, ev: ops_sim.lsh_near_pairs(
             e, ops_sim.rp_lsh_buckets(e, dim=64), threshold=0.4
         ).count(),
-        "ivfpq": lambda d, e: _ivfpq(e),
-        "classifier_auc": lambda d, e: ops_text.classifier_auc(d).count(),
+        "ivfpq": lambda d, e, ev: _ivfpq(e),
+        "classifier_auc": lambda d, e, ev: ops_text.classifier_auc(d).count(),
         # r10 additions
-        "retrieval_mrr": lambda d, e: ops_sim.retrieval_label_eval(
+        "retrieval_mrr": lambda d, e, ev: ops_sim.retrieval_label_eval(
             e, F.col("vec_id") % 50 == 7, k=10
         ).count(),
         # the %-mod probe filter grows the probe SET 10x with the
@@ -179,18 +226,44 @@ def main() -> None:
         # candidates=). This fixed-40-probe line isolates corpus
         # scaling: vec_id < 2000 is the 1x corpus' id range, present
         # verbatim at every scale (the 10x replicas offset upward).
-        "retrieval_mrr_fixedp": lambda d, e: ops_sim.retrieval_label_eval(
+        "retrieval_mrr_fixedp": lambda d, e, ev: ops_sim.retrieval_label_eval(
             e, (F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000), k=10
         ).count(),
-        "source_drift": lambda d, e: ops_text.source_unigram_drift(d).count(),
-        "textrank": lambda d, e: ops_text.textrank_keywords(d).count(),
+        "source_drift": lambda d, e, ev: ops_text.source_unigram_drift(d).count(),
+        "textrank": lambda d, e, ev: ops_text.textrank_keywords(d).count(),
         # .count() alone would let Catalyst eliminate the cardinality-
         # preserving left join (and with it ALL the gram work) — force
         # the novelty column to materialize.
-        "novelty": lambda d, e: ops_dedup.doc_novelty(d)
+        "novelty": lambda d, e, ev: ops_dedup.doc_novelty(d)
         .agg(F.sum("novelty_micro"))
         .collect(),
-        "keep_best": lambda d, e: ops_dedup.dedup_keep_best(d).count(),
+        "keep_best": lambda d, e, ev: ops_dedup.dedup_keep_best(d).count(),
+        # r11 additions (VERDICT r10 ask #5 + new-op probes)
+        "emb_dup_keep_best": lambda d, e, ev: _emb_keep_best(d, e),
+        "cohort_ltv": lambda d, e, ev: _force_sum(
+            ops_events.cohort_ltv(ev), "cum_value_cents"
+        ),
+        "gini": lambda d, e, ev: _force_sum(
+            ops_events.gini_user_activity(ev), "gini"
+        ),
+        "burstiness": lambda d, e, ev: _force_sum(
+            ops_events.user_burstiness(ev), "burstiness"
+        ),
+        # spans: the capped path is THE 100 TB path (X128b); the
+        # derived corpus is span-dense by construction (each replica
+        # shares its whole body with the original), so the cap is what
+        # keeps the gram join candidate-bounded
+        "exact_spans_capped": lambda d, e, ev: ops_dedup.exact_dup_spans(
+            d, min_len=40, max_gram_df=20
+        ).count(),
+        "zipf_fit": lambda d, e, ev: _force_sum(ops_text.zipf_fit(d), "slope"),
+        "jsd_drift": lambda d, e, ev: _force_sum(ops_text.jsd_drift(d), "jsd"),
+        "retrieval_ndcg_fixedp": lambda d, e, ev: _force_sum(
+            ops_sim.retrieval_ndcg(
+                e, (F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000), k=10
+            ),
+            "ndcg",
+        ),
     }
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]
@@ -199,6 +272,9 @@ def main() -> None:
         loaded[tag] = (
             spark.read.parquet(f"{path}/documents.parquet").localCheckpoint(eager=True),
             spark.read.parquet(f"{path}/embeddings.parquet").localCheckpoint(eager=True),
+            ops_events.load_events(spark, f"{path}/events.parquet").localCheckpoint(
+                eager=True
+            ),
         )
     print(f"{'op':16s} " + " ".join(f"{t:>10s}" for t, _ in scales) + "   x(0.1->10x)")
     for name, fn in OPS.items():
@@ -206,10 +282,10 @@ def main() -> None:
             continue
         row = []
         for tag, _ in scales:
-            d, e = loaded[tag]
+            d, e, ev = loaded[tag]
             t0 = time.time()
             try:
-                fn(d, e)
+                fn(d, e, ev)
                 row.append(time.time() - t0)
             except Exception as ex:
                 print(f"{name}: FAIL at {tag}: {str(ex)[:90]}")

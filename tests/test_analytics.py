@@ -281,6 +281,26 @@ def test_degree_assortativity_exact(spark):
     assert analytics.degree_assortativity(tri).collect()[0]["assortativity"] == 0.0
 
 
+def test_avg_neighbor_degree_exact(spark):
+    """X144: triangle {1,2,3} + pendant (3,4) — degrees 2,2,3,1.
+    k=1 class {4}: neighbor degree 3 → knn 3; k=2 class {1,2}: each
+    sees degrees {2,3} → Σ=10, knn = 10/(2·2) = 2.5; k=3 class {3}:
+    sees {2,2,1} → knn 5/3. Reverse dup + self-loop canonicalize away."""
+    from graph_loom_spark import analytics
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (4, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["degree"]: r for r in analytics.avg_neighbor_degree(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_nodes"], out[1]["sum_neighbor_degrees"], out[1]["knn"]) == (1, 3, 3.0)
+    assert (out[2]["n_nodes"], out[2]["sum_neighbor_degrees"], out[2]["knn"]) == (2, 10, 2.5)
+    assert (out[3]["n_nodes"], out[3]["sum_neighbor_degrees"], out[3]["knn"]) == (1, 5, round(5 / 3, 6))
+    # star S3: leaves (k=1) see the hub (3), hub (k=3) sees leaves (1)
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src int, dst int")
+    s = {r["degree"]: r["knn"] for r in analytics.avg_neighbor_degree(star).collect()}
+    assert s == {1: 3.0, 3: 1.0}
+
+
 def test_link_prediction_matches_python_replay_random_graphs(spark):
     """X130 vs an exact pure-Python replay on seeded random graphs:
     same canonicalization, same strictly-smaller pair convention, same

@@ -227,6 +227,71 @@ def test_rfm_equal_metrics_share_buckets_no_global_window(spark):
             assert "__b" in line, f"unpartitioned window: {line}"
 
 
+def test_gini_user_activity_planted(spark):
+    """X146: counts [1,1,1,97] → Σi·x = 1+2+3+4·97 = 394,
+    G = 2·394/(4·100) − 5/4 = 0.72; uniform counts → exactly 0.0
+    (and +0.0, never -0.0 — the signed-zero class)."""
+    import datetime
+    import math
+
+    from graph_loom_spark.ops.events import gini_user_activity
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u, n in [(1, 1), (2, 1), (3, 1), (4, 97)]:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0, u, "e", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = gini_user_activity(ev).collect()[0]
+    assert (r["n_users"], r["total_events"], r["gini"]) == (4, 100, 0.72)
+
+    even = spark.createDataFrame(
+        [(i, t0, i % 4, "e", 1.0) for i in range(8)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    g = gini_user_activity(even).collect()[0]["gini"]
+    assert g == 0.0 and math.copysign(1.0, g) > 0
+
+
+def test_user_burstiness_planted(spark):
+    """X147: periodic user → B = −1; a 1s/100s gap pair → μ = 50.5s,
+    σ = 49.5s, B = −0.01 (nearly periodic in CV terms); single-event
+    and zero-gap users keep NULL stats."""
+    import datetime
+
+    from graph_loom_spark.ops.events import user_burstiness
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = (
+        [(i, at(10 * i), 1, "e", 1.0) for i in range(4)]        # periodic
+        + [(10, at(0), 2, "e", 1.0), (11, at(1), 2, "e", 1.0),
+           (12, at(101), 2, "e", 1.0)]                          # 1s + 100s
+        + [(20, at(5), 3, "e", 1.0)]                            # singleton
+        + [(30, at(7), 4, "e", 1.0), (31, at(7), 4, "e", 1.0)]  # zero gap
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in user_burstiness(ev).collect()}
+    assert out[1]["burstiness"] == -1.0
+    assert (out[1]["mean_gap_us"], out[1]["std_gap_us"]) == (10_000_000, 0)
+    assert out[2]["mean_gap_us"] == 50_500_000
+    assert out[2]["std_gap_us"] == 49_500_000
+    assert out[2]["burstiness"] == -0.01
+    assert out[3]["n_events"] == 1 and out[3]["mean_gap_us"] is None
+    assert out[3]["burstiness"] is None
+    assert (out[4]["span_us"], out[4]["mean_gap_us"], out[4]["std_gap_us"]) == (0, 0, 0)
+    assert out[4]["burstiness"] is None
+
+
 def test_rfm_internal_checkpoint_is_pinned_and_releasable(spark):
     """ADVICE r10 #3: rfm_segments' eager localCheckpoint must (a) be
     registered for harness pinning — entry.pinned_rdd_ids() includes

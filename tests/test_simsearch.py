@@ -593,6 +593,40 @@ def test_retrieval_label_eval_candidates_match_full(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
 
 
+def test_retrieval_ndcg_planted(spark):
+    """X150: probe 7 (label 1) ranks [id 1 (lbl 2), id 2 (lbl 1),
+    id 3 (lbl 1)] → DCG = 1/log2(3) + 1/log2(4); corpus holds exactly
+    2 other label-1 vectors → IDCG = 1/log2(2) + 1/log2(3); probe 8's
+    label is unique → n_rel 0, idcg 0, ndcg 0.0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (7, [1.0, 0.0], 1),
+        (8, [0.0, 1.0], 9),
+        (1, [1.0, 0.01], 2),
+        (2, [1.0, 0.1], 1),
+        (3, [0.5, 0.5], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sim.retrieval_ndcg(emb, F.col("vec_id").isin(7, 8), k=3).collect()
+    }
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert out[7]["n_rel"] == 2
+    assert out[7]["dcg"] == round(dcg, 6)
+    assert out[7]["idcg"] == round(idcg, 6)
+    assert out[7]["ndcg"] == round(dcg / idcg, 6)
+    assert (out[8]["n_rel"], out[8]["dcg"], out[8]["idcg"], out[8]["ndcg"]) == (
+        0, 0.0, 0.0, 0.0,
+    )
+
+
 def test_retrieval_label_eval_every_probe_gets_a_scorecard(spark):
     """ADVICE r10 #1: probes with NO scored rows must emit a zeroed
     scorecard, not vanish — (a) singleton corpus (the only row is the

@@ -1308,3 +1308,67 @@ def test_source_entropy_planted(spark):
     h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert out["S"]["entropy"] == round(h, 6)
     assert out["S"]["evenness"] == round(h / math.log(2), 6)
+
+
+def test_zipf_fit_planted(spark):
+    """X148: counts a:4, b:2, c:1, d:1 → rank blocks 1, 2, {3,4};
+    points (ln r, ln c) = (0, ln4), (ln2, ln2), (ln3, 0), (ln4, 0) —
+    OLS slope/intercept match the closed form; a one-type source
+    (degenerate fit, denominator 0) reports (0.0, 0.0)."""
+    import math
+
+    import pytest as pt
+
+    from graph_loom_spark.ops.text import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d", "S"), (2, "z z z", "Z")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in zipf_fit(docs).collect()}
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (4, 2, 1, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    inter = (sy - slope * sx) / n
+    assert out["S"]["n_types"] == 4
+    assert out["S"]["slope"] == pt.approx(slope, abs=2e-6)
+    assert out["S"]["intercept"] == pt.approx(inter, abs=2e-6)
+    assert slope < -0.9  # heads toward the Zipf −1
+    assert (out["Z"]["n_types"], out["Z"]["slope"], out["Z"]["intercept"]) == (1, 0.0, 0.0)
+
+
+def test_jsd_drift_planted(spark):
+    """X149: identical sources → JSD exactly 0.0 (+0.0, the signed-zero
+    class); fully disjoint vocabularies → exactly ln 2; a half-shared
+    pair matches the closed form."""
+    import math
+
+    import pytest as pt
+
+    from graph_loom_spark.ops.text import jsd_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "P"),
+            (2, "a b", "Q"),       # identical to P
+            (3, "x y", "R"),       # disjoint from P/Q
+            (4, "a x", "T"),       # half-shared with everyone
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in jsd_drift(docs).collect()}
+    assert len(out) == 6
+    pq = out[("P", "Q")]
+    assert pq["n_shared_terms"] == 2 and pq["jsd"] == 0.0
+    assert math.copysign(1.0, pq["jsd"]) > 0
+    pr = out[("P", "R")]
+    assert pr["n_shared_terms"] == 0 and pr["jsd"] == round(math.log(2), 6)
+    # P = {a:.5, b:.5}, T = {a:.5, x:.5}: shared term a with p=q=.5 →
+    # its KL terms vanish; one-sided mass .5 each side → JSD = .5·ln2
+    pt_pair = out[("P", "T")]
+    assert pt_pair["n_shared_terms"] == 1
+    assert pt_pair["jsd"] == pt.approx(0.5 * math.log(2), abs=2e-6)
