@@ -133,6 +133,11 @@ def main() -> None:
     EDGE_OPS = {
         "link_pred": lambda e: analytics.link_prediction_scores(e).count(),
         "assortativity": lambda e: analytics.degree_assortativity(e).count(),
+        # r11: force the knn column (count alone would prune the OLS-
+        # style aggregate expressions)
+        "knn_degree": lambda e: analytics.avg_neighbor_degree(e)
+        .agg(F.sum("knn"))
+        .collect(),
     }
 
     only = sys.argv[1:]

@@ -584,3 +584,58 @@ def test_link_prediction_no_cartesian_no_reshuffled_text(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_degree_no_window_partial_aggs(spark):
+    """X144: the k_nn(k) curve is joins + partial aggs only — no window
+    anywhere, no cartesian; the neighbor join is an equi-join."""
+    plan = _plan(spark, "graph_knn_degree")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (deg, per-node/per-class)
+
+
+def test_gini_windows_are_bucket_partitioned(spark):
+    """X146: the only windows are the X82 prefix-sum's, PARTITIONED BY
+    the range bucket — never a single-partition global sort."""
+    plan = _plan(spark, "events_gini")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__b" in line, f"unpartitioned window: {line}"
+
+
+def test_burstiness_window_partitioned_by_user(spark):
+    """X147: the lag window partitions by user — bounded by the busiest
+    user, never corpus-sized."""
+    plan = _plan(spark, "events_burstiness")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "user_id" in line, f"unpartitioned window: {line}"
+
+
+def test_zipf_fit_window_only_over_histogram(spark):
+    """X148: the cumulative window runs over the per-source count
+    HISTOGRAM (partitioned by source, after the m-aggregate) — the
+    vocabulary itself is never ranked through a window."""
+    plan = _plan(spark, "docs_zipf_fit")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "source" in line, f"unpartitioned window: {line}"
+            # the window's input is the (source, count) histogram: its
+            # ordering key is the count column, not a term column
+            assert "__t" not in line, f"window touches the term column: {line}"
+
+
+def test_jsd_drift_inner_join_only_no_outer_vocabulary(spark):
+    """X149: the shared-term join is an inner equi-join (the identity
+    absorbs one-sided terms) — no outer join materializing the union
+    vocabulary, no cartesian on the data path (the |sources|^2 grid is
+    aggregate-sized and broadcast)."""
+    plan = _plan(spark, "docs_jsd_drift")
+    assert "SortMergeJoin LeftOuter" not in plan or "__t" not in plan
+    for line in plan.splitlines():
+        if "Join" in line and "__t" in line and "Inner" not in line:
+            raise AssertionError(f"non-inner join on the term column: {line}")
