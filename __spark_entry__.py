@@ -521,6 +521,24 @@ def _q_events_transitions(spark, sf_dir):
     return ops_events.event_transitions(_events(spark, sf_dir))
 
 
+def _q_events_markov_entropy(spark, sf_dir):
+    """X151 — per-state transition entropy (+ share-weighted
+    contribution, whose sum is the corpus entropy rate): the
+    information-theoretic rollup of X125's transition matrix, via the
+    X142 sum-form identity. Counts exact; rounded-6 float logs —
+    oracle-exact."""
+    return ops_events.markov_entropy(_events(spark, sf_dir))
+
+
+def _q_emb_dim_stats(spark, sf_dir):
+    """X152 — per-dimension embedding health (dead-dimension / rank-
+    collapse screen, Ethayarajh 2019): one posexplode into one
+    partial-agg groupBy(dim); min/max exact doubles, mean/variance
+    rounded 6 with variance clamped at 0 (signed-zero-proof) —
+    oracle-exact."""
+    return ops_sim.dimension_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_events_cohort_ltv(spark, sf_dir):
     """X141 — cohort LTV curves: first-touch cohorts, per-(cohort,
     age-week) activity and exact int64-cent value with a per-cohort
@@ -2670,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_fit": _q_docs_zipf_fit,
         "docs_jsd_drift": _q_docs_jsd_drift,
         "emb_retrieval_ndcg": _q_emb_retrieval_ndcg,
+        "events_markov_entropy": _q_events_markov_entropy,
+        "emb_dim_stats": _q_emb_dim_stats,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
@@ -4991,6 +5011,40 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n, "
             "round(CAST(p.n AS DOUBLE) / t.tot, 6) AS prob "
             "FROM p JOIN t USING (from_type)"
+        ),
+        # X151 — same transition CTEs; entropies via the X142 sum-form
+        # identity, HUGEINT sums cast before the double expressions
+        "events_markov_entropy": (
+            "WITH s AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events), "
+            "p AS (SELECT from_type, to_type, count(*) AS n FROM s "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_steps, "
+            "CAST(count(*) AS BIGINT) AS n_targets, "
+            "sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln "
+            "FROM p GROUP BY from_type), "
+            "tt AS (SELECT CAST(sum(n_steps) AS BIGINT) AS tot FROM r) "
+            "SELECT from_type, n_steps, n_targets, "
+            "round(ln(CAST(n_steps AS DOUBLE)) - snln / CAST(n_steps AS DOUBLE), 6) "
+            "AS row_entropy, "
+            "round(CAST(n_steps AS DOUBLE) / tt.tot, 6) AS step_share, "
+            "round((CAST(n_steps AS DOUBLE) / tt.tot) * "
+            "(ln(CAST(n_steps AS DOUBLE)) - snln / CAST(n_steps AS DOUBLE)), 6) "
+            "AS contribution "
+            "FROM r CROSS JOIN tt"
+        ),
+        # X152 — generate_subscripts is 1-based like the engine's
+        # pos+1; min/max exact doubles, variance clamped before round
+        "emb_dim_stats": (
+            "WITH x AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x "
+            "FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)), "
+            "a AS (SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS s2, "
+            "min(x) AS vmin, max(x) AS vmax FROM x GROUP BY dim) "
+            "SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, "
+            "round(s / n, 6) AS mean, "
+            "round(greatest(s2 / n - (s / n) * (s / n), 0.0), 6) AS variance, "
+            "vmin, vmax FROM a"
         ),
         "events_funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -228,6 +228,56 @@ def attribution_summary(
     )
 
 
+def markov_entropy(events: DataFrame) -> DataFrame:
+    """Per-state entropy of the event-type transition matrix — "how
+    predictable is user behavior from each state?" (low row entropy =
+    funnel-like flows; the corpus entropy RATE is the share-weighted
+    sum of the contributions). The information-theoretic rollup of
+    :func:`event_transitions` (X125): same (ts, event_id)-ordered next
+    step, entropies via the same sum-form identity as
+    ``source_entropy`` (``H = ln(tot) − (Σ n·ln n)/tot``). Returns
+    ``(from_type, n_steps, n_targets, row_entropy, step_share,
+    contribution)`` — counts exact int64, doubles rounded 6; the
+    entropy rate is Σ contribution downstream.
+
+    Scale shape: one user-partitioned lead window (the sessionize
+    shuffle) → one partial-agg groupBy on the (from, to) pair →
+    per-state aggregates over the |types|²-row matrix — everything
+    after the first groupBy is aggregate-sized; the 1-row total joins
+    back broadcast.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    row = pairs.groupBy("from_type").agg(
+        F.sum("__n").cast("bigint").alias("n_steps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_targets"),
+        F.sum(F.col("__n").cast("double") * F.log(F.col("__n").cast("double"))).alias(
+            "__snln"
+        ),
+    )
+    total = row.agg(F.sum("n_steps").cast("bigint").alias("__tot"))
+    nd = F.col("n_steps").cast("double")
+    h = F.log(nd) - F.col("__snln") / nd
+    share = nd / F.col("__tot").cast("double")
+    return (
+        row.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "n_steps",
+            "n_targets",
+            F.round(h, 6).alias("row_entropy"),
+            F.round(share, 6).alias("step_share"),
+            F.round(share * h, 6).alias("contribution"),
+        )
+    )
+
+
 def gini_user_activity(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1493,6 +1493,49 @@ def retrieval_label_eval(
     )
 
 
+def dimension_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding health report — the "is this embedding
+    space collapsing?" screen run before any ANN/dedup pass: a
+    dimension whose variance pins near 0 carries no signal (dead
+    dimension / rank collapse; the anisotropy literature's first
+    diagnostic, Ethayarajh 2019). Returns ``(dim, n, mean, variance,
+    vmin, vmax)`` — one row per vector component, ``dim`` 1-based.
+
+    Determinism: components cast float→double (exact), min/max exact;
+    mean/variance are corpus double sums rounded 6 (the established
+    float-sum class), variance clamped at 0 before rounding so a
+    constant dimension reports +0.0. Scale shape: one posexplode (n·d
+    narrow rows, no text/vector payload past the explode) into ONE
+    partial-agg groupBy(dim) — no window, no join, no driver state;
+    output is d rows.
+    """
+    x = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x")
+    ).select((F.col("__pos") + 1).cast("bigint").alias("dim"), "__x")
+    a = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+        F.min("__x").alias("vmin"),
+        F.max("__x").alias("vmax"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s") / nd
+    var = F.greatest(F.col("__s2") / nd - mean * mean, F.lit(0.0))
+    return a.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        "vmin",
+        "vmax",
+    )
+
+
 def retrieval_ndcg(
     embeddings: DataFrame,
     probe_filter,

@@ -227,6 +227,42 @@ def test_rfm_equal_metrics_share_buckets_no_global_window(spark):
             assert "__b" in line, f"unpartitioned window: {line}"
 
 
+def test_markov_entropy_planted(spark):
+    """X151: user A views→clicks→purchases, user B views→clicks→views:
+    state 'view' always goes to 'click' (row entropy 0); 'click' splits
+    50/50 (row entropy ln 2); shares are 2/4 each, so the entropy rate
+    Σ contribution = ln2/2."""
+    import datetime
+    import math
+
+    from graph_loom_spark.ops.events import markov_entropy
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 1, "view", 0.0), (2, at(1), 1, "click", 0.0),
+        (3, at(2), 1, "purchase", 9.0),
+        (4, at(0), 2, "view", 0.0), (5, at(1), 2, "click", 0.0),
+        (6, at(2), 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["from_type"]: r for r in markov_entropy(ev).collect()}
+    assert set(out) == {"view", "click"}
+    v = out["view"]
+    assert (v["n_steps"], v["n_targets"], v["row_entropy"]) == (2, 1, 0.0)
+    assert math.copysign(1.0, v["row_entropy"]) > 0
+    c = out["click"]
+    assert (c["n_steps"], c["n_targets"]) == (2, 2)
+    assert c["row_entropy"] == round(math.log(2), 6)
+    assert c["step_share"] == 0.5
+    assert c["contribution"] == round(0.5 * math.log(2), 6)
+
+
 def test_gini_user_activity_planted(spark):
     """X146: counts [1,1,1,97] → Σi·x = 1+2+3+4·97 = 394,
     G = 2·394/(4·100) − 5/4 = 0.72; uniform counts → exactly 0.0

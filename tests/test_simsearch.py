@@ -593,6 +593,21 @@ def test_retrieval_label_eval_candidates_match_full(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
 
 
+def test_dimension_stats_planted(spark):
+    """X152: dim 1 over {1, 3} → mean 2, var 1, min/max exact; dim 2 is
+    constant-zero (dead dimension) → variance exactly +0.0."""
+    import math
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r["dim"]: r for r in sim.dimension_stats(emb).collect()}
+    assert (out[1]["n"], out[1]["mean"], out[1]["variance"]) == (2, 2.0, 1.0)
+    assert (out[1]["vmin"], out[1]["vmax"]) == (1.0, 3.0)
+    assert out[2]["variance"] == 0.0
+    assert math.copysign(1.0, out[2]["variance"]) > 0
+
+
 def test_retrieval_ndcg_planted(spark):
     """X150: probe 7 (label 1) ranks [id 1 (lbl 2), id 2 (lbl 1),
     id 3 (lbl 1)] → DCG = 1/log2(3) + 1/log2(4); corpus holds exactly
