@@ -125,6 +125,7 @@ _BENCH_LAST = [
     "graph_hits",
     "graph_components",
     "graph_density_components",
+    "graph_cc_sizes",  # immediately after: third _COMP_CACHE consumer
     "graph_lpa",
     "graph_community_density",
     "graph_modularity",  # immediately after: shares the LPA memo too
