@@ -1342,6 +1342,16 @@ def _q_docs_jsd_drift(spark, sf_dir):
     return ops_text.jsd_drift(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_distinct_ngrams(spark, sf_dir):
+    """X153 — per-source distinct-1/2/3 ratios (Li et al. 2016; the
+    corpus-level Self-BLEU cousin): the synthetic-data diversity gate
+    — a collapsing generator or template feed drives distinct-2/3
+    toward 0. Per-doc n-grams assembled inside one codegen stage (no
+    self-join), two-phase exact distinct per n; counts exact int64,
+    one rounded division — oracle-exact."""
+    return ops_text.distinct_ngram_ratios(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_source_drift(spark, sf_dir):
     """X134 — per-source-pair unigram total-variation drift: the
     distribution-level feed monitor next to the set-level shingle
@@ -2690,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_retrieval_ndcg": _q_emb_retrieval_ndcg,
         "events_markov_entropy": _q_events_markov_entropy,
         "emb_dim_stats": _q_emb_dim_stats,
+        "docs_distinct_ngrams": _q_docs_distinct_ngrams,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
@@ -6166,6 +6177,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CASE WHEN n_types > 1 THEN round((ln(CAST(n_tokens AS DOUBLE)) - "
             "snln / CAST(n_tokens AS DOUBLE)) / ln(CAST(n_types AS DOUBLE)), 6) "
             "ELSE 0.0 END AS evenness FROM a"
+        ),
+        # X153 — per-doc n-grams via 1-based list slices (grams never
+        # span documents), two-phase exact distinct per n, UNION ALL
+        "docs_distinct_ngrams": (
+            "WITH tok AS (SELECT source, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts "
+            "FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT source, CAST({n} AS BIGINT) AS n, "
+                "CAST(sum(c) AS BIGINT) AS total_ngrams, "
+                "CAST(count(*) AS BIGINT) AS unique_ngrams, "
+                "round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) "
+                "AS distinct_ratio FROM ("
+                "SELECT source, g, count(*) AS c FROM ("
+                f"SELECT source, unnest([array_to_string(ts[i:i+{n - 1}], ' ') "
+                f"for i in generate_series(1, greatest(len(ts) - {n} + 1, 0))]) AS g "
+                "FROM tok) GROUP BY source, g) GROUP BY source"
+                for n in (1, 2, 3)
+            )
         ),
         # X148 — same histogram + rank-block-explode construction as
         # the engine (tie order inside a count class cannot matter)

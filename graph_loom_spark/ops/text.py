@@ -1066,6 +1066,75 @@ def zipf_fit(
     )
 
 
+def distinct_ngram_ratios(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-source distinct-n ratios — the corpus diversity metric used
+    to grade generated/synthetic data (distinct-1/2/3, Li et al. 2016;
+    the corpus-level cousin of Self-BLEU): for each n ≤ ``max_n``,
+    ``distinct_n = |unique n-grams| / |total n-grams|`` over the
+    source's token stream (per-doc n-grams, so grams never span
+    documents). A collapsing generator (or a template-stuffed feed)
+    shows distinct-2/3 falling toward 0. Returns ``(source, n,
+    total_ngrams, unique_ngrams, distinct_ratio)`` — counts exact
+    int64, one rounded division. Tokenizer matches :func:`lang_id`.
+
+    Scale shape: ONE explode of per-token rows with the following
+    n−1 tokens gathered by ``slice`` (no self-join: the n-gram is
+    assembled inside the same codegen stage), then for each n a
+    two-phase distinct count — ``groupBy(source, gram)`` partial-agg
+    then ``groupBy(source)`` — the exact-distinct shape X64's corpus
+    report uses; nothing wider than the gram stream ever shuffles.
+    """
+    documents = spread(documents)
+    toks = documents.select(
+        F.col(source_col).alias("source"),
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+").alias("__ts"),
+    ).select(
+        "source",
+        F.filter(F.col("__ts"), lambda t: t != "").alias("__ts"),
+    )
+    frames = []
+    for n in range(1, int(max_n) + 1):
+        grams = toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.col("__ts"), 1, F.greatest(F.size("__ts") - (n - 1), F.lit(0))
+                    ),
+                    lambda _t, i: F.concat_ws(
+                        " ", F.slice(F.col("__ts"), i + 1, n)
+                    ),
+                )
+            ).alias("__g"),
+        )
+        per = grams.groupBy("source", "__g").agg(F.count(F.lit(1)).alias("__c"))
+        frames.append(
+            per.groupBy("source").agg(
+                F.lit(n).cast("bigint").alias("n"),
+                F.sum("__c").cast("bigint").alias("total_ngrams"),
+                F.count(F.lit(1)).cast("bigint").alias("unique_ngrams"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "unique_ngrams",
+        F.round(
+            F.col("unique_ngrams").cast("double") / F.col("total_ngrams").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+
 def jsd_drift(
     documents: DataFrame,
     text_col: str = "text",

@@ -1372,3 +1372,22 @@ def test_jsd_drift_planted(spark):
     pt_pair = out[("P", "T")]
     assert pt_pair["n_shared_terms"] == 1
     assert pt_pair["jsd"] == pt.approx(0.5 * math.log(2), abs=2e-6)
+
+
+def test_distinct_ngram_ratios_planted(spark):
+    """X153: source S = ["a b a b", "a"] → distinct-1 = 2/5,
+    distinct-2 = 2/3 (grams never span docs), distinct-3 = 2/2;
+    all-unique source T scores 1.0 at every n."""
+    from graph_loom_spark.ops.text import distinct_ngram_ratios
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "S"), (2, "a", "S"), (3, "x y z", "T")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["n"]): r for r in distinct_ngram_ratios(docs).collect()}
+    assert (out[("S", 1)]["total_ngrams"], out[("S", 1)]["unique_ngrams"]) == (5, 2)
+    assert out[("S", 1)]["distinct_ratio"] == 0.4
+    assert (out[("S", 2)]["total_ngrams"], out[("S", 2)]["unique_ngrams"]) == (3, 2)
+    assert out[("S", 2)]["distinct_ratio"] == round(2 / 3, 6)
+    assert (out[("S", 3)]["total_ngrams"], out[("S", 3)]["unique_ngrams"]) == (2, 2)
+    assert all(out[("T", n)]["distinct_ratio"] == 1.0 for n in (1, 2, 3))
