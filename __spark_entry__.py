@@ -2291,6 +2291,16 @@ def _q_emb_retrieval_ndcg(spark, sf_dir):
     )
 
 
+def _q_emb_anisotropy(spark, sf_dir):
+    """X154 — embedding anisotropy (Ethayarajh 2019): expected cosine
+    between two distinct random vectors via the closed form
+    (‖Σu‖² − n)/(n(n−1)) over unit-normalized per-dimension sums —
+    one narrow aggregate, never a pair join; the space-health scalar
+    next to X152's per-dimension report. Rounded-6 doubles —
+    oracle-exact."""
+    return ops_sim.anisotropy(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -2701,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_entropy": _q_events_markov_entropy,
         "emb_dim_stats": _q_emb_dim_stats,
         "docs_distinct_ngrams": _q_docs_distinct_ngrams,
+        "emb_anisotropy": _q_emb_anisotropy,
         "graph_lpa": _q_graph_lpa,
         "graph_community_density": _q_graph_community_density,
         "graph_modularity": _q_graph_modularity,
@@ -6730,6 +6741,22 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_knn_label": _knn_label_oracle(),
         "emb_retrieval_mrr": _retrieval_mrr_oracle(),
         "emb_retrieval_ndcg": _retrieval_ndcg_oracle(),
+        # X154 — same closed form: unit-normalize, per-dim sums,
+        # (||sum u||^2 - n) / (n(n-1)); zero-norm vectors excluded
+        "emb_anisotropy": (
+            "WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "nv AS (SELECT e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+            "u AS (SELECT [x / nrm for x in e] AS ue FROM nv WHERE nrm > 0), "
+            "d AS (SELECT generate_subscripts(ue, 1) AS dim, unnest(ue) AS x FROM u), "
+            "s AS (SELECT dim, sum(x) AS sd FROM d GROUP BY dim), "
+            "a AS (SELECT sum(sd * sd) AS ss FROM s), "
+            "n AS (SELECT count(*) AS n FROM u) "
+            "SELECT CAST(n.n AS BIGINT) AS n, round(a.ss, 6) AS sum_norm_sq, "
+            "CASE WHEN n.n >= 2 THEN "
+            "round((a.ss - n.n) / (CAST(n.n AS DOUBLE) * (n.n - 1)), 6) "
+            "ELSE 0.0 END AS expected_cosine "
+            "FROM a CROSS JOIN n"
+        ),
         # X138 — per-label A/B centroid cosine on the fixed-point grid:
         # lateral generate_series = posexplode, HUGEINT cross products.
         "emb_drift": (

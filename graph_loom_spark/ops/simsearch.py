@@ -1536,6 +1536,66 @@ def dimension_stats(
     )
 
 
+def anisotropy(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space anisotropy — the expected cosine between two
+    DISTINCT random vectors (Ethayarajh 2019's corpus-level measure;
+    an isotropic space scores ≈ 0, a collapsed/anisotropic one → 1,
+    and high anisotropy degrades both cosine-ANN recall and
+    semantic-dedup thresholds, which is why this runs next to
+    :func:`dimension_stats` before any embedding curation pass). With
+    unit-normalized vectors u it collapses to a CLOSED FORM over
+    per-dimension sums::
+
+        E[cos(u_i, u_j)] = (‖Σu‖² − n) / (n·(n−1))
+
+    (‖Σu‖² = Σ_d s_d², s_d the corpus sum of component d; the −n
+    removes the self-pairs' unit cosines) — so the whole statistic is
+    ONE narrow aggregate, never a pair join. Returns a single row
+    ``(n, sum_norm_sq, expected_cosine)``, doubles rounded 6.
+    Zero-norm vectors are excluded (no unit direction — the r10
+    zero-norm convention).
+
+    Scale shape: normalize in codegen → posexplode (n·d narrow rows)
+    → one partial-agg groupBy(dim) (d rows) → a d-row final
+    aggregate. No join, no window, no driver state.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = embeddings.select(v.alias("__v"), nrm.alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    # greatest(·, tiny): ANSI raises DIVIDE_BY_ZERO even on rows a
+    # filter discards when stages fuse (the r11 burstiness lesson);
+    # the clamp only ever touches the filtered-out zero-norm rows
+    safe_n = F.greatest(F.col("__n"), F.lit(1e-300))
+    u = base.select(F.transform("__v", lambda x: x / safe_n).alias("__u"))
+    dims = u.select(F.posexplode("__u").alias("__d", "__x"))
+    per_dim = dims.groupBy("__d").agg(F.sum("__x").alias("__s"))
+    n_row = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = per_dim.agg(F.sum(F.col("__s") * F.col("__s")).alias("__ss")).crossJoin(
+        F.broadcast(n_row)
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("__ss"), 6).alias("sum_norm_sq"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                (F.col("__ss") - nd)
+                / F.greatest(nd * (nd - F.lit(1.0)), F.lit(1.0)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("expected_cosine"),
+    )
+
+
 def retrieval_ndcg(
     embeddings: DataFrame,
     probe_filter,

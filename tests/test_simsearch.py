@@ -593,6 +593,29 @@ def test_retrieval_label_eval_candidates_match_full(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, via.collect()))
 
 
+def test_anisotropy_planted(spark):
+    """X154: orthogonal pair → expected cosine exactly +0.0; identical
+    pair → 1.0; zero-norm vectors are excluded; a singleton corpus
+    reports 0.0 by convention."""
+    import math
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = sim.anisotropy(emb).collect()[0]
+    assert (r["n"], r["sum_norm_sq"], r["expected_cosine"]) == (2, 2.0, 0.0)
+    assert math.copysign(1.0, r["expected_cosine"]) > 0
+
+    same = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [5.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert sim.anisotropy(same).collect()[0]["expected_cosine"] == 1.0
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+    assert sim.anisotropy(one).collect()[0]["expected_cosine"] == 0.0
+
+
 def test_dimension_stats_planted(spark):
     """X152: dim 1 over {1, 3} → mean 2, var 1, min/max exact; dim 2 is
     constant-zero (dead dimension) → variance exactly +0.0."""
