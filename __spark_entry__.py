@@ -2647,7 +2647,12 @@ def _q_graph_export_roundtrip(spark, sf_dir):
         g.nodes.filter(F.col("label").isin("Region", "Nation")),
         g.edges.filter(F.col("label") == "IN_REGION"),
     )
-    path = tempfile.mkdtemp(prefix="gls_export_rt_")
+    # Fixed per-process path (ADVICE r11 #1): the exporter writes with
+    # mode=overwrite, so re-invocations reuse one directory instead of
+    # leaking a fresh mkdtemp per bench/correctness round.
+    path = os.path.join(
+        tempfile.gettempdir(), f"gls_export_rt_{os.getpid()}"
+    )
     export_graph_json(sub, path, distributed=True)
     ref_t = "array<struct<rel_id:string,label:string,peer:string,direction:string>>"
     nodes = spark.read.schema(
@@ -6746,7 +6751,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_anisotropy": (
             "WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
             "nv AS (SELECT e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
-            "u AS (SELECT [x / nrm for x in e] AS ue FROM nv WHERE nrm > 0), "
+            "u AS (SELECT [x / nrm for x in e] AS ue FROM nv WHERE nrm >= 1e-300), "
             "d AS (SELECT generate_subscripts(ue, 1) AS dim, unnest(ue) AS x FROM u), "
             "s AS (SELECT dim, sum(x) AS sd FROM d GROUP BY dim), "
             "a AS (SELECT sum(sd * sd) AS ss FROM s), "

@@ -726,22 +726,30 @@ def dedup_keep_best(
         quality = _qs(documents, text_col=text_col).select(
             id_col, "quality_score"
         )
-    # LEFT join + default score 0: a user-supplied quality frame that
-    # doesn't cover every clustered id must not silently drop docs (an
-    # inner join here could leave a cluster with zero is_kept rows,
-    # breaking the exactly-one-keeper invariant — ADVICE r10 #2);
-    # unscored docs compete with the floor score and still lose ties
-    # to the smallest id.
-    j = clusters.join(quality, id_col, "left").withColumn(
-        "quality_score", F.coalesce(F.col("quality_score"), F.lit(0))
-    )
+    # LEFT join: a user-supplied quality frame that doesn't cover every
+    # clustered id must not silently drop docs (an inner join here could
+    # leave a cluster with zero is_kept rows, breaking the
+    # exactly-one-keeper invariant — ADVICE r10 #2). Ranking convention
+    # (ADVICE r11 #3): an UNSCORED doc ranks below EVERY scored doc —
+    # including negative scores — via a null→+inf sort key, not a
+    # coalesce-to-0 floor (0 silently outranked negative real scores);
+    # the REPORTED quality_score for unscored docs stays 0.
+    j = clusters.join(quality, id_col, "left")
     best = j.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col("quality_score")).alias("nq"),
+                F.when(
+                    F.col("quality_score").isNull(),
+                    F.lit(float("inf")),
+                )
+                .otherwise(-F.col("quality_score").cast("double"))
+                .alias("nq"),
                 F.col(id_col).alias("i"),
             )
         ).alias("__b")
+    )
+    j = j.withColumn(
+        "quality_score", F.coalesce(F.col("quality_score"), F.lit(0))
     )
     return j.join(best, "cluster_id").select(
         id_col,
@@ -1055,6 +1063,20 @@ def exact_dup_spans(
             F.expr(f"substring(__t, pos, {g})").alias("gram"),
         )
     )
+    if max_gram_df is not None:
+        # document frequency is CORPUS-WIDE by contract: compute the
+        # keep-filter on the unfiltered gram stream BEFORE any pairs
+        # prefilter narrows it (ADVICE r11 #2 — computing it after the
+        # candidate semi-join silently made df subcorpus-relative, so
+        # grams ubiquitous corpus-wide but rare among candidates
+        # survived the cap)
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
     pr = None
     if pairs is not None:
         c0, c1 = pairs.columns[:2]
@@ -1072,14 +1094,6 @@ def exact_dup_spans(
         # shrink the gram stream BEFORE the self-join — this is the
         # 100 TB lever: the quadratic only runs over candidate docs
         grams = grams.join(cand_ids, "__id", "left_semi")
-    if max_gram_df is not None:
-        keep = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_gram_df)
-            .select("gram")
-        )
-        grams = grams.join(keep, "gram", "left_semi")
     a = grams.select(F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram")
     b = grams.select(F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram")
     m = (

@@ -1464,7 +1464,7 @@ def retrieval_label_eval(
     )
     w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
     top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    agg = top.groupBy("__pid", "__plbl").agg(
+    agg = top.groupBy("__pid").agg(
         F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("__nr"),
         F.min(F.when(F.col("__rel"), F.col("__rn"))).alias("__fr"),
     )
@@ -1474,10 +1474,14 @@ def retrieval_label_eval(
     # (n_rel=0, p_at_k_micro=0, first_rel_rank=0, rr_micro=0), not
     # silently vanish in the groupBy (ADVICE r10 #1). The probe frame
     # is the caller-bounded small side, so this left join is a
-    # broadcast, not a new shuffle.
+    # broadcast, not a new shuffle. Join on __pid ALONE (unique per
+    # probe) and carry __plbl from the probe frame: a NULL-labeled
+    # probe would never match its own agg row on a (__pid, __plbl) key
+    # (NULL join keys never equal) and would report zeroed while its
+    # real scorecard was discarded (ADVICE r11 #4).
     return (
         p.select("__pid", "__plbl")
-        .join(agg, ["__pid", "__plbl"], "left")
+        .join(agg, "__pid", "left")
         .select(
             F.col("__pid").alias(id_col),
             F.col("__plbl").alias(label_col),
@@ -1565,12 +1569,17 @@ def anisotropy(
     """
     v = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    # >= 1e-300 (not > 0): vectors with subnormal norms in (0, 1e-300)
+    # would pass a >0 filter but be divided by the clamp below instead
+    # of their true norm, yielding non-unit vectors and diverging from
+    # the oracle, which divides by the actual norm (ADVICE r11 #5);
+    # with this bound the clamp provably only touches excluded rows
     base = embeddings.select(v.alias("__v"), nrm.alias("__n")).filter(
-        F.col("__n") > 0
+        F.col("__n") >= 1e-300
     )
     # greatest(·, tiny): ANSI raises DIVIDE_BY_ZERO even on rows a
     # filter discards when stages fuse (the r11 burstiness lesson);
-    # the clamp only ever touches the filtered-out zero-norm rows
+    # the clamp only ever touches the filtered-out rows
     safe_n = F.greatest(F.col("__n"), F.lit(1e-300))
     u = base.select(F.transform("__v", lambda x: x / safe_n).alias("__u"))
     dims = u.select(F.posexplode("__u").alias("__d", "__x"))
@@ -1671,7 +1680,12 @@ def retrieval_ndcg(
     )
     w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("__nid"))
     top = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    agg = top.groupBy("__pid", "__plbl").agg(
+    # groupBy/join back on __pid ALONE (unique per probe), carrying
+    # __plbl from the probe frame: a NULL-labeled probe never matches
+    # its own agg row on a (__pid, __plbl) key, discarding its real
+    # DCG/n_rel and reporting zeroed — and the DuckDB oracle joins on
+    # pid only, a latent engine/oracle divergence (ADVICE r11 #4).
+    agg = top.groupBy("__pid").agg(
         F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint").alias("__nr"),
         F.sum(
             F.when(F.col("__rel"), F.lit(1.0) / F.log2(F.col("__rn") + 1)).otherwise(
@@ -1686,7 +1700,7 @@ def retrieval_ndcg(
     out = (
         p.select("__pid", "__plbl")
         .join(F.broadcast(lc), "__plbl", "left")
-        .join(agg, ["__pid", "__plbl"], "left")
+        .join(agg, "__pid", "left")
         .withColumn("__R", F.least(F.lit(k), F.coalesce(F.col("__lc") - 1, F.lit(0))))
         .withColumn(
             "__idcg",

@@ -388,3 +388,62 @@ def test_dedup_report_planted(spark):
            for r in dedup_report(docs).collect()}
     assert out[2] == (1, 2, 1)
     assert out[1] == (1, 1, 0)
+
+
+def test_exact_dup_spans_pairs_and_gram_df_cap_corpus_wide(spark):
+    """ADVICE r11 #2: when ``pairs`` and ``max_gram_df`` combine, the
+    df cap is CORPUS-WIDE — a passage present in every document is
+    boilerplate even if only two of its hosts are in the candidate
+    set. Under the old (post-semi-join) order the boilerplate's df
+    among candidates {0,1} would be 2 ≤ cap and it would survive."""
+    boiler = "this exact boilerplate header appears in every single document"
+    rare = "only these two documents share this one particular sentence"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" body {i} " + (rare if i < 2 else "")) for i in range(6)],
+        "doc_id long, text string",
+    )
+    only01 = spark.createDataFrame([(0, 1)], "x long, y long")
+    combo = ops_dedup.exact_dup_spans(
+        docs, min_len=40, max_gram_df=2, pairs=only01
+    ).collect()
+    # exactly the rare span for (0,1); the corpus-wide-df boilerplate
+    # span is gone even though its candidate-subset df is 2
+    assert {(r["id_a"], r["id_b"]) for r in combo} == {(0, 1)}
+    assert len(combo) == 1
+    assert combo[0]["span_len"] == len(rare) + 1  # + the shared leading space
+    # and the composition still equals "capped full, restricted to the
+    # pair" — the exactness-preservation contract of the prefilter
+    capped_full = ops_dedup.exact_dup_spans(docs, min_len=40, max_gram_df=2)
+    restricted = sorted(
+        map(tuple, capped_full.filter("id_a = 0 AND id_b = 1").collect())
+    )
+    assert sorted(map(tuple, combo)) == restricted
+
+
+def test_dedup_keep_best_negative_scores_beat_unscored(spark):
+    """ADVICE r11 #3: an UNSCORED doc ranks below every scored doc —
+    including negative scores. With quality {1: -5} and doc 2 unscored,
+    doc 1 must win keep-best (the old coalesce-to-0 floor let the
+    unscored doc's 0 outrank -5); doc 2 still REPORTS score 0."""
+    from graph_loom_spark.ops.dedup import dedup_keep_best
+
+    good = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, good), (2, good + "and runs far away"),
+         (3, "completely different content here nothing shared")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, -5)], "doc_id long, quality_score int")
+    out = {r["doc_id"]: (r["quality_score"], r["is_kept"])
+           for r in dedup_keep_best(docs, quality=q).collect()}
+    assert out[1] == (-5, True)        # scored, even negatively → wins
+    assert out[2] == (0, False)        # unscored: reported 0, ranked -inf
+    assert out[3] == (0, True)         # unscored singleton keeps itself
+    assert sum(1 for v in out.values() if v[1]) == 2
+    # two scored negatives: the LESS negative one wins
+    q2 = spark.createDataFrame(
+        [(1, -5), (2, -2)], "doc_id long, quality_score int"
+    )
+    out2 = {r["doc_id"]: r["is_kept"]
+            for r in dedup_keep_best(docs, quality=q2).collect()}
+    assert out2[2] and not out2[1]

@@ -744,3 +744,50 @@ def test_emb_dup_keep_best_one_keeper_per_component(spark):
         assert len(keepers) == 1, cid
         best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_retrieval_evals_null_label_probe_keeps_scorecard(spark):
+    """ADVICE r11 #4: a NULL-labeled probe must keep its real agg row —
+    the old (__pid, __plbl) join-back key never matched on NULL, so the
+    probe reported zeroed while its DCG/n_rel was silently discarded.
+    With the pid-only join the probe surfaces with n_rel 0 (nothing can
+    equal a NULL label) but its row — and for ndcg its dcg sum — comes
+    from the real top-k aggregation, and no duplicate rows appear."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (7, [1.0, 0.0], None),   # NULL-labeled probe
+            (8, [0.0, 1.0], 1),      # labeled probe, one relevant nbr
+            (1, [1.0, 0.1], 2),
+            (2, [0.1, 1.0], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    le = sim.retrieval_label_eval(emb, F.col("vec_id").isin(7, 8), k=3)
+    rows = {r["vec_id"]: r for r in le.collect()}
+    assert set(rows) == {7, 8} and le.count() == 2
+    assert rows[7]["label"] is None
+    assert (rows[7]["n_rel"], rows[7]["rr_micro"]) == (0, 0)
+    assert rows[8]["n_rel"] == 1 and rows[8]["rr_micro"] > 0
+
+    nd = sim.retrieval_ndcg(emb, F.col("vec_id").isin(7, 8), k=3)
+    nrows = {r["vec_id"]: r for r in nd.collect()}
+    assert set(nrows) == {7, 8} and nd.count() == 2
+    assert nrows[7]["label"] is None
+    assert (nrows[7]["n_rel"], nrows[7]["dcg"], nrows[7]["ndcg"]) == (0, 0.0, 0.0)
+    assert nrows[8]["n_rel"] == 1 and nrows[8]["ndcg"] > 0
+
+
+def test_anisotropy_subnormal_norm_excluded(spark):
+    """ADVICE r11 #5: a vector whose norm is subnormal (< 1e-300) is
+    EXCLUDED like a zero vector — it must not slip past the filter and
+    get divided by the 1e-300 clamp into a non-unit direction. The two
+    healthy orthogonal vectors still report expected cosine +0.0."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1e-308, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = sim.anisotropy(emb).collect()[0]
+    # n = 2: the subnormal row is excluded, not clamp-normalized
+    assert (r["n"], r["sum_norm_sq"], r["expected_cosine"]) == (2, 2.0, 0.0)
