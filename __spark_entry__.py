@@ -21,6 +21,7 @@ from graph_loom_spark.io.tpch_graph import build_graph
 from graph_loom_spark.ops import bpe as ops_bpe
 from graph_loom_spark.ops import dedup as ops_dedup
 from graph_loom_spark.ops import events as ops_events
+from graph_loom_spark.ops import html as ops_html
 from graph_loom_spark.ops import multimodal as ops_mm
 from graph_loom_spark.ops import relational as ops_rel
 from graph_loom_spark.ops import simsearch as ops_sim
@@ -236,6 +237,7 @@ def _memo_map() -> dict:
         "emb_ann_lsh": [_LSH_CACHE],
         "emb_ann_eval": [_LSH_CACHE],
         "emb_dup_components_lsh": [_LSH_CACHE],
+        "emb_dup_keep_best_lsh": [_LSH_CACHE],
         "emb_bq_topk": [_BQ_CACHE],
         "emb_bq_rerank": [_BQ_CACHE],
         "emb_bq_eval": [_BQ_CACHE],
@@ -1511,6 +1513,32 @@ def _q_emb_dup_keep_best(spark, sf_dir):
     )
 
 
+def _q_emb_dup_keep_best_lsh(spark, sf_dir):
+    """X140b / VERDICT r11 ask #3 — the PRODUCTION composition of the
+    semantic keep-best rule, pinned end-to-end: LSH-bucketed candidate
+    pairs (never the exact O(n²) pair scan) → duplicate-group closure →
+    quality keep-best via the ``clusters=`` reuse seam. This is the
+    documented 100 TB path whose exact-path sibling
+    (emb_dup_keep_best) is output-bound at 10× by construction; the
+    bucketed generator keeps the pair stream posting-list-bounded.
+    Recall < 1 vs the exact path by design (pairs colliding in no
+    table are missed — the honest at-scale contract, same as
+    emb_dup_components_lsh). Deterministic throughout → full oracle
+    replay: buckets + collisions + verify + closure + argmax."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ops_sim.lsh_near_pairs(
+        emb, _lsh_index(spark, sf_dir), threshold=0.4
+    )
+    comp = ops_sim.embedding_dup_components(emb, threshold=0.4, pairs=pairs)
+    return ops_dedup.dedup_keep_best(
+        _t(spark, sf_dir, "documents"),
+        clusters=comp.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        ),
+    )
+
+
 def _q_emb_dup_components_lsh(spark, sf_dir):
     """X116 at-scale path (VERDICT r8 ask #7): the SAME duplicate-group
     closure, but over LSH-candidate pairs instead of the exact blocked
@@ -2301,6 +2329,80 @@ def _q_emb_anisotropy(spark, sf_dir):
     return ops_sim.anisotropy(_t(spark, sf_dir, "embeddings"))
 
 
+def _html_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic HTML wrapping of the documents table — the X155
+    test harness: each doc becomes a full page (head with title/script/
+    style, an ``<h1>`` carrying the source, the body text in a ``<p>``
+    with the corpus text entity-ESCAPED, a pure-navigation link div,
+    and a markup-bearing comment), all via codegen'd string concat.
+    Because the construction is invertible, the DuckDB oracle can
+    reconstruct the extractor's exact expected output from the base
+    parquet — the same generated-input trick as graph_export_roundtrip:
+    a drop/mangle anywhere in generate → parse → strip → assemble
+    breaks the hash."""
+    d = _t(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script>var x="<p>junk</p>";</script>'
+            "<style>p{color:red}</style></head><body><h1>Source "
+        ),
+        F.col("source"),
+        F.lit("</h1>\n<!-- <div>ghost</div> -->\n<p>"),
+        esc,
+        F.lit('</p>\n<div class="nav"><a href="/">Home</a> <a href="/s">'),
+        F.col("source"),
+        F.lit("</a></div></body></html>"),
+    )
+    return d.select("doc_id", "source", html.alias("html"))
+
+
+def _q_docs_html_extract(spark, sf_dir):
+    """X155 / VERDICT r11 ask #2 — HTML/boilerplate extraction, the
+    CCNet/RefinedWeb ingest stage: stdlib-parser tag strip, script/
+    style/comment/title drop, block-level text assembly, link-density
+    boilerplate removal (the nav div — 100% anchor chars — is dropped;
+    the content blocks survive), over deterministic generated pages so
+    the oracle replays the expected extraction from the base text.
+    Scale shape: one generated-column scan → one Arrow-batched
+    mapInPandas — no shuffle, no window, input-cardinality output."""
+    return ops_html.html_extract(_html_docs(spark, sf_dir)).select(
+        "doc_id", "n_blocks", "n_boiler_blocks", "n_links", "text_chars", "text"
+    )
+
+
+def _q_docs_html_quality(spark, sf_dir):
+    """X156 — the composed ingest funnel: X155's extracted clean text
+    fed straight into the existing quality gate (X27), rolled up per
+    source — the html → extract → quality screen a web-corpus pass
+    actually runs. All-integer aggregates → oracle-exact. Scale shape:
+    the X155 map, one narrow quality projection, two id-equi-joins
+    (input-cardinality, co-partitionable on doc_id), one |sources|-row
+    groupBy."""
+    ext = ops_html.html_extract(_html_docs(spark, sf_dir))
+    q = ops_text.quality_score(ext).select("doc_id", "quality_score")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        ext.select("doc_id", "text_chars")
+        .join(q, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("quality_score").cast("bigint").alias("sum_quality"),
+            F.sum((F.col("quality_score") == 3).cast("int"))
+            .cast("bigint")
+            .alias("n_q3"),
+            F.sum("text_chars").cast("bigint").alias("sum_text_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -2677,19 +2779,79 @@ def _q_graph_export_roundtrip(spark, sf_dir):
     )
 
 
+#: r12 driver window (VERDICT r11 ask #4 — staleness rotation policy):
+#: never-green entries first, then the green entries whose NEWEST green
+#: driver row is OLDEST (r4/r5-era rows), computed by
+#: ``scripts/rotation_plan.py`` and enforced by
+#: ``tests/test_registry_rotation.py::test_window_slack_holds_stalest_greens``.
+#: Regenerate per round: ``python scripts/rotation_plan.py``.
+_WINDOW_ORDER = [
+    "docs_html_extract",
+    "docs_html_quality",
+    "emb_dup_keep_best_lsh",
+    "docs_contamination",
+    "docs_sample",
+    "media_audio_stats",
+    "media_image_features",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "agg_rollup",
+    "cypher_distinct",
+    "cypher_id_func",
+    "cypher_id_pairs",
+    "cypher_label_scan",
+    "cypher_multi_item_return",
+    "cypher_multi_pattern",
+    "cypher_one_hop",
+    "cypher_optional_match",
+    "cypher_order_by_limit",
+    "cypher_undirected",
+    "cypher_var_length",
+    "cypher_where_coercion",
+    "cypher_where_contains",
+    "cypher_where_prefix_suffix",
+    "cypher_with_pipeline",
+    "docs_compression",
+    "docs_dup_spans",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_gopher",
+    "docs_lang_id",
+    "docs_mixture",
+    "docs_pack",
+    "docs_pii",
+    "docs_quality",
+    "docs_repetition",
+    "docs_span_removal",
+    "docs_tfidf",
+    "docs_token_stats",
+    "docs_trigram_lp",
+    "docs_vocab",
+    "events_anomaly",
+    "events_asof_join",
+    "events_funnel",
+    "events_hourly",
+    "events_interval_join",
+    "events_props_stats",
+    "events_retention",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness pass checks a bounded
     # 50-entry PREFIX of this registry, so the window must be ROTATED
     # EVERY ROUND (tests/test_registry_rotation.py enforces it):
-    # entries with no green driver row in the latest CORRECTNESS file
-    # come first, then entries whose code changed this round, then the
-    # expensive blocks worth keeping driver-fresh; the long-green
-    # cypher/agg/events tail stays outside the window. Memo producers
-    # stay directly before their consumers (components →
-    # density_components, lpa → community_density, ngram_jaccard →
-    # dedup_clusters, kmeans → semdedup, ann_lsh → ann_eval) so the
-    # shared frame is warm.
-    return {
+    # never-green entries first, then the stalest-green entries
+    # (_WINDOW_ORDER — the r12 staleness policy), with the catalog
+    # literal below keeping memo producers directly before their
+    # consumers (components → density_components, lpa →
+    # community_density, ngram_jaccard → dedup_clusters, kmeans →
+    # semdedup, ann_lsh → ann_eval) so the shared frame is warm in the
+    # tail; window membership never reorders a memo group's relative
+    # order (the literal's order is preserved for non-window entries).
+    base = {
         # -- r9 window head: NEW entries (no driver row yet — rotation
         # -- rule: new entries go at the FRONT, each check_oracle'd
         # -- pre-commit per VERDICT r7 ask #5). bq_topk directly before
@@ -2701,6 +2863,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- it so the memo producer stays directly before its
         # -- consumers and bench attribution keeps the 8-round LPA cost
         # -- on graph_lpa, not on the new entry.
+        # -- r12 window head: NEW entries (rotation rule: no driver row
+        # -- yet → front; each check_oracle'd pre-commit).
+        # -- html_extract/html_quality are the X155/X156 ingest stage
+        # -- (VERDICT r11 ask #2); dup_keep_best_lsh pins the 100 TB
+        # -- keep-best composition (ask #3) and sits right after the
+        # -- bq/lsh block further down would be ideal memo-wise, but
+        # -- new-entry-first wins — it pays the LSH index build here
+        # -- and the ann_lsh block below reads the memo warm (same
+        # -- attribution rule as the r10 link-jaccard note).
+        "docs_html_extract": _q_docs_html_extract,
+        "docs_html_quality": _q_docs_html_quality,
+        "emb_dup_keep_best_lsh": _q_emb_dup_keep_best_lsh,
         # -- r11 window head: NEW entries (rotation rule: no driver row
         # -- yet → front; each check_oracle'd pre-commit).
         # -- exact_spans_capped pins X128's at-scale gram cap;
@@ -2943,6 +3117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # make room for the reshaped emb_index_eval at slot 49
         "docs_shuffle": _q_docs_shuffle,
     }
+    out = {k: base[k] for k in _WINDOW_ORDER}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 _ID_N = "'N:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0')"
@@ -3118,6 +3295,44 @@ def _dup_components_lsh_oracle(threshold: float = 0.4) -> str:
         "GROUP BY component_id) "
         "SELECT c.vec_id, c.component_id, CAST(csz.n AS BIGINT) AS "
         "component_size FROM comp c JOIN csz USING (component_id)"
+    )
+
+
+def _dup_keep_best_lsh_oracle(threshold: float = 0.4) -> str:
+    """X140b composed replay (VERDICT r11 ask #3): the X116-LSH
+    closure (buckets → collisions → rounded-cosine verify → recursive
+    components) feeding the emb_dup_keep_best quality argmax — the
+    documented 100 TB keep-best path, end-to-end under one oracle."""
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(_lsh_bucket_parts())
+        + ", cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bl a JOIN bl b ON a.t = b.t AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "pr AS MATERIALIZED (SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, round("
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * "
+        "sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine "
+        "FROM cp JOIN v0 va ON va.vec_id = id_a "
+        "JOIN v0 vb ON vb.vec_id = id_b) "
+        f"WHERE cosine >= {threshold}), "
+        "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr "
+        "UNION SELECT id_b, id_a FROM pr), "
+        "reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings "
+        "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), "
+        "comp AS MATERIALIZED (SELECT a AS vec_id, min(b) AS cluster_id "
+        "FROM reach GROUP BY a), "
+        f"q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS qs FROM documents), "
+        "j AS (SELECT q.doc_id, comp.cluster_id, q.qs "
+        "FROM comp JOIN q ON q.doc_id = comp.vec_id), "
+        "b AS (SELECT cluster_id, doc_id AS keep FROM ("
+        "SELECT cluster_id, doc_id, row_number() OVER ("
+        "PARTITION BY cluster_id ORDER BY qs DESC, doc_id) AS rn FROM j) "
+        "WHERE rn = 1) "
+        "SELECT j.doc_id, j.cluster_id, CAST(j.qs AS BIGINT) AS quality_score, "
+        "j.doc_id = b.keep AS is_kept "
+        "FROM j JOIN b ON j.cluster_id = b.cluster_id"
     )
 
 
@@ -6672,6 +6887,44 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_ann_lsh": _ann_lsh_oracle(),
         # X116-LSH composed path: bucket collisions + verify + closure.
         "emb_dup_components_lsh": _dup_components_lsh_oracle(),
+        # X140b: the LSH closure feeding the keep-best argmax.
+        "emb_dup_keep_best_lsh": _dup_keep_best_lsh_oracle(),
+        # X155: the generated-page construction is invertible, so the
+        # expected extraction is reconstructed straight from the base
+        # text — head/title/script/style and the nav div (100% anchor
+        # chars → boilerplate) vanish; h1 + body text survive,
+        # whitespace-collapsed, newline-joined.
+        "docs_html_extract": (
+            "WITH c AS (SELECT doc_id, source, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM documents), "
+            "t AS (SELECT doc_id, ct, 'Source ' || source || "
+            "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS txt FROM c) "
+            "SELECT doc_id, "
+            "CAST(2 + CASE WHEN ct <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, "
+            "CAST(1 AS BIGINT) AS n_boiler_blocks, "
+            "CAST(2 AS BIGINT) AS n_links, "
+            "CAST(length(txt) AS BIGINT) AS text_chars, "
+            "txt AS text FROM t"
+        ),
+        # X156: X155's reconstruction fed through the quality formula,
+        # rolled up per source — all-integer.
+        "docs_html_quality": (
+            "WITH c AS (SELECT doc_id, source, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM documents), "
+            "t AS (SELECT doc_id, source, 'Source ' || source || "
+            "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS txt FROM c), "
+            "q AS (SELECT doc_id, source, length(txt) AS tc, "
+            "CASE WHEN length(txt) >= 50 AND length(txt) <= 20000 THEN 1 ELSE 0 END + "
+            "CASE WHEN len(regexp_extract_all(txt, '\\S+')) >= 10 "
+            "AND CAST(length(txt) AS DOUBLE) / len(regexp_extract_all(txt, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
+            "CASE WHEN CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(txt) >= 0.5 THEN 1 ELSE 0 END "
+            "AS qs FROM t) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(qs) AS BIGINT) AS sum_quality, "
+            "CAST(sum(CASE WHEN qs = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_q3, "
+            "CAST(sum(tc) AS BIGINT) AS sum_text_chars "
+            "FROM q GROUP BY source ORDER BY source"
+        ),
         # X119 binary quantization: integer sign-packing + Hamming.
         "emb_bq_topk": _bq_topk_oracle(),
         "emb_bq_rerank": _bq_rerank_oracle(),

@@ -169,6 +169,87 @@ def bench_query_names(qs: dict) -> list[str]:
     return names
 
 
+# Aging control (VERDICT r11 ask #1): the official bench number was
+# drifting ~25% above the same-code tagged floor purely from session
+# aging — every window-front insertion pushes every existing entry
+# deeper into an aged JVM, so the headline measured harness state, not
+# plan cost. Two structural fixes:
+#  1. BLOCK RESTARTS: a brand-new JVM every ~BLOCK timed queries (at
+#     memo-group-safe boundaries), bounding how aged any query's slot
+#     can get as the registry grows.
+#  2. WARM-FLOOR PASS (_warm_floor_pass below): lines that still come
+#     in far above their cross-round floor are re-measured on one
+#     fresh session, min-of-2; the artifact records BOTH numbers and
+#     the official per-query figure is the min — round-over-round
+#     comparison reads plan cost without manual solo adjudication.
+_BLOCK = int(os.environ.get("SPARK_GRAFT_BLOCK", "45"))
+
+
+def _same_memo_group(entry_mod, a: str, b: str) -> bool:
+    """True iff two adjacent registry entries share a memo cache — a
+    restart between them would move the group's one-time build cost
+    from the producer's line onto the consumer's."""
+    try:
+        mm = entry_mod._memo_map()
+        sa = {id(c) for c in mm.get(a, [])}
+        return bool(sa & {id(c) for c in mm.get(b, [])})
+    except Exception:
+        return False
+
+
+def _history_floors(exclude_run: None = None) -> dict[str, float]:
+    """Per-query floor-min across all prior noop-forced bench runs
+    (BENCH_HISTORY.jsonl) — tagged floors and driver runs alike. The
+    min across sessions is the established plan-cost estimator (the
+    same rule the A/B pass applies within a session)."""
+    floors: dict[str, float] = {}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except Exception:
+                    continue
+                if rec.get("forcing") != "noop_sink":
+                    continue  # count-forced pre-r10 rows are not comparable
+                for name, sec in (rec.get("queries") or {}).items():
+                    if isinstance(sec, (int, float)) and sec >= 0:
+                        if name not in floors or sec < floors[name]:
+                            floors[name] = float(sec)
+    except FileNotFoundError:
+        pass
+    return floors
+
+
+def select_warm_candidates(
+    timings: dict[str, float],
+    floors: dict[str, float],
+    already_warm: set,
+    max_n: int = 10,
+) -> list[str]:
+    """Names whose recorded line likely measures session state rather
+    than plan cost: ≥ 2 s absolute (smaller lines can't move the
+    headline) AND above 1.5× / +1 s over their cross-round floor (or
+    > 3 s with no floor at all — new entries). Capped at the max_n
+    worst excesses; names already min-of-n'd in a fresh session
+    (the post-restart graph A/B block) are skipped."""
+    out = []
+    for name, t in timings.items():
+        if t < 2.0 or name in already_warm:
+            continue
+        fl = floors.get(name)
+        if fl is None:
+            if t > 3.0:
+                out.append((t, name))
+        elif t > max(1.5 * fl, fl + 1.0):
+            out.append((t - fl, name))
+    out.sort(reverse=True)
+    return [n for _, n in out[:max_n]]
+
+
 #: the driver keeps exactly the LAST N chars of bench stdout (measured:
 #: every BENCH_r*.json "tail" is len 2000)
 TAIL_WINDOW = 2000
@@ -180,6 +261,9 @@ def build_output_lines(
     sf: float,
     pq_md5: str | None,
     pq_fit: dict | None = None,
+    aged: dict | None = None,
+    warm_floor: dict | None = None,
+    aging: dict | None = None,
 ) -> tuple[str, list[str], str, str, str]:
     """Serialize the bench output lines. Returns (result, qt_lines,
     variance_line, qta, compact) — printed in that order, so the
@@ -232,6 +316,16 @@ def build_output_lines(
             # like-for-like ONLY within the same forcing value; history
             # lines without the key are count-forced (pre-r10).
             "forcing": "noop_sink",
+            # Aging-proofing provenance (VERDICT r11 ask #1, r12+):
+            # "aged" holds the ORIGINAL main-loop time for every query
+            # the warm-floor pass re-measured; "warm_floor" its fresh-
+            # session min-of-2; the official queries[...] figure is the
+            # min of the two — so round-over-round per-query comparison
+            # reads plan cost directly. "aging" records the block-
+            # restart controls this run ran under.
+            "aged": aged or None,
+            "warm_floor": warm_floor or None,
+            "aging": aging,
             "sf": sf,
         }
     )
@@ -483,13 +577,37 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     restarts = set(_RESTART_BEFORE)
+    since_restart = 0
+    n_block_restarts = 0
     for i, name in enumerate(bench_queries):
         fn = qs.get(name)
         if fn is None:
             continue
+        # Block restart (VERDICT r11 ask #1): bound session aging by
+        # giving every ~_BLOCK queries a brand-new JVM — but never
+        # split a memo group (the build cost would silently move from
+        # the producer's line to a consumer's, the r7/r11 attribution
+        # lesson).
+        if (
+            since_restart >= _BLOCK
+            and name not in restarts  # about to restart anyway
+            and i > 0
+            and not _same_memo_group(entry, bench_queries[i - 1], name)
+        ):
+            print(
+                f"bench block restart before {name} "
+                f"({since_restart} queries in session)",
+                file=sys.stderr,
+                flush=True,
+            )
+            spark = _fresh_session(spark)
+            since_restart = 0
+            n_block_restarts += 1
         if name in restarts:
             spark = _fresh_session(spark)
             restarts.discard(name)
+            since_restart = 0
+        since_restart += 1
         if name in ab_watch:
             # reset ONLY when an earlier memo-group sibling pre-warmed
             # the shared frame (the timed slot would record a cache
@@ -583,6 +701,62 @@ def main() -> None:
         # session state. The full spread stays in the variance dict.
         timings[name] = min(runs)
 
+    # Warm-floor pass (VERDICT r11 ask #1): any line still far above
+    # its cross-round floor after the block restarts is re-measured on
+    # ONE fresh session, min-of-2 — the automated version of the
+    # manual solo adjudications r10/r11 recorded as prose in SCALE.md.
+    # The artifact keeps the aged number alongside; the official
+    # per-query figure becomes min(aged, warm) so BENCH_rN.json
+    # round-over-round comparison reads plan cost, not session state.
+    floors = _history_floors()
+    already_warm = {n for n in variance if n in _BENCH_LAST}
+    warm_candidates = select_warm_candidates(timings, floors, already_warm)
+    aged: dict[str, float] = {}
+    warm_floor: dict[str, float] = {}
+    if warm_candidates:
+        print(
+            f"bench warm-floor pass: {warm_candidates}",
+            file=sys.stderr,
+            flush=True,
+        )
+        spark = _fresh_session(spark)
+        # registry order: a flagged memo consumer runs after its
+        # flagged producer, riding the group frame the way its main
+        # slot did
+        for name in [n for n in bench_queries if n in set(warm_candidates)]:
+            runs = []
+            for _ in range(2):
+                _drop_persisted_blocks(spark)
+                try:  # a memoized rerun would time a cache hit (r8 rule)
+                    if entry.memo_warm(name, sf_dir):
+                        entry.reset_memo(name)
+                except Exception:
+                    pass
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.time() - t0, 3))
+                except Exception as e:
+                    print(
+                        f"bench warm-floor {name} failed: {e}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    break
+            if not runs:
+                continue
+            aged[name] = timings[name]
+            warm_floor[name] = min(runs)
+            timings[name] = min(timings[name], warm_floor[name])
+            print(
+                f"bench warm-floor {name}: aged={aged[name]} "
+                f"warm={warm_floor[name]}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     # PQ codebook digest as fitted in THIS driver-visible run (VERDICT
     # r7 ask #6): survives in BENCH_HISTORY.jsonl for comparison against
     # the pinned per-sf constants even when stderr rotates out.
@@ -604,7 +778,14 @@ def main() -> None:
         pq_fit = None
 
     result, qt_lines, variance_line, qta, compact = build_output_lines(
-        timings, variance, sf, pq_md5, pq_fit
+        timings,
+        variance,
+        sf,
+        pq_md5,
+        pq_fit,
+        aged=aged,
+        warm_floor=warm_floor,
+        aging={"block": _BLOCK, "block_restarts": n_block_restarts},
     )
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.

@@ -79,3 +79,88 @@ def test_oversized_variance_still_leaves_parseable_final_lines():
     }
     _, _, _, qta, compact = bench.build_output_lines(timings, variance, 0.1, None)
     assert len(qta) + len(compact) + 2 <= bench.TAIL_WINDOW
+
+
+def test_warm_floor_keys_in_result_and_tail_still_fits():
+    """VERDICT r11 ask #1: the aged/warm_floor adjudication must reach
+    the full result line (bench_result.json / BENCH_HISTORY.jsonl)
+    without crowding the three tail-window lines, which stay as-is."""
+    timings, variance = _fixture()
+    flagged = sorted(timings)[:8]
+    aged = {n: timings[n] + 9.0 for n in flagged}
+    warm = {n: max(0.1, timings[n] - 0.5) for n in flagged}
+    result, qt_lines, variance_line, qta, compact = bench.build_output_lines(
+        timings, variance, 0.1, "d" * 32,
+        aged=aged, warm_floor=warm,
+        aging={"block": 45, "block_restarts": 3},
+    )
+    rec = json.loads(result)
+    assert rec["aged"] == aged and rec["warm_floor"] == warm
+    assert rec["aging"] == {"block": 45, "block_restarts": 3}
+    assert rec["forcing"] == "noop_sink"
+    # tail budget unchanged: the three tail lines fit the window
+    assert len(variance_line) + len(qta) + len(compact) + 3 <= bench.TAIL_WINDOW
+    # empty dicts serialize as null, keeping history lines uniform
+    rec2 = json.loads(
+        bench.build_output_lines(timings, variance, 0.1, None)[0]
+    )
+    assert rec2["aged"] is None and rec2["warm_floor"] is None
+
+
+def test_select_warm_candidates_rules():
+    """Selection: ≥2 s absolute AND >max(1.5×floor, floor+1 s) over the
+    cross-round floor (>3 s when floorless); skip already-warm names;
+    cap at max_n by worst excess."""
+    timings = {
+        "small_fast": 1.9,          # < 2 s — never flagged
+        "at_floor": 5.0,            # == floor — fine
+        "noise_band": 6.9,          # 1.38× floor of 5 — inside band
+        "aged_line": 16.6,          # floor 1.3 — flagged (r11 emb_bq_topk)
+        "new_entry_cheap": 2.5,     # no floor, ≤ 3 s — not flagged
+        "new_entry_heavy": 8.0,     # no floor, > 3 s — flagged
+        "already_graph": 60.0,      # fresh-session min-of-3 exists
+        "failed": -1.0,             # failed runs never re-measured
+    }
+    floors = {"small_fast": 0.1, "at_floor": 5.0, "noise_band": 5.0,
+              "aged_line": 1.3, "already_graph": 20.0, "failed": 1.0}
+    got = bench.select_warm_candidates(
+        timings, floors, already_warm={"already_graph"}
+    )
+    assert got == ["aged_line", "new_entry_heavy"]
+    # worst-excess cap: with max_n=1 only the biggest gap survives
+    assert bench.select_warm_candidates(
+        timings, floors, already_warm={"already_graph"}, max_n=1
+    ) == ["aged_line"]
+
+
+def test_same_memo_group_respects_shared_caches():
+    """Block restarts must never split a memo group (the build cost
+    would move from the producer's line onto a consumer's)."""
+    import __spark_entry__ as entry
+
+    assert bench._same_memo_group(entry, "graph_components", "graph_cc_sizes")
+    assert bench._same_memo_group(entry, "graph_lpa", "graph_community_density")
+    assert not bench._same_memo_group(entry, "docs_quality", "graph_lpa")
+    assert not bench._same_memo_group(entry, "graph_lpa", "graph_components")
+
+
+def test_history_floors_reads_only_noop_forced_runs(tmp_path, monkeypatch):
+    """Pre-r10 count-forced rows are systematically LOW (Catalyst
+    pruned the work) — they must not poison the warm-floor trigger."""
+    import os
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    rows = [
+        {"forcing": "noop_sink", "queries": {"q1": 4.0, "q2": 1.0}},
+        {"forcing": "noop_sink", "queries": {"q1": 3.0, "q2": -1.0}},
+        {"queries": {"q1": 0.1}},                       # count-forced: skip
+        {"forcing": "count", "queries": {"q1": 0.2}},   # explicit: skip
+        "not json at all",
+    ]
+    with open(hist, "w") as fh:
+        for r in rows:
+            fh.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    floors = bench._history_floors()
+    assert floors == {"q1": 3.0, "q2": 1.0}  # min across noop rows; -1 ignored

@@ -639,3 +639,18 @@ def test_jsd_drift_inner_join_only_no_outer_vocabulary(spark):
     for line in plan.splitlines():
         if "Join" in line and "__t" in line and "Inner" not in line:
             raise AssertionError(f"non-inner join on the term column: {line}")
+
+
+def test_distinct_ngrams_single_tagged_stream(spark):
+    """X153 (VERDICT r11 ask #5): the three per-n gram passes folded
+    into ONE (n, gram)-tagged explode feeding one two-phase distinct —
+    exactly two exchanges end to end (the gram-level partial-agg and
+    the aggregate-sized (source, n) rollup), no per-n union of
+    shuffles, no join, no window."""
+    plan = _plan(spark, "docs_distinct_ngrams")
+    # 2 hash exchanges (+ spread()'s input round-robin, which the old
+    # per-n shape paid as well)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Union" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

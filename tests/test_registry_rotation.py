@@ -111,3 +111,36 @@ def test_oracle_replay_summary_matches_entries():
         f"entries {recount} — the artifact was hand-merged; regenerate it with "
         "a single scripts/check_oracle.py --json sweep"
     )
+
+
+def test_window_slack_holds_stalest_greens():
+    """(VERDICT r11 ask #4) Staleness policy: after the never-green
+    entries, the window's remaining slots must hold the green entries
+    whose NEWEST green driver row is OLDEST — so r5-era greens cycle
+    back under the driver on a schedule instead of by accident. A
+    TOLERANCE of slots is left to judgment (memo-group partners pulled
+    in for bench attribution, changed-code re-verification), but the
+    strictly-stalest set computed by scripts/rotation_plan.py must be
+    inside the window."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_plan", os.path.join(REPO, "scripts", "rotation_plan.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    import __spark_entry__ as entry
+
+    keys = _registry_keys()
+    latest = rp.latest_green_rounds(REPO)
+    pending = [k for k in keys if k not in latest]
+    slack = rp.WINDOW - len(pending)
+    greens = sorted((k for k in keys if k in latest), key=lambda k: (latest[k], k))
+    must = greens[: max(0, slack - rp.TOLERANCE)]
+    stragglers = [k for k in must if keys.index(k) >= rp.WINDOW]
+    assert not stragglers, (
+        f"{len(stragglers)} of the {len(must)} stalest-green entries sit "
+        f"outside the {rp.WINDOW}-entry driver window — regenerate the "
+        f"rotation (python scripts/rotation_plan.py) and update "
+        f"_WINDOW_ORDER: {stragglers}"
+    )
