@@ -197,11 +197,13 @@ def _same_memo_group(entry_mod, a: str, b: str) -> bool:
         return False
 
 
-def _history_floors(exclude_run: None = None) -> dict[str, float]:
+def _history_floors(sf: float | None = None) -> dict[str, float]:
     """Per-query floor-min across all prior noop-forced bench runs
     (BENCH_HISTORY.jsonl) — tagged floors and driver runs alike. The
     min across sessions is the established plan-cost estimator (the
-    same rule the A/B pass applies within a session)."""
+    same rule the A/B pass applies within a session). ``sf`` filters
+    to the same scale factor: a smoke run at sf0.001 must never set
+    the floor an sf0.1 line is judged against."""
     floors: dict[str, float] = {}
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
@@ -215,6 +217,8 @@ def _history_floors(exclude_run: None = None) -> dict[str, float]:
                     continue
                 if rec.get("forcing") != "noop_sink":
                     continue  # count-forced pre-r10 rows are not comparable
+                if sf is not None and rec.get("sf") != sf:
+                    continue
                 for name, sec in (rec.get("queries") or {}).items():
                     if isinstance(sec, (int, float)) and sec >= 0:
                         if name not in floors or sec < floors[name]:
@@ -708,7 +712,7 @@ def main() -> None:
     # The artifact keeps the aged number alongside; the official
     # per-query figure becomes min(aged, warm) so BENCH_rN.json
     # round-over-round comparison reads plan cost, not session state.
-    floors = _history_floors()
+    floors = _history_floors(sf=sf)
     already_warm = {n for n in variance if n in _BENCH_LAST}
     warm_candidates = select_warm_candidates(timings, floors, already_warm)
     aged: dict[str, float] = {}

@@ -145,6 +145,26 @@ def _force_sum(df, col):
     return df.agg(F.sum(col)).collect()
 
 
+def _emb_keep_best_lsh(d, e):
+    # the X140b PRODUCTION composition (VERDICT r11 ask #3): LSH
+    # candidate pairs → component closure → quality keep-best — the
+    # bucketed generator keeps the pair stream posting-list-bounded
+    # where the exact path is output-bound (~C(10,2)× per replica
+    # family on this corpus)
+    from graph_loom_spark.ops import dedup as ops_dedup
+    from graph_loom_spark.ops import simsearch as ops_sim
+
+    pairs = ops_sim.lsh_near_pairs(e, ops_sim.rp_lsh_buckets(e, dim=64), threshold=0.4)
+    comp = ops_sim.embedding_dup_components(e, threshold=0.4, pairs=pairs)
+    return ops_dedup.dedup_keep_best(
+        d,
+        clusters=comp.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        ),
+    ).count()
+
+
 def _emb_keep_best(d, e):
     # the X140 composition: exact-cosine near-dup components over the
     # embeddings, quality keep-best over the shared doc ids
@@ -164,6 +184,7 @@ def _emb_keep_best(d, e):
 def main() -> None:
     from graph_loom_spark.ops import dedup as ops_dedup
     from graph_loom_spark.ops import events as ops_events
+    from graph_loom_spark.ops import html as ops_html
     from graph_loom_spark.ops import simsearch as ops_sim
     from graph_loom_spark.ops import text as ops_text
 
@@ -263,6 +284,44 @@ def main() -> None:
                 e, (F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000), k=10
             ),
             "ndcg",
+        ),
+        # r12 additions (VERDICT r11 ask #6 — the r11 ops still missing
+        # a 10× number, forced through their float column so Catalyst
+        # can't prune the work)
+        "markov_entropy": lambda d, e, ev: _force_sum(
+            ops_events.markov_entropy(ev), "contribution"
+        ),
+        "dim_stats": lambda d, e, ev: _force_sum(
+            ops_sim.dimension_stats(e), "variance"
+        ),
+        "anisotropy": lambda d, e, ev: _force_sum(
+            ops_sim.anisotropy(e), "expected_cosine"
+        ),
+        "distinct_ngrams": lambda d, e, ev: _force_sum(
+            ops_text.distinct_ngram_ratios(d), "distinct_ratio"
+        ),
+        "source_entropy": lambda d, e, ev: _force_sum(
+            ops_text.source_entropy(d), "entropy"
+        ),
+        # VERDICT r11 ask #3: the LSH-fed keep-best composition's OWN
+        # 10× number, to sit next to the exact path's output-bound 64×
+        "emb_dup_keep_best_lsh": lambda d, e, ev: _emb_keep_best_lsh(d, e),
+        # X155: pure per-doc map — generated page per doc, real parse
+        "html_extract": lambda d, e, ev: _force_sum(
+            ops_html.html_extract(
+                d.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("<html><head><script>x</script></head><body><h1>T</h1><p>"),
+                        F.col("text"),
+                        F.lit(
+                            '</p><div><a href="/">Home</a> '
+                            '<a href="/a">About</a></div></body></html>'
+                        ),
+                    ).alias("html"),
+                )
+            ),
+            "text_chars",
         ),
     }
     only = sys.argv[1:]

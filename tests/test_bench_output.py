@@ -164,3 +164,12 @@ def test_history_floors_reads_only_noop_forced_runs(tmp_path, monkeypatch):
     )
     floors = bench._history_floors()
     assert floors == {"q1": 3.0, "q2": 1.0}  # min across noop rows; -1 ignored
+    # sf filter: a smoke run at another scale never sets the floor
+    with open(hist, "a") as fh:
+        fh.write(json.dumps(
+            {"forcing": "noop_sink", "sf": 0.001, "queries": {"q1": 0.01}}
+        ) + "\n")
+        fh.write(json.dumps(
+            {"forcing": "noop_sink", "sf": 0.1, "queries": {"q1": 2.5}}
+        ) + "\n")
+    assert bench._history_floors(sf=0.1) == {"q1": 2.5}
