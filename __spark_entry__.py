@@ -2356,6 +2356,10 @@ def _html_docs(spark, sf_dir) -> DataFrame:
         esc,
         F.lit('</p>\n<div class="nav"><a href="/">Home</a> <a href="/s">'),
         F.col("source"),
+        F.lit('</a> <a href="/d/'),
+        F.expr("doc_id div 7").cast("string"),
+        F.lit('">doc '),
+        F.expr("doc_id div 7").cast("string"),
         F.lit("</a></div></body></html>"),
     )
     return d.select("doc_id", "source", html.alias("html"))
@@ -2400,6 +2404,28 @@ def _q_docs_html_quality(spark, sf_dir):
             F.sum("text_chars").cast("bigint").alias("sum_text_chars"),
         )
         .orderBy("source")
+    )
+
+
+def _q_docs_html_links(spark, sf_dir):
+    """X157 — link-record extraction (the CommonCrawl WAT stage): one
+    row per ``<a>`` in document order with href + collapsed anchor
+    text, plus the parsed internal target id (``/d/<id>`` links) — the
+    edge-list feed for a web link graph. The generated pages carry a
+    data-dependent internal link (``doc_id div 7``), so the oracle
+    reconstructs every row including the parsed edge. Scale shape: the
+    X155 one-pass map; output = corpus link count, narrow rows; the
+    target parse is one codegen CASE."""
+    links = ops_html.html_links(_html_docs(spark, sf_dir))
+    return links.select(
+        "doc_id",
+        "link_pos",
+        "href",
+        "anchor_text",
+        F.when(
+            F.col("href").startswith("/d/"),
+            F.substring(F.col("href"), 4, 18).cast("bigint"),
+        ).alias("target_id"),
     )
 
 
@@ -2788,6 +2814,7 @@ def _q_graph_export_roundtrip(spark, sf_dir):
 _WINDOW_ORDER = [
     "docs_html_extract",
     "docs_html_quality",
+    "docs_html_links",
     "emb_dup_keep_best_lsh",
     "docs_contamination",
     "docs_sample",
@@ -2874,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- attribution rule as the r10 link-jaccard note).
         "docs_html_extract": _q_docs_html_extract,
         "docs_html_quality": _q_docs_html_quality,
+        "docs_html_links": _q_docs_html_links,
         "emb_dup_keep_best_lsh": _q_emb_dup_keep_best_lsh,
         # -- r11 window head: NEW entries (rotation rule: no driver row
         # -- yet → front; each check_oracle'd pre-commit).
@@ -6902,9 +6930,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(2 + CASE WHEN ct <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, "
             "CAST(1 AS BIGINT) AS n_boiler_blocks, "
-            "CAST(2 AS BIGINT) AS n_links, "
+            "CAST(3 AS BIGINT) AS n_links, "
             "CAST(length(txt) AS BIGINT) AS text_chars, "
             "txt AS text FROM t"
+        ),
+        # X157: every link row reconstructed from the generation
+        # formula, including the parsed /d/ internal-target edge.
+        "docs_html_links": (
+            "SELECT doc_id, CAST(p AS BIGINT) AS link_pos, href, "
+            "anchor_text, target_id FROM ("
+            "SELECT doc_id, 1 AS p, '/' AS href, 'Home' AS anchor_text, "
+            "CAST(NULL AS BIGINT) AS target_id FROM documents "
+            "UNION ALL SELECT doc_id, 2, '/s', source, NULL FROM documents "
+            "UNION ALL SELECT doc_id, 3, '/d/' || (doc_id // 7), "
+            "'doc ' || (doc_id // 7), CAST(doc_id // 7 AS BIGINT) "
+            "FROM documents)"
         ),
         # X156: X155's reconstruction fed through the quality formula,
         # rolled up per source — all-integer.

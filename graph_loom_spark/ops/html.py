@@ -71,10 +71,14 @@ class _BlockExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int]] = []
         self.n_links = 0
+        #: finalized ``(href, anchor_text)`` per <a>, document order;
+        #: href is None when the tag has no href attribute
+        self.links: list[tuple[str | None, str]] = []
         self._parts: list[str] = []
         self._anchor_nonspace = 0
         self._anchor_depth = 0
         self._skip_depth = 0
+        self._open_link: list | None = None
 
     def _flush(self) -> None:
         raw = "".join(self._parts)
@@ -87,6 +91,12 @@ class _BlockExtractor(HTMLParser):
         ns = len(_NONSPACE_RE.findall(text))
         self.blocks.append((text, ns, anchor_ns))
 
+    def _close_link(self) -> None:
+        if self._open_link is not None:
+            href, parts = self._open_link
+            self.links.append((href, _WS_RE.sub(" ", "".join(parts)).strip()))
+            self._open_link = None
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in NON_CONTENT_TAGS:
             self._skip_depth += 1
@@ -94,7 +104,12 @@ class _BlockExtractor(HTMLParser):
         if tag == "a":
             self.n_links += 1
             self._anchor_depth += 1
+            # nested <a> is invalid HTML; browsers implicitly close the
+            # outer link — match that
+            self._close_link()
+            self._open_link = [dict(attrs).get("href"), []]
         if tag in BLOCK_TAGS:
+            self._close_link()  # a block boundary ends any open link
             self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
@@ -102,7 +117,10 @@ class _BlockExtractor(HTMLParser):
         # a skip/anchor scope
         if tag == "a":
             self.n_links += 1
+            self._close_link()
+            self.links.append((dict(attrs).get("href"), ""))
         if tag in BLOCK_TAGS:
+            self._close_link()
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
@@ -111,7 +129,9 @@ class _BlockExtractor(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
+            self._close_link()
         if tag in BLOCK_TAGS:
+            self._close_link()
             self._flush()
 
     def handle_data(self, data: str) -> None:
@@ -120,6 +140,8 @@ class _BlockExtractor(HTMLParser):
         self._parts.append(data)
         if self._anchor_depth > 0:
             self._anchor_nonspace += len(_NONSPACE_RE.findall(data))
+            if self._open_link is not None:
+                self._open_link[1].append(data)
 
     # comments (incl. ones containing markup) are never content
     def handle_comment(self, data: str) -> None:  # noqa: D102
@@ -127,6 +149,7 @@ class _BlockExtractor(HTMLParser):
 
     def close(self) -> None:
         super().close()
+        self._close_link()
         self._flush()
 
 
@@ -144,6 +167,56 @@ def extract_blocks(html: str, boiler_link_density: float = 0.5):
         is_boiler = ns > 0 and (float(ans) / float(ns)) > boiler_link_density
         out.append((text, ns, ans, is_boiler))
     return out, p.n_links
+
+
+def html_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Extract the LINK RECORDS from an HTML column — the other half of
+    the web-ingest stage (a CommonCrawl WAT extraction): one row per
+    ``<a>`` tag in document order,
+
+    ``(id_col, link_pos, href, anchor_text)``
+
+    with ``link_pos`` 1-based, ``href`` NULL when the tag has no href
+    attribute, and ``anchor_text`` the whitespace-collapsed text inside
+    the tag (entities decoded; ``""`` for self-closing/empty anchors).
+    Nested ``<a>`` follows the browser rule (the outer link is
+    implicitly closed); a block boundary ends an open link.  Documents
+    with no links produce no rows.  This is the edge-list feed for a
+    web link graph — downstream ``groupBy(href)`` / graph analytics
+    consume it directly.
+
+    Scale shape: the same one-pass Arrow-batched ``mapInPandas`` as
+    :func:`html_extract` — no shuffle, no window; output cardinality is
+    the corpus link count with narrow rows.
+    """
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("link_pos", T.LongType(), False),
+            T.StructField("href", T.StringType(), True),
+            T.StructField("anchor_text", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                p = _BlockExtractor()
+                p.feed(html if isinstance(html, str) else "")
+                p.close()
+                for i, (href, anchor) in enumerate(p.links):
+                    rows.append((did, i + 1, href, anchor))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "link_pos", "href", "anchor_text"]
+            )
+
+    return docs.select(id_col, html_col).mapInPandas(run, schema)
 
 
 HTML_EXTRACT_FIELDS = [

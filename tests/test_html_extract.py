@@ -101,3 +101,54 @@ def test_html_extract_spark_plumbing(spark):
     # doc c: single all-anchor block → everything boilerplate
     assert (rows["c"]["n_blocks"], rows["c"]["n_boiler_blocks"]) == (1, 1)
     assert rows["c"]["text"] == ""
+
+
+def test_html_links_fixture_records():
+    """X157: link records in document order — href from the attribute
+    (NULL when absent), anchor text collapsed and entity-decoded;
+    nested <a> follows the browser rule (outer link implicitly
+    closed); a block boundary ends an open link; self-closing <a/>
+    yields an empty anchor."""
+    blocks, n = ops_html.extract_blocks(NASTY)  # parser sanity reuse
+    p = ops_html._BlockExtractor()
+    p.feed(NASTY)
+    p.close()
+    assert p.links == [
+        ("/", "Home"),
+        ("/about", "About"),
+        ("x", "link text"),
+    ]
+    p2 = ops_html._BlockExtractor()
+    p2.feed(
+        '<p><a href="/o">out <a href="/i">in&amp;er</a> tail</p>'
+        "<a>no href</a><a/>"
+    )
+    p2.close()
+    assert p2.links == [
+        ("/o", "out"),          # implicitly closed by the nested <a>
+        ("/i", "in&er"),        # entity decoded
+        (None, "no href"),
+        (None, ""),             # self-closing
+    ]
+    # the </p> block boundary closed "/i" before "tail": tail is block
+    # text but not anchor text
+    assert p2.n_links == 4
+
+
+def test_html_links_spark_plumbing(spark):
+    """mapInPandas wrapper: per-doc 1-based positions, linkless docs
+    produce no rows, id dtype preserved."""
+    df = spark.createDataFrame(
+        [
+            (1, '<p><a href="/a">A</a> mid <a>B</a></p>'),
+            (2, "<p>no links at all</p>"),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    out = ops_html.html_links(df)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "link_pos", "href", "anchor_text",
+    ]
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 1, "/a", "A"), (1, 2, None, "B")]
