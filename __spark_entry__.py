@@ -238,6 +238,7 @@ def _memo_map() -> dict:
         "emb_ann_eval": [_LSH_CACHE],
         "emb_dup_components_lsh": [_LSH_CACHE],
         "emb_dup_keep_best_lsh": [_LSH_CACHE],
+        "emb_hubness": [_LSH_CACHE],
         "emb_bq_topk": [_BQ_CACHE],
         "emb_bq_rerank": [_BQ_CACHE],
         "emb_bq_eval": [_BQ_CACHE],
@@ -1511,6 +1512,22 @@ def _q_emb_dup_keep_best(spark, sf_dir):
             F.col("component_id").alias("cluster_id"),
         ),
     )
+
+
+def _q_emb_hubness(spark, sf_dir):
+    """X158 — k-occurrence (hubness) profile (Radovanović et al.
+    2010): how skewed is "who appears in whose top-10" over the LSH
+    candidate graph — the third ANN-health screen next to X152/X154
+    (hubs degrade kNN labels, retrieval diversity and semantic-dedup
+    canonical choices). Rides the memoized LSH index; threshold 0 so
+    the whole non-negative-cosine collision graph ranks. Fully
+    deterministic (literal hyperplanes, rounded-cosine ranks, id
+    tie-break) → full oracle replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ops_sim.lsh_near_pairs(
+        emb, _lsh_index(spark, sf_dir), threshold=0.0
+    )
+    return ops_sim.hubness(emb, pairs, k=10)
 
 
 def _q_emb_dup_keep_best_lsh(spark, sf_dir):
@@ -2816,6 +2833,7 @@ _WINDOW_ORDER = [
     "docs_html_quality",
     "docs_html_links",
     "emb_dup_keep_best_lsh",
+    "emb_hubness",
     "docs_contamination",
     "docs_sample",
     "media_audio_stats",
@@ -2903,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_quality": _q_docs_html_quality,
         "docs_html_links": _q_docs_html_links,
         "emb_dup_keep_best_lsh": _q_emb_dup_keep_best_lsh,
+        "emb_hubness": _q_emb_hubness,
         # -- r11 window head: NEW entries (rotation rule: no driver row
         # -- yet → front; each check_oracle'd pre-commit).
         # -- exact_spans_capped pins X128's at-scale gram cap;
@@ -3323,6 +3342,35 @@ def _dup_components_lsh_oracle(threshold: float = 0.4) -> str:
         "GROUP BY component_id) "
         "SELECT c.vec_id, c.component_id, CAST(csz.n AS BIGINT) AS "
         "component_size FROM comp c JOIN csz USING (component_id)"
+    )
+
+
+def _hubness_oracle(k: int = 10, threshold: float = 0.0) -> str:
+    """X158 replay: LSH collisions + rounded-cosine verify (the
+    X116-LSH prefix), symmetrized, per-probe (cosine DESC, id) top-k,
+    k-occurrence count per neighbor, zero-filled over all ids."""
+    return (
+        "WITH "
+        + ", ".join(_lsh_bucket_parts())
+        + ", cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bl a JOIN bl b ON a.t = b.t AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "pr AS MATERIALIZED (SELECT id_a, id_b, cosine FROM ("
+        "SELECT id_a, id_b, round("
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * "
+        "sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine "
+        "FROM cp JOIN v0 va ON va.vec_id = id_a "
+        "JOIN v0 vb ON vb.vec_id = id_b) "
+        f"WHERE cosine >= {threshold}), "
+        "sym AS (SELECT id_a AS p, id_b AS nb, cosine FROM pr "
+        "UNION ALL SELECT id_b, id_a, cosine FROM pr), "
+        "top AS (SELECT nb FROM (SELECT p, nb, row_number() OVER ("
+        "PARTITION BY p ORDER BY cosine DESC, nb) AS rn FROM sym) "
+        f"WHERE rn <= {k}), "
+        "occ AS (SELECT nb, count(*) AS c FROM top GROUP BY nb) "
+        "SELECT e.vec_id, CAST(coalesce(occ.c, 0) AS BIGINT) AS k_occ "
+        "FROM embeddings e LEFT JOIN occ ON occ.nb = e.vec_id"
     )
 
 
@@ -6917,6 +6965,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_dup_components_lsh": _dup_components_lsh_oracle(),
         # X140b: the LSH closure feeding the keep-best argmax.
         "emb_dup_keep_best_lsh": _dup_keep_best_lsh_oracle(),
+        # X158: LSH collision graph -> per-probe top-k -> k-occurrence.
+        "emb_hubness": _hubness_oracle(),
         # X155: the generated-page construction is invertible, so the
         # expected extraction is reconstructed straight from the base
         # text — head/title/script/style and the nav div (100% anchor

@@ -1540,6 +1540,62 @@ def dimension_stats(
     )
 
 
+def hubness(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-occurrence (hubness) profile — the third ANN-health screen
+    next to :func:`dimension_stats` and :func:`anisotropy`
+    (Radovanović, Nanopoulos & Ivanović 2010, "Hubs in Space"): in
+    high-dimensional spaces the count ``N_k(x)`` of points whose
+    top-k neighbor lists contain ``x`` grows heavily skewed — a few
+    hubs appear in thousands of lists while antihubs appear in none,
+    degrading kNN labeling, retrieval diversity and semantic-dedup
+    canonical choices. Returns ``(vec_id, k_occ)`` for EVERY vector
+    (0 for antihubs); the skew/argmax read off downstream with one
+    tiny aggregate.
+
+    ``pairs`` is a scored ``(id_a, id_b, cosine)`` frame — at scale
+    the :func:`lsh_near_pairs` candidate graph (posting-list-bounded;
+    the memoized index the ANN entries already share), so each
+    vector's "top-k list" is its top-k among candidates — the honest
+    approximate contract (a pair colliding in no table is invisible,
+    exactly as retrieval would experience it). Deterministic: ranks
+    order by (rounded cosine DESC, neighbor id), the knn_label
+    tie-break.
+
+    Scale shape: symmetrize the pair stream (2·|pairs| narrow rows),
+    one per-probe ``row_number`` window PARTITIONED BY probe (bounded
+    by candidate degree, never corpus-wide), one partial-agg
+    ``groupBy(neighbor)``, one id-equi-join back to the id column.
+    """
+    pa, pb, pc = pairs.columns[:3]
+    sym = pairs.select(
+        F.col(pa).alias("__p"), F.col(pb).alias("__nb"), F.col(pc).alias("__c")
+    ).unionAll(
+        pairs.select(
+            F.col(pb).alias("__p"), F.col(pa).alias("__nb"), F.col(pc).alias("__c")
+        )
+    )
+    w = Window.partitionBy("__p").orderBy(F.col("__c").desc(), F.col("__nb"))
+    occ = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("__nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
+    )
+    return (
+        embeddings.select(F.col(id_col))
+        .join(occ, F.col(id_col) == F.col("__nb"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__k"), F.lit(0)).cast("bigint").alias("k_occ"),
+        )
+    )
+
+
 def anisotropy(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -306,6 +306,18 @@ def main() -> None:
         # VERDICT r11 ask #3: the LSH-fed keep-best composition's OWN
         # 10× number, to sit next to the exact path's output-bound 64×
         "emb_dup_keep_best_lsh": lambda d, e, ev: _emb_keep_best_lsh(d, e),
+        # X158: hubness over the LSH candidate graph — rank windows
+        # bounded by candidate degree, never corpus-wide
+        "hubness": lambda d, e, ev: _force_sum(
+            ops_sim.hubness(
+                e,
+                ops_sim.lsh_near_pairs(
+                    e, ops_sim.rp_lsh_buckets(e, dim=64), threshold=0.0
+                ),
+                k=10,
+            ),
+            "k_occ",
+        ),
         # X155: pure per-doc map — generated page per doc, real parse
         "html_extract": lambda d, e, ev: _force_sum(
             ops_html.html_extract(

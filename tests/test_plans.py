@@ -654,3 +654,17 @@ def test_distinct_ngrams_single_tagged_stream(spark):
     assert "Union" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_hubness_window_partitioned_by_probe(spark):
+    """X158: the top-k rank window must be PARTITIONED BY the probe id
+    (bounded by candidate degree) — an unpartitioned window would
+    serialize the corpus through one task at 100 TB."""
+    plan = _plan(spark, "emb_hubness")
+    assert "CartesianProduct" not in plan
+    saw_window = False
+    for line in plan.splitlines():
+        if "Window [" in line:
+            saw_window = True
+            assert "__p" in line, f"unpartitioned window: {line}"
+    assert saw_window

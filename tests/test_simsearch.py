@@ -791,3 +791,31 @@ def test_anisotropy_subnormal_norm_excluded(spark):
     r = sim.anisotropy(emb).collect()[0]
     # n = 2: the subnormal row is excluded, not clamp-normalized
     assert (r["n"], r["sum_norm_sq"], r["expected_cosine"]) == (2, 2.0, 0.0)
+
+
+def test_hubness_planted(spark):
+    """X158: manual scored pair graph with k=1 — vec 1 is the top-1 of
+    both 2 and 3 (k_occ 2), vec 2 is 1's top-1 (k_occ 1), vec 3 is
+    nobody's (antihub, 0), vec 4 has no candidates at all (0, still a
+    row); cosine ties break toward the LOWER neighbor id."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in (1, 2, 3, 4, 5, 6, 7)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7)],
+        "id_a bigint, id_b bigint, cosine double",
+    )
+    out = {r["vec_id"]: r["k_occ"] for r in sim.hubness(emb, pairs, k=1).collect()}
+    assert out == {1: 2, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0}
+    # tie: probe 5 has candidates 6 and 7 at the same cosine → lower id
+    tie = spark.createDataFrame(
+        [(5, 6, 0.5), (5, 7, 0.5)], "id_a bigint, id_b bigint, cosine double"
+    )
+    out2 = {r["vec_id"]: r["k_occ"] for r in sim.hubness(emb, tie, k=1).collect()}
+    assert out2[6] == 1 and out2[7] == 0
+    # 5 itself is top-1 of both 6 and 7 (their only candidate)
+    assert out2[5] == 2
+    # k=2 admits both
+    out3 = {r["vec_id"]: r["k_occ"] for r in sim.hubness(emb, tie, k=2).collect()}
+    assert out3[6] == 1 and out3[7] == 1
