@@ -239,6 +239,7 @@ def _memo_map() -> dict:
         "emb_dup_components_lsh": [_LSH_CACHE],
         "emb_dup_keep_best_lsh": [_LSH_CACHE],
         "emb_hubness": [_LSH_CACHE],
+        "emb_hubness_skew": [_LSH_CACHE],
         "emb_bq_topk": [_BQ_CACHE],
         "emb_bq_rerank": [_BQ_CACHE],
         "emb_bq_eval": [_BQ_CACHE],
@@ -1528,6 +1529,20 @@ def _q_emb_hubness(spark, sf_dir):
         emb, _lsh_index(spark, sf_dir), threshold=0.0
     )
     return ops_sim.hubness(emb, pairs, k=10)
+
+
+def _q_emb_hubness_skew(spark, sf_dir):
+    """X158b — the hubness headline scalar S_Nk (skewness of the
+    k-occurrence distribution, the statistic Radovanović et al. 2010
+    report): rides the same memoized LSH candidate graph as
+    emb_hubness; exact-integer double power sums -> closed-form
+    population moments, rounded 6 — oracle replays the identical
+    expression shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ops_sim.lsh_near_pairs(
+        emb, _lsh_index(spark, sf_dir), threshold=0.0
+    )
+    return ops_sim.hubness_skew(emb, pairs, k=10)
 
 
 def _q_emb_dup_keep_best_lsh(spark, sf_dir):
@@ -2834,6 +2849,7 @@ _WINDOW_ORDER = [
     "docs_html_links",
     "emb_dup_keep_best_lsh",
     "emb_hubness",
+    "emb_hubness_skew",
     "docs_contamination",
     "docs_sample",
     "media_audio_stats",
@@ -2922,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_links": _q_docs_html_links,
         "emb_dup_keep_best_lsh": _q_emb_dup_keep_best_lsh,
         "emb_hubness": _q_emb_hubness,
+        "emb_hubness_skew": _q_emb_hubness_skew,
         # -- r11 window head: NEW entries (rotation rule: no driver row
         # -- yet → front; each check_oracle'd pre-commit).
         # -- exact_spans_capped pins X128's at-scale gram cap;
@@ -3371,6 +3388,33 @@ def _hubness_oracle(k: int = 10, threshold: float = 0.0) -> str:
         "occ AS (SELECT nb, count(*) AS c FROM top GROUP BY nb) "
         "SELECT e.vec_id, CAST(coalesce(occ.c, 0) AS BIGINT) AS k_occ "
         "FROM embeddings e LEFT JOIN occ ON occ.nb = e.vec_id"
+    )
+
+
+def _hubness_skew_oracle(k: int = 10, threshold: float = 0.0) -> str:
+    """X158b replay: the X158 k-occurrence CTE chain + exact-integer
+    power sums + the token-identical closed-form moment arithmetic."""
+    base = _hubness_oracle(k, threshold)
+    # reuse everything up to the final SELECT as a CTE chain
+    prefix = base[: base.rindex("SELECT e.vec_id")]
+    return (
+        prefix
+        + ", ko AS (SELECT e.vec_id, CAST(coalesce(occ.c, 0) AS BIGINT) "
+        "AS k_occ FROM embeddings e LEFT JOIN occ ON occ.nb = e.vec_id), "
+        "sm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(k_occ AS DOUBLE)) AS s1, "
+        "sum(CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE)) AS s2, "
+        "sum(CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE)) AS s3, "
+        "CAST(max(k_occ) AS BIGINT) AS max_k_occ, "
+        "CAST(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs "
+        "FROM ko) "
+        "SELECT n, round(s1 / CAST(n AS DOUBLE), 6) AS mean_k_occ, "
+        "max_k_occ, n_antihubs, "
+        "CASE WHEN (s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) > 0 THEN "
+        "round((s3 / CAST(n AS DOUBLE) - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)) "
+        "+ 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) "
+        "/ pow(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 1.5), 6) "
+        "ELSE 0.0 END AS skewness FROM sm"
     )
 
 
@@ -6967,6 +7011,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_dup_keep_best_lsh": _dup_keep_best_lsh_oracle(),
         # X158: LSH collision graph -> per-probe top-k -> k-occurrence.
         "emb_hubness": _hubness_oracle(),
+        # X158b: the skewness rollup of X158.
+        "emb_hubness_skew": _hubness_skew_oracle(),
         # X155: the generated-page construction is invertible, so the
         # expected extraction is reconstructed straight from the base
         # text — head/title/script/style and the nav div (100% anchor

@@ -1596,6 +1596,59 @@ def hubness(
     )
 
 
+def hubness_skew(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The hubness HEADLINE scalar: skewness of the k-occurrence
+    distribution ``S_{N_k}`` — the statistic Radovanović et al. 2010
+    actually report (S > 1 ⇒ the space has meaningful hubs; rises
+    with intrinsic dimensionality). One row:
+
+    ``(n, mean_k_occ, max_k_occ, n_antihubs, skewness)``
+
+    over :func:`hubness`'s per-vector counts — population moments from
+    power sums (``m2 = s2/n − m1²``, ``m3 = s3/n − 3·m1·(s2/n) +
+    2·m1³``, ``S = m3/m2^{3/2}``), 0.0 when the variance is 0.
+
+    Determinism: k_occ are small integers, so the double power sums
+    are EXACT (every partial sum is integer-valued far below 2⁵³ —
+    order-independent, unlike true float sums); the closed-form moment
+    arithmetic is replicated token-for-token in the SQL oracle;
+    rounded 6. Scale shape: the hubness pipeline plus ONE final
+    aggregate — nothing new shuffles.
+    """
+    h = hubness(embeddings, pairs, k=k, id_col=id_col)
+    kd = F.col("k_occ").cast("double")
+    s = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(kd).alias("__s1"),
+        F.sum(kd * kd).alias("__s2"),
+        F.sum(kd * kd * kd).alias("__s3"),
+        F.max("k_occ").cast("bigint").alias("max_k_occ"),
+        F.sum((F.col("k_occ") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("__s1") / nd
+    m2 = F.col("__s2") / nd - m1 * m1
+    m3 = F.col("__s3") / nd - F.lit(3.0) * m1 * (F.col("__s2") / nd) + F.lit(
+        2.0
+    ) * m1 * m1 * m1
+    return s.select(
+        "n",
+        F.round(m1, 6).alias("mean_k_occ"),
+        "max_k_occ",
+        "n_antihubs",
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6))
+        .otherwise(F.lit(0.0))
+        .alias("skewness"),
+    )
+
+
 def anisotropy(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -819,3 +819,40 @@ def test_hubness_planted(spark):
     # k=2 admits both
     out3 = {r["vec_id"]: r["k_occ"] for r in sim.hubness(emb, tie, k=2).collect()}
     assert out3[6] == 1 and out3[7] == 1
+
+
+def test_hubness_skew_planted(spark):
+    """X158b: moments over the planted k_occ distribution [2,1,0,0]
+    match the closed-form python reference; a uniform distribution
+    (zero variance) reports skewness exactly +0.0."""
+    import math
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in (1, 2, 3, 4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7)],
+        "id_a bigint, id_b bigint, cosine double",
+    )
+    r = sim.hubness_skew(emb, pairs, k=1).collect()[0]
+    ks = [2, 1, 0, 0]
+    n = len(ks)
+    m1 = sum(ks) / n
+    m2 = sum(x * x for x in ks) / n - m1 * m1
+    m3 = (
+        sum(x**3 for x in ks) / n
+        - 3.0 * m1 * (sum(x * x for x in ks) / n)
+        + 2.0 * m1**3
+    )
+    assert (r["n"], r["max_k_occ"], r["n_antihubs"]) == (4, 2, 2)
+    assert r["mean_k_occ"] == round(m1, 6)
+    assert r["skewness"] == round(m3 / m2**1.5, 6)
+    # zero-variance: 2 and 1 are each other's only candidates -> both
+    # k_occ 1 over a 2-vector corpus
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    p2 = spark.createDataFrame([(1, 2, 1.0)], "id_a bigint, id_b bigint, cosine double")
+    r2 = sim.hubness_skew(emb2, p2, k=1).collect()[0]
+    assert r2["skewness"] == 0.0 and math.copysign(1.0, r2["skewness"]) > 0
