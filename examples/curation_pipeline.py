@@ -1,7 +1,8 @@
 """End-to-end training-data curation pipeline — a worked example that
 composes the library's operators into the standard LLM-data shape:
 
-    ingest → quality gate → PII scrub → exact dedup → near-dedup
+    HTML ingest (tag strip + boilerplate removal) → quality gate →
+    PII scrub → exact dedup → near-dedup
     (MinHash-LSH candidates, exact-Jaccard rescore, canonical keep) →
     benchmark decontamination → source mixture → sequence packing →
     train/val/test split
@@ -36,6 +37,39 @@ def run_pipeline(spark, sf_dir: str, mixture: dict | None = None, bench_ids: int
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = {"ingested": docs.count()}
+
+    # 0. HTML ingest (the CCNet/RefinedWeb stage a web corpus starts
+    #    from): the fixture ships clean text, so wrap each doc in a
+    #    deterministic page (head + script/style junk, an <h1>, the
+    #    body text entity-escaped in a <p>, an all-anchor nav div) and
+    #    run the REAL stdlib-parser extractor — tag strip, entity
+    #    decode, block assembly, link-density boilerplate removal. On
+    #    a real crawl, point html_extract at the raw html column and
+    #    delete the page-generation lines.
+    from graph_loom_spark.ops import html as H
+
+    esc = F.col("text")
+    for src, dst in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(src), F.lit(dst))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>x=1</script></head><body><h1>'),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            esc,
+            F.lit('</p><div><a href="/">Home</a> <a href="/a">About</a></div></body></html>'),
+        ).alias("html"),
+    )
+    ext = H.html_extract(pages)
+    counts["boiler_blocks_dropped"] = int(
+        ext.agg(F.sum("n_boiler_blocks")).first()[0] or 0
+    )
+    docs = docs.drop("text", "n_chars").join(
+        ext.select("doc_id", "text", F.col("text_chars").alias("n_chars")),
+        "doc_id",
+    )
+    counts["after_html_extract"] = docs.count()
 
     # 1. quality gate: integer 0-3 heuristic (length band, token-length
     #    band, alpha ratio); keep score >= 2.

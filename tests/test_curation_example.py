@@ -14,6 +14,10 @@ def test_curation_pipeline_end_to_end(spark):
     from curation_pipeline import run_pipeline
 
     counts, mixed, packed, split = run_pipeline(spark, SF_DIR)
+    # html ingest is row-preserving (every doc extracts, boilerplate
+    # only drops BLOCKS) and the planted nav div is boiler in each page
+    assert counts["after_html_extract"] == counts["ingested"]
+    assert counts["boiler_blocks_dropped"] == counts["ingested"]
     assert (
         counts["ingested"]
         >= counts["after_quality"]
