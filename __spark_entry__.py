@@ -2807,12 +2807,18 @@ def _q_graph_export_roundtrip(spark, sf_dir):
         g.nodes.filter(F.col("label").isin("Region", "Nation")),
         g.edges.filter(F.col("label") == "IN_REGION"),
     )
-    # Fixed per-process path (ADVICE r11 #1): the exporter writes with
-    # mode=overwrite, so re-invocations reuse one directory instead of
-    # leaking a fresh mkdtemp per bench/correctness round.
-    path = os.path.join(
-        tempfile.gettempdir(), f"gls_export_rt_{os.getpid()}"
-    )
+    # One directory per PROCESS (ADVICE r11 #1): the exporter writes
+    # with mode=overwrite, so re-invocations reuse it instead of
+    # leaking a fresh dir per call. mkdtemp (not a pid-keyed name):
+    # 0700 and collision-free on shared hosts — a predictable /tmp
+    # name could collide with (or be symlinked by) another user
+    # (code-review r12).
+    global _EXPORT_RT_DIR
+    try:
+        _EXPORT_RT_DIR
+    except NameError:
+        _EXPORT_RT_DIR = tempfile.mkdtemp(prefix="gls_export_rt_")
+    path = _EXPORT_RT_DIR
     export_graph_json(sub, path, distributed=True)
     ref_t = "array<struct<rel_id:string,label:string,peer:string,direction:string>>"
     nodes = spark.read.schema(
@@ -2894,9 +2900,6 @@ _WINDOW_ORDER = [
     "events_asof_join",
     "events_funnel",
     "events_hourly",
-    "events_interval_join",
-    "events_props_stats",
-    "events_retention",
 ]
 
 
@@ -3402,9 +3405,12 @@ def _hubness_skew_oracle(k: int = 10, threshold: float = 0.0) -> str:
         + ", ko AS (SELECT e.vec_id, CAST(coalesce(occ.c, 0) AS BIGINT) "
         "AS k_occ FROM embeddings e LEFT JOIN occ ON occ.nb = e.vec_id), "
         "sm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
-        "sum(CAST(k_occ AS DOUBLE)) AS s1, "
-        "sum(CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE)) AS s2, "
-        "sum(CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE) * CAST(k_occ AS DOUBLE)) AS s3, "
+        # exact HUGEINT power sums (the decimal(38,0) twin of the
+        # engine side), converted to double once at use — a >2^53 hub
+        # cube would make double partial sums order-dependent
+        "CAST(sum(CAST(k_occ AS HUGEINT)) AS DOUBLE) AS s1, "
+        "CAST(sum(CAST(k_occ AS HUGEINT) * CAST(k_occ AS HUGEINT)) AS DOUBLE) AS s2, "
+        "CAST(sum(CAST(k_occ AS HUGEINT) * CAST(k_occ AS HUGEINT) * CAST(k_occ AS HUGEINT)) AS DOUBLE) AS s3, "
         "CAST(max(k_occ) AS BIGINT) AS max_k_occ, "
         "CAST(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs "
         "FROM ko) "
@@ -7044,16 +7050,16 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         # X156: X155's reconstruction fed through the quality formula,
         # rolled up per source — all-integer.
+        # the extracted text is re-aliased to `text` so the SHARED
+        # quality formula constant applies verbatim — one source of
+        # truth with docs_quality and the keep-best oracles
         "docs_html_quality": (
             "WITH c AS (SELECT doc_id, source, "
             "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM documents), "
             "t AS (SELECT doc_id, source, 'Source ' || source || "
-            "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS txt FROM c), "
-            "q AS (SELECT doc_id, source, length(txt) AS tc, "
-            "CASE WHEN length(txt) >= 50 AND length(txt) <= 20000 THEN 1 ELSE 0 END + "
-            "CASE WHEN len(regexp_extract_all(txt, '\\S+')) >= 10 "
-            "AND CAST(length(txt) AS DOUBLE) / len(regexp_extract_all(txt, '\\S+')) <= 12.0 THEN 1 ELSE 0 END + "
-            "CASE WHEN CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(txt) >= 0.5 THEN 1 ELSE 0 END "
+            "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS text FROM c), "
+            "q AS (SELECT doc_id, source, length(text) AS tc, "
+            f"{_QUALITY_SCORE_SQL} "
             "AS qs FROM t) "
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(qs) AS BIGINT) AS sum_quality, "

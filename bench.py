@@ -240,18 +240,27 @@ def select_warm_candidates(
     > 3 s with no floor at all — new entries). Capped at the max_n
     worst excesses; names already min-of-n'd in a fresh session
     (the post-restart graph A/B block) are skipped."""
-    out = []
+    floored = []
+    floorless = []
     for name, t in timings.items():
         if t < 2.0 or name in already_warm:
             continue
         fl = floors.get(name)
         if fl is None:
             if t > 3.0:
-                out.append((t, name))
+                floorless.append((t, name))
         elif t > max(1.5 * fl, fl + 1.0):
-            out.append((t - fl, name))
-    out.sort(reverse=True)
-    return [n for _, n in out[:max_n]]
+            floored.append((t - fl, name))
+    # floored entries rank by EXCESS and take the slots first: an aged
+    # line with 7 s of reclaimable aging must not be evicted by a new
+    # floorless entry whose absolute time merely looks big (it may be
+    # an honestly-expensive query; it still gets remaining slots so its
+    # first warm floor exists for next round)
+    floored.sort(reverse=True)
+    floorless.sort(reverse=True)
+    picks = [n for _, n in floored[:max_n]]
+    picks += [n for _, n in floorless[: max(0, max_n - len(picks))]]
+    return picks
 
 
 #: the driver keeps exactly the LAST N chars of bench stdout (measured:
@@ -725,15 +734,27 @@ def main() -> None:
         )
         spark = _fresh_session(spark)
         # registry order: a flagged memo consumer runs after its
-        # flagged producer, riding the group frame the way its main
-        # slot did
-        for name in [n for n in bench_queries if n in set(warm_candidates)]:
+        # flagged producer. Memo policy: before each run, clear ONLY
+        # the memo caches no earlier flagged entry in this pass has
+        # built — so a producer's own rerun never times a cache hit
+        # (the r8 rule) while a flagged CONSUMER rides its flagged
+        # producer's frame the way its main slot did (resetting shared
+        # caches would make the consumer's "warm floor" measure the
+        # group build — a guaranteed no-op correction).
+        flagged = set(warm_candidates)
+        done_cache_ids: set = set()
+        for name in [n for n in bench_queries if n in flagged]:
+            try:
+                own_caches = list(entry._memo_map().get(name, []))
+            except Exception:
+                own_caches = []
             runs = []
             for _ in range(2):
                 _drop_persisted_blocks(spark)
                 try:  # a memoized rerun would time a cache hit (r8 rule)
-                    if entry.memo_warm(name, sf_dir):
-                        entry.reset_memo(name)
+                    for cache in own_caches:
+                        if id(cache) not in done_cache_ids:
+                            cache.clear()
                 except Exception:
                     pass
                 t0 = time.time()
@@ -749,6 +770,7 @@ def main() -> None:
                         flush=True,
                     )
                     break
+            done_cache_ids.update(id(c) for c in own_caches)
             if not runs:
                 continue
             aged[name] = timings[name]

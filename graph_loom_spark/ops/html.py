@@ -54,8 +54,14 @@ BLOCK_TAGS = frozenset(
 #: is head metadata, not body content — RefinedWeb drops it too
 NON_CONTENT_TAGS = frozenset({"script", "style", "template", "noscript", "title"})
 
-_WS_RE = re.compile(r"\s+")
-_NONSPACE_RE = re.compile(r"\S")
+#: HTML5 ASCII whitespace (space, tab, LF, FF, CR — the spec's
+#: inter-element whitespace set), NOT Python unicode \s: this exactly
+#: matches RE2's ASCII \s, so a SQL oracle replaying the collapse with
+#: regexp_replace(..., '\s+', ...) agrees byte-for-byte on non-ASCII
+#: text too (U+00A0 etc. are CONTENT, per spec)
+_WS = " \t\n\f\r"
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
+_NONSPACE_RE = re.compile(r"[^ \t\n\f\r]")
 
 
 class _BlockExtractor(HTMLParser):
@@ -85,7 +91,7 @@ class _BlockExtractor(HTMLParser):
         self._parts = []
         anchor_ns = self._anchor_nonspace
         self._anchor_nonspace = 0
-        text = _WS_RE.sub(" ", raw).strip()
+        text = _WS_RE.sub(" ", raw).strip(_WS)
         if not text:
             return
         ns = len(_NONSPACE_RE.findall(text))
@@ -94,12 +100,19 @@ class _BlockExtractor(HTMLParser):
     def _close_link(self) -> None:
         if self._open_link is not None:
             href, parts = self._open_link
-            self.links.append((href, _WS_RE.sub(" ", "".join(parts)).strip()))
+            self.links.append(
+                (href, _WS_RE.sub(" ", "".join(parts)).strip(_WS))
+            )
             self._open_link = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in NON_CONTENT_TAGS:
             self._skip_depth += 1
+            return
+        if self._skip_depth > 0:
+            # markup INSIDE a dropped element is dropped wholesale — an
+            # <a> in <noscript> must not emit a link record and a <div>
+            # there must not split the enclosing text block
             return
         if tag == "a":
             self.n_links += 1
@@ -109,17 +122,25 @@ class _BlockExtractor(HTMLParser):
             self._close_link()
             self._open_link = [dict(attrs).get("href"), []]
         if tag in BLOCK_TAGS:
-            self._close_link()  # a block boundary ends any open link
+            # a block boundary ends any open link AND any anchor scope:
+            # an UNCLOSED <a> (ubiquitous in real crawls) must not bleed
+            # anchor-char accounting into every following block, or the
+            # rest of the document reads as 100%-link boilerplate
+            self._anchor_depth = 0
+            self._close_link()
             self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # self-closing (<br/>, <hr/>): block boundary, but never opens
         # a skip/anchor scope
+        if self._skip_depth > 0:
+            return
         if tag == "a":
             self.n_links += 1
             self._close_link()
             self.links.append((dict(attrs).get("href"), ""))
         if tag in BLOCK_TAGS:
+            self._anchor_depth = 0
             self._close_link()
             self._flush()
 
@@ -127,10 +148,13 @@ class _BlockExtractor(HTMLParser):
         if tag in NON_CONTENT_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
+        if self._skip_depth > 0:
+            return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
             self._close_link()
         if tag in BLOCK_TAGS:
+            self._anchor_depth = 0
             self._close_link()
             self._flush()
 

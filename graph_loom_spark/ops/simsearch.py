@@ -1613,15 +1613,17 @@ def hubness_skew(
     power sums (``m2 = s2/n − m1²``, ``m3 = s3/n − 3·m1·(s2/n) +
     2·m1³``, ``S = m3/m2^{3/2}``), 0.0 when the variance is 0.
 
-    Determinism: k_occ are small integers, so the double power sums
-    are EXACT (every partial sum is integer-valued far below 2⁵³ —
-    order-independent, unlike true float sums); the closed-form moment
-    arithmetic is replicated token-for-token in the SQL oracle;
-    rounded 6. Scale shape: the hubness pipeline plus ONE final
-    aggregate — nothing new shuffles.
+    Determinism: the power sums run in DECIMAL(38,0) — EXACT integer
+    arithmetic at any corpus scale (a 2.5·10⁵-occurrence hub's cube
+    already exceeds 2⁵³, where double partial sums would go
+    order-dependent — code-review r12), converted to double ONCE
+    (IEEE-nearest, deterministic) for the closed-form moment
+    arithmetic, which the SQL oracle replicates token-for-token over
+    exact HUGEINT sums; rounded 6. Scale shape: the hubness pipeline
+    plus ONE final aggregate — nothing new shuffles.
     """
     h = hubness(embeddings, pairs, k=k, id_col=id_col)
-    kd = F.col("k_occ").cast("double")
+    kd = F.col("k_occ").cast("decimal(38,0)")
     s = h.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(kd).alias("__s1"),
@@ -1633,11 +1635,12 @@ def hubness_skew(
         .alias("n_antihubs"),
     )
     nd = F.col("n").cast("double")
-    m1 = F.col("__s1") / nd
-    m2 = F.col("__s2") / nd - m1 * m1
-    m3 = F.col("__s3") / nd - F.lit(3.0) * m1 * (F.col("__s2") / nd) + F.lit(
-        2.0
-    ) * m1 * m1 * m1
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    m1 = s1 / nd
+    m2 = s2 / nd - m1 * m1
+    m3 = s3 / nd - F.lit(3.0) * m1 * (s2 / nd) + F.lit(2.0) * m1 * m1 * m1
     return s.select(
         "n",
         F.round(m1, 6).alias("mean_k_occ"),

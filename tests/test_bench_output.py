@@ -173,3 +173,18 @@ def test_history_floors_reads_only_noop_forced_runs(tmp_path, monkeypatch):
             {"forcing": "noop_sink", "sf": 0.1, "queries": {"q1": 2.5}}
         ) + "\n")
     assert bench._history_floors(sf=0.1) == {"q1": 2.5}
+
+
+def test_select_warm_candidates_floored_excess_outranks_floorless_time():
+    """The max_n cap must never evict a genuinely-aged line in favor of
+    a floorless newcomer whose absolute time merely looks big: floored
+    entries rank by excess and take slots first."""
+    timings = {"aged": 12.0, "newcomer": 8.0}
+    floors = {"aged": 5.0}
+    assert bench.select_warm_candidates(timings, floors, set(), max_n=1) == [
+        "aged"
+    ]
+    # with room for both, the newcomer still gets its first warm floor
+    assert bench.select_warm_candidates(timings, floors, set(), max_n=2) == [
+        "aged", "newcomer"
+    ]

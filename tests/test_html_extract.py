@@ -152,3 +152,49 @@ def test_html_links_spark_plumbing(spark):
     ]
     rows = sorted(map(tuple, out.collect()))
     assert rows == [(1, 1, "/a", "A"), (1, 2, None, "B")]
+
+
+def test_unclosed_anchor_does_not_bleed_into_later_blocks():
+    """Real-crawl hazard: an <a> never explicitly closed must end at
+    the next block boundary — later blocks carry NO anchor chars, so a
+    document full of real content isn't flagged 100%-link boilerplate."""
+    blocks, n = ops_html.extract_blocks(
+        '<p><a href="/x">click<p>Real article paragraph with plenty of '
+        "ordinary words</p>"
+    )
+    assert [(b[0], b[3]) for b in blocks] == [
+        ("click", True),   # the all-anchor stub is boiler
+        ("Real article paragraph with plenty of ordinary words", False),
+    ]
+    assert blocks[1][2] == 0  # zero anchor chars bled through
+    p = ops_html._BlockExtractor()
+    p.feed('<p><a href="/x">click<p>tail</p>')
+    p.close()
+    assert p.links == [("/x", "click")]  # link closed at the boundary
+
+
+def test_skip_region_markup_is_dropped_wholesale():
+    """An <a> inside <noscript> must not emit a link record or count
+    toward n_links, and a <div> there must not split the enclosing
+    block — only handle_data used to honor the skip depth."""
+    html = (
+        '<p>Hello <noscript><a href="/x">enable js</a><div>x</div>'
+        "</noscript> world</p>"
+    )
+    blocks, n_links = ops_html.extract_blocks(html)
+    assert [b[0] for b in blocks] == ["Hello world"]
+    assert n_links == 0
+    p = ops_html._BlockExtractor()
+    p.feed(html)
+    p.close()
+    assert p.links == []
+
+
+def test_html5_ascii_whitespace_only():
+    """Whitespace collapsing uses the HTML5 ASCII set (space/tab/LF/FF/
+    CR) — exactly RE2's \\s, so the SQL oracle replay agrees on
+    non-ASCII text: U+00A0 and \\x0b are CONTENT, not whitespace."""
+    blocks, _ = ops_html.extract_blocks("<p>a b</p><p>c\x0bd</p><p>e \t\n f</p>")
+    assert [b[0] for b in blocks] == ["a b", "c\x0bd", "e f"]
+    # nonspace counts include the non-ASCII 'whitespace' characters
+    assert blocks[0][1] == 3 and blocks[1][1] == 3 and blocks[2][1] == 2

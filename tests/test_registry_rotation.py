@@ -144,3 +144,14 @@ def test_window_slack_holds_stalest_greens():
         f"rotation (python scripts/rotation_plan.py) and update "
         f"_WINDOW_ORDER: {stragglers}"
     )
+
+
+def test_window_order_is_exactly_the_driver_prefix():
+    """_WINDOW_ORDER documents 'the driver window' — it must therefore
+    be exactly WINDOW entries and exactly the queries() prefix, or
+    names past position 50 sit silently unchecked while labeled
+    in-window (code-review r12)."""
+    import __spark_entry__ as entry
+
+    assert len(entry._WINDOW_ORDER) == WINDOW
+    assert list(entry.queries().keys())[:WINDOW] == entry._WINDOW_ORDER
