@@ -2843,63 +2843,64 @@ def _q_graph_export_roundtrip(spark, sf_dir):
     )
 
 
-#: r12 driver window (VERDICT r11 ask #4 — staleness rotation policy):
-#: never-green entries first, then the green entries whose NEWEST green
-#: driver row is OLDEST (r4/r5-era rows), computed by
-#: ``scripts/rotation_plan.py`` and enforced by
+#: r13 driver window (staleness rotation policy, VERDICT r11 ask #4;
+#: scripted per r12 ask #1): never-green entries first, then the green
+#: entries whose NEWEST green driver row is OLDEST, computed AND
+#: APPLIED by ``python scripts/rotation_plan.py --apply`` (the FIRST
+#: commit of every round — the staleness test goes red the moment the
+#: driver delivers the prior round's CORRECTNESS file). Enforced by
 #: ``tests/test_registry_rotation.py::test_window_slack_holds_stalest_greens``.
-#: Regenerate per round: ``python scripts/rotation_plan.py``.
 _WINDOW_ORDER = [
-    "docs_html_extract",
-    "docs_html_quality",
-    "docs_html_links",
-    "emb_dup_keep_best_lsh",
-    "emb_hubness",
-    "emb_hubness_skew",
-    "docs_contamination",
-    "docs_sample",
-    "media_audio_stats",
-    "media_image_features",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_revenue_by_nation",
-    "agg_rollup",
-    "cypher_distinct",
-    "cypher_id_func",
-    "cypher_id_pairs",
-    "cypher_label_scan",
-    "cypher_multi_item_return",
-    "cypher_multi_pattern",
-    "cypher_one_hop",
-    "cypher_optional_match",
-    "cypher_order_by_limit",
-    "cypher_undirected",
-    "cypher_var_length",
-    "cypher_where_coercion",
-    "cypher_where_contains",
-    "cypher_where_prefix_suffix",
-    "cypher_with_pipeline",
-    "docs_compression",
-    "docs_dup_spans",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_gopher",
-    "docs_lang_id",
-    "docs_mixture",
-    "docs_pack",
-    "docs_pii",
-    "docs_quality",
-    "docs_repetition",
-    "docs_span_removal",
-    "docs_tfidf",
-    "docs_token_stats",
-    "docs_trigram_lp",
-    "docs_vocab",
-    "events_anomaly",
-    "events_asof_join",
-    "events_funnel",
-    "events_hourly",
+    "events_interval_join",
+    "events_props_stats",
+    "events_retention",
+    "events_sessionize",
+    "events_top_users",
+    "setop_customers_no_orders",
+    "window_top_orders",
+    "agg_returned_items",
+    "agg_sampled_percentiles",
+    "agg_shipping_priority",
+    "docs_bloom_contamination",
+    "docs_bm25",
+    "docs_classifier",
+    "docs_cms_topk",
+    "docs_containment",
+    "docs_corpus_report",
+    "docs_curriculum",
+    "docs_diff",
+    "docs_dsir",
+    "docs_hll_distinct",
+    "docs_length_buckets",
+    "docs_lexical",
+    "docs_moore_lewis",
+    "docs_profile",
+    "docs_source_overlap",
+    "docs_temp_mixture",
+    "docs_token_budget",
+    "graph_link_ra",
+    "graph_link_capped",
+    "graph_assortativity",
+    "graph_knn_degree",
+    "graph_sssp",
+    "graph_triangles",
+    "graph_bfs",
+    "graph_degrees",
+    "graph_hits",
+    "graph_kcore",
+    "graph_pagerank",
+    "graph_ppr",
+    "media_audio_pairs",
+    "media_phash_pairs",
+    "docs_dedup_report",
+    "docs_leakage_split",
+    "docs_pipeline_funnel",
+    "docs_minhash_report",
+    "docs_minhash_clusters",
+    "docs_minhash_rescored",
+    "docs_dedup_clusters",
+    "docs_dedup_eval",
+    "docs_simhash_pairs",
 ]
 
 

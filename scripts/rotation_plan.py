@@ -15,10 +15,15 @@ Prints the computed window as an ordered list:
      (the r7/r11 bench-attribution rule).
 
 Use it when rotating ``queries()`` for a new round:
-    python scripts/rotation_plan.py
-then order the registry so the printed names are the 50-entry prefix
-(internal adjacency may be adjusted for memo grouping — the rotation
-test allows a tolerance for exactly that).
+    python scripts/rotation_plan.py            # print the plan
+    python scripts/rotation_plan.py --apply    # rewrite _WINDOW_ORDER in place
+``--apply`` rewrites the ``_WINDOW_ORDER = [...]`` literal in
+``__spark_entry__.py`` with the computed window, so rotation is a
+one-command round-open step (VERDICT r12 ask #1: rotation must be the
+FIRST commit of every round — the staleness test goes red the moment
+the driver delivers the previous round's CORRECTNESS file).
+Internal adjacency may still be adjusted by hand for memo grouping —
+the rotation test allows a tolerance for exactly that.
 """
 
 from __future__ import annotations
@@ -116,6 +121,29 @@ def plan(entry_mod, repo: str) -> tuple[list[str], list[str], list[str]]:
     return window, pending, must
 
 
+def apply_window(repo: str, window: list[str]) -> None:
+    """Rewrite the ``_WINDOW_ORDER = [...]`` literal in
+    ``__spark_entry__.py`` with *window* (one quoted name per line,
+    preserving the surrounding comment block)."""
+    import re
+
+    path = os.path.join(repo, "__spark_entry__.py")
+    with open(path) as fh:
+        src = fh.read()
+    body = "".join(f'    "{k}",\n' for k in window)
+    new_src, n = re.subn(
+        r"_WINDOW_ORDER = \[\n(?:    \"[^\"]+\",\n)+\]",
+        "_WINDOW_ORDER = [\n" + body + "]",
+        src,
+        count=1,
+    )
+    if n != 1:
+        raise SystemExit("could not locate _WINDOW_ORDER literal")
+    with open(path, "w") as fh:
+        fh.write(new_src)
+    print(f"# wrote {len(window)}-entry _WINDOW_ORDER to {path}")
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
@@ -128,6 +156,8 @@ def main() -> None:
         tag = "PENDING" if k in pending else f"green r{latest[k]}"
         star = " *must" if k in must else ""
         print(f"{k:40s} {tag}{star}")
+    if "--apply" in sys.argv[1:]:
+        apply_window(repo, window)
 
 
 if __name__ == "__main__":
