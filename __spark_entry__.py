@@ -2373,7 +2373,12 @@ def _html_docs(spark, sf_dir) -> DataFrame:
     a drop/mangle anywhere in generate → parse → strip → assemble
     breaks the hash."""
     d = _t(spark, sf_dir, "documents")
-    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    # ADVICE r12: coalesce nullable inputs to '' (mirrored in the
+    # oracles' coalesce) so a NULL text/source can't null-propagate
+    # through F.concat and silently produce an empty page the oracle
+    # would still predict blocks/links for.
+    src = F.coalesce(F.col("source"), F.lit(""))
+    esc = F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;"))
     esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
     esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
     html = F.concat(
@@ -2383,11 +2388,11 @@ def _html_docs(spark, sf_dir) -> DataFrame:
             '</title><script>var x="<p>junk</p>";</script>'
             "<style>p{color:red}</style></head><body><h1>Source "
         ),
-        F.col("source"),
+        src,
         F.lit("</h1>\n<!-- <div>ghost</div> -->\n<p>"),
         esc,
         F.lit('</p>\n<div class="nav"><a href="/">Home</a> <a href="/s">'),
-        F.col("source"),
+        src,
         F.lit('</a> <a href="/d/'),
         F.expr("doc_id div 7").cast("string"),
         F.lit('">doc '),
@@ -2421,7 +2426,11 @@ def _q_docs_html_quality(spark, sf_dir):
     groupBy."""
     ext = ops_html.html_extract(_html_docs(spark, sf_dir))
     q = ops_text.quality_score(ext).select("doc_id", "quality_score")
-    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # coalesced to match _html_docs's page generation (ADVICE r12) —
+    # a NULL-source doc extracts as source '' and must roll up there
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+    )
     return (
         ext.select("doc_id", "text_chars")
         .join(q, "doc_id")
@@ -2934,9 +2943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (VERDICT r11 ask #2); dup_keep_best_lsh pins the 100 TB
         # -- keep-best composition (ask #3) and sits right after the
         # -- bq/lsh block further down would be ideal memo-wise, but
-        # -- new-entry-first wins — it pays the LSH index build here
-        # -- and the ann_lsh block below reads the memo warm (same
-        # -- attribution rule as the r10 link-jaccard note).
+        # -- new-entry-first wins — it pays the LSH index build here.
+        # -- (ADVICE r12: with block JVM restarts every ~45 queries the
+        # -- tail ann_lsh consumers usually do NOT read this memo warm —
+        # -- a restart lands between head and tail and reset_caches()
+        # -- wipes it; they pay their own rebuild and the warm-floor
+        # -- pass adjudicates. No warm-riding claim here.)
         "docs_html_extract": _q_docs_html_extract,
         "docs_html_quality": _q_docs_html_quality,
         "docs_html_links": _q_docs_html_links,
@@ -7026,8 +7038,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         # chars → boilerplate) vanish; h1 + body text survive,
         # whitespace-collapsed, newline-joined.
         "docs_html_extract": (
-            "WITH c AS (SELECT doc_id, source, "
-            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM documents), "
+            "WITH c AS (SELECT doc_id, coalesce(source, '') AS source, "
+            "trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ct FROM documents), "
             "t AS (SELECT doc_id, ct, 'Source ' || source || "
             "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS txt FROM c) "
             "SELECT doc_id, "
@@ -7044,7 +7056,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "anchor_text, target_id FROM ("
             "SELECT doc_id, 1 AS p, '/' AS href, 'Home' AS anchor_text, "
             "CAST(NULL AS BIGINT) AS target_id FROM documents "
-            "UNION ALL SELECT doc_id, 2, '/s', source, NULL FROM documents "
+            "UNION ALL SELECT doc_id, 2, '/s', coalesce(source, ''), NULL FROM documents "
             "UNION ALL SELECT doc_id, 3, '/d/' || (doc_id // 7), "
             "'doc ' || (doc_id // 7), CAST(doc_id // 7 AS BIGINT) "
             "FROM documents)"
@@ -7055,8 +7067,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         # quality formula constant applies verbatim — one source of
         # truth with docs_quality and the keep-best oracles
         "docs_html_quality": (
-            "WITH c AS (SELECT doc_id, source, "
-            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM documents), "
+            "WITH c AS (SELECT doc_id, coalesce(source, '') AS source, "
+            "trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ct FROM documents), "
             "t AS (SELECT doc_id, source, 'Source ' || source || "
             "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END AS text FROM c), "
             "q AS (SELECT doc_id, source, length(text) AS tc, "

@@ -777,9 +777,12 @@ def main() -> None:
                         flush=True,
                     )
                     break
-            done_cache_ids.update(id(c) for c in own_caches)
+            # ADVICE r12: only mark the memo group rebuilt if at least
+            # one re-measure run actually completed — a failed rebuild
+            # must not cost later group-mates their re-measure slot.
             if not runs:
                 continue
+            done_cache_ids.update(id(c) for c in own_caches)
             aged[name] = timings[name]
             warm_floor[name] = min(runs)
             timings[name] = min(timings[name], warm_floor[name])

@@ -702,6 +702,10 @@ def dedup_keep_best(
     :func:`~graph_loom_spark.ops.text.quality_score` (the same signal
     the cluster-quality report rolls up); pass any ``(id, score)``
     frame — e.g. the hashed classifier — for a different keep rule.
+    Docs absent from a user-supplied ``quality`` frame rank below every
+    scored doc (null→+inf sort key) and report ``quality_score`` NULL,
+    so the output distinguishes "scored 0" from "unscored" and the
+    tie-break rule reads consistently (ADVICE r12 #5).
     ``pairs`` passes through to :func:`dedup_clusters` (memoized exact
     Jaccard here; LSH pairs at scale); ``clusters`` short-circuits the
     clustering entirely with an already-computed ``(id, cluster_id)``
@@ -732,8 +736,11 @@ def dedup_keep_best(
     # exactly-one-keeper invariant — ADVICE r10 #2). Ranking convention
     # (ADVICE r11 #3): an UNSCORED doc ranks below EVERY scored doc —
     # including negative scores — via a null→+inf sort key, not a
-    # coalesce-to-0 floor (0 silently outranked negative real scores);
-    # the REPORTED quality_score for unscored docs stays 0.
+    # coalesce-to-0 floor (0 silently outranked negative real scores).
+    # The REPORTED quality_score for unscored docs is NULL (ADVICE r12
+    # #5): reporting 0 made two-unscored-doc clusters look like a
+    # violated "ties → smallest id" rule to anyone reading the frame,
+    # since the +inf rank key is invisible in the output.
     j = clusters.join(quality, id_col, "left")
     best = j.groupBy("cluster_id").agg(
         F.min(
@@ -747,9 +754,6 @@ def dedup_keep_best(
                 F.col(id_col).alias("i"),
             )
         ).alias("__b")
-    )
-    j = j.withColumn(
-        "quality_score", F.coalesce(F.col("quality_score"), F.lit(0))
     )
     return j.join(best, "cluster_id").select(
         id_col,

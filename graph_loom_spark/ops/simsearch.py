@@ -1562,8 +1562,15 @@ def hubness(
     the memoized index the ANN entries already share), so each
     vector's "top-k list" is its top-k among candidates — the honest
     approximate contract (a pair colliding in no table is invisible,
-    exactly as retrieval would experience it). Deterministic: ranks
-    order by (rounded cosine DESC, neighbor id), the knn_label
+    exactly as retrieval would experience it). PRECONDITION: ``pairs``
+    must be canonical — one row per unordered pair, ``id_a < id_b``,
+    no duplicates (the :func:`lsh_near_pairs` contract). The stream is
+    symmetrized here WITHOUT deduplication, so a frame already
+    carrying both orientations (or repeated rows) would double-count
+    each neighbor and let one vector occupy two top-k slots; a
+    ``dropDuplicates`` would burn a corpus-wide shuffle every call to
+    defend against inputs no in-repo site produces. Deterministic:
+    ranks order by (rounded cosine DESC, neighbor id), the knn_label
     tie-break.
 
     Scale shape: symmetrize the pair stream (2·|pairs| narrow rows),

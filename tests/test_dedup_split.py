@@ -363,14 +363,16 @@ def test_dedup_keep_best_prefers_quality_over_first_seen(spark):
     out2 = {r["doc_id"]: r["is_kept"] for r in dedup_keep_best(docs, quality=q).collect()}
     assert out2[1] and not out2[2]
     # ADVICE r10 #2: a quality frame that does NOT cover every
-    # clustered id must not drop docs — uncovered docs default to
-    # score 0 and the exactly-one-keeper invariant holds
+    # clustered id must not drop docs — uncovered docs rank at -inf
+    # and the exactly-one-keeper invariant holds. ADVICE r12 #5:
+    # uncovered docs REPORT quality_score NULL (not 0), so the frame
+    # distinguishes "scored 0" from "unscored".
     partial = spark.createDataFrame([(2, 5)], "doc_id long, quality_score int")
     out3 = {r["doc_id"]: (r["quality_score"], r["is_kept"])
             for r in dedup_keep_best(docs, quality=partial).collect()}
     assert set(out3) == {1, 2, 3}           # nobody dropped
-    assert out3[1] == (0, False) and out3[2] == (5, True)
-    assert out3[3] == (0, True)             # singleton keeps itself at floor score
+    assert out3[1] == (None, False) and out3[2] == (5, True)
+    assert out3[3] == (None, True)          # unscored singleton keeps itself
     assert sum(1 for v in out3.values() if v[1]) == 2
 
 
@@ -424,7 +426,8 @@ def test_dedup_keep_best_negative_scores_beat_unscored(spark):
     """ADVICE r11 #3: an UNSCORED doc ranks below every scored doc —
     including negative scores. With quality {1: -5} and doc 2 unscored,
     doc 1 must win keep-best (the old coalesce-to-0 floor let the
-    unscored doc's 0 outrank -5); doc 2 still REPORTS score 0."""
+    unscored doc's 0 outrank -5); doc 2 reports score NULL (ADVICE
+    r12 #5 — unscored is visibly distinct from scored-0)."""
     from graph_loom_spark.ops.dedup import dedup_keep_best
 
     good = "the quick brown fox jumps over the lazy dog " * 6
@@ -437,8 +440,8 @@ def test_dedup_keep_best_negative_scores_beat_unscored(spark):
     out = {r["doc_id"]: (r["quality_score"], r["is_kept"])
            for r in dedup_keep_best(docs, quality=q).collect()}
     assert out[1] == (-5, True)        # scored, even negatively → wins
-    assert out[2] == (0, False)        # unscored: reported 0, ranked -inf
-    assert out[3] == (0, True)         # unscored singleton keeps itself
+    assert out[2] == (None, False)     # unscored: reported NULL, ranked -inf
+    assert out[3] == (None, True)      # unscored singleton keeps itself
     assert sum(1 for v in out.values() if v[1]) == 2
     # two scored negatives: the LESS negative one wins
     q2 = spark.createDataFrame(
