@@ -79,6 +79,12 @@ _LSH_CACHE: dict[str, DataFrame] = {}
 # checkpointed binary-quantization signature frame (X119) per sf_dir —
 # shared by emb_bq_topk / emb_bq_rerank / emb_bq_eval
 _BQ_CACHE: dict[str, DataFrame] = {}
+# checkpointed parsed link records of the absolute-URL web pages
+# (X159) per sf_dir — the host-graph edge feed is read three times by
+# web_host_rank (pagerank's edge materialization reads it via two
+# branches, the in-link rollup once); without the checkpoint each scan
+# re-runs the mapInPandas HTML parse
+_WEB_LINKS_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -114,7 +120,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -162,6 +168,7 @@ def reset_caches() -> None:
         _TRI_CACHE,
         _LINKPRED_CACHE,
         _CLUSTERS_CACHE,
+        _WEB_LINKS_CACHE,
     ):
         cache.clear()
 
@@ -200,6 +207,7 @@ def _memo_map() -> dict:
         "graph_modularity": [_LPA_CACHE],
         "graph_components": [_COMP_CACHE],
         "graph_density_components": [_COMP_CACHE],
+        "web_host_rank": [_WEB_LINKS_CACHE],
         "docs_minhash_pairs": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_clusters": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
@@ -2470,6 +2478,167 @@ def _q_docs_html_links(spark, sf_dir):
     )
 
 
+def _web_docs(spark, sf_dir) -> DataFrame:
+    """Absolute-URL page generation — the X159 web-graph harness: each
+    doc becomes a page living on host ``www.<lower(source)>.example``
+    whose links are ABSOLUTE URLs (unlike _html_docs's relative nav),
+    so host extraction from ``href`` is a real parse step: a nav link
+    to its own host root, a content link to the page of doc
+    ``doc_id div 7`` on THAT doc's host (a left self-join fetches the
+    target's source), and a link to the global index host
+    ``www.hub.example`` (which serves no pages — the dangling node).
+    Invertible by construction, so the DuckDB oracle reconstructs the
+    parsed link set and the extracted text exactly (the _html_docs
+    trick); NULL text/source coalesce to '' on both sides."""
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.select(
+        F.col("doc_id").alias("__tid"), F.col("source").alias("__tsrc")
+    )
+    j = d.join(tgt, F.expr("doc_id div 7") == F.col("__tid"), "left")
+    host = F.concat(
+        F.lit("www."),
+        F.lower(F.coalesce(F.col("source"), F.lit(""))),
+        F.lit(".example"),
+    )
+    thost = F.concat(
+        F.lit("www."),
+        F.lower(F.coalesce(F.col("__tsrc"), F.lit(""))),
+        F.lit(".example"),
+    )
+    tid = F.expr("doc_id div 7").cast("string")
+    esc = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")
+    )
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>Source "),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("</h1>\n<p>"),
+        esc,
+        F.lit('</p>\n<div class="nav"><a href="https://'),
+        host,
+        F.lit('/">Home</a></div>\n<p>Related reading elsewhere on the '),
+        F.lit('web: <a href="https://'),
+        thost,
+        F.lit("/d/"),
+        tid,
+        F.lit('">doc '),
+        tid,
+        F.lit('</a> plus the index at <a href="https://www.hub.example'),
+        F.lit('/search">search</a>.</p></body></html>'),
+    )
+    return j.select("doc_id", host.alias("host"), html.alias("html"))
+
+
+def _web_links(spark, sf_dir) -> DataFrame:
+    # parsed link records of the absolute-URL pages, checkpointed —
+    # web_host_rank's pagerank materialization reads the edge frame via
+    # two branches and the in-link rollup via a third; the memo bounds
+    # that to ONE mapInPandas parse (same memo rule as _jaccard_pairs)
+    cached = _WEB_LINKS_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _WEB_LINKS_CACHE[sf_dir] = ops_html.html_links(
+            _web_docs(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _WEB_LINKS_CACHE[sf_dir]
+
+
+def _host_map(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("www."),
+            F.lower(F.coalesce(F.col("source"), F.lit(""))),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+
+
+def _q_web_host_rank(spark, sf_dir):
+    """X159 / VERDICT r12 ask #2 — the host-level web-graph curation
+    screen (RefinedWeb §3.1-style): parse the link records out of the
+    generated absolute-URL pages (X157's extractor), pull the HOST out
+    of every href with one regexp, roll up to a host→host multi-edge
+    list, run the fixed-point integer PageRank (X36) over the host
+    graph, and join per-host page counts, in-link counts and the
+    extracted-text quality rollup (X156) — the one frame a curation
+    pass ranks and prunes hosts by. Deterministic end to end (generated
+    pages, integer PageRank), so the DuckDB oracle replays everything
+    including all 5 rank iterations bit-for-bit.
+
+    Scale shape: one mapInPandas parse (memoized link records), one
+    regexp projection, one input-cardinality equi-join to the host map,
+    then PageRank on the HOST graph — |hosts| nodes (thousands at
+    100 TB, not billions), so the iteration loop runs on a frame that
+    fits a single executor's broadcast while the only corpus-sized
+    passes are the parse and two partial-agg rollups. No cartesian; the
+    quality pass is the X156 extract + integer gate."""
+    hm = _host_map(spark, sf_dir)
+    links = _web_links(spark, sf_dir)
+    edges = (
+        links.select(
+            "doc_id",
+            F.regexp_extract(
+                F.col("href"), "^https?://([^/?#]+)", 1
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != "")
+        .join(hm.withColumnRenamed("host", "src"), "doc_id")
+        .select("src", "dst")
+    )
+    nodes = (
+        hm.select(F.col("host").alias("id"))
+        .union(spark.createDataFrame([("www.hub.example",)], "id string"))
+        .distinct()
+    )
+    from graph_loom_spark.graph import PropertyGraph
+
+    ranks = analytics.pagerank(
+        PropertyGraph(spark, nodes=nodes, edges=edges), iters=5
+    )
+    inl = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_links")
+    )
+    ext = ops_html.html_extract(_web_docs(spark, sf_dir))
+    q = ops_text.quality_score(ext).select("doc_id", "quality_score")
+    hq = (
+        hm.join(q, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum("quality_score").cast("bigint").alias("sum_quality"),
+        )
+    )
+    return (
+        ranks.withColumnRenamed("id", "host")
+        .join(hq, "host", "left")
+        .join(inl, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("n_pages"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pages"),
+            F.coalesce(F.col("n_in_links"), F.lit(0))
+            .cast("bigint")
+            .alias("n_in_links"),
+            "rank",
+            F.col("sum_quality").cast("bigint").alias("sum_quality"),
+            # greatest() clamps the fused-stage ANSI div-by-zero (the
+            # r11 anisotropy lesson); the WHEN masks hostless rows
+            F.when(
+                F.col("n_pages").isNotNull(),
+                F.expr("(1000 * sum_quality) div greatest(n_pages, 1)"),
+            )
+            .cast("bigint")
+            .alias("mean_quality_milli"),
+        )
+        .orderBy("host")
+    )
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -2860,6 +3029,7 @@ def _q_graph_export_roundtrip(spark, sf_dir):
 #: driver delivers the prior round's CORRECTNESS file). Enforced by
 #: ``tests/test_registry_rotation.py::test_window_slack_holds_stalest_greens``.
 _WINDOW_ORDER = [
+    "web_host_rank",
     "events_interval_join",
     "events_props_stats",
     "events_retention",
@@ -2909,7 +3079,6 @@ _WINDOW_ORDER = [
     "docs_minhash_rescored",
     "docs_dedup_clusters",
     "docs_dedup_eval",
-    "docs_simhash_pairs",
 ]
 
 
@@ -2949,6 +3118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- a restart lands between head and tail and reset_caches()
         # -- wipes it; they pay their own rebuild and the warm-floor
         # -- pass adjudicates. No warm-riding claim here.)
+        # -- r13 window head: NEW entries (rotation rule: no driver
+        # -- row yet → front; each check_oracle'd pre-commit).
+        # -- web_host_rank is the X159 host-graph curation screen
+        # -- (VERDICT r12 ask #2) — it pays its own parse + PageRank.
+        "web_host_rank": _q_web_host_rank,
         "docs_html_extract": _q_docs_html_extract,
         "docs_html_quality": _q_docs_html_quality,
         "docs_html_links": _q_docs_html_links,
@@ -3800,6 +3974,20 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
         _li_sql(),
         _tpch_edges_sql().replace(" AS (", " AS MATERIALIZED (", 1),
         _tpch_nodes_sql().replace(" AS (", " AS MATERIALIZED (", 1),
+    ] + _pagerank_iter_parts(iters, dn, S)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+    )
+
+
+def _pagerank_iter_parts(iters: int = 5, dn: int = 85, S: int = 10**12) -> list:
+    """The shared fixed-point PageRank iteration CTE block: expects
+    ``nodes(id)`` and ``edges(u, v)`` CTEs in scope, defines
+    ``nn``/``od``/``r0``..``r<iters>``. Used verbatim by the tpch
+    (graph_pagerank) and host-graph (web_host_rank) oracles — one
+    source of truth for the integer-replay arithmetic."""
+    parts = [
         "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
         "od AS MATERIALIZED (SELECT u AS id, count(*) AS od FROM edges GROUP BY u)",
         f"r0 AS MATERIALIZED (SELECT id, {S} // (SELECT n FROM nn) AS r FROM nodes)",
@@ -3819,9 +4007,62 @@ def _pagerank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
             f"({dn} * (COALESCE(c.s, 0) + (SELECT m FROM m{k}) // (SELECT n FROM nn))) // 100 AS r "
             f"FROM nodes n LEFT JOIN c{k} c ON n.id = c.id)"
         )
+    return parts
+
+
+def _web_host_rank_oracle(iters: int = 5, dn: int = 85, S: int = 10**12) -> str:
+    """SQL replay of X159: reconstruct the host map and the generated
+    pages' link multiset (nav self-link, div-7 target-host link, hub
+    link — the _web_docs construction is invertible), run the exact
+    _pagerank_iter_parts integer iteration block over the host graph,
+    and join page counts / in-link counts / the reconstructed
+    extracted-text quality rollup (the X155/X156 reconstruction: title
+    and the 100%-anchor nav vanish; h1 + body + the mixed-content
+    related-reading block survive)."""
+    parts = [
+        "d AS MATERIALIZED (SELECT doc_id, coalesce(source, '') AS source, "
+        "coalesce(text, '') AS text FROM documents)",
+        "hm AS MATERIALIZED (SELECT doc_id, "
+        "'www.' || lower(source) || '.example' AS host FROM d)",
+        "tj AS MATERIALIZED (SELECT d.doc_id, hm.host AS h, "
+        "'www.' || lower(coalesce(t.source, '')) || '.example' AS th "
+        "FROM d JOIN hm ON hm.doc_id = d.doc_id "
+        "LEFT JOIN documents t ON t.doc_id = d.doc_id // 7)",
+        "edges AS MATERIALIZED ("
+        "SELECT h AS u, h AS v FROM tj "
+        "UNION ALL SELECT h, th FROM tj "
+        "UNION ALL SELECT h, 'www.hub.example' FROM tj)",
+        "nodes AS MATERIALIZED ("
+        "SELECT DISTINCT host AS id FROM hm "
+        "UNION SELECT 'www.hub.example')",
+    ] + _pagerank_iter_parts(iters, dn, S) + [
+        "x AS (SELECT doc_id, 'Source ' || source || "
+        "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END || chr(10) || "
+        "'Related reading elsewhere on the web: doc ' || (doc_id // 7) || "
+        "' plus the index at search.' AS text FROM "
+        "(SELECT doc_id, source, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM d))",
+        f"q AS (SELECT hm.host, {_QUALITY_SCORE_SQL} AS qs "
+        "FROM x JOIN hm ON hm.doc_id = x.doc_id)",
+        "hq AS (SELECT host, count(*) AS n_pages, sum(qs) AS sum_quality "
+        "FROM q GROUP BY host)",
+        "inl AS (SELECT v AS host, count(*) AS n_in_links "
+        "FROM edges GROUP BY v)",
+    ]
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT id, CAST(r AS DOUBLE) / {S} AS rank FROM r{iters}"
+        + f" SELECT r.id AS host, "
+        "CAST(coalesce(hq.n_pages, 0) AS BIGINT) AS n_pages, "
+        "CAST(coalesce(inl.n_in_links, 0) AS BIGINT) AS n_in_links, "
+        f"CAST(r.r AS DOUBLE) / {S} AS rank, "
+        "CAST(hq.sum_quality AS BIGINT) AS sum_quality, "
+        "CAST(CASE WHEN hq.n_pages IS NULL THEN NULL ELSE "
+        "(1000 * hq.sum_quality) // greatest(hq.n_pages, 1) END AS BIGINT) "
+        "AS mean_quality_milli "
+        f"FROM r{iters} r "
+        "LEFT JOIN hq ON hq.host = r.id "
+        "LEFT JOIN inl ON inl.host = r.id "
+        "ORDER BY host"
     )
 
 
@@ -7032,6 +7273,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "emb_hubness": _hubness_oracle(),
         # X158b: the skewness rollup of X158.
         "emb_hubness_skew": _hubness_skew_oracle(),
+        # X159: host-graph composition — reconstructed link multiset +
+        # the shared fixed-point PageRank iteration block + the
+        # X155/X156 extracted-text quality reconstruction.
+        "web_host_rank": _web_host_rank_oracle(),
         # X155: the generated-page construction is invertible, so the
         # expected extraction is reconstructed straight from the base
         # text — head/title/script/style and the nav div (100% anchor

@@ -668,3 +668,15 @@ def test_hubness_window_partitioned_by_probe(spark):
             saw_window = True
             assert "__p" in line, f"unpartitioned window: {line}"
     assert saw_window
+
+
+def test_web_host_rank_single_parse_no_cartesian(spark):
+    """X159: the link-record parse is memoized (localCheckpoint), so
+    the final plan must contain exactly ONE MapInPandas (the quality
+    pass's html_extract) — a second one means the host-graph edges are
+    re-parsing pages. No CartesianProduct; the only nested-loop joins
+    tolerated are PageRank's deliberate 1-row dangling-mass
+    broadcasts."""
+    plan = _plan(spark, "web_host_rank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1, plan[:3000]
