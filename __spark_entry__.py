@@ -26,6 +26,7 @@ from graph_loom_spark.ops import multimodal as ops_mm
 from graph_loom_spark.ops import relational as ops_rel
 from graph_loom_spark.ops import simsearch as ops_sim
 from graph_loom_spark.ops import text as ops_text
+from graph_loom_spark.ops import warc as ops_warc
 
 _GRAPH_CACHE: dict[str, object] = {}
 _LPA_CACHE: dict[str, DataFrame] = {}
@@ -85,6 +86,11 @@ _BQ_CACHE: dict[str, DataFrame] = {}
 # branches, the in-link rollup once); without the checkpoint each scan
 # re-runs the mapInPandas HTML parse
 _WEB_LINKS_CACHE: dict[str, DataFrame] = {}
+# checkpointed parsed WARC response docs (X160) per sf_dir — the
+# extract pass and the envelope-metadata join both read it; one
+# per-process container dir (the export-tempdir rule, ADVICE r11 #1)
+_WARC_CACHE: dict[str, DataFrame] = {}
+_WARC_DIRS: dict[str, str] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -120,7 +126,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE, _WARC_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -169,6 +175,7 @@ def reset_caches() -> None:
         _LINKPRED_CACHE,
         _CLUSTERS_CACHE,
         _WEB_LINKS_CACHE,
+        _WARC_CACHE,
     ):
         cache.clear()
 
@@ -208,6 +215,7 @@ def _memo_map() -> dict:
         "graph_components": [_COMP_CACHE],
         "graph_density_components": [_COMP_CACHE],
         "web_host_rank": [_WEB_LINKS_CACHE],
+        "docs_warc_extract": [_WARC_CACHE],
         "docs_minhash_pairs": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_clusters": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
@@ -2639,6 +2647,84 @@ def _q_web_host_rank(spark, sf_dir):
     )
 
 
+def _warc_docs(spark, sf_dir) -> DataFrame:
+    """X160 — the WARC leg of the ingest story: write the generated
+    absolute-URL pages (the _web_docs harness) as real WARC containers
+    via the distributed deterministic writer, read them back through
+    ``binaryFile``, split records and peel the HTTP envelope — so the
+    registry entry exercises generate → write → container-read →
+    split → decode end to end, and its oracle (which reconstructs the
+    expected extraction straight from the parquet) breaks on a byte
+    slip anywhere in the chain. One container dir per process per
+    sf_dir (mkdtemp — the ADVICE r11 export rule); the parsed response
+    frame is localCheckpoint-memoized so the extract pass and the
+    metadata join share one binaryFile scan + one Python split."""
+    cached = _WARC_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        import tempfile
+
+        path = _WARC_DIRS.get(sf_dir)
+        if path is None:
+            path = _WARC_DIRS[sf_dir] = tempfile.mkdtemp(prefix="gls_warc_")
+        pages = _web_docs(spark, sf_dir)
+        ops_warc.write_warc(
+            pages.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://"),
+                    F.col("host"),
+                    F.lit("/d/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "html",
+            ),
+            path,
+        )
+        recs = ops_warc.warc_records(
+            spark.read.format("binaryFile").load(path)
+        ).filter(F.col("warc_type") == "response")
+        _WARC_CACHE[sf_dir] = recs.select(
+            F.regexp_extract(F.col("record_id"), "urn:gls:(\\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "target_uri",
+            "http_status",
+            F.col("payload").cast("string").alias("html"),
+        ).localCheckpoint(eager=True)
+    return _WARC_CACHE[sf_dir]
+
+
+def _q_docs_warc_extract(spark, sf_dir):
+    """X160 / VERDICT r12 ask #3 — raw-crawl container ingest,
+    CommonCrawl end to end: WARC containers (written by the
+    distributed writer from the generated pages) → ``binaryFile`` →
+    record split (Content-Length-delimited — payloads quoting WARC
+    text don't split) → HTTP envelope peel → the X155 extractor.
+    Output joins the extraction with the envelope metadata
+    ``(target_uri, http_status)`` — the WAT-style record a curation
+    pass keys on. The DuckDB oracle reconstructs every column from
+    the base parquet, so the hash pins the whole byte chain.
+
+    Scale shape: parallelism = container count (binaryFile, one file
+    per task, ~1 GB CommonCrawl containers); the split and extract
+    are the same Arrow-batched narrow maps as X155; the only join is
+    id-equi on the checkpointed parsed frame."""
+    docs = _warc_docs(spark, sf_dir)
+    ext = ops_html.html_extract(docs)
+    return ext.join(
+        docs.select("doc_id", "target_uri", "http_status"), "doc_id"
+    ).select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "n_blocks",
+        "n_boiler_blocks",
+        "n_links",
+        "text_chars",
+        "text",
+    )
+
+
 def _q_emb_cluster_quality(spark, sf_dir):
     """X103 — cluster-level corpus quality report: the k=8 fixed-point
     k-means assignment (memoized KM8 fit, shared with emb_kmeans/
@@ -3030,6 +3116,7 @@ def _q_graph_export_roundtrip(spark, sf_dir):
 #: ``tests/test_registry_rotation.py::test_window_slack_holds_stalest_greens``.
 _WINDOW_ORDER = [
     "web_host_rank",
+    "docs_warc_extract",
     "events_interval_join",
     "events_props_stats",
     "events_retention",
@@ -3078,7 +3165,6 @@ _WINDOW_ORDER = [
     "docs_minhash_clusters",
     "docs_minhash_rescored",
     "docs_dedup_clusters",
-    "docs_dedup_eval",
 ]
 
 
@@ -3123,6 +3209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- web_host_rank is the X159 host-graph curation screen
         # -- (VERDICT r12 ask #2) — it pays its own parse + PageRank.
         "web_host_rank": _q_web_host_rank,
+        # -- docs_warc_extract is the X160 raw-crawl container leg
+        # -- (VERDICT r12 ask #3)
+        "docs_warc_extract": _q_docs_warc_extract,
         "docs_html_extract": _q_docs_html_extract,
         "docs_html_quality": _q_docs_html_quality,
         "docs_html_links": _q_docs_html_links,
@@ -7277,6 +7366,29 @@ def _oracle_sql_raw() -> dict[str, str]:
         # the shared fixed-point PageRank iteration block + the
         # X155/X156 extracted-text quality reconstruction.
         "web_host_rank": _web_host_rank_oracle(),
+        # X160: WARC containers of the generated absolute-URL pages —
+        # the oracle reconstructs uri/status/extraction from parquet,
+        # pinning the write → binaryFile → split → peel → extract chain.
+        "docs_warc_extract": (
+            "WITH d AS (SELECT doc_id, coalesce(source, '') AS source, "
+            "coalesce(text, '') AS text FROM documents), "
+            "c AS (SELECT doc_id, source, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct FROM d), "
+            "t AS (SELECT doc_id, source, ct, 'Source ' || source || "
+            "CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END || chr(10) || "
+            "'Related reading elsewhere on the web: doc ' || (doc_id // 7) "
+            "|| ' plus the index at search.' AS txt FROM c) "
+            "SELECT doc_id, "
+            "'https://www.' || lower(source) || '.example/d/' || doc_id "
+            "AS target_uri, "
+            "CAST(200 AS BIGINT) AS http_status, "
+            "CAST(3 + CASE WHEN ct <> '' THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_blocks, "
+            "CAST(1 AS BIGINT) AS n_boiler_blocks, "
+            "CAST(3 AS BIGINT) AS n_links, "
+            "CAST(length(txt) AS BIGINT) AS text_chars, "
+            "txt AS text FROM t"
+        ),
         # X155: the generated-page construction is invertible, so the
         # expected extraction is reconstructed straight from the base
         # text — head/title/script/style and the nav div (100% anchor
