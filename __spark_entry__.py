@@ -1291,6 +1291,36 @@ def _q_docs_classifier_calibration(spark, sf_dir):
     return ops_text.classifier_calibration(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_classifier_trained(spark, sf_dir):
+    """X161 / VERDICT r12 ask #4 — the TRAINED quality/domain
+    classifier: multinomial Naive Bayes over the exact X72 hashed
+    unigram+bigram feature stream (bucketed mod 4096), trained on the
+    fixture's language label in ONE partial-agg groupBy (≤4096 rows
+    out), scored as integer micro-nat log-odds (prior + Σ bucket
+    log-likelihood ratios) — fixed-point, so sums are associative and
+    the DuckDB oracle replays training AND scoring bit-for-bit. The
+    labeled-model counterpart to docs_classifier's fixed random
+    projection; docs_classifier_trained_auc grades the lift on the
+    same label with the same statistic."""
+    return ops_text.nb_classify(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_classifier_trained_auc(spark, sf_dir):
+    """X161b — ROC-AUC of the trained NB on the SAME labels and SAME
+    exact integer Mann-Whitney statistic as docs_classifier_auc
+    (X122), so the two rows are directly comparable: the trained
+    model's lift over the fixed projection is the difference of two
+    driver-checked numbers (pytest pins trained > untrained)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = ops_text.nb_classify(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("__pos")
+        ),
+        "doc_id",
+    )
+    return ops_text.score_auc(scored, "score_micro", "__pos")
+
+
 def _q_docs_profile(spark, sf_dir):
     """Per-column data-quality profile of the documents table (nulls,
     exact distincts, native-type min/max rendered as strings) — ONE
@@ -3117,6 +3147,8 @@ def _q_graph_export_roundtrip(spark, sf_dir):
 _WINDOW_ORDER = [
     "web_host_rank",
     "docs_warc_extract",
+    "docs_classifier_trained",
+    "docs_classifier_trained_auc",
     "events_interval_join",
     "events_props_stats",
     "events_retention",
@@ -3163,8 +3195,6 @@ _WINDOW_ORDER = [
     "docs_pipeline_funnel",
     "docs_minhash_report",
     "docs_minhash_clusters",
-    "docs_minhash_rescored",
-    "docs_dedup_clusters",
 ]
 
 
@@ -3212,6 +3242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- docs_warc_extract is the X160 raw-crawl container leg
         # -- (VERDICT r12 ask #3)
         "docs_warc_extract": _q_docs_warc_extract,
+        # -- X161 trained NB classifier + its AUC grade (ask #4)
+        "docs_classifier_trained": _q_docs_classifier_trained,
+        "docs_classifier_trained_auc": _q_docs_classifier_trained_auc,
         "docs_html_extract": _q_docs_html_extract,
         "docs_html_quality": _q_docs_html_quality,
         "docs_html_links": _q_docs_html_links,
@@ -4045,6 +4078,38 @@ def _tpch_nodes_sql() -> str:
         f"UNION ALL SELECT 'P:' || {pad('p_partkey')} FROM part "
         f"UNION ALL SELECT 'O:' || {pad('o_orderkey')} FROM orders "
         "UNION ALL SELECT lid FROM li)"
+    )
+
+
+def _nb_score_sql(B: int = 4096) -> str:
+    """Shared CTE chain replaying NB training + scoring (X161): the
+    X72 feature list, md5 buckets mod B, per-class bucket counts,
+    add-1 micro-nat log-likelihood-ratio weights, micro-nat prior,
+    per-doc integer score sums. Ends with ``ds(doc_id, pos, n_feats,
+    s2)`` and ``pri(prior)`` for the consumers to join."""
+    return (
+        "t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, "
+        "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) "
+        "ELSE [] END) AS feats FROM t), "
+        "bx AS MATERIALIZED (SELECT doc_id, y, "
+        f"CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % {B} AS b "
+        "FROM (SELECT doc_id, y, unnest(feats) AS x FROM f)), "
+        "cnt AS MATERIALIZED (SELECT b, sum(y) AS cp, sum(1 - y) AS cn "
+        "FROM bx GROUP BY b), "
+        "tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt), "
+        "w AS MATERIALIZED (SELECT b, CAST(round((ln((CAST(cp AS DOUBLE) + 1.0) / "
+        f"(CAST(tp AS DOUBLE) + {B}.0)) - ln((CAST(cn AS DOUBLE) + 1.0) / "
+        f"(CAST(tn AS DOUBLE) + {B}.0))) * 1000000.0) AS BIGINT) AS wm "
+        "FROM cnt, tot), "
+        "pri AS (SELECT CAST(round((ln(CAST(greatest(sum(y), 1) AS DOUBLE)) - "
+        "ln(CAST(greatest(sum(1 - y), 1) AS DOUBLE))) * 1000000.0) AS BIGINT) "
+        "AS prior FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y "
+        "FROM documents)), "
+        "ds AS MATERIALIZED (SELECT doc_id, max(y) AS pos, count(*) AS n_feats, "
+        "sum(wm) AS s2 FROM bx JOIN w USING (b) GROUP BY doc_id)"
     )
 
 
@@ -7366,6 +7431,30 @@ def _oracle_sql_raw() -> dict[str, str]:
         # the shared fixed-point PageRank iteration block + the
         # X155/X156 extracted-text quality reconstruction.
         "web_host_rank": _web_host_rank_oracle(),
+        # X161: trained NB — full training + scoring replay, integer
+        # micro-nat fixed point end to end.
+        "docs_classifier_trained": (
+            "WITH " + _nb_score_sql()
+            + " SELECT doc_id, CAST(n_feats AS INTEGER) AS n_feats, "
+            "CAST(pri.prior + s2 AS BIGINT) AS score_micro, "
+            "CAST(CASE WHEN pri.prior + s2 > 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "AS keep FROM ds, pri"
+        ),
+        # X161b: the same Mann-Whitney integer rank replay as X122,
+        # over the trained scores.
+        "docs_classifier_trained_auc": (
+            "WITH " + _nb_score_sql()
+            + ", sc AS (SELECT pri.prior + s2 AS scx, pos FROM ds, pri), "
+            "g AS (SELECT scx, count(*) AS n, sum(pos) AS p FROM sc GROUP BY scx), "
+            "g2 AS (SELECT *, sum(n) OVER (ORDER BY scx ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cprev FROM g), "
+            "a AS (SELECT sum(p * (2 * cprev + n + 1)) AS twoR, "
+            "sum(p) AS np, sum(n - p) AS nn FROM g2) "
+            "SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
+            "CAST(twoR - np * (np + 1) AS BIGINT) AS u2, "
+            "round(CAST(twoR - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) "
+            "AS auc FROM a"
+        ),
         # X160: WARC containers of the generated absolute-URL pages —
         # the oracle reconstructs uri/status/extraction from parquet,
         # pinning the write → binaryFile → split → peel → extract chain.

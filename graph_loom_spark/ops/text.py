@@ -1868,6 +1868,32 @@ def rrf_fuse(
     )
 
 
+def _feats_expr(text_col: str) -> str:
+    """SQL-expression string for the shared hashed-classifier feature
+    list: unigrams (single-space split, the X72 tokenizer) + adjacent
+    bigrams joined by ``_``. One definition feeds the fixed-weight
+    scorer (X72) and the trained NB (X161) so both models literally
+    see the same features."""
+    toks = f"split({text_col}, ' ')"
+    # guard: Spark's sequence(0, -1) DESCENDS (returns [0, -1]), so a
+    # 1-token doc must short-circuit to an empty bigram list
+    bigrams = (
+        f"case when size({toks}) >= 2 then transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i + 1), '_', element_at({toks}, i + 2))) "
+        f"else cast(array() as array<string>) end"
+    )
+    return f"concat({toks}, {bigrams})"
+
+
+#: md5 bucket id for one feature string — the same 'w:'-prefixed md5
+#: stream X72 derives its weights from, reduced mod n_buckets
+def _bucket_expr(col: str, n_buckets: int) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('w:', {col})), 1, 8), 16, 10) "
+        f"as bigint) % {n_buckets}"
+    )
+
+
 def hashed_linear_score(
     documents: DataFrame,
     text_col: str = "text",
@@ -1899,15 +1925,7 @@ def hashed_linear_score(
     # harmless). No-op on already-wide inputs.
     documents = spread(documents)
     half = weight_span // 2
-    toks = f"split({text_col}, ' ')"
-    # guard: Spark's sequence(0, -1) DESCENDS (returns [0, -1]), so a
-    # 1-token doc must short-circuit to an empty bigram list
-    bigrams = (
-        f"case when size({toks}) >= 2 then transform(sequence(0, size({toks}) - 2), "
-        f"i -> concat(element_at({toks}, i + 1), '_', element_at({toks}, i + 2))) "
-        f"else cast(array() as array<string>) end"
-    )
-    feats = f"concat({toks}, {bigrams})"
+    feats = _feats_expr(text_col)
     wsum = (
         f"aggregate({feats}, 0L, (acc, x) -> acc + "
         f"(cast(conv(substr(md5(concat('w:', x)), 1, 8), 16, 10) as bigint) "
@@ -2439,15 +2457,30 @@ def classifier_auc(
     scored = hashed_linear_score(spread(documents), text_col=text_col).select(
         id_col, "weight_sum", label.cast("long").alias("__pos")
     )
+    return score_auc(scored, score_col="weight_sum", pos_col="__pos")
+
+
+def score_auc(
+    scored: DataFrame,
+    score_col: str = "weight_sum",
+    pos_col: str = "__pos",
+) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC of ANY integer score column against
+    a 0/1 label column — the rank machinery behind
+    :func:`classifier_auc` (X122), exposed so other scorers (the
+    trained NB, X161) grade on the identical statistic. Scores must be
+    integers (the fixed-point contract _grouped_cprev needs). Returns
+    one row ``(n_pos, n_neg, u2, auc)``; see classifier_auc for the
+    2·R⁺ integer construction and the no-global-window scale shape."""
     # materialize the distinct-score frame once — _grouped_cprev scans
     # it three times (range agg, bucket sums, final join) and each scan
-    # would otherwise re-run the md5-per-feature scoring
+    # would otherwise re-run the upstream scoring
     g = (
-        scored.groupBy("weight_sum")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__pos").alias("__p"))
+        scored.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(pos_col).alias("__p"))
         .localCheckpoint(eager=True)
     )
-    g2 = _grouped_cprev(g)
+    g2 = _grouped_cprev(g, score_col=score_col)
     agg = g2.agg(
         F.sum(
             F.col("__p") * (2 * F.col("__cprev") + F.col("__n") + 1)
@@ -2463,6 +2496,142 @@ def classifier_auc(
         F.round(
             u2 / (2.0 * F.col("__np") * F.col("__nn")), 6
         ).alias("auc"),
+    )
+
+
+def nb_weights(
+    documents: DataFrame,
+    label: Column | None = None,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """TRAIN a multinomial Naive Bayes text classifier over the hashed
+    unigram+bigram features (the exact X72 feature stream, bucketed
+    mod ``n_buckets``) — the labeled counterpart to
+    :func:`hashed_linear_score`'s fixed random projection (VERDICT r12
+    ask #4: a DataComp/FineWeb-class quality/domain signal is a
+    classifier trained on labels, not a projection). Training is ONE
+    partial-aggregable groupBy: explode features, map-side-combine
+    per-class occurrence counts per bucket — ≤ ``n_buckets`` rows out,
+    corpus-size-independent. Weights are add-1-smoothed multinomial
+    log-likelihood ratios in integer MICRO-nats::
+
+        w_b = round(1e6 · [ln((c⁺_b+1)/(T⁺+B)) − ln((c⁻_b+1)/(T⁻+B))])
+
+    — fixed-point so downstream per-doc sums are integer, associative,
+    bit-reproducible across engines/partitionings, and feed the exact
+    integer Mann-Whitney AUC directly. Returns ``(bucket, c_pos,
+    c_neg, w_micro, prior_micro)`` — ``prior_micro`` (the micro-nat
+    class prior ``round(1e6·ln(n⁺/n⁻))`` of the TRAINING docs) rides
+    along as a constant column so the frame is the complete model: a
+    scoring pass on a different corpus needs nothing else.
+
+    Default label: ``lang = 'en'`` (the fixture's labeled column, the
+    same label X122 grades against).
+    """
+    if label is None:
+        label = F.col("lang") == "en"
+    B = int(n_buckets)
+    docs = spread(documents)
+    ex = docs.select(
+        label.cast("long").alias("__y"),
+        F.explode(F.expr(_feats_expr(text_col))).alias("__x"),
+    )
+    cnt = ex.select(
+        "__y", F.expr(_bucket_expr("__x", B)).alias("__b")
+    ).groupBy("__b").agg(
+        F.sum("__y").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("c_neg"),
+    )
+    tot = cnt.agg(
+        F.sum("c_pos").alias("__tp"), F.sum("c_neg").alias("__tn")
+    )
+    pri = docs.agg(
+        F.sum(label.cast("long")).alias("__np"),
+        F.sum(F.lit(1) - label.cast("long")).alias("__nn"),
+    )
+    w = (
+        f"cast(round((ln((cast(c_pos as double) + 1.0) / "
+        f"(cast(__tp as double) + {B}.0)) - "
+        f"ln((cast(c_neg as double) + 1.0) / "
+        f"(cast(__tn as double) + {B}.0))) * 1000000.0) as bigint)"
+    )
+    prior = (
+        "cast(round((ln(cast(greatest(__np, 1) as double)) - "
+        "ln(cast(greatest(__nn, 1) as double))) * 1000000.0) as bigint)"
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pri))
+        .select(
+            F.col("__b").alias("bucket"),
+            F.col("c_pos").cast("bigint").alias("c_pos"),
+            F.col("c_neg").cast("bigint").alias("c_neg"),
+            F.expr(w).alias("w_micro"),
+            F.expr(prior).alias("prior_micro"),
+        )
+    )
+
+
+def nb_classify(
+    documents: DataFrame,
+    label: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Train-and-score the multinomial NB (X161): per document,
+    ``score_micro = prior_micro + Σ_features w_micro[bucket]`` in
+    integer micro-nats — the add-1-smoothed multinomial log-odds of
+    the positive class. Returns ``(id, n_feats, score_micro, keep)``
+    with ``keep = score_micro > 0`` (the Bayes decision at equal
+    costs). Pass ``weights`` (a :func:`nb_weights` frame) to score a
+    NEW corpus with a model trained elsewhere — unseen buckets
+    contribute 0 (a neutral ratio), the hashing-trick analogue of an
+    OOV backoff.
+
+    Scale shape: training is the one ≤ ``n_buckets``-row groupBy
+    (see nb_weights); scoring is explode → BROADCAST join against the
+    ≤ ``n_buckets``-row weight table → one per-doc partial-agg groupBy
+    (features of a doc co-locate in the scan partition, so map-side
+    combine collapses the token stream to ~|docs| rows before the
+    shuffle). The prior is a 1-row broadcast crossJoin (the
+    dangling-mass pattern), never a driver collect. The corpus is
+    scanned twice (count pass + score pass) — the price of training
+    and applying in one lineage; persist the weight frame to amortize
+    across corpora.
+    """
+    if label is None:
+        label = F.col("lang") == "en"
+    B = int(n_buckets)
+    if weights is None:
+        weights = nb_weights(
+            documents, label=label, text_col=text_col, n_buckets=B
+        )
+    # the prior ships WITH the model (a constant column of the weight
+    # frame) — recomputing it from the scoring corpus would silently
+    # grade a different model when scoring new data
+    pri = weights.agg(F.max("prior_micro").alias("__prior"))
+    docex = spread(documents).select(
+        F.col(id_col),
+        F.explode(F.expr(_feats_expr(text_col))).alias("__x"),
+    )
+    return (
+        docex.select(id_col, F.expr(_bucket_expr("__x", B)).alias("bucket"))
+        .join(F.broadcast(weights.select("bucket", "w_micro")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0))).alias("__s"),
+        )
+        .crossJoin(F.broadcast(pri))
+        .select(
+            id_col,
+            "n_feats",
+            (F.col("__prior") + F.col("__s")).cast("bigint").alias("score_micro"),
+            (F.col("__prior") + F.col("__s") > 0).cast("int").alias("keep"),
+        )
     )
 
 

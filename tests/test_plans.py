@@ -680,3 +680,13 @@ def test_web_host_rank_single_parse_no_cartesian(spark):
     plan = _plan(spark, "web_host_rank")
     assert "CartesianProduct" not in plan
     assert plan.count("MapInPandas") == 1, plan[:3000]
+
+
+def test_nb_classifier_trained_weight_join_is_broadcast(spark):
+    """X161: the scoring join against the ≤4096-row weight table must
+    be a broadcast hash join — a sort-merge join there shuffles the
+    corpus-sized token stream by bucket for nothing."""
+    plan = _plan(spark, "docs_classifier_trained")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
