@@ -338,6 +338,28 @@ def build_output_lines(
             # restart controls this run ran under.
             "aged": aged or None,
             "warm_floor": warm_floor or None,
+            # Self-describing adjudication (VERDICT r12 ask #6): for
+            # every re-measured query, the official figure and WHICH
+            # side won — "warm" (fresh-session floor beat the aged
+            # line: reclaimed aging) or "aged" (the warm run paid a
+            # memo/index rebuild the aged slot never did; its higher
+            # number is a rebuild cost, NOT a regression). A reader
+            # scanning warm_floor alone no longer has to infer this.
+            "official": (
+                {
+                    k: {
+                        "value": timings[k],
+                        "source": (
+                            "warm"
+                            if warm_floor.get(k, float("inf")) <= aged[k]
+                            else "aged"
+                        ),
+                    }
+                    for k in aged
+                }
+                if aged
+                else None
+            ),
             "aging": aging,
             "sf": sf,
         }

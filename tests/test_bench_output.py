@@ -105,6 +105,32 @@ def test_warm_floor_keys_in_result_and_tail_still_fits():
         bench.build_output_lines(timings, variance, 0.1, None)[0]
     )
     assert rec2["aged"] is None and rec2["warm_floor"] is None
+    assert rec2["official"] is None
+
+
+def test_official_dict_labels_warm_vs_rebuild():
+    """VERDICT r12 ask #6: the artifact must say, per re-measured
+    query, which side won — a warm number ABOVE the aged line is a
+    memo rebuild the aged slot never paid (source stays "aged"), not
+    a regression; a warm number below is reclaimed aging (source
+    "warm"). The official value always equals the published
+    queries[...] figure."""
+    timings, variance = _fixture()
+    names = sorted(timings)[:2]
+    reclaimed, rebuild = names[0], names[1]
+    aged = {reclaimed: 5.0, rebuild: 15.4}
+    warm = {reclaimed: 1.8, rebuild: 66.7}
+    timings[reclaimed] = 1.8   # min(aged, warm)
+    timings[rebuild] = 15.4
+    rec = json.loads(
+        bench.build_output_lines(
+            timings, variance, 0.1, None, aged=aged, warm_floor=warm
+        )[0]
+    )
+    assert rec["official"][reclaimed] == {"value": 1.8, "source": "warm"}
+    assert rec["official"][rebuild] == {"value": 15.4, "source": "aged"}
+    for k, v in rec["official"].items():
+        assert v["value"] == rec["queries"][k]
 
 
 def test_select_warm_candidates_rules():
