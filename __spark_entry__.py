@@ -91,6 +91,10 @@ _WEB_LINKS_CACHE: dict[str, DataFrame] = {}
 # per-process container dir (the export-tempdir rule, ADVICE r11 #1)
 _WARC_CACHE: dict[str, DataFrame] = {}
 _WARC_DIRS: dict[str, str] = {}
+# checkpointed trained NB weight frame (X161, ≤4096 rows + prior) per
+# sf_dir — train once, consumed by docs_classifier_trained AND its AUC
+# grade (the production train-once/score-many shape)
+_NB_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -126,7 +130,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE, _WARC_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE, _WARC_CACHE, _NB_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -176,6 +180,7 @@ def reset_caches() -> None:
         _CLUSTERS_CACHE,
         _WEB_LINKS_CACHE,
         _WARC_CACHE,
+        _NB_CACHE,
     ):
         cache.clear()
 
@@ -216,6 +221,8 @@ def _memo_map() -> dict:
         "graph_density_components": [_COMP_CACHE],
         "web_host_rank": [_WEB_LINKS_CACHE],
         "docs_warc_extract": [_WARC_CACHE],
+        "docs_classifier_trained": [_NB_CACHE],
+        "docs_classifier_trained_auc": [_NB_CACHE],
         "docs_minhash_pairs": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_clusters": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
         "docs_minhash_rescored": [_MINHASH_CACHE, _MINHASH_SIG_CACHE],
@@ -1291,6 +1298,19 @@ def _q_docs_classifier_calibration(spark, sf_dir):
     return ops_text.classifier_calibration(_t(spark, sf_dir, "documents"))
 
 
+def _nb_model(spark, sf_dir) -> DataFrame:
+    # trained NB weight frame (bucket counts + micro-nat LLRs + prior),
+    # ≤4096 rows, checkpointed — docs_classifier_trained and its AUC
+    # grade share ONE training pass (the memo rule: producer directly
+    # before its consumer in the registry)
+    cached = _NB_CACHE.get(sf_dir)
+    if cached is None or not _checkpoint_alive(cached):
+        _NB_CACHE[sf_dir] = ops_text.nb_weights(
+            _t(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _NB_CACHE[sf_dir]
+
+
 def _q_docs_classifier_trained(spark, sf_dir):
     """X161 / VERDICT r12 ask #4 — the TRAINED quality/domain
     classifier: multinomial Naive Bayes over the exact X72 hashed
@@ -1302,7 +1322,10 @@ def _q_docs_classifier_trained(spark, sf_dir):
     labeled-model counterpart to docs_classifier's fixed random
     projection; docs_classifier_trained_auc grades the lift on the
     same label with the same statistic."""
-    return ops_text.nb_classify(_t(spark, sf_dir, "documents"))
+    return ops_text.nb_classify(
+        _t(spark, sf_dir, "documents"),
+        weights=_nb_model(spark, sf_dir),
+    )
 
 
 def _q_docs_classifier_trained_auc(spark, sf_dir):
@@ -1312,7 +1335,9 @@ def _q_docs_classifier_trained_auc(spark, sf_dir):
     model's lift over the fixed projection is the difference of two
     driver-checked numbers (pytest pins trained > untrained)."""
     docs = _t(spark, sf_dir, "documents")
-    scored = ops_text.nb_classify(docs).join(
+    scored = ops_text.nb_classify(
+        docs, weights=_nb_model(spark, sf_dir)
+    ).join(
         docs.select(
             "doc_id", (F.col("lang") == "en").cast("long").alias("__pos")
         ),

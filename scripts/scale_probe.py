@@ -336,6 +336,34 @@ def main() -> None:
             "text_chars",
         ),
     }
+    # Entry-level probes (r13): compositions measured through the
+    # registry entries themselves — each call takes (spark, sf_dir),
+    # reads the scale's parquet dir, and is forced through the noop
+    # sink (the bench forcing rule: .count() lets Catalyst prune the
+    # expensive columns / eliminate cardinality-preserving joins).
+    # Memos are per-sf_dir, so each scale pays its own builds.
+    import importlib.util
+
+    _espec = importlib.util.spec_from_file_location(
+        "spark_entry_probe",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    _entry = importlib.util.module_from_spec(_espec)
+    _espec.loader.exec_module(_entry)
+    _q = _entry.queries()
+    OPS_ENTRY = {
+        # ask #5: the two composed HTML entries get their own rows
+        "html_quality": "docs_html_quality",
+        "html_links": "docs_html_links",
+        # r13 operators
+        "web_host_rank": "web_host_rank",
+        "warc_extract": "docs_warc_extract",
+        "nb_trained": "docs_classifier_trained",
+        "nb_trained_auc": "docs_classifier_trained_auc",
+    }
+    for pname, ename in OPS_ENTRY.items():
+        OPS[pname] = ("__entry__", ename)
+
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]
     loaded = {}
@@ -352,11 +380,16 @@ def main() -> None:
         if only and name not in only:
             continue
         row = []
-        for tag, _ in scales:
+        for tag, path in scales:
             d, e, ev = loaded[tag]
             t0 = time.time()
             try:
-                fn(d, e, ev)
+                if isinstance(fn, tuple) and fn[0] == "__entry__":
+                    _q[fn[1]](spark, path).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                else:
+                    fn(d, e, ev)
                 row.append(time.time() - t0)
             except Exception as ex:
                 print(f"{name}: FAIL at {tag}: {str(ex)[:90]}")
