@@ -381,6 +381,14 @@ def main() -> None:
             continue
         row = []
         for tag, path in scales:
+            # sweep non-pinned blocks between measurements (the bench
+            # rule): without this, checkpoint blocks from earlier ops
+            # accumulate and a late op's line measures block-store
+            # churn, not its plan (r13: nb_trained read 261 s in a
+            # full-sweep session vs 13.9 s solo at the same scale)
+            from bench import _drop_persisted_blocks
+
+            _drop_persisted_blocks(spark)
             d, e, ev = loaded[tag]
             t0 = time.time()
             try:
