@@ -268,6 +268,63 @@ def select_warm_candidates(
 TAIL_WINDOW = 2000
 
 
+def restart_jvm_session(old, app_name: str, master: str, shuffle_partitions=None):
+    """Tear the current SparkSession AND its JVM down, return a fresh
+    one. A long session accumulates JVM-side state (listener/status
+    stores, shuffle/broadcast cleanup backlog, old-gen garbage, JIT/
+    codegen caches) that the per-query block sweep cannot reach and
+    that slows later heavy queries 3-7x (measured: LPA 35.5 s solo vs
+    67-176 s at a session tail; PageRank 18.7 s vs 63 s; r13:
+    nb_trained@10x 13.2 s fresh vs 31.5-88 s after unrelated ops —
+    including after a same-JVM context restart, which keeps the aged
+    heap). ``spark.stop()`` alone reuses the JVM; this also shuts the
+    py4j gateway down and KILLS the spark-submit process (it lingers
+    as a zombie 48g-heap JVM otherwise — the r5/r6 graph variance
+    source), then boots a clean JVM. Entry-layer memos are invalidated
+    (they hold old-context frames).
+
+    Shared by the bench's block restarts and scale_probe's per-row
+    restarts — one definition of "fresh environment"."""
+    try:
+        import __spark_entry__ as entry
+
+        entry.reset_caches()
+    except Exception:
+        pass
+    try:
+        old.stop()
+    except Exception as e:
+        print(f"bench session restart warning: {e}", file=sys.stderr, flush=True)
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        proc = None
+        if SparkContext._gateway is not None:
+            # gateway.proc is the spark-submit JVM's Popen handle;
+            # shutdown() only closes the py4j sockets — the JVM itself
+            # LINGERS until the python process exits. Kill it and wait
+            # for the OS to reap it so the next measurements own the box.
+            proc = getattr(SparkContext._gateway, "proc", None)
+            SparkContext._gateway.shutdown()
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=10)
+            except Exception:
+                proc.kill()
+                proc.wait(timeout=10)
+    except Exception as e:
+        print(f"bench gateway shutdown warning: {e}", file=sys.stderr, flush=True)
+    return get_spark(
+        app_name=app_name, master=master, shuffle_partitions=shuffle_partitions
+    )
+
+
 def build_output_lines(
     timings: dict[str, float],
     variance: dict,
@@ -519,66 +576,11 @@ def main() -> None:
     _drop_persisted_blocks(spark)
 
     def _fresh_session(old):
-        """Restart the SparkSession before the heavy iterative graph
-        group. A ~60-query session accumulates JVM-side state (listener/
-        status stores, shuffle/broadcast cleanup backlog) that slows the
-        multi-round graph queries 3-4x versus a clean session (measured
-        same-day: LPA 35.5/36.7 s solo vs 67-129 s at the session tail;
-        PageRank 18.7 s vs 63 s) — state the per-query block sweep cannot
-        reach. Same JVM (the py4j gateway and JIT-hot code survive), but
-        contexts, block manager, and listener state start clean — the
-        environment a dedicated graph-analytics job would actually get.
-        Entry-layer memos are invalidated (they hold old-context frames);
-        the graph queries re-memoize inside the new session, so the
-        lpa -> density reuse still works."""
-        try:
-            import __spark_entry__ as entry
-
-            entry.reset_caches()
-        except Exception:
-            pass
-        try:
-            old.stop()
-        except Exception as e:
-            print(f"bench session restart warning: {e}", file=sys.stderr, flush=True)
-        # Shut the py4j gateway down too so the NEXT session launches a
-        # brand-new JVM: a same-JVM context restart keeps ~60 queries of
-        # old-gen garbage and JIT/codegen caches, and the multi-round
-        # graph queries then stall in G1 mixed collections (observed:
-        # LPA 176 s in an aged JVM vs 25-45 s fresh; cores idle at load
-        # ~8/32 while GC threads churn). A fresh JVM pays ~10 s startup
-        # once — far cheaper than 3-7x on every iterative query.
-        try:
-            from pyspark import SparkContext
-            from pyspark.sql import SparkSession
-
-            proc = None
-            if SparkContext._gateway is not None:
-                # gateway.proc is the spark-submit JVM's Popen handle;
-                # shutdown() only closes the py4j sockets — the JVM
-                # itself LINGERS until the python process exits
-                # (observed this round: 3 zombie 48g-heap JVMs from the
-                # per-group restarts running CONCURRENTLY with the timed
-                # graph block, load avg 14 on 32 cores — the dominant
-                # source of the r5/r6 graph-query variance). Kill it
-                # explicitly and wait for the OS to reap it before the
-                # fresh JVM starts, so the timed queries own the box.
-                proc = getattr(SparkContext._gateway, "proc", None)
-                SparkContext._gateway.shutdown()
-            SparkContext._gateway = None
-            SparkContext._jvm = None
-            SparkSession._instantiatedSession = None
-            SparkSession._activeSession = None
-            if proc is not None:
-                try:
-                    proc.terminate()
-                    proc.wait(timeout=10)
-                except Exception:
-                    proc.kill()
-                    proc.wait(timeout=10)
-        except Exception as e:
-            print(f"bench gateway shutdown warning: {e}", file=sys.stderr, flush=True)
-        fresh = get_spark(
+        """Restart into a brand-new JVM before the heavy iterative
+        graph group — see restart_jvm_session for the mechanism and the
+        measured LPA/PageRank aging numbers it reclaims."""
+        fresh = restart_jvm_session(
+            old,
             app_name="graph-loom-bench-graph",
             master=f"local[{cpus}]",
             shuffle_partitions=int(cpus) if cpus.isdigit() else None,

@@ -350,6 +350,14 @@ def main() -> None:
     )
     _entry = importlib.util.module_from_spec(_espec)
     _espec.loader.exec_module(_entry)
+    # alias the loaded instance under the canonical name BEFORE anything
+    # imports bench: _drop_persisted_blocks resolves pinned_rdd_ids()
+    # via `import __spark_entry__` — without the alias that import
+    # creates a SECOND instance with empty caches, the sweep unpins the
+    # probe's live memo checkpoints, and the cleanup churn lands inside
+    # the next measured job (nb_trained read 19.3 s with the mismatched
+    # sweep vs 4.5 s aliased — the r13 false 23x)
+    sys.modules["__spark_entry__"] = _entry
     _q = _entry.queries()
     OPS_ENTRY = {
         # ask #5: the two composed HTML entries get their own rows
@@ -366,38 +374,82 @@ def main() -> None:
 
     only = sys.argv[1:]
     scales = [("sf0.01", SF01), ("sf0.1", SF1), ("sf0.1x10", DERIVED)]
-    loaded = {}
-    for tag, path in scales:
-        loaded[tag] = (
-            spark.read.parquet(f"{path}/documents.parquet").localCheckpoint(eager=True),
-            spark.read.parquet(f"{path}/embeddings.parquet").localCheckpoint(eager=True),
-            ops_events.load_events(spark, f"{path}/events.parquet").localCheckpoint(
-                eager=True
-            ),
-        )
+    # lazy: built on first non-entry op, and rebuilt after an entry-op
+    # row restarts the session (old-session checkpoints die with it)
+    loaded = None
     print(f"{'op':16s} " + " ".join(f"{t:>10s}" for t, _ in scales) + "   x(0.1->10x)")
     for name, fn in OPS.items():
         if only and name not in only:
             continue
         row = []
+        if isinstance(fn, tuple) and fn[0] == "__entry__":
+            # FRESH JVM per entry-op row + min-of-2 with a memo reset
+            # per rep. An aged session reads these rows 3-50x inflated
+            # REGARDLESS of block sweeping or min-of-2 within the same
+            # session (r13 adjudication: nb_trained@10x measured 13.2 s
+            # in a fresh session, 31.5 s immediately after
+            # web_host_rank in the same session, 88 s after a same-JVM
+            # context restart, 2.5 s steady-state — identical verified
+            # broadcast+partial-agg plan). This is the bench's
+            # session-aging disease; the probe takes the bench's cure:
+            # restart_jvm_session (gateway shutdown + JVM kill — a
+            # same-JVM spark.stop() keeps the aged heap and measures
+            # WORSE). The per-rep reset keeps rep 2 honest (a memoized
+            # rerun times a cache hit — the r8 poison rule); rep 1
+            # carries cold-JIT, so the min is ~the warm-session figure.
+            from bench import restart_jvm_session
+
+            spark = restart_jvm_session(
+                spark, app_name="scale-probe", master="local[32]",
+                shuffle_partitions=32,
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            loaded = None  # old-session checkpoints are dead
+            for tag, path in scales:
+                try:
+                    times = []
+                    for _rep in range(2):
+                        try:
+                            _entry.reset_memo(fn[1])
+                        except Exception:
+                            pass
+                        t0 = time.time()
+                        _q[fn[1]](spark, path).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        times.append(time.time() - t0)
+                    row.append(min(times))
+                except Exception as ex:
+                    print(f"{name}: FAIL at {tag}: {str(ex)[:90]}")
+                    row.append(float("nan"))
+                    break
+            if len(row) == len(scales):
+                factor = row[2] / row[1] if row[1] else float("nan")
+                print(
+                    f"{name:16s} " + " ".join(f"{v:9.2f}s" for v in row) + f"   {factor:6.1f}x",
+                    flush=True,
+                )
+            continue
+        if loaded is None:
+            loaded = {}
+            for tag, path in scales:
+                loaded[tag] = (
+                    spark.read.parquet(f"{path}/documents.parquet").localCheckpoint(eager=True),
+                    spark.read.parquet(f"{path}/embeddings.parquet").localCheckpoint(eager=True),
+                    ops_events.load_events(spark, f"{path}/events.parquet").localCheckpoint(eager=True),
+                )
         for tag, path in scales:
             # sweep non-pinned blocks between measurements (the bench
             # rule): without this, checkpoint blocks from earlier ops
             # accumulate and a late op's line measures block-store
-            # churn, not its plan (r13: nb_trained read 261 s in a
-            # full-sweep session vs 13.9 s solo at the same scale)
+            # churn, not its plan
             from bench import _drop_persisted_blocks
 
             _drop_persisted_blocks(spark)
             d, e, ev = loaded[tag]
-            t0 = time.time()
             try:
-                if isinstance(fn, tuple) and fn[0] == "__entry__":
-                    _q[fn[1]](spark, path).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                else:
-                    fn(d, e, ev)
+                t0 = time.time()
+                fn(d, e, ev)
                 row.append(time.time() - t0)
             except Exception as ex:
                 print(f"{name}: FAIL at {tag}: {str(ex)[:90]}")
