@@ -117,9 +117,20 @@ def _drop_persisted_blocks(spark) -> None:
 _BENCH_LAST = [
     "graph_triangles",
     "graph_clustering",  # immediately after triangles: shares _TRI_CACHE
+    # r13-opt: every other _COOC_CACHE consumer runs in the same fresh
+    # graph session — previously link_*/assortativity/knn/sssp sat in
+    # earlier blocks and the co-occurrence edge build (plus the
+    # _LINKPRED_CACHE scored frame) was re-paid up to 3x per bench run
+    # after block restarts swept the memo.
+    "graph_link_jaccard",
+    "graph_link_ra",
+    "graph_link_capped",
+    "graph_assortativity",
+    "graph_knn_degree",
     "graph_bfs",
-    "graph_degrees",
+    "graph_sssp",
     "graph_kcore",
+    "graph_degrees",
     "graph_pagerank",
     "graph_ppr",
     "graph_hits",
@@ -193,6 +204,28 @@ def _same_memo_group(entry_mod, a: str, b: str) -> bool:
         mm = entry_mod._memo_map()
         sa = {id(c) for c in mm.get(a, [])}
         return bool(sa & {id(c) for c in mm.get(b, [])})
+    except Exception:
+        return False
+
+
+#: restart deferral bound: a memo family stretching more than this many
+#: entries past the block budget gets split anyway (with a warning)
+#: rather than letting one family disable aging control for a session
+_BLOCK_SLACK = 30
+
+
+def _shares_touched_memo(entry_mod, name: str, touched_ids: set) -> bool:
+    """True iff ``name`` consumes a memo cache that some earlier query
+    in the CURRENT session already built — a restart here would
+    silently move that group's one-time build cost onto ``name``'s
+    line. Replaces the pairwise-adjacency rule for restart placement
+    (ADVICE r12 #4): pairwise adjacency missed memo groups whose
+    members are separated by a non-member entry, so a block restart
+    could land inside the group and the tail consumers paid a rebuild
+    their line never owed."""
+    try:
+        mm = entry_mod._memo_map()
+        return bool({id(c) for c in mm.get(name, [])} & touched_ids)
     except Exception:
         return False
 
@@ -616,6 +649,7 @@ def main() -> None:
     restarts = set(_RESTART_BEFORE)
     since_restart = 0
     n_block_restarts = 0
+    touched_cache_ids: set = set()
     for i, name in enumerate(bench_queries):
         fn = qs.get(name)
         if fn is None:
@@ -624,27 +658,45 @@ def main() -> None:
         # giving every ~_BLOCK queries a brand-new JVM — but never
         # split a memo group (the build cost would silently move from
         # the producer's line to a consumer's, the r7/r11 attribution
-        # lesson).
-        if (
-            since_restart >= _BLOCK
-            and name not in restarts  # about to restart anyway
-            and i > 0
-            and not _same_memo_group(entry, bench_queries[i - 1], name)
-        ):
-            print(
-                f"bench block restart before {name} "
-                f"({since_restart} queries in session)",
-                file=sys.stderr,
-                flush=True,
-            )
-            spark = _fresh_session(spark)
-            since_restart = 0
-            n_block_restarts += 1
+        # lesson). r13-opt: the boundary test is now session-level
+        # (ADVICE r12 #4) — defer the restart while the NEXT query
+        # consumes any memo cache built since the last restart, so a
+        # group's window-head producer and its tail consumers always
+        # share one session; a _BLOCK_SLACK cap bounds the deferral.
+        if since_restart >= _BLOCK and name not in restarts and i > 0:
+            deferred = _shares_touched_memo(entry, name, touched_cache_ids)
+            if deferred and since_restart >= _BLOCK + _BLOCK_SLACK:
+                print(
+                    f"bench block restart FORCED before {name}: memo "
+                    f"family exceeded the {_BLOCK_SLACK}-entry deferral "
+                    "slack — its tail consumers will pay a rebuild",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                deferred = False
+            if not deferred:
+                print(
+                    f"bench block restart before {name} "
+                    f"({since_restart} queries in session)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark = _fresh_session(spark)
+                since_restart = 0
+                touched_cache_ids = set()
+                n_block_restarts += 1
         if name in restarts:
             spark = _fresh_session(spark)
             restarts.discard(name)
             since_restart = 0
+            touched_cache_ids = set()
         since_restart += 1
+        try:
+            touched_cache_ids.update(
+                id(c) for c in entry._memo_map().get(name, [])
+            )
+        except Exception:
+            pass
         if name in ab_watch:
             # reset ONLY when an earlier memo-group sibling pre-warmed
             # the shared frame (the timed slot would record a cache
