@@ -1019,10 +1019,18 @@ def exact_dup_spans(
     and SQL-replayable, no suffix array.
 
     Scale shape: the gram stream is (id, pos, gram) — text never
-    shuffles whole, only fixed-width min_len-char grams; the join is
-    an equi-join on the gram (AQE splits hot grams); the island window
-    partitions by (id_a, id_b, diagonal) — per-partition rows are
-    bounded by the shorter doc's length, never corpus-sized. The
+    shuffles whole, only fixed-width min_len-char grams, and it crosses
+    the network exactly ONCE: the stream is hash-partitioned on the
+    gram, sorted and persisted, so the df keep-filter (a window count)
+    and BOTH sides of the seed equi-join reuse the cached layout with
+    zero further exchanges (r13-opt; previously the corpus was exploded
+    once per plan branch and the df aggregate ran twice). The island
+    window partitions by (id_a, id_b, diagonal) — per-partition rows
+    are bounded by the shorter doc's length, never corpus-sized. A
+    boilerplate gram is the skew/quadratic risk of the seed join, and
+    the pre-partitioned cached join is outside AQE's skew-split reach —
+    ``max_gram_df`` (which bounds every gram group at the cap) is the
+    designed mitigation at scale, exactly as before. The
     quadratic risk is a gram shared by many documents (boilerplate):
     ``max_gram_df`` drops grams occurring in more than that many
     positions corpus-wide first (one partial-agg groupBy — the same
@@ -1067,20 +1075,25 @@ def exact_dup_spans(
             F.expr(f"substring(__t, pos, {g})").alias("gram"),
         )
     )
+    # r13-opt: ONE gram-partitioned pass feeds everything. The seed
+    # self-join reads the gram stream twice, and (with max_gram_df) so
+    # did the df keep-filter — unmaterialized, the corpus was exploded
+    # FOUR times and the df aggregate ran twice (plan-audited at sf0.1),
+    # with the keep set built into two corpus-sized broadcasts. Instead:
+    # shuffle the gram stream ONCE onto its join key, sorted, persist
+    # it, and both join sides plus the df filter reuse the cached
+    # layout exchange-free (the LPA/pagerank pinned-frame lever,
+    # guide §2.4/§3.3). The df cap becomes a window count over the
+    # same partitioning — corpus-wide by contract (ADVICE r11 #2),
+    # computed BEFORE any pairs prefilter narrows the stream.
     if max_gram_df is not None:
-        # document frequency is CORPUS-WIDE by contract: compute the
-        # keep-filter on the unfiltered gram stream BEFORE any pairs
-        # prefilter narrows it (ADVICE r11 #2 — computing it after the
-        # candidate semi-join silently made df subcorpus-relative, so
-        # grams ubiquitous corpus-wide but rare among candidates
-        # survived the cap)
-        keep = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_gram_df)
-            .select("gram")
+        wdf = Window.partitionBy("gram")
+        grams = (
+            grams.repartition(F.col("gram"))
+            .withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_gram_df)
+            .drop("__df")
         )
-        grams = grams.join(keep, "gram", "left_semi")
     pr = None
     if pairs is not None:
         c0, c1 = pairs.columns[:2]
@@ -1098,8 +1111,18 @@ def exact_dup_spans(
         # shrink the gram stream BEFORE the self-join — this is the
         # 100 TB lever: the quadratic only runs over candidate docs
         grams = grams.join(cand_ids, "__id", "left_semi")
-    a = grams.select(F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram")
-    b = grams.select(F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram")
+    if max_gram_df is None:
+        # the cap path is already hash-partitioned on gram by the df
+        # window; only the uncapped path still needs the one exchange
+        grams = grams.repartition(F.col("gram"))
+    # persisted (NOT localCheckpoint — a checkpoint's LogicalRDD drops
+    # outputPartitioning/ordering and the join would re-shuffle+re-sort
+    # both sides); the timing harness / session owner sweeps the blocks
+    # after forcing, and callers composing further (coverage, tests)
+    # read the same cache
+    gp = grams.sortWithinPartitions("gram").persist()
+    a = gp.select(F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram")
+    b = gp.select(F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram")
     m = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
