@@ -2683,7 +2683,13 @@ def _q_web_host_rank(spark, sf_dir):
     from graph_loom_spark.graph import PropertyGraph
 
     ranks = analytics.pagerank(
-        PropertyGraph(spark, nodes=nodes, edges=edges), iters=5
+        PropertyGraph(spark, nodes=nodes, edges=edges),
+        iters=5,
+        # the host graph is a heavy MULTIGRAPH (corpus-sized link
+        # records over a small host-pair set): collapse parallel edges
+        # to multiplicities before the loop so the iterations touch
+        # |host pairs|, not |links| — bit-exact (see analytics.pagerank)
+        pre_aggregate_edges=True,
     )
     inl = edges.groupBy(F.col("dst").alias("host")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_in_links")

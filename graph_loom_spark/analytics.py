@@ -1302,6 +1302,7 @@ def pagerank(
     damping: float = 0.85,
     broadcast_nodes_max: int = 5_000_000,
     scale: int = 10**12,
+    pre_aggregate_edges: bool = False,
 ) -> DataFrame:
     """Directed PageRank, fixed ``iters`` power iterations: returns
     ``(id, rank)`` with ranks summing to ~1.
@@ -1339,14 +1340,30 @@ def pagerank(
     edges_h = graph.edges.select(
         F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
     )
-    outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    # r13-opt: on a MULTIGRAPH (the web host graph: corpus-sized link
+    # records over a small host×host pair set) collapsing parallel
+    # edges to (u, v, multiplicity) BEFORE the loop means the one
+    # corpus-sized pass is the partial-agg groupBy and every iteration
+    # joins only the distinct pair set. Bit-exact: each parallel edge
+    # contributes the identical integer ``r div od``, so k of them sum
+    # to ``k * (r div od)``, and od = Σ multiplicities is the same
+    # count. Opt-in because on a simple graph (the tpch projection:
+    # 100% unique pairs) the extra aggregation buys nothing.
+    if pre_aggregate_edges:
+        ew = edges_h.groupBy("u", "v").agg(F.count(F.lit(1)).alias("__k"))
+        outdeg = ew.groupBy("u").agg(F.sum("__k").alias("od"))
+        contrib_c = F.expr("__k * (r div od)").alias("c")
+    else:
+        ew = edges_h
+        outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+        contrib_c = F.expr("r div od").alias("c")
     # persist (NOT localCheckpoint — that drops outputPartitioning)
     # partitioned by the CONTRIBUTION-AGG key v: the rank side of the
     # per-iteration join is broadcast, so join-key partitioning buys
     # nothing, while HashPartitioning(v) lets every iteration's
     # groupBy(v) reuse the layout — zero exchanges per contrib pass
     # (same lever as weighted_label_propagation's weights frame).
-    ed_cached = edges_h.join(outdeg, "u").repartition(F.col("v")).persist()
+    ed_cached = ew.join(outdeg, "u").repartition(F.col("v")).persist()
     ed_cached.count()  # materialize outside the iteration loop
     ed = ed_cached
     ranks = _tracked_checkpoint(
@@ -1393,7 +1410,7 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
-            .select(F.col("v").alias("nid"), F.expr("r div od").alias("c"))
+            .select(F.col("v").alias("nid"), contrib_c)
             .groupBy("nid")
             .agg(F.sum("c").alias("__in"))
         )

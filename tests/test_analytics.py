@@ -347,3 +347,27 @@ def test_link_prediction_matches_python_replay_random_graphs(spark):
             for r in analytics.link_prediction_scores(df).collect()
         }
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_pagerank_pre_aggregated_multigraph_is_bit_identical(spark):
+    """r13-opt: ``pre_aggregate_edges=True`` collapses parallel edges to
+    (u, v, multiplicity) before the iteration loop — on a multigraph
+    with skewed multiplicities, a dangling node and a no-inlink node,
+    every rank must equal the default path's bit-for-bit (k parallel
+    edges each contribute the identical integer ``r div od``)."""
+    edges = (
+        [("a", "b")] * 7
+        + [("a", "c")] * 2
+        + [("b", "c")] * 5
+        + [("c", "a")]
+        + [("c", "d")] * 3
+        + [("e", "c")]          # e has no in-links; d is dangling
+    )
+    nodes = spark.createDataFrame([(n,) for n in "abcde"], "id string")
+    g = PropertyGraph(spark, nodes=nodes, edges=spark.createDataFrame(edges, "src string, dst string"))
+    base = {r["id"]: r["rank"] for r in analytics.pagerank(g, iters=4).collect()}
+    agg = {
+        r["id"]: r["rank"]
+        for r in analytics.pagerank(g, iters=4, pre_aggregate_edges=True).collect()
+    }
+    assert base == agg
