@@ -1467,9 +1467,9 @@ def personalized_pagerank(
     longs, floor divisions, rational damping, v-partitioned persisted
     edge frame, broadcast rank frame below ``broadcast_nodes_max``,
     per-round checkpoints, dangling mass as a broadcast 1-row
-    aggregate); the per-node seed flag rides in a static broadcast
-    frame joined into each update — one extra size-gated broadcast join
-    per iteration vs the uniform variant.
+    aggregate); the destination's seed flag rides the pinned edge frame
+    (one size-gated broadcast join at build time, r13-opt), so an
+    iteration costs exactly what the uniform variant's does.
     """
     spark = graph.nodes.sparkSession
     tracked: list = []
@@ -1491,9 +1491,6 @@ def personalized_pagerank(
         F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
     )
     outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
-    ed_cached = edges_h.join(outdeg, "u").repartition(F.col("v")).persist()
-    ed_cached.count()
-    ed = ed_cached
     bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
     # static per-node seed flag + teleport base; all mass starts on S
     base = ((100 - dn) * scale) // (100 * n_src)
@@ -1503,6 +1500,24 @@ def personalized_pagerank(
         .select("nid", F.coalesce("__s", F.lit(0)).alias("__s")),
         tracked,
     )
+    # r13-opt: the destination's seed flag is functionally dependent on
+    # v, so it rides the pinned edge frame (one size-gated join at build
+    # time) instead of a per-iteration |V|-row broadcast join against
+    # the aggregated contribs — one fewer broadcast build + |V|-row
+    # probe scan per iteration (the LPA cstr lever; measured the same
+    # way: the stat broadcast was the only per-round cost PPR paid
+    # over uniform pagerank).
+    ed_cached = (
+        edges_h.join(outdeg, "u")
+        .join(
+            bcast(stat.select(F.col("nid").alias("v"), F.col("__s").alias("__sv"))),
+            "v",
+        )
+        .repartition(F.col("v"))
+        .persist()
+    )
+    ed_cached.count()
+    ed = ed_cached
     ranks = _tracked_checkpoint(
         stat.select(
             "nid", (F.col("__s") * F.lit(scale // n_src)).cast("long").alias("r")
@@ -1529,10 +1544,14 @@ def personalized_pagerank(
     for _ in range(iters):
         contrib = (
             ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
-            .select(F.col("v").alias("nid"), F.expr("r div od").alias("c"))
+            .select(
+                F.col("v").alias("nid"),
+                F.expr("r div od").alias("c"),
+                F.col("__sv"),
+            )
             .groupBy("nid")
-            .agg(F.sum("c").alias("__in"))
-            .join(bcast(stat), "nid")
+            # first() is safe: __sv is functionally dependent on nid
+            .agg(F.sum("c").alias("__in"), F.first("__sv").alias("__s"))
         )
         dmass_df = (
             ranks.join(bcast(dangling), "nid")
