@@ -148,8 +148,13 @@ _BENCH_LAST = [
 # group tail vs an 18 s solo floor — an A/B of the two orderings showed
 # whichever query runs in the aged slot loses, so the two heaviest
 # each get a clean session (~10 s untimed startup apiece, repaid
-# several times over in the timed numbers).
-_RESTART_BEFORE = {"graph_triangles", "graph_lpa"}
+# several times over in the timed numbers). r13-opt: the cooc/link
+# family joining the triangles session pushed pagerank/ppr/hits/
+# components ~6 slots deeper (measured: pagerank 27.9 s at depth 12 vs
+# its 9.6 s floor), so the iterative power-method block gets its own
+# fresh JVM too — three graph sessions: co-occurrence family,
+# pagerank-family, LPA trio.
+_RESTART_BEFORE = {"graph_triangles", "graph_pagerank", "graph_lpa"}
 
 # Default A/B variance watch list (override via $SPARK_GRAFT_AB).
 # graph_components + docs_tfidf: r5 regressed with no impl change — the

@@ -428,13 +428,25 @@ def simhash_near_pairs(
         F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
         for i in range(4)
     ]
-    banded = sim.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("chunk"), c.alias("cv")) for i, c in enumerate(chunks)])
-        ).alias("b"),
-    ).select("id", "simhash", "b.chunk", "b.cv")
+    banded = (
+        sim.select(
+            F.col(id_col).alias("id"),
+            "simhash",
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("chunk"), c.alias("cv")) for i, c in enumerate(chunks)])
+            ).alias("b"),
+        )
+        .select("id", "simhash", "b.chunk", "b.cv")
+        # r13-opt: both sides of the pigeonhole self-join read this frame
+        # — unmaterialized, the fingerprint pass upstream (md5-per-token
+        # simhash, or a REAL image/audio decode for the media callers)
+        # ran twice per call. Shuffle the 4-rows-per-doc banded frame
+        # once onto the join key, sorted, and join exchange-free from
+        # cache (the exact_dup_spans gram-stream lever).
+        .repartition(F.col("chunk"), F.col("cv"))
+        .sortWithinPartitions("chunk", "cv")
+        .persist()
+    )
     left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
     right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
     cand = (
@@ -496,6 +508,14 @@ def ngram_jaccard_pairs(
                 F.transform(F.slice("sg", 1, plen), lambda s: s["g"]).alias("pg"),
             )
             .select("id", "nsh", F.explode("pg").alias("g"))
+            # r13-opt: both sides of the prefix self-join read this frame
+            # — unmaterialized, the df join + rarest-first sort-collect
+            # aggregate ran twice per call. One shuffle onto the join
+            # key, sorted, then the join runs exchange-free from cache
+            # (the exact_dup_spans gram-stream lever).
+            .repartition(F.col("g"))
+            .sortWithinPartitions("g")
+            .persist()
         )
         t = F.lit(float(threshold))
         cand = (

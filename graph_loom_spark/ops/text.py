@@ -920,6 +920,12 @@ def textrank_keywords(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # r13-opt: pin the VOCABULARY-sized distinct pair set — nodes,
+        # both undirected edge orientations, the out-degree aggregate
+        # and the pinned-edge build below all branch from it, and
+        # unmaterialized each branch re-ran the corpus-sized explode +
+        # distinct (~6 evaluations per call, plan-audited)
+        .localCheckpoint(eager=True)
     )
     edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
