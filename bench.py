@@ -60,7 +60,7 @@ def _warm_iterative(spark) -> None:
         print(f"bench iterative warm-up warning: {e}", file=sys.stderr, flush=True)
 
 
-def _drop_persisted_blocks(spark) -> None:
+def _drop_persisted_blocks(spark, extra_keep=None) -> None:
     """Free blocks pinned by finished queries (outside the timed window).
 
     Iterative/reused-plan operators ``localCheckpoint`` intermediates;
@@ -69,7 +69,11 @@ def _drop_persisted_blocks(spark) -> None:
     every later query pays eviction + GC churn (measured: the same
     components query ran 55 s fresh vs ~480 s at the tail of a full
     bench session). Each query is timed as an independent job, so
-    clearing between queries is both fair and representative."""
+    clearing between queries is both fair and representative.
+
+    ``extra_keep``: additional RDD ids a caller's own live checkpoints
+    pin (e.g. scale_probe's pre-loaded input frames — sweeping those
+    kills the next measurement with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
     import gc
 
     sc = spark.sparkContext
@@ -83,6 +87,8 @@ def _drop_persisted_blocks(spark) -> None:
         keep = entry.pinned_rdd_ids()
     except Exception:
         pass
+    if extra_keep:
+        keep = keep | set(extra_keep)
     try:
         for rid, rdd in sc._jsc.getPersistentRDDs().items():
             if rid not in keep:

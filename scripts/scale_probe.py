@@ -442,10 +442,21 @@ def main() -> None:
             # sweep non-pinned blocks between measurements (the bench
             # rule): without this, checkpoint blocks from earlier ops
             # accumulate and a late op's line measures block-store
-            # churn, not its plan
+            # churn, not its plan. Pin the probe's OWN pre-loaded input
+            # checkpoints (r13-opt fix: the sweep previously unpersisted
+            # them and every non-entry row died with
+            # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; only entry-level rows
+            # were probed after the sweep landed, so it went unnoticed).
             from bench import _drop_persisted_blocks
 
-            _drop_persisted_blocks(spark)
+            own = set()
+            for frames in loaded.values():
+                for fr in frames:
+                    try:
+                        own.add(_entry._ckpt_rdd(fr).id())
+                    except Exception:
+                        pass
+            _drop_persisted_blocks(spark, extra_keep=own)
             d, e, ev = loaded[tag]
             try:
                 t0 = time.time()
