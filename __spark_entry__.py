@@ -101,6 +101,16 @@ _NB_CACHE: dict[str, DataFrame] = {}
 # each of those ~8 consumers re-ran the full corpus-scan exact pass
 # (r13-opt)
 _COS_CACHE: dict[str, DataFrame] = {}
+# checkpointed TOPOLOGY-only projection frames per sf_dir (r13-opt):
+# nodes(id) and edges(src, dst). The degree/pagerank/ppr/hits/
+# components/density/modularity family reads only these columns, but
+# each query (and modularity/components several times WITHIN one
+# query) re-derived them from the 7-table parquet union + lpad/concat
+# string-id construction. LPA and the export entry keep the full lazy
+# property graph (_graph) — caching the MapType nodes is the measured
+# anti-pattern _graph's comment documents.
+_GT_NODES_CACHE: dict[str, DataFrame] = {}
+_GT_EDGES_CACHE: dict[str, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -113,6 +123,27 @@ def _graph(spark: SparkSession, sf_dir: str):
     if sf_dir not in _GRAPH_CACHE:
         _GRAPH_CACHE[sf_dir] = build_graph(spark, sf_dir, cache=False)
     return _GRAPH_CACHE[sf_dir]
+
+
+def _gtopo(spark: SparkSession, sf_dir: str):
+    """Topology-only view of the tpch projection — ``nodes(id)`` +
+    ``edges(src, dst)`` as eager per-session checkpoints, wrapped in a
+    PropertyGraph. Identical values to ``_graph(...)``'s frames (same
+    projection, two narrow selects), so every consumer's result is
+    byte-identical; the saving is not re-deriving the 7-table union +
+    string-id construction once per consumer (and 3-4x inside
+    modularity/components, which branch from the edge frame)."""
+    from graph_loom_spark.graph import PropertyGraph
+
+    n = _GT_NODES_CACHE.get(sf_dir)
+    e = _GT_EDGES_CACHE.get(sf_dir)
+    if n is None or e is None or not (_checkpoint_alive(n) and _checkpoint_alive(e)):
+        g = _graph(spark, sf_dir)
+        n = g.nodes.select("id").localCheckpoint(eager=True)
+        e = g.edges.select("src", "dst").localCheckpoint(eager=True)
+        _GT_NODES_CACHE[sf_dir] = n
+        _GT_EDGES_CACHE[sf_dir] = e
+    return PropertyGraph(spark, nodes=n, edges=e)
 
 
 def _ckpt_rdd(df: DataFrame):
@@ -136,7 +167,7 @@ def pinned_rdd_ids() -> set:
     """RDD ids backing memoized frames: a block-sweeping harness (see
     bench.py:_drop_persisted_blocks) must skip these."""
     ids = set()
-    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE, _WARC_CACHE, _NB_CACHE, _COS_CACHE):
+    for cache in (_LPA_CACHE, _COMP_CACHE, _JACCARD_CACHE, _WINNOW_CACHE, _SPANS_CACHE, _COOC_CACHE, _TRI_CACHE, _LINKPRED_CACHE, _CLUSTERS_CACHE, _MINHASH_CACHE, _MINHASH_SIG_CACHE, _LSH_CACHE, _EMB_NEARDUP_CACHE, _WEB_LINKS_CACHE, _WARC_CACHE, _NB_CACHE, _COS_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE):
         for df in cache.values():
             try:
                 ids.add(_ckpt_rdd(df).id())
@@ -188,6 +219,8 @@ def reset_caches() -> None:
         _WARC_CACHE,
         _NB_CACHE,
         _COS_CACHE,
+        _GT_NODES_CACHE,
+        _GT_EDGES_CACHE,
     ):
         cache.clear()
 
@@ -222,10 +255,14 @@ def _memo_map() -> dict:
         # components memo — resetting the consumer must drop the producer
         # frame too, or a per-query-invalidation harness keeps timing a
         # cache hit
-        "graph_community_density": [_LPA_CACHE],
-        "graph_modularity": [_LPA_CACHE],
-        "graph_components": [_COMP_CACHE],
-        "graph_density_components": [_COMP_CACHE],
+        "graph_community_density": [_LPA_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_modularity": [_LPA_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_components": [_COMP_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_density_components": [_COMP_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_degrees": [_GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_pagerank": [_GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_ppr": [_GT_NODES_CACHE, _GT_EDGES_CACHE],
+        "graph_hits": [_GT_NODES_CACHE, _GT_EDGES_CACHE],
         "web_host_rank": [_WEB_LINKS_CACHE],
         "docs_warc_extract": [_WARC_CACHE],
         "docs_classifier_trained": [_NB_CACHE],
@@ -3038,7 +3075,7 @@ def _q_graph_sssp(spark, sf_dir):
 
 
 def _q_graph_degrees(spark, sf_dir):  # A2/G3
-    return analytics.degrees(_graph(spark, sf_dir))
+    return analytics.degrees(_gtopo(spark, sf_dir))
 
 
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3047,7 +3084,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule as _lpa_communities)
     cached = _COMP_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached):
-        _COMP_CACHE[sf_dir] = analytics.connected_components(_graph(spark, sf_dir))
+        _COMP_CACHE[sf_dir] = analytics.connected_components(_gtopo(spark, sf_dir))
     return _COMP_CACHE[sf_dir]
 
 
@@ -3061,7 +3098,7 @@ def _q_graph_density_components(spark, sf_dir):
     output, but with the oracle-checkable deterministic community frame
     — so the whole density pipeline (sizes, internal edges, n(n-1)/2
     ratio) is hash-green, not just rows-only."""
-    g = _graph(spark, sf_dir)
+    g = _gtopo(spark, sf_dir)
     comp = _components(spark, sf_dir).select(
         "id", F.col("component").alias("community")
     )
@@ -3083,7 +3120,7 @@ def _q_graph_pagerank(spark, sf_dir):
     sums make it bit-deterministic, so the DuckDB oracle replays all 5
     iterations exactly (was rows-only in the float form); also exact vs
     a pure-Python integer replay in tests/test_no_oracle_checks.py."""
-    return analytics.pagerank(_graph(spark, sf_dir), iters=5)
+    return analytics.pagerank(_gtopo(spark, sf_dir), iters=5)
 
 
 def _q_graph_ppr(spark, sf_dir):
@@ -3091,7 +3128,7 @@ def _q_graph_ppr(spark, sf_dir):
     integer iterations — teleport AND dangling mass restart into the
     seed set (the influence-from-customers rank). Bit-deterministic, so
     the DuckDB oracle replays every iteration exactly."""
-    g = _graph(spark, sf_dir)
+    g = _gtopo(spark, sf_dir)
     return analytics.personalized_pagerank(
         g, g.nodes.filter(F.col("id").startswith("C:")).select("id"), iters=5
     )
@@ -3103,7 +3140,7 @@ def _q_graph_hits(spark, sf_dir):
     normalization — integer sums + a truncating integer normalizer make
     it bit-deterministic, so the DuckDB oracle replays every iteration
     exactly (analytics.hits docstring has the 2^63 bound)."""
-    return analytics.hits(_graph(spark, sf_dir), iters=3)
+    return analytics.hits(_gtopo(spark, sf_dir), iters=3)
 
 
 def _q_graph_lpa(spark, sf_dir):
@@ -3117,7 +3154,7 @@ def _q_graph_community_density(spark, sf_dir):
     """G2/A3 — density over the LPA communities; oracle composes the
     LPA replay with the density formula (was rows-only)."""
     return analytics.community_density(
-        _graph(spark, sf_dir), _lpa_communities(spark, sf_dir)
+        _gtopo(spark, sf_dir), _lpa_communities(spark, sf_dir)
     )
 
 
@@ -3126,7 +3163,7 @@ def _q_graph_modularity(spark, sf_dir):
     communities (rides the LPA memo like community_density); oracle
     composes the LPA replay with the exact-integer Q numerators."""
     return analytics.modularity(
-        _graph(spark, sf_dir), _lpa_communities(spark, sf_dir)
+        _gtopo(spark, sf_dir), _lpa_communities(spark, sf_dir)
     )
 
 
