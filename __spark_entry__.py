@@ -324,7 +324,10 @@ def _memo_map() -> dict:
         "graph_link_capped": [_COOC_CACHE],
         "graph_assortativity": [_COOC_CACHE],
         "graph_knn_degree": [_COOC_CACHE],
-        "graph_cc_sizes": [_COMP_CACHE],
+        # like its siblings graph_components/graph_density_components:
+        # resetting the consumer must drop the producer topology frames
+        # its rebuild rides too (ADVICE r13 #3)
+        "graph_cc_sizes": [_COMP_CACHE, _GT_NODES_CACHE, _GT_EDGES_CACHE],
         "graph_bfs": [_COOC_CACHE],
         "graph_sssp": [_COOC_CACHE],
         "graph_kcore": [_COOC_CACHE],
@@ -3235,57 +3238,61 @@ def _q_graph_export_roundtrip(spark, sf_dir):
 #: commit of every round — the staleness test goes red the moment the
 #: driver delivers the prior round's CORRECTNESS file). Enforced by
 #: ``tests/test_registry_rotation.py::test_window_slack_holds_stalest_greens``.
+#: Hand adjustment after every --apply (ADVICE r13 #4): keep
+#: ``emb_cosine_topk`` AHEAD of every other _COS_CACHE consumer
+#: (emb_ann_eval and the other recall evals), so the exact-cosine
+#: ground-truth scan lands on the line that declares that computation.
 _WINDOW_ORDER = [
-    "web_host_rank",
-    "docs_warc_extract",
-    "docs_classifier_trained",
-    "docs_classifier_trained_auc",
-    "events_interval_join",
-    "events_props_stats",
-    "events_retention",
-    "events_sessionize",
-    "events_top_users",
-    "setop_customers_no_orders",
-    "window_top_orders",
-    "agg_returned_items",
-    "agg_sampled_percentiles",
-    "agg_shipping_priority",
-    "docs_bloom_contamination",
-    "docs_bm25",
-    "docs_classifier",
-    "docs_cms_topk",
-    "docs_containment",
-    "docs_corpus_report",
-    "docs_curriculum",
-    "docs_diff",
-    "docs_dsir",
-    "docs_hll_distinct",
-    "docs_length_buckets",
-    "docs_lexical",
-    "docs_moore_lewis",
-    "docs_profile",
-    "docs_source_overlap",
-    "docs_temp_mixture",
-    "docs_token_budget",
-    "graph_link_ra",
-    "graph_link_capped",
-    "graph_assortativity",
-    "graph_knn_degree",
-    "graph_sssp",
-    "graph_triangles",
-    "graph_bfs",
-    "graph_degrees",
-    "graph_hits",
-    "graph_kcore",
-    "graph_pagerank",
-    "graph_ppr",
-    "media_audio_pairs",
-    "media_phash_pairs",
     "docs_pipeline_funnel",
     "docs_minhash_report",
     "docs_minhash_clusters",
     "docs_dedup_report",
     "docs_leakage_split",
+    "docs_minhash_rescored",
+    "docs_dedup_eval",
+    "docs_simhash_pairs",
+    "docs_dedup_clusters",
+    "docs_minhash_pairs",
+    "docs_ngram_jaccard",
+    "docs_shuffle",
+    "emb_ann_lsh",
+    "emb_cosine_topk",
+    "emb_ann_eval",
+    "emb_hard_negatives",
+    "emb_near_dup",
+    "emb_norm_stats",
+    "emb_sq_topk",
+    "docs_apply_mixture",
+    "docs_bpe_fertility",
+    "docs_bpe_tokens",
+    "docs_chunk_bm25",
+    "docs_merge_upsert",
+    "docs_pack_efficiency",
+    "docs_source_cap",
+    "docs_split",
+    "emb_kmeans",
+    "emb_cluster_quality",
+    "emb_semdedup",
+    "emb_cluster_sample",
+    "emb_dup_keep_best_lsh",
+    "emb_hubness",
+    "emb_hubness_skew",
+    "emb_dup_components_lsh",
+    "emb_bq_eval",
+    "emb_bq_topk",
+    "emb_bq_rerank",
+    "emb_ivf_topk",
+    "emb_ivf_eval",
+    "emb_index_eval",
+    "emb_outliers",
+    "events_attribution",
+    "media_png_features",
+    "media_video_frames",
+    "docs_chunk_dedup",
+    "docs_chunks",
+    "docs_dedup_incremental",
+    "docs_rrf_fusion",
+    "docs_winnow",
 ]
 
 

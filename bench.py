@@ -369,6 +369,42 @@ def restart_jvm_session(old, app_name: str, master: str, shuffle_partitions=None
     )
 
 
+def family_totals(entry_mod, timings: dict[str, float]) -> dict[str, float]:
+    """Per memo-family total seconds (VERDICT r13 ask #5): queries
+    sharing any memo cache form a family (connected components over
+    ``_memo_map``'s shared cache dicts — the same grouping the restart
+    deferral and rotation planner use), and since r13's colocation the
+    line a family's one-time build lands on is schedule-dependent, so
+    round-over-round adjudication must compare FAMILY totals, not member
+    lines. Family key = alphabetically-first member (stable while
+    membership is); only families with ≥2 timed members are reported."""
+    try:
+        mm = entry_mod._memo_map()
+    except Exception:
+        return {}
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for name, caches in mm.items():
+        for c in caches:
+            parent[find(("n", name))] = find(("c", id(c)))
+    members: dict = {}
+    for name in mm:
+        members.setdefault(find(("n", name)), []).append(name)
+    out: dict[str, float] = {}
+    for names in members.values():
+        timed = [n for n in names if timings.get(n, -1) >= 0]
+        if len(timed) < 2:
+            continue
+        out["fam:" + min(timed)] = round(sum(timings[n] for n in timed), 3)
+    return dict(sorted(out.items()))
+
+
 def build_output_lines(
     timings: dict[str, float],
     variance: dict,
@@ -378,6 +414,7 @@ def build_output_lines(
     aged: dict | None = None,
     warm_floor: dict | None = None,
     aging: dict | None = None,
+    families: dict | None = None,
 ) -> tuple[str, list[str], str, str, str]:
     """Serialize the bench output lines. Returns (result, qt_lines,
     variance_line, qta, compact) — printed in that order, so the
@@ -462,6 +499,12 @@ def build_output_lines(
                 else None
             ),
             "aging": aging,
+            # Memo-family totals (VERDICT r13 ask #5): per-query lines
+            # inside a family are schedule-dependent (whichever member
+            # runs first after a restart pays the shared build), so
+            # cross-round comparison for family members reads THESE
+            # lines; a reorder no-op moves member lines but not these.
+            "families": families or None,
             "sf": sf,
         }
     )
@@ -900,6 +943,7 @@ def main() -> None:
     except Exception:
         pq_fit = None
 
+    families = family_totals(entry, timings)
     result, qt_lines, variance_line, qta, compact = build_output_lines(
         timings,
         variance,
@@ -909,7 +953,9 @@ def main() -> None:
         aged=aged,
         warm_floor=warm_floor,
         aging={"block": _BLOCK, "block_restarts": n_block_restarts},
+        families=families,
     )
+    fam_line = json.dumps({"families": families}, separators=(",", ":"))
     # File fallback first: even if shutdown noise clobbers stdout, the
     # driver can recover the result from bench_result.json.
     try:
@@ -949,6 +995,10 @@ def main() -> None:
     print(result, flush=True)
     for line in qt_lines:
         print(line, flush=True)
+    # family totals as their own line for wide captures (full detail is
+    # in the result line / bench_result.json / BENCH_HISTORY.jsonl);
+    # printed BEFORE the tail-budgeted trio so those still end the tail
+    print(fam_line, flush=True)
     print(variance_line, flush=True)
     print(qta, flush=True)
     print(compact, flush=True)

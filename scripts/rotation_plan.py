@@ -97,21 +97,36 @@ def plan(entry_mod, repo: str) -> tuple[list[str], list[str], list[str]]:
     groups = memo_groups(entry_mod)
     window: list[str] = list(pending)
     placed = set(window)
+    # The must set is the test's invariant (every strictly-stalest green
+    # inside the window), so group-producer pulls spend only the slots
+    # NOT owed to must entries — the r14 ANN-family rotation showed the
+    # unbudgeted greedy pull crowding 5 must entries out of the window.
+    must_left = [m for m in must if m not in placed]
+
+    def _budget(k: str) -> int:
+        owed = sum(1 for m in must_left if m not in placed and m != k)
+        return WINDOW - len(window) - owed
+
     for k in greens:
         if len(window) >= WINDOW:
             break
         if k in placed:
             continue
+        if k not in must and _budget(k) < 1:
+            continue  # remaining slots are owed to stalest-green entries
         gid = groups.get(k)
         if gid is not None:
             # pull the group's earlier-registry members (producers)
-            # first so the build cost stays attributed
+            # first so the build cost stays attributed — but only into
+            # slots the must set does not need (a pulled producer that
+            # IS a must entry costs nothing extra)
             for other in keys:
                 if (
                     other not in placed
                     and groups.get(other) == gid
                     and keys.index(other) < keys.index(k)
                     and len(window) < WINDOW
+                    and (other in must_left or _budget(k) > 1)
                 ):
                     window.append(other)
                     placed.add(other)

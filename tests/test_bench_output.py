@@ -214,3 +214,49 @@ def test_select_warm_candidates_floored_excess_outranks_floorless_time():
     assert bench.select_warm_candidates(timings, floors, set(), max_n=2) == [
         "aged", "newcomer"
     ]
+
+
+def test_family_totals_group_and_skip():
+    """family_totals (VERDICT r13 ask #5): queries sharing any memo cache
+    sum into one family line keyed by the alphabetically-first timed
+    member; single-member and untimed/failed families are skipped."""
+
+    class _Entry:
+        @staticmethod
+        def _memo_map():
+            a, b, c = {}, {}, {}
+            return {
+                "q_beta": [a],
+                "q_alpha": [a, b],   # bridges a and b -> one family
+                "q_gamma": [b],
+                "q_solo": [c],       # single member -> skipped
+                "q_failed": [c],     # fails below -> family has 1 timed
+            }
+
+    timings = {
+        "q_alpha": 2.0,
+        "q_beta": 1.5,
+        "q_gamma": 0.25,
+        "q_solo": 3.0,
+        "q_failed": -1.0,
+        "q_unrelated": 9.0,
+    }
+    fams = bench.family_totals(_Entry, timings)
+    assert fams == {"fam:q_alpha": 3.75}
+
+
+def test_family_totals_stable_under_reorder():
+    """A bench-order no-op (member lines move, family membership does
+    not) must leave the family totals byte-identical — the adjudication
+    property the VERDICT asked for."""
+
+    class _Entry:
+        @staticmethod
+        def _memo_map():
+            shared = {}
+            return {"q_a": [shared], "q_b": [shared], "q_c": [shared]}
+
+    # same totals, attribution moved between members
+    t1 = {"q_a": 5.0, "q_b": 0.1, "q_c": 0.4}
+    t2 = {"q_a": 0.1, "q_b": 5.0, "q_c": 0.4}
+    assert bench.family_totals(_Entry, t1) == bench.family_totals(_Entry, t2)
