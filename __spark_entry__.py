@@ -765,9 +765,11 @@ def _exact_spans(spark, sf_dir) -> DataFrame:
     # docs_span_coverage (same rule as _winnow_fps)
     cached = _SPANS_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached):
+        # the op returns an eager checkpoint since r14 (ownership
+        # contract) — memoize it directly, no second materialization
         _SPANS_CACHE[sf_dir] = ops_dedup.exact_dup_spans(
             _t(spark, sf_dir, "documents"), min_len=40
-        ).localCheckpoint(eager=True)
+        )
     return _SPANS_CACHE[sf_dir]
 
 
@@ -2866,9 +2868,11 @@ def _jaccard_pairs(spark, sf_dir) -> DataFrame:
     # reused by docs_dedup_clusters — same memo rule as _lpa_communities
     cached = _JACCARD_CACHE.get(sf_dir)
     if cached is None or not _checkpoint_alive(cached):
+        # the op returns an eager checkpoint since r14 (ownership
+        # contract) — memoize it directly, no second materialization
         _JACCARD_CACHE[sf_dir] = ops_dedup.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), threshold=0.5
-        ).localCheckpoint(eager=True)
+        )
     return _JACCARD_CACHE[sf_dir]
 
 

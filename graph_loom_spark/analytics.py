@@ -1333,10 +1333,24 @@ def pagerank(
     spark = graph.nodes.sparkSession
     tracked: list = []
     dn = int(round(damping * 100))  # damping at 2-decimal precision
+    # r14-opt: size the iterative shuffle partitions from the DATA, not
+    # the session (the connected_components lever, VERDICT r13 ask #1):
+    # at sf0.1 the whole block is fixed-cost-bound — the 8-core bench
+    # BEAT the 32-core bench and every scaling ratio sat at/below 1 —
+    # because each of the ~3 jobs per iteration schedules
+    # session-partition-count near-empty tasks. Data-sized partitions
+    # (~500k rows each, floor 8) cut the per-iteration task count at
+    # small relative scale while growing with |V|+|E| on a cluster. Set
+    # BEFORE building the pinned edge frame so the partitioning baked
+    # into it matches the data; restored in the finally.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     idmap = _tracked_checkpoint(
         graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
     )
     n_nodes = idmap.count()
+    n_edges = graph.edges.count()
+    parts = int(max(8, (n_nodes + n_edges) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     edges_h = graph.edges.select(
         F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
     )
@@ -1357,28 +1371,6 @@ def pagerank(
         ew = edges_h
         outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
         contrib_c = F.expr("r div od").alias("c")
-    # persist (NOT localCheckpoint — that drops outputPartitioning)
-    # partitioned by the CONTRIBUTION-AGG key v: the rank side of the
-    # per-iteration join is broadcast, so join-key partitioning buys
-    # nothing, while HashPartitioning(v) lets every iteration's
-    # groupBy(v) reuse the layout — zero exchanges per contrib pass
-    # (same lever as weighted_label_propagation's weights frame).
-    ed_cached = ew.join(outdeg, "u").repartition(F.col("v")).persist()
-    ed_cached.count()  # materialize outside the iteration loop
-    ed = ed_cached
-    ranks = _tracked_checkpoint(
-        idmap.select(
-            F.col("iid").alias("nid"),
-            F.lit(scale // n_nodes).cast("long").alias("r"),
-        ),
-        tracked,
-    )
-    dangling = _tracked_checkpoint(
-        idmap.select(F.col("iid").alias("nid")).join(
-            outdeg.select(F.col("u").alias("nid")), "nid", "left_anti"
-        ),
-        tracked,
-    )
     # The rank frame is 16 bytes/node — while it fits an executor
     # broadcast, hint it on the contrib join against the big pinned
     # edge frame. Same lever and threshold as
@@ -1386,64 +1378,116 @@ def pagerank(
     # only after paying the exchange stages on the data-sized side
     # every iteration.
     bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
-    # Nodes with NO in-edges never receive contributions, so their
-    # update is the closed form base + d·(dm/N) every iteration.
-    # Computing that static set ONCE (distinct v reuses the persisted
-    # edge frame's v-partitioning — exchange-free) lets each iteration
-    # build the next rank frame as contrib ∪ noin instead of
-    # left-joining the full previous frame against a |V|-row broadcast
-    # of contrib — one fewer |V|-row broadcast build and one fewer
-    # |V|-row join scan per iteration (same measured lever as the LPA
-    # round restructure: 8 LPA rounds 15.0 s → 12.5 s at sf0.1).
-    noin = _tracked_checkpoint(
-        idmap.select(F.col("iid").alias("nid")).join(
-            bcast(ed.select(F.col("v").alias("nid")).distinct()), "nid", "left_anti"
-        ),
-        tracked,
-    )
-    base = ((100 - dn) * scale) // (100 * n_nodes)
-    update_expr = F.expr(
-        f"cast({base} as bigint) + "
-        f"({dn} * (coalesce(__in, cast(0 as bigint)) + __dm div {n_nodes}))"
-        " div 100"
-    ).alias("r")
-    for _ in range(iters):
-        contrib = (
-            ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
-            .select(F.col("v").alias("nid"), contrib_c)
-            .groupBy("nid")
-            .agg(F.sum("c").alias("__in"))
+    ed_cached = None
+    try:
+        # persist (NOT localCheckpoint — that drops outputPartitioning)
+        # partitioned by the CONTRIBUTION-AGG key v: the rank side of the
+        # per-iteration join is broadcast, so join-key partitioning buys
+        # nothing, while HashPartitioning(v) lets every iteration's
+        # groupBy(v) reuse the layout — zero exchanges per contrib pass
+        # (same lever as weighted_label_propagation's weights frame).
+        # r14-opt: the destination's DANGLING flag (v has no out-edges)
+        # rides the pinned frame — one size-gated join at build time —
+        # exactly like PPR's seed flag, so each iteration's dangling-mass
+        # aggregate scans the previous rank checkpoint directly instead
+        # of joining it against a fresh broadcast of the dangling set
+        # (one fewer broadcast build + |V|-row probe per iteration).
+        ed_cached = (
+            ew.join(outdeg, "u")
+            .join(
+                bcast(outdeg.select(F.col("u").alias("v"), F.lit(0).alias("__dv0"))),
+                "v",
+                "left",
+            )
+            .withColumn("__dv", F.coalesce(F.col("__dv0"), F.lit(1)))
+            .drop("__dv0")
+            .repartition(F.col("v"))
+            .persist()
         )
-        # dangling mass folded into the plan as a broadcast 1-row
-        # aggregate (same pattern as the layout COM broadcast) — a
-        # driver-side collect here cost an extra action + job per
-        # iteration for a single long. The BUILT side is the small
-        # static dangling set, not the |V|-row rank frame.
-        dmass_df = (
-            ranks.join(bcast(dangling), "nid")
-            .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("__dm"))
-        )
+        ed_cached.count()  # materialize outside the iteration loop
+        ed = ed_cached
+        # ranks carries the node's own dangling flag (__d, functionally
+        # dependent on nid): the per-iteration dangling mass becomes a
+        # single partial aggregate over this checkpointed frame
         ranks = _tracked_checkpoint(
-            contrib.crossJoin(F.broadcast(dmass_df))
-            .select("nid", update_expr)
-            .unionByName(
-                noin.withColumn("__in", F.lit(None).cast("long"))
-                .crossJoin(F.broadcast(dmass_df))
-                .select("nid", update_expr)
+            idmap.select(
+                F.col("iid").alias("nid"),
+                F.lit(scale // n_nodes).cast("long").alias("r"),
+            )
+            .join(
+                bcast(outdeg.select(F.col("u").alias("nid"), F.lit(0).alias("__o"))),
+                "nid",
+                "left",
+            )
+            .select("nid", "r", F.coalesce(F.col("__o"), F.lit(1)).alias("__d")),
+            tracked,
+        )
+        # Nodes with NO in-edges never receive contributions, so their
+        # update is the closed form base + d·(dm/N) every iteration.
+        # Computing that static set ONCE (distinct v reuses the persisted
+        # edge frame's v-partitioning — exchange-free) lets each iteration
+        # build the next rank frame as contrib ∪ noin instead of
+        # left-joining the full previous frame against a |V|-row broadcast
+        # of contrib — one fewer |V|-row broadcast build and one fewer
+        # |V|-row join scan per iteration (same measured lever as the LPA
+        # round restructure: 8 LPA rounds 15.0 s → 12.5 s at sf0.1).
+        noin = _tracked_checkpoint(
+            ranks.select("nid", "__d").join(
+                bcast(ed.select(F.col("v").alias("nid")).distinct()),
+                "nid",
+                "left_anti",
             ),
             tracked,
         )
-    result = (
-        ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
-        .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
-    try:
-        ed_cached.unpersist()
-    except Exception:
-        pass  # cleanup must never fail the query
-    _free_intermediates(spark, tracked)
-    return result
+        base = ((100 - dn) * scale) // (100 * n_nodes)
+        update_expr = F.expr(
+            f"cast({base} as bigint) + "
+            f"({dn} * (coalesce(__in, cast(0 as bigint)) + __dm div {n_nodes}))"
+            " div 100"
+        ).alias("r")
+        for _ in range(iters):
+            contrib = (
+                ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
+                .select(F.col("v").alias("nid"), contrib_c, "__dv")
+                .groupBy("nid")
+                # first() is safe: __dv is functionally dependent on nid
+                .agg(F.sum("c").alias("__in"), F.first("__dv").alias("__d"))
+            )
+            # dangling mass folded into the plan as a broadcast 1-row
+            # aggregate (same pattern as the layout COM broadcast) — a
+            # driver-side collect here cost an extra action + job per
+            # iteration for a single long; the __d flag riding the rank
+            # frame makes it join-free (r14-opt).
+            dmass_df = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__d") == 1, F.col("r"))),
+                    F.lit(0).cast("long"),
+                ).alias("__dm")
+            )
+            ranks = _tracked_checkpoint(
+                contrib.crossJoin(F.broadcast(dmass_df))
+                .select("nid", update_expr, "__d")
+                .unionByName(
+                    noin.withColumn("__in", F.lit(None).cast("long"))
+                    .crossJoin(F.broadcast(dmass_df))
+                    .select("nid", update_expr, "__d")
+                ),
+                tracked,
+            )
+        result = (
+            ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
+            .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        _free_intermediates(spark, tracked)
+        return result
+    finally:
+        if ed_cached is not None:
+            try:
+                ed_cached.unpersist()
+            except Exception:
+                pass  # cleanup must never fail the query
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def personalized_pagerank(
@@ -1474,110 +1518,145 @@ def personalized_pagerank(
     spark = graph.nodes.sparkSession
     tracked: list = []
     dn = int(round(damping * 100))
+    # r14-opt: data-sized iterative shuffle partitions, set before the
+    # pinned frames are built and restored in the finally — see
+    # :func:`pagerank` for the measured anti-scaling rationale.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     idmap = _tracked_checkpoint(
         graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
     )
     n_nodes = idmap.count()
-    src = _tracked_checkpoint(
-        graph.nodes.join(sources.select("id"), "id", "left_semi").select(
-            F.xxhash64("id").alias("nid")
-        ),
-        tracked,
-    )
-    n_src = src.count()
-    if n_src == 0:
-        raise ValueError("personalized_pagerank: empty source set")
-    edges_h = graph.edges.select(
-        F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
-    )
-    outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
-    bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
-    # static per-node seed flag + teleport base; all mass starts on S
-    base = ((100 - dn) * scale) // (100 * n_src)
-    stat = _tracked_checkpoint(
-        idmap.select(F.col("iid").alias("nid"))
-        .join(bcast(src.withColumn("__s", F.lit(1))), "nid", "left")
-        .select("nid", F.coalesce("__s", F.lit(0)).alias("__s")),
-        tracked,
-    )
-    # r13-opt: the destination's seed flag is functionally dependent on
-    # v, so it rides the pinned edge frame (one size-gated join at build
-    # time) instead of a per-iteration |V|-row broadcast join against
-    # the aggregated contribs — one fewer broadcast build + |V|-row
-    # probe scan per iteration (the LPA cstr lever; measured the same
-    # way: the stat broadcast was the only per-round cost PPR paid
-    # over uniform pagerank).
-    ed_cached = (
-        edges_h.join(outdeg, "u")
-        .join(
-            bcast(stat.select(F.col("nid").alias("v"), F.col("__s").alias("__sv"))),
-            "v",
-        )
-        .repartition(F.col("v"))
-        .persist()
-    )
-    ed_cached.count()
-    ed = ed_cached
-    ranks = _tracked_checkpoint(
-        stat.select(
-            "nid", (F.col("__s") * F.lit(scale // n_src)).cast("long").alias("r")
-        ),
-        tracked,
-    )
-    dangling = _tracked_checkpoint(
-        idmap.select(F.col("iid").alias("nid")).join(
-            outdeg.select(F.col("u").alias("nid")), "nid", "left_anti"
-        ),
-        tracked,
-    )
-    noin = _tracked_checkpoint(
-        stat.join(
-            bcast(ed.select(F.col("v").alias("nid")).distinct()), "nid", "left_anti"
-        ),
-        tracked,
-    )
-    update_expr = F.expr(
-        f"__s * cast({base} as bigint) + "
-        f"({dn} * (coalesce(__in, cast(0 as bigint)) + __s * (__dm div {n_src})))"
-        " div 100"
-    ).alias("r")
-    for _ in range(iters):
-        contrib = (
-            ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
-            .select(
-                F.col("v").alias("nid"),
-                F.expr("r div od").alias("c"),
-                F.col("__sv"),
-            )
-            .groupBy("nid")
-            # first() is safe: __sv is functionally dependent on nid
-            .agg(F.sum("c").alias("__in"), F.first("__sv").alias("__s"))
-        )
-        dmass_df = (
-            ranks.join(bcast(dangling), "nid")
-            .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("__dm"))
-        )
-        ranks = _tracked_checkpoint(
-            contrib.crossJoin(F.broadcast(dmass_df))
-            .select("nid", update_expr)
-            .unionByName(
-                noin.withColumn("__in", F.lit(None).cast("long"))
-                .crossJoin(F.broadcast(dmass_df))
-                .select("nid", update_expr)
+    n_edges = graph.edges.count()
+    parts = int(max(8, (n_nodes + n_edges) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    ed_cached = None
+    try:
+        src = _tracked_checkpoint(
+            graph.nodes.join(sources.select("id"), "id", "left_semi").select(
+                F.xxhash64("id").alias("nid")
             ),
             tracked,
         )
-    result = (
-        ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
-        .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
-    try:
-        ed_cached.unpersist()
-    except Exception:
-        pass  # cleanup must never fail the query
-    _free_intermediates(spark, tracked)
-    return result
+        n_src = src.count()
+        if n_src == 0:
+            raise ValueError("personalized_pagerank: empty source set")
+        edges_h = graph.edges.select(
+            F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
+        )
+        outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+        bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+        # static per-node seed flag + dangling flag + teleport base; all
+        # mass starts on S. __d (no out-edges) rides the frames exactly
+        # like __s, so the per-iteration dangling-mass aggregate scans
+        # the previous rank checkpoint join-free (r14-opt — the same
+        # lever as pagerank's).
+        base = ((100 - dn) * scale) // (100 * n_src)
+        stat = _tracked_checkpoint(
+            idmap.select(F.col("iid").alias("nid"))
+            .join(bcast(src.withColumn("__s", F.lit(1))), "nid", "left")
+            .join(
+                bcast(outdeg.select(F.col("u").alias("nid"), F.lit(0).alias("__o"))),
+                "nid",
+                "left",
+            )
+            .select(
+                "nid",
+                F.coalesce("__s", F.lit(0)).alias("__s"),
+                F.coalesce("__o", F.lit(1)).alias("__d"),
+            ),
+            tracked,
+        )
+        # r13-opt: the destination's seed flag is functionally dependent
+        # on v, so it rides the pinned edge frame (one size-gated join at
+        # build time) instead of a per-iteration |V|-row broadcast join
+        # against the aggregated contribs — one fewer broadcast build +
+        # |V|-row probe scan per iteration (the LPA cstr lever; measured
+        # the same way: the stat broadcast was the only per-round cost
+        # PPR paid over uniform pagerank). r14-opt: __dv rides the same
+        # build join.
+        ed_cached = (
+            edges_h.join(outdeg, "u")
+            .join(
+                bcast(
+                    stat.select(
+                        F.col("nid").alias("v"),
+                        F.col("__s").alias("__sv"),
+                        F.col("__d").alias("__dv"),
+                    )
+                ),
+                "v",
+            )
+            .repartition(F.col("v"))
+            .persist()
+        )
+        ed_cached.count()
+        ed = ed_cached
+        ranks = _tracked_checkpoint(
+            stat.select(
+                "nid",
+                (F.col("__s") * F.lit(scale // n_src)).cast("long").alias("r"),
+                "__d",
+            ),
+            tracked,
+        )
+        noin = _tracked_checkpoint(
+            stat.join(
+                bcast(ed.select(F.col("v").alias("nid")).distinct()), "nid", "left_anti"
+            ),
+            tracked,
+        )
+        update_expr = F.expr(
+            f"__s * cast({base} as bigint) + "
+            f"({dn} * (coalesce(__in, cast(0 as bigint)) + __s * (__dm div {n_src})))"
+            " div 100"
+        ).alias("r")
+        for _ in range(iters):
+            contrib = (
+                ed.join(bcast(ranks.select(F.col("nid").alias("u"), "r")), "u")
+                .select(
+                    F.col("v").alias("nid"),
+                    F.expr("r div od").alias("c"),
+                    F.col("__sv"),
+                    F.col("__dv"),
+                )
+                .groupBy("nid")
+                # first() is safe: __sv/__dv are functionally dependent on nid
+                .agg(
+                    F.sum("c").alias("__in"),
+                    F.first("__sv").alias("__s"),
+                    F.first("__dv").alias("__d"),
+                )
+            )
+            dmass_df = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__d") == 1, F.col("r"))),
+                    F.lit(0).cast("long"),
+                ).alias("__dm")
+            )
+            ranks = _tracked_checkpoint(
+                contrib.crossJoin(F.broadcast(dmass_df))
+                .select("nid", update_expr, "__d")
+                .unionByName(
+                    noin.withColumn("__in", F.lit(None).cast("long"))
+                    .crossJoin(F.broadcast(dmass_df))
+                    .select("nid", update_expr, "__d")
+                ),
+                tracked,
+            )
+        result = (
+            ranks.join(idmap.select(F.col("iid").alias("nid"), "id"), "nid")
+            .select("id", (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        _free_intermediates(spark, tracked)
+        return result
+    finally:
+        if ed_cached is not None:
+            try:
+                ed_cached.unpersist()
+            except Exception:
+                pass  # cleanup must never fail the query
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def hits(
@@ -1616,66 +1695,86 @@ def hits(
     """
     spark = graph.nodes.sparkSession
     tracked: list = []
+    # r14-opt: data-sized iterative shuffle partitions (see pagerank)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     idmap = _tracked_checkpoint(
         graph.nodes.select("id", F.xxhash64("id").alias("iid")), tracked
     )
     n_nodes = idmap.count()
-    edges_h = graph.edges.select(
-        F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
-    )
-    ed_v = edges_h.repartition(F.col("v")).persist()
-    ed_u = edges_h.repartition(F.col("u")).persist()
-    ed_v.count()  # materialize outside the iteration loop
-    ed_u.count()
-    bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
-    h = _tracked_checkpoint(
-        idmap.select(F.col("iid").alias("nid"), F.lit(scale).cast("long").alias("r")),
-        tracked,
-    )
-    a = None
-
-    def _norm_pass(ed, score, join_key, group_key):
-        raw = (
-            ed.join(bcast(score.select(F.col("nid").alias(join_key), "r")), join_key)
-            .groupBy(group_key)
-            .agg(F.sum("r").alias("s"))
+    n_edges = graph.edges.count()
+    parts = int(max(8, (n_nodes + n_edges) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    ed_v = ed_u = None
+    try:
+        edges_h = graph.edges.select(
+            F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
         )
-        # integer `div`, not `/`: past 2^53 the double quotient can
-        # truncate to a different normalizer than the oracle's `//`
-        mx = raw.agg(
-            F.expr(
-                f"greatest(coalesce(max(s), 0L) div {scale}L, 1L)"
-            ).alias("__mx")
-        )
-        return _tracked_checkpoint(
-            raw.crossJoin(F.broadcast(mx)).select(
-                F.col(group_key).alias("nid"), F.expr("s div __mx").alias("r")
-            ),
+        ed_v = edges_h.repartition(F.col("v")).persist()
+        ed_u = edges_h.repartition(F.col("u")).persist()
+        ed_v.count()  # materialize outside the iteration loop
+        ed_u.count()
+        bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+        h = _tracked_checkpoint(
+            idmap.select(F.col("iid").alias("nid"), F.lit(scale).cast("long").alias("r")),
             tracked,
         )
+        a = None
 
-    for _ in range(iters):
-        # authority pass: contributions flow along u→v, grouped on v
-        a = _norm_pass(ed_v, h, "u", "v")
-        # hub pass: contributions flow back v→u, grouped on u
-        h = _norm_pass(ed_u, a, "v", "u")
-    result = (
-        idmap.join(h.select(F.col("nid").alias("iid"), F.col("r").alias("__h")), "iid", "left")
-        .join(a.select(F.col("nid").alias("iid"), F.col("r").alias("__a")), "iid", "left")
-        .select(
-            "id",
-            (F.coalesce("__h", F.lit(0)).cast("double") / F.lit(float(scale))).alias("hub"),
-            (F.coalesce("__a", F.lit(0)).cast("double") / F.lit(float(scale))).alias("authority"),
+        def _norm_pass(ed, score, join_key, group_key):
+            # r14-opt: checkpoint the RAW sums, not the normalized frame.
+            # The normalizer ``mx`` is an aggregate OVER ``raw``, so with
+            # the checkpoint on the normalized side the join+groupBy
+            # subtree executed TWICE per pass — once building the mx
+            # broadcast, once for the checkpoint materialization (the
+            # plans are not identical subtrees, so ReuseExchange cannot
+            # dedupe them). Pinning raw makes mx and the normalized
+            # projection two cheap scans of the same in-memory frame;
+            # the projection stays lazy (its only consumer per pass is
+            # the next pass's broadcast build / the final result join).
+            raw = _tracked_checkpoint(
+                ed.join(
+                    bcast(score.select(F.col("nid").alias(join_key), "r")), join_key
+                )
+                .groupBy(group_key)
+                .agg(F.sum("r").alias("s")),
+                tracked,
+            )
+            # integer `div`, not `/`: past 2^53 the double quotient can
+            # truncate to a different normalizer than the oracle's `//`
+            mx = raw.agg(
+                F.expr(
+                    f"greatest(coalesce(max(s), 0L) div {scale}L, 1L)"
+                ).alias("__mx")
+            )
+            return raw.crossJoin(F.broadcast(mx)).select(
+                F.col(group_key).alias("nid"), F.expr("s div __mx").alias("r")
+            )
+
+        for _ in range(iters):
+            # authority pass: contributions flow along u→v, grouped on v
+            a = _norm_pass(ed_v, h, "u", "v")
+            # hub pass: contributions flow back v→u, grouped on u
+            h = _norm_pass(ed_u, a, "v", "u")
+        result = (
+            idmap.join(h.select(F.col("nid").alias("iid"), F.col("r").alias("__h")), "iid", "left")
+            .join(a.select(F.col("nid").alias("iid"), F.col("r").alias("__a")), "iid", "left")
+            .select(
+                "id",
+                (F.coalesce("__h", F.lit(0)).cast("double") / F.lit(float(scale))).alias("hub"),
+                (F.coalesce("__a", F.lit(0)).cast("double") / F.lit(float(scale))).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    for cached in (ed_v, ed_u):
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # cleanup must never fail the query
-    _free_intermediates(spark, tracked)
-    return result
+        _free_intermediates(spark, tracked)
+        return result
+    finally:
+        for cached in (ed_v, ed_u):
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass  # cleanup must never fail the query
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def weighted_sssp(

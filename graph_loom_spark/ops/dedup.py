@@ -416,12 +416,31 @@ def _simhash_from_hashed(ex: DataFrame, id_col: str, n_bits: int) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs with an equal ``bits/4``-wide chunk (pigeonhole
     for Hamming≤3 over 4 chunks), verified by exact popcount distance.
     ``bits`` is the fingerprint width (64 for :func:`simhash`, 60 for
-    :func:`simhash_md5`; must be divisible by 4)."""
+    :func:`simhash_md5`; must be divisible by 4).
+
+    ``max_band_df`` (ADVICE r13 #2): the pre-partitioned cached
+    self-join below is outside AQE's skew-split reach, so a hot band
+    value (many short/degenerate docs sharing one chunk) lands in one
+    unsplittable partition. The cap drops band values occurring in more
+    than that many fingerprints (one window count over the existing
+    partitioning — the same mitigation as ``exact_dup_spans``'s
+    ``max_gram_df``): pairs whose ONLY shared chunk is ubiquitous are
+    missed, the standard boilerplate exclusion. ``None`` (default) =
+    exact pigeonhole, the oracle path.
+
+    Ownership (VERDICT r13 ask #6): the result is eagerly materialized
+    and the op's internal banded cache is unpersisted before returning —
+    the only pinned block a call leaves behind is the returned frame
+    itself (caller-owned; ``df.rdd.unpersist()`` frees it)."""
     width = bits // 4
     mask = (1 << width) - 1
     chunks = [
@@ -445,8 +464,17 @@ def simhash_near_pairs(
         # cache (the exact_dup_spans gram-stream lever).
         .repartition(F.col("chunk"), F.col("cv"))
         .sortWithinPartitions("chunk", "cv")
-        .persist()
     )
+    if max_band_df is not None:
+        from pyspark.sql.window import Window
+
+        wbd = Window.partitionBy("chunk", "cv")
+        banded = (
+            banded.withColumn("__bdf", F.count(F.lit(1)).over(wbd))
+            .filter(F.col("__bdf") <= max_band_df)
+            .drop("__bdf")
+        )
+    banded = banded.persist()
     left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
     right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
     cand = (
@@ -456,9 +484,17 @@ def simhash_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    result = (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    try:
+        banded.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -482,11 +518,17 @@ def ngram_jaccard_pairs(
     one df-count agg, one df join, one per-doc sort agg, then the
     prefix-only self-equi-join (AQE skew-join splits any residual hot
     shingle)."""
+    from graph_loom_spark.graph import _free_intermediates, _tracked_checkpoint
+
+    tracked: list = []
+    prefix = None
     sh = spread(documents).select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
     )
     if candidate_pairs is None:
-        sh = sh.localCheckpoint(eager=True)  # reused by index + both sig joins
+        # reused by index + both sig joins; tracked so the op frees it
+        # after materializing its result (VERDICT r13 ask #6)
+        sh = _tracked_checkpoint(sh, tracked)
         ex = sh.select("id", F.explode("sh").alias("g"))
         dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         # rarest-first global order (df, g) — deterministic total order;
@@ -545,9 +587,23 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union
-    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+    out = pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+    if candidate_pairs is not None:
+        return out  # no op-internal pins on this path
+    # Ownership (VERDICT r13 ask #6 / ADVICE r13 #1): materialize the
+    # (bounded, near-dup-pair-sized) result eagerly, then free the
+    # op-internal pins — the shingle checkpoint and the prefix cache —
+    # so a caller looping over corpora does not accumulate dead blocks.
+    # The returned checkpoint is the caller's to release.
+    result = out.localCheckpoint(eager=True)
+    try:
+        prefix.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
+    _free_intermediates(documents.sparkSession, tracked)
+    return result
 
 
 def containment_pairs(
@@ -1137,9 +1193,7 @@ def exact_dup_spans(
         grams = grams.repartition(F.col("gram"))
     # persisted (NOT localCheckpoint — a checkpoint's LogicalRDD drops
     # outputPartitioning/ordering and the join would re-shuffle+re-sort
-    # both sides); the timing harness / session owner sweeps the blocks
-    # after forcing, and callers composing further (coverage, tests)
-    # read the same cache
+    # both sides); released by this op after the result materializes
     gp = grams.sortWithinPartitions("gram").persist()
     a = gp.select(F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram")
     b = gp.select(F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram")
@@ -1151,7 +1205,7 @@ def exact_dup_spans(
     if pr is not None:
         m = m.join(pr, ["id_a", "id_b"], "left_semi")
     w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
-    return (
+    spans = (
         m.withColumn("__isl", F.col("pa") - F.row_number().over(w))
         .groupBy("id_a", "id_b", "__diag", "__isl")
         .agg(
@@ -1167,6 +1221,17 @@ def exact_dup_spans(
             (F.col("__max_pa") - F.col("start_a") + g).cast("bigint").alias("span_len"),
         )
     )
+    # Ownership (VERDICT r13 ask #6 / ADVICE r13 #1): materialize the
+    # span set eagerly and release the gram-stream cache inside the op —
+    # the only block a call leaves pinned is the returned frame itself
+    # (caller-owned; ``df.rdd.unpersist()`` frees it). Callers composing
+    # further (coverage, removal) consume the spans, not the grams.
+    result = spans.localCheckpoint(eager=True)
+    try:
+        gp.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the query
+    return result
 
 
 def exact_span_coverage(

@@ -2162,6 +2162,14 @@ def bloom_contamination(
             f" % {m_bits})"
         )
 
+    def _pos_var(jv: str, g: str) -> str:
+        # same md5 input as _pos, with the salt as a bound lambda var:
+        # concat(cast(j as string), ':', g) == concat('<j>:', g)
+        return (
+            f"(cast(conv(substr(md5(concat(cast({jv} as string), ':', {g})), 1, 8), "
+            f"16, 10) as bigint) % {m_bits})"
+        )
+
     # build: benchmark grams -> distinct bit positions (bounded by
     # k * |bench grams| <= m_bits distinct values -> driver-safe)
     bg = benchmark.select(F.explode(F.expr(_grams(text_col))).alias("g"))
@@ -2182,14 +2190,24 @@ def bloom_contamination(
     )
 
     # probe: per doc, count distinct grams with all k bits set — a
-    # single whole-stage-codegen projection over the literal words
-    def _bit(j: int) -> str:
-        return (
-            f"((shiftright(element_at(__w, cast({_pos(j, 'g')} / 64 as int) + 1), "
-            f"cast({_pos(j, 'g')} % 64 as int)) & 1) = 1)"
-        )
-
-    hit = " and ".join(_bit(j) for j in range(k))
+    # single projection over the literal words. r14-opt (guide §1.2
+    # per-task work): the position expression is md5-derived and was
+    # inlined TWICE per bit test (word index + bit offset) inside the
+    # interpreted aggregate() lambda, where no common-subexpression
+    # elimination runs — 2k md5 evaluations per gram. Binding each
+    # position once (transform j → position, then forall over the bound
+    # positions) evaluates exactly k md5s per gram; the bit test reuses
+    # the bound value. Same positions, same bits, identical output.
+    js = ", ".join(str(j) for j in range(k))
+    pos_arr = (
+        f"transform(array({js}), "
+        f"j -> {_pos_var('j', 'g')})"
+    )
+    hit = (
+        f"forall({pos_arr}, "
+        f"p -> ((shiftright(element_at(__w, cast(p / 64 as int) + 1), "
+        f"cast(p % 64 as int)) & 1) = 1))"
+    )
     return (
         documents.withColumn("__w", lit_words)
         .select(

@@ -450,3 +450,41 @@ def test_dedup_keep_best_negative_scores_beat_unscored(spark):
     out2 = {r["doc_id"]: r["is_kept"]
             for r in dedup_keep_best(docs, quality=q2).collect()}
     assert out2[2] and not out2[1]
+
+
+def test_op_internal_persists_do_not_accumulate(spark):
+    """Ownership contract (VERDICT r13 ask #6 / ADVICE r13 #1): the only
+    pinned block an op call leaves behind is its RETURNED frame; the
+    op-internal caches (banded fingerprints, jaccard prefix + shingle
+    checkpoint, exact-span gram stream) are released inside the op. A
+    caller loop that frees each returned frame must leave the session's
+    persistent-RDD set exactly where it started."""
+    from pyspark.sql import functions as F
+
+    from graph_loom_spark.ops import dedup as ops_dedup
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(*[F.md5(((F.col("id") % 7) * 31 + i).cast("string")) for i in range(8)]),
+        ).alias("text"),
+    )
+    sig = ops_dedup.simhash_md5(docs)
+
+    def pinned():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    baseline = pinned()
+    for _ in range(10):
+        for result in (
+            ops_dedup.simhash_near_pairs(sig, max_hamming=3, bits=60),
+            ops_dedup.ngram_jaccard_pairs(docs, threshold=0.3),
+            ops_dedup.exact_dup_spans(docs, min_len=20),
+        ):
+            result.count()  # a terminal action, like any caller's
+            # caller releases the returned frame: the checkpointed block
+            # IS the analyzed plan's LogicalRDD (df.rdd would wrap it in
+            # a fresh conversion RDD and unpersist that no-op instead)
+            result._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    assert pinned() == baseline

@@ -856,3 +856,35 @@ def test_hubness_skew_planted(spark):
     p2 = spark.createDataFrame([(1, 2, 1.0)], "id_a bigint, id_b bigint, cosine double")
     r2 = sim.hubness_skew(emb2, p2, k=1).collect()[0]
     assert r2["skewness"] == 0.0 and math.copysign(1.0, r2["skewness"]) > 0
+
+
+def test_pq_fit_fused_matches_per_subspace_kmeans(spark):
+    """r14-opt: pq_fit's fused all-subspace Lloyd loop must be
+    bit-identical to m independent per-subspace kmeans_fit runs (the
+    previous pq_fit construction) — same codes, same codebooks, same
+    digest. Pins the equivalence argument: slicing commutes with the
+    elementwise quantization, per-subspace arithmetic is unchanged, and
+    a converged subspace's extra fused iterations are identities."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m, k, iters = 4, 8, 3
+    codes, books = sim.pq_fit(emb, m=m, k=k, iters=iters, track_digest=False)
+    dim = len(emb.select("embedding").head()[0])
+    sub = dim // m
+    ref_codes = None
+    ref_books = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), j * sub + 1, sub).alias("embedding"),
+        )
+        assigned, C = sim.kmeans_fit(sliced, k=k, iters=iters)
+        part = assigned.select(F.col("vec_id"), F.col("cluster").alias(f"code_{j}"))
+        ref_codes = part if ref_codes is None else ref_codes.join(part, "vec_id")
+        ref_books.append(C)
+    assert sim.pq_codebooks_md5(books) == sim.pq_codebooks_md5(ref_books)
+    assert codes.columns == ref_codes.columns
+    assert {tuple(r) for r in codes.collect()} == {
+        tuple(r) for r in ref_codes.collect()
+    }
