@@ -1867,16 +1867,29 @@ def weighted_sssp(
             F.col("v").alias("n"), (F.col("d") + F.col("w")).alias("d")
         )
         best = cand.groupBy("n").agg(F.min("d").alias("d"))
+        # r14-opt: fold the delta detection INTO the min aggregate — a
+        # source flag rides the union, so one partial-agg groupBy yields
+        # BOTH the new minimum and the node's previous distance (min over
+        # the dist side, unique per n). Before, each round paid a second
+        # checkpoint + a broadcast(dist) build + a |dist|-row join just
+        # to compare new vs old; now delta is a lazy filter over the one
+        # checkpointed frame (its two consumers — the next round's
+        # broadcast build and the isEmpty probe — are cheap scans).
+        # Bit-identical: integer mins, and __old is exactly dist's d.
         nxt = _tracked_checkpoint(
-            dist.unionByName(best).groupBy("n").agg(F.min("d").alias("d")), tracked
-        )
-        delta = _tracked_checkpoint(
-            nxt.join(bcast(dist.select("n", F.col("d").alias("__old"))), "n", "left")
-            .filter(F.col("__old").isNull() | (F.col("d") < F.col("__old")))
-            .select("n", "d"),
+            dist.withColumn("__o", F.lit(1))
+            .unionByName(best.withColumn("__o", F.lit(0)))
+            .groupBy("n")
+            .agg(
+                F.min("d").alias("d"),
+                F.min(F.when(F.col("__o") == 1, F.col("d"))).alias("__old"),
+            ),
             tracked,
         )
-        dist = nxt
+        delta = nxt.filter(
+            F.col("__old").isNull() | (F.col("d") < F.col("__old"))
+        ).select("n", "d")
+        dist = nxt.select("n", "d")
         if delta.isEmpty():
             break
     result = dist.select(F.col("n").alias("id"), F.col("d").alias("dist")).localCheckpoint(
