@@ -487,4 +487,7 @@ def test_op_internal_persists_do_not_accumulate(spark):
             # IS the analyzed plan's LogicalRDD (df.rdd would wrap it in
             # a fresh conversion RDD and unpersist that no-op instead)
             result._jdf.queryExecution().analyzed().rdd().unpersist(True)
-    assert pinned() == baseline
+    # no NEW pins (subset, not equality: in a full-suite session the
+    # async ContextCleaner may release OTHER tests' dead blocks from the
+    # baseline snapshot while this loop runs)
+    assert pinned() - baseline == set()

@@ -547,18 +547,30 @@ def test_lsh_near_pairs_joins_are_hash_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_exact_spans_window_is_diagonal_partitioned_no_text_shuffle(spark):
+def test_exact_spans_window_is_diagonal_partitioned_no_text_shuffle(spark, monkeypatch):
     """X128: the islands window partitions by (pair, diagonal) — never a
     global sort; the full text column never crosses an exchange (only
     the fixed-width gram does)."""
-    # build the op directly: the registry entry memoizes through a
-    # localCheckpoint, whose plan is just the checkpoint scan
+    # the op eagerly checkpoints its result (r14 ownership contract), so
+    # the RETURNED plan is a checkpoint scan — capture the span plan as
+    # it is handed to localCheckpoint instead
     from graph_loom_spark.ops import dedup as ops_dedup
 
-    df = ops_dedup.exact_dup_spans(
+    captured: list[str] = []
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # localCheckpoint, so patching the pyspark.sql.DataFrame base misses)
+    cls = type(spark.range(1))
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    ops_dedup.exact_dup_spans(
         spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")), min_len=40
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = captured[-1]
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     for line in plan.splitlines():
