@@ -1363,14 +1363,6 @@ def pagerank(
     # to ``k * (r div od)``, and od = Σ multiplicities is the same
     # count. Opt-in because on a simple graph (the tpch projection:
     # 100% unique pairs) the extra aggregation buys nothing.
-    if pre_aggregate_edges:
-        ew = edges_h.groupBy("u", "v").agg(F.count(F.lit(1)).alias("__k"))
-        outdeg = ew.groupBy("u").agg(F.sum("__k").alias("od"))
-        contrib_c = F.expr("__k * (r div od)").alias("c")
-    else:
-        ew = edges_h
-        outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
-        contrib_c = F.expr("r div od").alias("c")
     # The rank frame is 16 bytes/node — while it fits an executor
     # broadcast, hint it on the contrib join against the big pinned
     # edge frame. Same lever and threshold as
@@ -1380,6 +1372,25 @@ def pagerank(
     bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
     ed_cached = None
     try:
+        if pre_aggregate_edges:
+            # checkpoint the collapsed pair set: outdeg below and the
+            # ed build would otherwise each re-run the corpus-sized
+            # multiplicity groupBy (r14-opt, guide §1.2)
+            ew = _tracked_checkpoint(
+                edges_h.groupBy("u", "v").agg(F.count(F.lit(1)).alias("__k")),
+                tracked,
+            )
+            outdeg = ew.groupBy("u").agg(F.sum("__k").alias("od"))
+            contrib_c = F.expr("__k * (r div od)").alias("c")
+        else:
+            ew = edges_h
+            outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+            contrib_c = F.expr("r div od").alias("c")
+        # r14-opt: checkpoint the out-degree frame (≤ |V| slim rows) —
+        # it feeds THREE setup consumers (the ed join, the ed dangling
+        # flag probe, the ranks flag probe), which each re-executed the
+        # |E|-row degree aggregate when it was left lazy
+        outdeg = _tracked_checkpoint(outdeg, tracked)
         # persist (NOT localCheckpoint — that drops outputPartitioning)
         # partitioned by the CONTRIBUTION-AGG key v: the rank side of the
         # per-iteration join is broadcast, so join-key partitioning buys
@@ -1543,7 +1554,11 @@ def personalized_pagerank(
         edges_h = graph.edges.select(
             F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v")
         )
-        outdeg = edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+        # r14-opt: checkpointed — feeds the stat flag probe AND the ed
+        # join, which each re-executed the |E|-row aggregate when lazy
+        outdeg = _tracked_checkpoint(
+            edges_h.groupBy("u").agg(F.count(F.lit(1)).alias("od")), tracked
+        )
         bcast = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
         # static per-node seed flag + dangling flag + teleport base; all
         # mass starts on S. __d (no out-edges) rides the frames exactly
